@@ -1,0 +1,36 @@
+"""Vector expressions over ``array<float/double>`` columns.
+
+Pure Catalyst higher-order functions (``zip_with`` + ``aggregate``) —
+JVM-side, no UDF, no shuffle.  Used by similarity search and
+embedding-cosine dedup (embeddings table: ``embedding array<float>``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (double) of two array columns."""
+    prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity in double precision; 0-norm guarded to NULL."""
+    a, b = _col(a), _col(b)
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom)
