@@ -1,0 +1,213 @@
+"""Relational analytics operators: joins, aggregations, windows, set ops.
+
+The reference has NO joins/windows/set-ops (SURVEY.md §2.5) — these are
+the engine-API extensions exposed per SURVEY policy: Spark built-ins,
+declared declaratively so Catalyst plans them (broadcast joins for dims,
+partial aggregation, TakeOrderedAndProject for top-N).
+
+Scale notes baked into each operator:
+- Dimension tables (region/nation/supplier/part at typical ratios) are
+  broadcast — no shuffle of the fact table for those joins.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; at 100 TB
+  both sides would be bucketed on orderkey to make this a zero-shuffle
+  sort-merge join (see docs/SCALE.md).
+- Aggregates are expressed on the joined frame directly so Catalyst can
+  push partial aggregation below the exchange where legal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Monetary/ratio rounding used identically in oracle SQL so value-hash
+# comparison is stable across engines' float summation orders.
+MONEY = 2
+RATIO = 4
+
+
+def revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+
+    One scan, partial+final hash agg; the shipdate filter is a pushable
+    parquet predicate (shows up in PushedFilters)."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), MONEY).alias("sum_base_price"),
+            F.round(F.sum(revenue()), MONEY).alias("sum_disc_price"),
+            F.round(F.sum(revenue() * (1 + F.col("l_tax"))), MONEY).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), RATIO).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), RATIO).alias("avg_price"),
+            F.round(F.avg("l_discount"), RATIO).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style: top-K unshipped orders by revenue.
+
+    customer is dimension-sized relative to orders → broadcast; the
+    orders⋈lineitem join shuffles on o_orderkey (bucket both at scale).
+    Top-K via orderBy+limit → TakeOrderedAndProject."""
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > cut).select("l_orderkey", revenue().alias("rev"))
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev"), MONEY).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where customer and supplier
+    share the nation.  region/nation/supplier/customer broadcast; only
+    orders⋈lineitem shuffles."""
+    nr = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(customer), ords.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nr), F.col("c_nationkey") == nr.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(revenue()), MONEY).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-style EXISTS semi-join: orders (in a window) having at
+    least one returned lineitem, counted per priority."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def top_customers_per_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 3
+) -> DataFrame:
+    """Window function: rank customers by total spend within nation,
+    keep top K.  Shuffles once on c_custkey (agg) and once on
+    n_name (window partition) — the window partition key is
+    low-cardinality so this is a small exchange."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), MONEY).alias("spend"))
+    )
+    cust = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .select("n_name", "c_custkey", "c_name", "spend")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .orderBy("n_name", "rnk")
+    )
+
+
+def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Time-series windows: monthly order totals with lag and a
+    3-month moving average (ROWS frame — deterministic)."""
+    from pyspark.sql.window import Window
+
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), MONEY).alias("total"))
+    )
+    w = Window.orderBy("month")
+    wma = w.rowsBetween(-2, 0)
+    return (
+        monthly.withColumn("prev_total", F.lag("total").over(w))
+        .withColumn("ma3", F.round(F.avg("total").over(wma), MONEY))
+        .orderBy("month")
+    )
+
+
+def mktsegment_rollup(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (grouping sets) — n_name × c_mktsegment with
+    subtotals and a grand total."""
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), MONEY).alias("total_acctbal"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(), F.col("c_mktsegment").asc_nulls_first()
+        )
+    )
+
+
+def nations_without_suppliers(
+    nation: DataFrame, customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Set operations: nations having customers EXCEPT nations having
+    suppliers (distinct set semantics, like SQL EXCEPT)."""
+    cust_nations = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name")
+    )
+    supp_nations = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name")
+    )
+    return cust_nations.subtract(supp_nations).orderBy("n_name")
+
+
+def distinct_part_types(part: DataFrame) -> DataFrame:
+    """DISTINCT (dropDuplicates) over a projection."""
+    return part.select("p_brand", "p_type").dropDuplicates().orderBy("p_brand", "p_type")

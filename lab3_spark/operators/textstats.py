@@ -1,0 +1,106 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stop-word-hit heuristic), quality scoring (length/punct/
+stop-word ratios), token counting (whitespace + BPE-ish regex pieces),
+and document fingerprinting (md5 of normalized token stream).
+
+All pure Catalyst expressions — per-document, embarrassingly parallel,
+zero shuffle (narrow transformations over the documents scan); at
+100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lab3_spark.functions.rounding import trunc
+from lab3_spark.functions.text import tokenize
+from lab3_spark.stopwords import STOP_WORDS
+
+RATIO = 4
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single
+# non-alphanumeric marks (GPT-2-style pre-split, simplified).
+BPE_PIECE_REGEX = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def _stop_hits(tokens: Column) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOP_WORDS])
+    return F.size(F.array_intersect(tokens, stop))
+
+
+def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics: counts by three tokenizers + length."""
+    toks = tokenize(text_col)
+    return documents.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_REGEX), F.lit(0))
+        ).alias("n_bpe_pieces"),
+    ).orderBy("doc_id")
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features (all deterministic ratios, rounded for cross-engine hash
+    stability): stop-word ratio, punctuation ratio, mean token length,
+    distinct-token ratio.  score = weighted blend in [0,1]-ish.
+    """
+    d = documents.withColumn("toks", tokenize(text_col))
+    n_tokens = F.size("toks")
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    stop_ratio = F.when(n_tokens > 0, _stop_hits(F.array_distinct(F.col("toks"))) / F.size(F.array_distinct(F.col("toks")))).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate("toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_tokens,
+    ).otherwise(0.0)
+    distinct_ratio = F.when(n_tokens > 0, F.size(F.array_distinct("toks")) / n_tokens).otherwise(0.0)
+    score = (
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * distinct_ratio
+    )
+    return d.select(
+        "doc_id",
+        trunc(stop_ratio, RATIO).alias("stop_ratio"),
+        trunc(punct_ratio, RATIO).alias("punct_ratio"),
+        trunc(mean_tok_len, RATIO).alias("mean_tok_len"),
+        trunc(distinct_ratio, RATIO).alias("distinct_ratio"),
+        trunc(score, RATIO).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free language-ID heuristic: fraction of distinct tokens
+    that are English stop words; >= 0.15 → 'en' else 'other'.
+
+    (A real system broadcasts per-language frequency tables; the
+    heuristic keeps the operator oracle-checkable.)  Returns the
+    labelled `lang` column too, so accuracy is inspectable."""
+    d = documents.withColumn("dtoks", F.array_distinct(tokenize(text_col)))
+    ratio = F.when(F.size("dtoks") > 0, _stop_hits(F.col("dtoks")) / F.size("dtoks")).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        "lang",
+        trunc(ratio, RATIO).alias("en_stop_ratio"),
+        F.when(ratio >= 0.15, "en").otherwise("other").alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercase tokens joined by single spaces) — whitespace/punct/case
+    insensitive; the exact-dedup key."""
+    norm = F.concat_ws(" ", tokenize(text_col))
+    return documents.select(
+        "doc_id", F.md5(norm).alias("fp")
+    ).orderBy("doc_id")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -30,14 +31,26 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, normalizing nano-timestamps.
+
+    events.parquet stores ts as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as a long,
+    which we truncate to micros (integer division — the same truncation
+    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's
+        # exact-integer range, float division would lose microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     """Load the star-schema parquet tables from `sf_dir`."""
-    return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for name in names
-    }
+    return {name: load_table(spark, sf_dir, name) for name in names}
 
 
 def register_tables(
