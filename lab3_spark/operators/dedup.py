@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all engine-native (no Python on the hot path) and all
+deterministic/cross-engine-checkable via the portable md5 hash
+(functions/text.py):
+
+- exact:       md5 fingerprint of the normalized token stream
+- MinHash+LSH: word-shingle minhash signatures, banded bucket join
+- SimHash:     60-bit weighted token hash, chunk-blocked hamming pairs
+- n-gram Jaccard: exact Jaccard on LSH candidate pairs
+- embedding cosine: label-blocked (IVF-style) near-duplicate vectors
+
+Scale design (the point of each strategy at 100 TB):
+- exact dedup is a single hash-shuffle on the fingerprint.
+- MinHash/LSH replaces the O(n²) all-pairs comparison with a
+  shuffle-on-band-key join; candidates per bucket are bounded, so cost
+  is ~linear in corpus size.  Signature width/bands tune recall.
+- SimHash chunk blocking (pigeonhole: 4 chunks, hamming ≤ 3 ⇒ one
+  chunk equal) likewise turns all-pairs hamming into an equi-join.
+- embedding dedup blocks on a coarse partition (here: `label`, standing
+  in for an IVF centroid id) — each block is an independent self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lab3_spark.functions.rounding import trunc
+from lab3_spark.functions.text import md5_long, tokenize
+from lab3_spark.functions.vectors import cosine_similarity
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_N = 3
+SIM_BITS = 60
+SIM_CHUNKS = 4
+CHUNK_BITS = SIM_BITS // SIM_CHUNKS
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp, n_copies, is_dup): is_dup=1 unless the doc is the
+    min-doc_id representative of its fingerprint group.
+
+    One shuffle on fp; the keep-rule (min id) is the deterministic
+    canonical-representative policy."""
+    norm = F.concat_ws(" ", tokenize(text_col))
+    w = Window.partitionBy("fp")
+    return (
+        documents.select("doc_id", F.md5(norm).alias("fp"))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
+    < SHINGLE_N tokens are excluded — no shingle exists)."""
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+    )
+    return (
+        documents.where(F.size(toks) >= SHINGLE_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<string>): N_HASHES lexicographic-min md5
+    minhashes, one per salt.  min(md5(salt|shingle)) over a uniformly
+    hashed shingle set is a valid permutation-min — and portable, so
+    the DuckDB oracle computes the identical signature."""
+    sh = _doc_shingles(documents, text_col)
+    salted = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("salt"),
+        "shingle",
+    )
+    mh = salted.groupBy("doc_id", "salt").agg(
+        F.min(
+            F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("mh")
+    )
+    return mh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("salt", "mh"))), lambda s: s["mh"]
+        ).alias("sig")
+    )
+
+
+def minhash_candidates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, n_bands): candidate near-dup pairs = docs sharing
+    ≥1 LSH band bucket; n_bands = how many buckets they share.
+
+    The equi-join on (band, band_key) is the scale trick: no all-pairs
+    comparison ever happens."""
+    sig = minhash_signatures(documents, text_col)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, text_col: str = "text", min_jaccard: float = 0.2
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): EXACT shingle-set Jaccard, evaluated
+    only on MinHash-LSH candidate pairs (verify step of the classic
+    dedup pipeline: cheap candidate generation → exact verification)."""
+    cands = minhash_candidates(documents, text_col).select("doc_a", "doc_b")
+    sh = _doc_shingles(documents, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b_"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig): 60-bit SimHash over token counts.
+
+    bit_i(sig) = 1 iff Σ_tokens cnt(t) * (2*bit_i(md5_60(t)) - 1) > 0.
+    All integer arithmetic — bit-exact across engines."""
+    tok_counts = (
+        documents.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_long("tok"))
+    )
+    # column-valued shift amounts need expr(): the F.shiftright/left
+    # Python wrappers only accept literal ints
+    contrib = F.col("cnt") * (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
+    per_bit = (
+        tok_counts.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
+            "cnt",
+            "h",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("sig")
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs with hamming(sig_a, sig_b) ≤ k.
+
+    Complete for k ≤ SIM_CHUNKS-1 by pigeonhole: 4 equal-width chunks,
+    ≤3 differing bits ⇒ at least one chunk identical — so the chunk
+    equi-join finds every qualifying pair without an all-pairs scan."""
+    sig = simhash_signatures(documents, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_CHUNKS - 1))).alias("c"),
+    ).select(
+        "doc_id",
+        "sig",
+        "c",
+        F.expr(f"shiftright(sig, c * {CHUNK_BITS})")
+        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+        .alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").bitwiseXOR(F.col("b.sig")).alias("x"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr("bit_count(x)").cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, min_cosine: float = 0.35
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-duplicate vectors, blocked by `label`
+    (IVF-style coarse bucket → independent per-block self-joins; at
+    scale each block is one partition's local work)."""
+    e = embeddings.select("vec_id", "label", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            trunc(cos, 4).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cosine)
+        .orderBy("vec_a", "vec_b")
+    )

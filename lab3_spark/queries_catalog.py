@@ -485,3 +485,407 @@ def q_lang_id(spark, sf_dir):
 )
 def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §5 Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+# embedding-cosine) — SURVEY.md north-star operators.
+# The oracles recompute the identical portable-hash pipelines in SQL
+# (md5-based minhash & hyperplanes, integer simhash) — see
+# functions/text.py hex_to_long for the shared arithmetic.
+# ---------------------------------------------------------------------------
+
+_H2L = (
+    "list_reduce(list_transform(string_split({h}, ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def _h2l(expr: str) -> str:
+    return _H2L.format(h=expr)
+
+
+_DUCK_SHINGLE_CTES = f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )"""
+
+_DUCK_MINHASH_CTES = f"""{_DUCK_SHINGLE_CTES},
+    mh AS (
+      SELECT doc_id, salt, min(md5(concat(salt, '|', shingle))) AS mh
+      FROM sh, (SELECT unnest(range(0, 16)) AS salt) salts
+      GROUP BY doc_id, salt
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY salt) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_extract_all(lower(text),
+                 {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           count(*) OVER (PARTITION BY fp) AS n_copies,
+           CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM fp ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    from lab3_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000
+             AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000 >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    from lab3_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             {_h2l("substr(md5(tok), 1, 15)")} AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    perbit AS (
+      SELECT doc_id, bit, sum(cnt * (2 * ((h >> bit) & 1) - 1)) AS s
+      FROM tc, (SELECT unnest(range(0, 60)) AS bit) bits
+      GROUP BY doc_id, bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS sig
+      FROM perbit GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS chunk
+      FROM sigs, (SELECT unnest(range(0, 4)) AS c) cs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM chunks a
+      JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    from lab3_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_VEC = """
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )"""
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_DUCK_VEC}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(({_DUCK_DOT.format(a='a.v', b='b.v')}
+                  / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}))
+                 * 10000) / 10000 AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor(({_DUCK_DOT.format(a='a.v', b='b.v')}
+                 / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}))
+                * 10000) / 10000 >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    from lab3_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# §6 Similarity search (ANN) over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_bruteforce_top5",
+    f"""
+    WITH {_DUCK_VEC},
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 20),
+    pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='vq', b='n.v')}
+              / ({_DUCK_NORM.format(a='vq')} * {_DUCK_NORM.format(a='n.v')})) AS cos_raw
+      FROM q, e n WHERE n.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_brute(spark, sf_dir):
+    from lab3_spark.operators.similarity import ann_bruteforce
+
+    return ann_bruteforce(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_ivf_top5",
+    f"""
+    WITH {_DUCK_VEC},
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS vq
+          FROM e WHERE vec_id < 20),
+    pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='vq', b='n.v')}
+              / ({_DUCK_NORM.format(a='vq')} * {_DUCK_NORM.format(a='n.v')})) AS cos_raw
+      FROM q JOIN e n ON n.label = q.qlabel
+      WHERE n.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    from lab3_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_lsh_buckets",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, u.d AS d, u.x AS x FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(0, len(embedding)),
+                      i -> struct_pack(d := i,
+                                       x := CAST(embedding[i+1] AS DOUBLE)))) AS u
+        FROM embeddings)
+    ),
+    dots AS (
+      SELECT vec_id, p,
+             sum(x * ((({_h2l("substr(md5(concat(p, ',', d)), 1, 15)")}) % 2001 - 1000)
+                      / 1000)) AS dot
+      FROM ex, (SELECT unnest(range(0, 16)) AS p) ps
+      GROUP BY vec_id, p
+    ),
+    codes AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS code
+      FROM dots GROUP BY vec_id
+    )
+    SELECT code, count(*) AS n_vecs FROM codes GROUP BY code ORDER BY code
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    from lab3_spark.operators.similarity import lsh_bucket_sizes
+
+    return lsh_bucket_sizes(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# §7 Multimodal plumbing, Structured Streaming, generic MapReduce facade
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {_h2l("substr(md5(text), 1, 15)")} AS h1,
+             {_h2l("substr(md5(text), 16, 15)")} AS h2
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           h1 % 640 + 1 AS width,
+           h2 % 480 + 1 AS height,
+           h1 % 30 + 1 AS n_frames,
+           (h2 % 25600) / 100.0 AS mean_px
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_multimodal(spark, sf_dir):
+    """Binary media column → Arrow-batched mapInPandas decode (stubbed
+    deterministic fake; real decoder hook raises NotImplementedError —
+    see operators/multimodal.py).  The oracle recomputes the fake's
+    md5 arithmetic in SQL, so the whole mapInPandas path is
+    value-checked."""
+    from lab3_spark.operators.multimodal import media_features
+
+    return media_features(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {_h2l("substr(md5(text), 1, 15)")} AS h1 FROM documents
+    )
+    SELECT doc_id, unnest(range(0, h1 % 30 + 1, 10)) AS frame_idx
+    FROM h ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    from lab3_spark.operators.multimodal import attach_media, frame_sample
+
+    return frame_sample(attach_media(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "mapreduce_facade_wordcount",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT word, count(*) AS cnt
+    FROM toks GROUP BY word
+    ORDER BY cnt ASC, word DESC
+    """,
+)
+def q_facade_wc(spark, sf_dir):
+    """The generic Phoenix-style MapReduce facade (split/map/combine/
+    reduce/sort registry — SURVEY §2.7) reproducing wordCount."""
+    from lab3_spark.operators.mapreduce import word_count_as_mapreduce
+
+    return word_count_as_mapreduce(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "streaming_tumbling_5min",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_streaming_tumbling(spark, sf_dir):
+    """A REAL Structured Streaming run (file source → watermarked
+    tumbling-window agg → memory sink, availableNow trigger), returned
+    as the final complete-mode table.  Oracle = the batch SQL: with
+    all data available, streaming complete mode must equal batch."""
+    import os as _os
+    import tempfile as _tf
+
+    from lab3_spark.streaming.windowed import streaming_tumbling_counts
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    # the parquet file-stream source requires a DIRECTORY; stage the
+    # (read-only) file behind a symlink in a temp dir
+    stage = _tf.mkdtemp(prefix="stream_events_")
+    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = streaming_tumbling_counts(src)
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling_check")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table("stream_tumbling_check")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")

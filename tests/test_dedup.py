@@ -1,0 +1,79 @@
+"""Dedup operator tests: planted duplicates must be found; invariants
+hold (SURVEY §5.3-style property tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single morning"
+    )
+    near = base.replace("warm", "cold")  # 1-token edit
+    far = "completely different content about spark query engines and shuffles"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, far),
+        (4, "Tiny doc"),    # < 3 tokens → no shingles
+        (5, base.upper()),  # case-normalized exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, near_dup_corpus):
+    got = {r["doc_id"]: (r["n_copies"], r["is_dup"]) for r in
+           exact_duplicates(near_dup_corpus).collect()}
+    assert got[0] == (3, 0)   # representative (min id of {0,1,5})
+    assert got[1] == (3, 1)
+    assert got[5] == (3, 1)   # case-insensitive via token normalization
+    assert got[3] == (1, 0)
+
+
+def test_minhash_finds_planted_pairs(spark, near_dup_corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_candidates(near_dup_corpus).collect()}
+    # identical docs share every band
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    # the 1-token edit shares most shingles → expect ≥1 band collision
+    assert (0, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_exact_values(spark, near_dup_corpus):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(near_dup_corpus).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+    assert all(0.0 <= j <= 1.0 for j in got.values())
+
+
+def test_simhash_signature_deterministic_and_bounded(spark, near_dup_corpus):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            simhash_signatures(near_dup_corpus).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    assert sigs[0] == sigs[1] == sigs[5]  # identical token multisets
+    again = {r["doc_id"]: r["sig"] for r in
+             simhash_signatures(near_dup_corpus.repartition(7)).collect()}
+    assert sigs == again
+
+
+def test_simhash_near_pairs(spark, near_dup_corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(near_dup_corpus).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 5)] == 0
+    # (0,2): one token swapped — hamming small but possibly > 3; only
+    # assert completeness of the ≤3 set: every reported pair ≤ 3
+    assert all(h <= 3 for h in pairs.values())
