@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol (BASELINE.md): per-query wall-clock in a warm session — the
+session/JVM startup and the first parquet-footer reads are excluded by
+a warmup pass, mirroring the reference's self-timing which measures
+the map-reduce phase, not process startup
+(phoenixLab/wordCount/wordCount.cpp:138-164).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lab3_spark.queries_catalog import QUERIES
+from lab3_spark.session import get_spark
+from lab3_spark.sources.tables import TABLES, load_table
+
+# Headline set: the parity pipelines + one of each operator family.
+# streaming_tumbling_5min is excluded: its wall-clock is dominated by
+# StreamingQuery checkpoint machinery, not dataflow (see its own test).
+HEADLINE = [
+    "word_count",
+    "top50_words",
+    "inverted_index",
+    "word_count_parity",
+    "mapreduce_facade_wordcount",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_nation",
+    "events_tumbling_5min",
+    "events_sessionize",
+    "doc_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_top5",
+    "ann_ivf_top5",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("lab3_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM, parquet footers, codegen for a trivial job.
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    # Two passes, keep the per-query MIN: pass 1 pays one-time codegen
+    # compilation and absorbs this host's scheduler noise; the min is
+    # the reproducible dataflow cost (the reference's self-timing
+    # likewise measures the compute phase, not program setup).
+    timings: dict[str, float] = {}
+    for rnd in (1, 2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            # noop sink: full computation of every column, zero driver
+            # transfer (count() would let Catalyst prune projections)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"[pass {rnd}] {name} took: {dt:.3f} seconds", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,3 +34,14 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a, b = _col(a), _col(b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot_product(a, b) / denom)
+
+
+def unit_vector(a: Column | str) -> Column:
+    """v / ||v|| as array<double> — precompute ONCE per row before a
+    pairwise self-join so each pair needs a single fold (dot of unit
+    vectors) instead of three (dot + two norms).  Higher-order-function
+    lambdas are interpreted, not codegen'd, so per-pair fold count is
+    the dominant cost of vector similarity at any scale."""
+    a = _col(a)
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)

@@ -61,13 +61,19 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
     < SHINGLE_N tokens are excluded — no shingle exists)."""
+    # repartition first: shingling + salting + md5 are the CPU hot
+    # path and the testdata parquet is a single row group (one scan
+    # task).  At cluster scale input splits already provide the
+    # parallelism; the tiny exchange is noise next to the hash work.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
     )
     return (
-        documents.where(F.size(toks) >= SHINGLE_N)
+        documents.repartition(par)
+        .where(F.size(toks) >= SHINGLE_N)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
@@ -172,8 +178,10 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
 
     bit_i(sig) = 1 iff Σ_tokens cnt(t) * (2*bit_i(md5_60(t)) - 1) > 0.
     All integer arithmetic — bit-exact across engines."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
     tok_counts = (
-        documents.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
+        documents.repartition(par)  # single-row-group scan → spread CPU
+        .select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", md5_long("tok"))
@@ -248,11 +256,21 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-duplicate vectors, blocked by `label`
     (IVF-style coarse bucket → independent per-block self-joins; at
-    scale each block is one partition's local work)."""
-    e = embeddings.select("vec_id", "label", "embedding")
+    scale each block is one partition's local work).
+
+    Perf: vectors are unit-normalized ONCE before the join (cos = dot
+    of unit vectors — one interpreted fold per pair instead of three),
+    and the scan is repartitioned so pair work spreads across cores
+    (testdata parquet is a single row group = one scan task)."""
+    from lab3_spark.functions.vectors import dot_product, unit_vector
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(par).select(
+        "vec_id", "label", unit_vector("embedding").alias("u")
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot_product(F.col("a.u"), F.col("b.u"))
     return (
         a.join(
             b,

@@ -51,7 +51,11 @@ FEATURE_SCHEMA = T.StructType(
 def attach_media(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary `content` column (utf-8 payload of
     the text — the stand-in for image/audio bytes) + media_type tag."""
-    return documents.select(
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(par).select(
+        # repartition: decode is per-row CPU work behind a Python
+        # worker; a single-row-group scan would serialize it on one
+        # Arrow stream
         "doc_id",
         F.lit("image/fake").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),

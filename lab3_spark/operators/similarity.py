@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from lab3_spark.functions.rounding import trunc
 from lab3_spark.functions.text import md5_long
-from lab3_spark.functions.vectors import cosine_similarity
+from lab3_spark.functions.vectors import dot_product, unit_vector
 
 
 def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
@@ -48,19 +48,19 @@ def ann_bruteforce(
 
     The query side is tiny → broadcast; Catalyst plans
     BroadcastNestedLoopJoin so the corpus is scanned once, partitions
-    in parallel, no shuffle of the big side."""
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    in parallel, no shuffle of the big side.  Both sides are
+    unit-normalized before the join: one fold per pair."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = embeddings.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        F.col("vec_id").alias("query_id"), unit_vector("embedding").alias("u_q")
     )
     pairs = F.broadcast(queries).crossJoin(corpus).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    pairs = pairs.withColumn(
-        "cos_raw", cosine_similarity(F.col("emb_q"), F.col("emb_n"))
-    )
+    pairs = pairs.withColumn("cos_raw", dot_product(F.col("u_q"), F.col("u_n")))
     return _topk_per_query(pairs, k)
 
 
@@ -71,17 +71,18 @@ def ann_ivf(
     bucket (label = centroid id stand-in).  Same output schema as
     ann_bruteforce; recall < 1 when true neighbors live in other
     buckets — that is the documented trade."""
-    corpus = embeddings.select(
-        "label", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = embeddings.repartition(par).select(
+        "label", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        "label", F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        "label", F.col("vec_id").alias("query_id"), unit_vector("embedding").alias("u_q")
     )
     pairs = (
         F.broadcast(queries.withColumnRenamed("label", "qlabel"))
         .join(corpus, F.col("qlabel") == F.col("label"))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine_similarity(F.col("emb_q"), F.col("emb_n")))
+        .withColumn("cos_raw", dot_product(F.col("u_q"), F.col("u_n")))
     )
     return _topk_per_query(pairs, k)
 
@@ -104,7 +105,8 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
     code bit p = sign(v · plane_p).  Buckets with equal codes hold
     likely-similar vectors; at scale the code is the shuffle key that
     replaces all-pairs search."""
-    exploded = embeddings.select(
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    exploded = embeddings.repartition(par).select(
         "vec_id",
         F.posexplode("embedding").alias("d", "x"),
     ).select(

@@ -644,11 +644,20 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+# unit-normalized vectors (same formulation as the Spark side:
+# functions/vectors.unit_vector) so cos = one dot-product fold per pair
 _DUCK_VEC = """
-    e AS (
+    ev AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x /
+               sqrt(list_reduce(list_transform(v, q -> q * q),
+                                (acc, q) -> acc + q))) AS u
+      FROM ev
     )"""
 
 _DUCK_DOT = (
@@ -663,12 +672,10 @@ _DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)
     f"""
     WITH {_DUCK_VEC}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           floor(({_DUCK_DOT.format(a='a.v', b='b.v')}
-                  / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}))
+           floor(({_DUCK_DOT.format(a='a.u', b='b.u')})
                  * 10000) / 10000 AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE floor(({_DUCK_DOT.format(a='a.v', b='b.v')}
-                 / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}))
+    WHERE floor(({_DUCK_DOT.format(a='a.u', b='b.u')})
                 * 10000) / 10000 >= 0.35
     ORDER BY vec_a, vec_b
     """,
@@ -688,11 +695,10 @@ def q_dedup_embedding(spark, sf_dir):
     "ann_bruteforce_top5",
     f"""
     WITH {_DUCK_VEC},
-    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 20),
+    q AS (SELECT vec_id AS query_id, u AS uq FROM e WHERE vec_id < 20),
     pairs AS (
       SELECT query_id, n.vec_id AS neighbor_id,
-             ({_DUCK_DOT.format(a='vq', b='n.v')}
-              / ({_DUCK_NORM.format(a='vq')} * {_DUCK_NORM.format(a='n.v')})) AS cos_raw
+             ({_DUCK_DOT.format(a='uq', b='n.u')}) AS cos_raw
       FROM q, e n WHERE n.vec_id != query_id
     ),
     ranked AS (
@@ -716,12 +722,11 @@ def q_ann_brute(spark, sf_dir):
     "ann_ivf_top5",
     f"""
     WITH {_DUCK_VEC},
-    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS vq
+    q AS (SELECT vec_id AS query_id, label AS qlabel, u AS uq
           FROM e WHERE vec_id < 20),
     pairs AS (
       SELECT query_id, n.vec_id AS neighbor_id,
-             ({_DUCK_DOT.format(a='vq', b='n.v')}
-              / ({_DUCK_NORM.format(a='vq')} * {_DUCK_NORM.format(a='n.v')})) AS cos_raw
+             ({_DUCK_DOT.format(a='uq', b='n.u')}) AS cos_raw
       FROM q JOIN e n ON n.label = q.qlabel
       WHERE n.vec_id != query_id
     ),
