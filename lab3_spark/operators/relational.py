@@ -211,3 +211,90 @@ def nations_without_suppliers(
 def distinct_part_types(part: DataFrame) -> DataFrame:
     """DISTINCT (dropDuplicates) over a projection."""
     return part.select("p_brand", "p_type").dropDuplicates().orderBy("p_brand", "p_type")
+
+
+def order_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE grouping sets over status × priority (all 4 combinations
+    of subtotals — the full grouping-set lattice)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), MONEY).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def nation_status_pivot(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """PIVOT: order totals per nation spread across status columns.
+
+    The status domain is passed explicitly (F/O/P) so Catalyst skips
+    the extra distinct-values job — the at-scale form of pivot."""
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), MONEY))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+        .orderBy("n_name")
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) of event value per
+    type.  At 100 TB swap percentile → approx_percentile (t-digest
+    sketch, single pass, mergeable) — exact percentile must sort each
+    group."""
+    from lab3_spark.functions.rounding import trunc
+
+    return (
+        events.groupBy("event_type")
+        .agg(
+            trunc(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            trunc(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            trunc(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def nations_with_both(
+    nation: DataFrame, customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """INTERSECT: nations having customers AND suppliers."""
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("n_name")
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("n_name")
+    return cust.intersect(supp).orderBy("n_name")
+
+
+def parties_per_nation(
+    nation: DataFrame, customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """UNION ALL of two sides with a role tag, then aggregate — the
+    multi-source-append pattern."""
+    cust = customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("role")
+    )
+    supp = supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role")
+    )
+    both = cust.unionByName(supp)
+    return (
+        both.join(F.broadcast(nation), both.nationkey == nation.n_nationkey)
+        .groupBy("n_name", "role")
+        .agg(F.count("*").alias("n_parties"))
+        .orderBy("n_name", "role")
+    )

@@ -104,3 +104,63 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", F.md5(norm).alias("fp")
     ).orderBy("doc_id")
+
+
+def ngram_frequencies(
+    documents: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Top-K word n-grams by corpus frequency (ALL occurrences, unlike
+    dedup's per-doc-distinct shingles).  One shuffle (the n-gram
+    group-by); top-K via TakeOrderedAndProject."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        documents.repartition(par)
+        .where(F.size(toks) >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-K terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1).  Two shuffles: (doc, term) counts and
+    the per-term document frequency; N broadcast as a 1-row join."""
+    from pyspark.sql.window import Window
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    tf = (
+        documents.repartition(par)
+        .select("doc_id", F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", trunc(F.col("tfidf_raw"), RATIO).alias("tfidf"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )

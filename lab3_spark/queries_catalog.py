@@ -894,3 +894,150 @@ def q_streaming_tumbling(spark, sf_dir):
         "n_events",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §8 Grouping-set lattice, pivot, percentiles, n-grams, TF-IDF, set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+def q_cube(spark, sf_dir):
+    return REL.order_status_cube(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "nation_status_pivot",
+    """
+    SELECT n_name,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_pivot(spark, sf_dir):
+    return REL.nation_status_pivot(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5)  * 10000) / 10000 AS p50,
+           floor(quantile_cont(value, 0.9)  * 10000) / 10000 AS p90,
+           floor(quantile_cont(value, 0.99) * 10000) / 10000 AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    return REL.value_percentiles(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "nations_with_both",
+    """
+    SELECT n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    INTERSECT
+    SELECT n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n_name
+    """,
+)
+def q_intersect(spark, sf_dir):
+    return REL.nations_with_both(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "parties_per_nation",
+    """
+    WITH both_sides AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier
+    )
+    SELECT n_name, role, count(*) AS n_parties
+    FROM both_sides b JOIN nation n ON b.nationkey = n.n_nationkey
+    GROUP BY n_name, role
+    ORDER BY n_name, role
+    """,
+)
+def q_union(spark, sf_dir):
+    return REL.parties_per_nation(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "top_bigrams",
+    f"""
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+      FROM documents
+    )
+    SELECT gram, count(*) AS cnt FROM (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t WHERE len(toks) >= 2)
+    GROUP BY gram
+    ORDER BY cnt DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def q_bigrams(spark, sf_dir):
+    return TS.ngram_frequencies(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS term
+        FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1) AS tfidf_raw
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf_raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_raw DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term,
+           floor(tfidf_raw * 10000) / 10000 AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    return TS.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)

@@ -1,0 +1,67 @@
+"""Sinks (formatted renderers + file writers) and text source tests."""
+
+import os
+
+from lab3_spark.operators.inverted_index import inverted_index
+from lab3_spark.operators.wordcount import word_count
+from lab3_spark.sinks import (
+    render_inverted_index_text,
+    render_keyval_text,
+    write_csv,
+    write_parquet,
+)
+from lab3_spark.sources.text import read_text_lines
+
+
+def test_render_keyval_matches_printf(spark, corpus):
+    # reference format: printf("%15s - %lu\n", ...) — wordCount.cpp:153
+    lines = [
+        r["line"] for r in render_keyval_text(word_count(corpus)).collect()
+    ]
+    assert all(" - " in ln for ln in lines)
+    # fox appears 3x; "%15s - %lu" % ("fox", 3)
+    assert "            fox - 3" in lines
+
+
+def test_render_inverted_index(spark, corpus):
+    lines = {
+        r["line"]
+        for r in render_inverted_index_text(inverted_index(corpus)).collect()
+    }
+    assert "fox - 0, 2" in lines
+
+
+def test_parquet_csv_roundtrip(spark, corpus, tmp_path):
+    out = word_count(corpus)
+    pq = os.path.join(str(tmp_path), "wc_parquet")
+    cs = os.path.join(str(tmp_path), "wc_csv")
+    write_parquet(out, pq)
+    write_csv(out, cs)
+    back_pq = spark.read.parquet(pq)
+    back_cs = spark.read.option("header", "true").csv(cs)
+    assert sorted(map(tuple, back_pq.collect())) == sorted(map(tuple, out.collect()))
+    assert back_cs.count() == out.count()
+
+
+def test_read_text_lines_line_numbers(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "sample.txt")
+    with open(p, "w") as f:
+        f.write("first line\nsecond line\nthird line\n")
+    df = read_text_lines(spark, p)
+    rows = sorted((r["line_no"], r["text"]) for r in df.collect())
+    # 0-based contiguous per file (invert.cpp:101-103)
+    assert rows == [(0, "first line"), (1, "second line"), (2, "third line")]
+    assert df.collect()[0]["doc_id"] == "sample.txt"
+
+
+def test_reference_corpus_wordcount_if_present(spark):
+    """Golden smoke on the reference's own corpus (read-only data file,
+    phoenixLab/Dracula.txt) when available."""
+    path = "/root/reference/phoenixLab/Dracula.txt"
+    if not os.path.exists(path):
+        return
+    lines = read_text_lines(spark, path)
+    wc = {r["word"]: r["cnt"] for r in word_count(lines).collect()}
+    # hand-checked: 'dracula' appears in the text; stop words are gone
+    assert wc.get("dracula", 0) > 0
+    assert "the" not in wc
