@@ -108,3 +108,41 @@ def inverted_index_as_mapreduce(
     return out.select(
         "word", F.sort_array("ids").alias("ids")
     ).orderBy("word")
+
+
+def map_reduce_salted(
+    df: DataFrame,
+    mapper: Column,
+    combiner: str = "sum",
+    n_salts: int = 16,
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation (salting).
+
+    A hot key (one word dominating a corpus — the natural-language
+    norm) funnels its entire group through one reduce task in the
+    plain dataflow; the reference has the same pathology (all values
+    of a key land in one bucket, container.h:185).  Salting splits
+    each key into `n_salts` subgroups aggregated in parallel, then
+    combines the partials — exact for associative combiners
+    (sum/count/min/max).
+
+    The salt only spreads rows of one key across reduce tasks; the
+    FINAL result is salt-independent (associativity), so any row-level
+    salt works — we use monotonically_increasing_id mod n_salts.
+    """
+    if combiner not in ("sum", "count", "min", "max"):
+        raise ValueError(f"salting requires an associative combiner, got {combiner!r}")
+    agg = COMBINERS[combiner]
+    pairs = df.select(F.explode(mapper).alias("kv")).select(
+        F.col("kv.key").alias(key_name), F.col("kv.value").alias(value_name)
+    )
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key_name, "_salt").agg(
+        agg(F.col(value_name)).alias(value_name)
+    )
+    refold = {"count": F.sum}.get(combiner, agg)  # counts re-combine by SUM
+    return partial.groupBy(key_name).agg(refold(F.col(value_name)).alias(value_name))

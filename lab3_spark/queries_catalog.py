@@ -1041,3 +1041,56 @@ def q_bigrams(spark, sf_dir):
 )
 def q_tfidf(spark, sf_dir):
     return TS.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "events_geomean_value",
+    """
+    SELECT event_type,
+           floor(exp(avg(ln(value))) * 10000) / 10000 AS geo_mean,
+           count(*) AS n
+    FROM events WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_geomean(spark, sf_dir):
+    """Custom-UDAF extension point (combiner.h:109-161 analogue): a
+    pandas grouped-agg UDAF (Arrow-batched numpy fold) computing the
+    geometric mean — an aggregate Spark lacks natively."""
+    from lab3_spark.functions.udaf import geometric_mean_udaf
+    from lab3_spark.functions.rounding import trunc
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    # a pandas grouped-agg UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two aggs joined on the group key
+    geo = ev.groupBy("event_type").agg(
+        trunc(geometric_mean_udaf("value"), 4).alias("geo_mean")
+    )
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return geo.join(n, "event_type").orderBy("event_type")
+
+
+@query(
+    "salted_wordcount",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT word, count(*) AS cnt
+    FROM toks GROUP BY word
+    ORDER BY cnt ASC, word DESC
+    """,
+)
+def q_salted(spark, sf_dir):
+    """Skew-resistant two-phase (salted) aggregation through the
+    MapReduce facade — must equal the plain group-by exactly."""
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.mapreduce import map_reduce_salted
+
+    docs = _t(spark, sf_dir, "documents")
+    mapper = F.transform(
+        tokenize("text"),
+        lambda w: F.struct(w.alias("key"), F.lit(1).cast("long").alias("value")),
+    )
+    out = map_reduce_salted(
+        docs, mapper, combiner="sum", key_name="word", value_name="cnt"
+    )
+    return out.orderBy(F.asc("cnt"), F.desc("word"))

@@ -1,0 +1,71 @@
+"""Structured Streaming twins must equal their batch-checked logic."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.wordcount import word_counts_unfiltered
+from lab3_spark.streaming.windowed import (
+    run_stream_to_memory,
+    streaming_tumbling_counts,
+    streaming_word_count,
+)
+
+
+def test_streaming_word_count_equals_batch(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:10", "spark streams words"),
+        ("2024-01-01 00:00:40", "words words again"),
+        ("2024-01-01 00:01:10", "late spark"),
+    ]
+    src = spark.createDataFrame(rows, "ts_s string, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    path = os.path.join(str(tmp_path), "stream_src")
+    src.write.parquet(path)
+
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    result = streaming_word_count(stream, window="1 minute")
+    q = run_stream_to_memory(result, "wc_stream_test")
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["window_start"]), r["word"]): r["cnt"]
+        for r in spark.table("wc_stream_test").collect()
+    }
+    # window [00:00, 00:01): spark=1, streams=1, words=3, again=1
+    assert got[("2024-01-01 00:00:00", "words")] == 3
+    assert got[("2024-01-01 00:00:00", "spark")] == 1
+    assert got[("2024-01-01 00:01:00", "late")] == 1
+    # total counts across windows == batch word counts
+    batch = {
+        r["word"]: r["cnt"] for r in word_counts_unfiltered(src).collect()
+    }
+    stream_totals: dict = {}
+    for (_, w), c in got.items():
+        stream_totals[w] = stream_totals.get(w, 0) + c
+    assert stream_totals == batch
+
+
+def test_streaming_tumbling_counts_runs(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+    ]
+    src = spark.createDataFrame(rows, "ts_s string, event_type string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    path = os.path.join(str(tmp_path), "ev_src")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = run_stream_to_memory(
+        streaming_tumbling_counts(stream), "ev_stream_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("ev_stream_test").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:05:00", "view")] == (1, 3.0)
