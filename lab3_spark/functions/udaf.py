@@ -27,15 +27,18 @@ def _geo_mean_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def geometric_mean(v: pd.Series) -> float:
+    def geometric_mean(v):
         arr = v.to_numpy(dtype="float64")
         arr = arr[arr > 0]
         if arr.size == 0:
             return float("nan")
         return float(np.exp(np.log(arr).mean()))
 
-    return geometric_mean
+    # pandas_udf infers GROUPED_AGG from Series->scalar annotations;
+    # this module uses `from __future__ import annotations` (string
+    # hints it can't resolve), so set real annotations at runtime
+    geometric_mean.__annotations__ = {"v": pd.Series, "return": float}
+    return pandas_udf(geometric_mean, "double")
 
 
 def geometric_mean_udaf(col) -> Column:
