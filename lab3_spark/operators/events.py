@@ -119,3 +119,81 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_id")
     )
+
+
+def session_windows_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window operator
+    (merge-on-gap aggregation — the same grouping the lag+running-sum
+    formulation in :func:`sessionize` produces, one shuffle on
+    (user, merged-window)).
+
+    session_start = window.start = min event ts of the session exactly,
+    so output matches the lag-based formulation row-for-row."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), MONEY).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered-funnel analysis: users whose FIRST occurrence of each
+    step happens in sequence.  One shuffle (user × step min-ts pivot);
+    the step comparison is per-user row-local."""
+    firsts = (
+        events.where(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .pivot("event_type", list(steps))
+        .agg(F.min("ts"))
+    )
+    s0, s1, s2 = steps
+    reached_1 = F.col(s0).isNotNull()
+    reached_2 = reached_1 & F.col(s1).isNotNull() & (F.col(s1) >= F.col(s0))
+    reached_3 = reached_2 & F.col(s2).isNotNull() & (F.col(s2) >= F.col(s1))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_1.cast("long")).alias(f"n_{s0}"),
+        F.sum(reached_2.cast("long")).alias(f"n_{s0}_{s1}"),
+        F.sum(reached_3.cast("long")).alias(f"n_{s0}_{s1}_{s2}"),
+    )
+
+
+def day_over_day_retention(events: DataFrame) -> DataFrame:
+    """Users active on day D who return on D+1 — the self-join
+    formulation (distinct user-days, joined on user & next day).
+    Both sides are the same small distinct set; at scale this is a
+    shuffle on user_id."""
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    ret_counts = (
+        days.alias("a")
+        .join(
+            days.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1).cast("timestamp")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.countDistinct(F.col("a.user_id")).alias("retained"))
+    )
+    active = days.groupBy("day").agg(F.countDistinct("user_id").alias("active"))
+    return (
+        active.join(ret_counts, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active",
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+        )
+        .orderBy("day")
+    )

@@ -1094,3 +1094,148 @@ def q_salted(spark, sf_dir):
         docs, mapper, combiner="sum", key_name="word", value_name="cnt"
     )
     return out.orderBy(F.asc("cnt"), F.desc("word"))
+
+
+# ---------------------------------------------------------------------------
+# §9 Time-series operators: as-of join, native session windows, funnel,
+# retention, approximate distinct (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, NULL AS value_asof, 1 AS side,
+             event_id, value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, value AS value_asof, 0 AS side,
+             NULL AS event_id, NULL AS value
+      FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+      SELECT user_id, ts, side, event_id, value,
+             last_value(value_asof IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, side ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS value_asof
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 2) AS value,
+           round(value_asof, 2) AS last_click_value
+    FROM carried WHERE side = 1
+    ORDER BY event_id
+    """,
+)
+def q_asof(spark, sf_dir):
+    """As-of join: each purchase event gets the most recent prior (or
+    simultaneous) click value for the same user — one window shuffle,
+    no range-join explosion (operators/asof.py)."""
+    from lab3_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+        F.round("value_asof", 2).alias("last_click_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_session_window_native",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation; the oracle is the
+    lag+running-sum formulation — both must produce identical
+    sessions (session_start = min ts per merged window)."""
+    return EV.session_windows_native(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
+                    THEN 1 ELSE 0 END) AS n_view_click,
+           sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
+                     AND p IS NOT NULL AND p >= c
+                    THEN 1 ELSE 0 END) AS n_view_click_purchase
+    FROM firsts
+    """,
+)
+def q_funnel(spark, sf_dir):
+    return EV.funnel(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    ret AS (
+      SELECT a.day, count(DISTINCT a.user_id) AS retained
+      FROM days a JOIN days b
+        ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY a.day
+    ),
+    act AS (SELECT day, count(DISTINCT user_id) AS active FROM days GROUP BY day)
+    SELECT strftime(act.day, '%Y-%m-%d') AS day, active,
+           coalesce(retained, 0) AS retained
+    FROM act LEFT JOIN ret ON act.day = ret.day
+    ORDER BY day
+    """,
+)
+def q_retention(spark, sf_dir):
+    return EV.day_over_day_retention(_t(spark, sf_dir, "events"))
+
+
+@query("events_approx_dau", None)
+def q_approx_dau(spark, sf_dir):
+    """HyperLogLog++ daily distinct users — the 100 TB scale path for
+    count-distinct (single shuffle of fixed-size sketches).  No SQL
+    oracle: the sketch estimate is engine-specific (rows-only check);
+    the EXACT twin events_daily_active_users is fully oracle-checked."""
+    return EV.approx_dau(_t(spark, sf_dir, "events"))
