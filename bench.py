@@ -50,6 +50,11 @@ HEADLINE = [
     "ann_bruteforce_top5",
     "ann_ivf_top5",
     "multimodal_features",
+    "events_asof_join",
+    "events_session_window_native",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "events_funnel",
 ]
 
 

@@ -51,11 +51,13 @@ FEATURE_SCHEMA = T.StructType(
 def attach_media(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary `content` column (utf-8 payload of
     the text — the stand-in for image/audio bytes) + media_type tag."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
+    # Spread the single-row-group scan, but cap the partition count:
+    # every mapInPandas partition forks a Python worker, and for small
+    # blob batches the fork/Arrow-stream setup dominates.  At cluster
+    # scale partitioning is driven by maxPartitionBytes (bounded blob
+    # bytes per task), not a worker-count cap.
+    par = min(documents.sparkSession.sparkContext.defaultParallelism, 8)
     return documents.repartition(par).select(
-        # repartition: decode is per-row CPU work behind a Python
-        # worker; a single-row-group scan would serialize it on one
-        # Arrow stream
         "doc_id",
         F.lit("image/fake").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),

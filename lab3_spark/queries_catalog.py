@@ -1239,3 +1239,45 @@ def q_approx_dau(spark, sf_dir):
     oracle: the sketch estimate is engine-specific (rows-only check);
     the EXACT twin events_daily_active_users is fully oracle-checked."""
     return EV.approx_dau(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "supplier_coverage",
+    """
+    SELECT n.n_name AS n_name,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           coalesce(c.n_customers, 0) AS n_customers
+    FROM nation n
+    LEFT JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey) s
+      ON n.n_nationkey = s.s_nationkey
+    LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey) c
+      ON n.n_nationkey = c.c_nationkey
+    ORDER BY n_name
+    """,
+)
+def q_outer(spark, sf_dir):
+    """Outer-join null handling: every nation with supplier/customer
+    counts, zero-filled where the join misses."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
