@@ -1281,3 +1281,79 @@ def q_outer(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "inverted_index_parity",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT word,
+           array_to_string(list_sort(list(DISTINCT id)), ',') AS ids,
+           min(id) AS first_id
+    FROM toks
+    WHERE word NOT IN ({OR.STOP_WORDS_IN_LIST})
+    GROUP BY word
+    ORDER BY first_id, word
+    """,
+)
+def q_inverted_parity(spark, sf_dir):
+    """invert exact-parity mode: rows ordered by FIRST OCCURRENCE
+    (min id) — the documented faithful reading of the reference's
+    key-pointer sort (invert.cpp:107-109, SURVEY §2.4 O5)."""
+    from lab3_spark.operators.inverted_index import inverted_index
+
+    idx = inverted_index(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", mode="parity"
+    )
+    return idx.select(
+        "word",
+        F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias("ids"),
+        "first_id",
+    )
+
+
+@query(
+    "top_words_per_source",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, word, count(*) AS cnt
+      FROM toks
+      WHERE word NOT IN ({OR.STOP_WORDS_IN_LIST})
+      GROUP BY source, word
+    ),
+    ranked AS (
+      SELECT source, word, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word DESC) AS rnk
+      FROM counts
+    )
+    SELECT source, word, cnt, rnk FROM ranked
+    WHERE rnk <= 3 ORDER BY source, rnk
+    """,
+)
+def q_top_words_per_source(spark, sf_dir):
+    """Grouped top-K over text: the top50 pipeline generalized to
+    per-group ranking (one shuffle for counts, one window exchange on
+    the low-cardinality group key)."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import is_stop_word, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokenize("text")).alias("word"))
+        .where(~is_stop_word("word", "idiomatic"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.desc("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("source", "rnk")
+    )
