@@ -1357,3 +1357,77 @@ def q_top_words_per_source(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .orderBy("source", "rnk")
     )
+
+
+@query(
+    "streaming_sessionize_stateful",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events WHERE user_id < 200
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ), sess AS (
+      SELECT user_id, session_id,
+             min(ts) AS a, max(ts) AS b, count(*) AS n
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(a, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n AS n_events
+    FROM sess
+    WHERE session_id < (SELECT max(session_id) FROM sess s2
+                        WHERE s2.user_id = sess.user_id)
+    ORDER BY user_id, session_start
+    """,
+)
+def q_streaming_stateful(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState
+    sessionizer, streaming/stateful.py) run as a real StreamingQuery.
+    With availableNow (single batch, no processing-time timeout fires)
+    the emitted rows are exactly the GAP-CLOSED sessions = every
+    session except each user's last — which the oracle expresses with
+    the lag+running-sum formulation."""
+    import os as _os
+    import tempfile as _tf
+
+    from lab3_spark.streaming.stateful import streaming_sessionize
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    stage = _tf.mkdtemp(prefix="stream_sess_")
+    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # gate on a user subset: per-group Python/state overhead makes
+    # the full table needlessly slow for a correctness check
+    out = streaming_sessionize(
+        src.select("user_id", "ts").where(F.col("user_id") < 200),
+        flush_timeout_ms=None,  # NoTimeout: availableNow terminates itself
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sess_check")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("stream_sess_check")
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
