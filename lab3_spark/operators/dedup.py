@@ -101,12 +101,20 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
-def minhash_candidates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, n_bands): candidate near-dup pairs = docs sharing
     ≥1 LSH band bucket; n_bands = how many buckets they share.
 
     The equi-join on (band, band_key) is the scale trick: no all-pairs
-    comparison ever happens."""
+    comparison ever happens.  ``max_bucket`` is the degenerate-bucket
+    guard: a bucket of B near-identical docs still yields B²/2 pairs,
+    so buckets larger than the cap are dropped (at 100 TB such buckets
+    are handled separately — usually by exact-dedup first, which
+    collapses identical docs before LSH runs)."""
     sig = minhash_signatures(documents, text_col)
     bands = sig.select(
         "doc_id",
@@ -121,6 +129,14 @@ def minhash_candidates(documents: DataFrame, text_col: str = "text") -> DataFram
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n"),
+            ["band", "band_key"],
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

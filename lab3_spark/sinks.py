@@ -54,3 +54,22 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink — the storage layout that turns a
+    fact-fact shuffle join into a ZERO-SHUFFLE sort-merge join
+    (docs/SCALE.md: orders⋈lineitem bucketed by orderkey).  Both join
+    sides written with the SAME bucket count and column are read back
+    co-partitioned, so Catalyst plans the join without any Exchange —
+    verified by tests/test_bucketing.py."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -77,3 +77,24 @@ def test_simhash_near_pairs(spark, near_dup_corpus):
     # (0,2): one token swapped — hamming small but possibly > 3; only
     # assert completeness of the ≤3 set: every reported pair ≤ 3
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_minhash_bucket_cap(spark, near_dup_corpus):
+    # with a cap of 1 every shared bucket is "degenerate" → no pairs
+    capped = minhash_candidates(near_dup_corpus, max_bucket=1).collect()
+    assert capped == []
+    # a generous cap keeps all pairs
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_candidates(near_dup_corpus).collect()}
+    wide = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_candidates(near_dup_corpus, max_bucket=100).collect()}
+    assert wide == full
+
+
+def test_minhash_repartition_invariance(spark, near_dup_corpus):
+    base = sorted(map(tuple, minhash_candidates(near_dup_corpus).collect()))
+    for n in (1, 7):
+        got = sorted(
+            map(tuple, minhash_candidates(near_dup_corpus.repartition(n)).collect())
+        )
+        assert got == base, f"repartition({n}) changed LSH candidates"
