@@ -1431,3 +1431,67 @@ def q_streaming_stateful(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "fuzzy_part_names",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_brand AS p_brand,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY part_a, part_b
+    """,
+)
+def q_fuzzy(spark, sf_dir):
+    """Edit-distance fuzzy matching, brand-blocked (the same
+    blocked-self-join shape as embedding dedup: no corpus² compare;
+    levenshtein is JVM-codegen'd in Spark and identical in DuckDB)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@query(
+    "posting_pairs_scale_form",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT word, id, count(*) AS n_occurrences
+    FROM toks
+    WHERE word NOT IN ({OR.STOP_WORDS_IN_LIST})
+    GROUP BY word, id
+    ORDER BY word, id
+    """,
+)
+def q_posting_pairs(spark, sf_dir):
+    """The inverted index's 100 TB form (docs/SCALE.md): postings kept
+    as (word, id, n_occurrences) ROWS sorted by (word, id) — no
+    collect_set buffering, write-partitionable by word."""
+    from lab3_spark.operators.inverted_index import posting_pairs
+    from lab3_spark.functions.text import is_stop_word
+
+    pairs = posting_pairs(_t(spark, sf_dir, "documents"), id_col="doc_id")
+    return (
+        pairs.where(~is_stop_word("word", "idiomatic"))
+        .groupBy("word", "id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("word", "id")
+    )
