@@ -1495,3 +1495,209 @@ def q_posting_pairs(spark, sf_dir):
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy("word", "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §10 Additional relational breadth: filter-sum, returned-item report,
+# conditional-agg ratio, scalar subquery, ntile, anti-join gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_q6(spark, sf_dir):
+    """TPC-H Q6-style: pure filter+sum — every predicate pushable to
+    the parquet scan; no shuffle at all (single global agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q10_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: who returned the most
+    revenue.  customer+nation broadcast; TakeOrderedAndProject top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(li.where(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT floor((sum(CASE WHEN p.p_name LIKE 'red%'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END)
+                  / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000) / 10000
+             AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+)
+def q_promo(spark, sf_dir):
+    """TPC-H Q14-style conditional-aggregate ratio (promo revenue
+    share); part broadcast, single agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from lab3_spark.functions.rounding import trunc
+
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            trunc(
+                F.sum(F.when(F.col("p_name").like("red%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "above_avg_spenders",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey, round(spend, 2) AS spend
+    FROM spend
+    WHERE spend > 1.5 * (SELECT avg(spend) FROM spend)
+    ORDER BY spend DESC, c_custkey ASC
+    """,
+)
+def q_above_avg(spark, sf_dir):
+    """Scalar-subquery pattern: customers spending > 1.5× the average
+    customer spend.  The scalar aggregate is broadcast back — no
+    per-row recomputation."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    avg_spend = spend.agg(F.avg("spend").alias("avg_spend"))
+    return (
+        spend.crossJoin(F.broadcast(avg_spend))
+        .where(F.col("spend") > 1.5 * F.col("avg_spend"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.round("spend", 2).alias("spend"),
+        )
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+    )
+
+
+@query(
+    "order_total_deciles",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS decile
+      FROM orders
+    )
+    SELECT decile, count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def q_deciles(spark, sf_dir):
+    """ntile distribution windows with a deterministic tie-break;
+    at scale prefer approx_percentile boundaries over a global sort."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "word_count_antijoin",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT word, count(*) AS cnt
+    FROM toks
+    WHERE word NOT IN ({OR.STOP_WORDS_IN_LIST})
+    GROUP BY word
+    ORDER BY cnt ASC, word DESC
+    """,
+)
+def q_wc_antijoin(spark, sf_dir):
+    """The broadcast LEFT ANTI join form of the stop-word filter (the
+    at-scale variant; must equal the IN-list word_count exactly)."""
+    from lab3_spark.operators.wordcount import word_count_antijoin
+
+    return word_count_antijoin(_t(spark, sf_dir, "documents"))
