@@ -65,3 +65,24 @@ def test_wordcount_pipeline_has_partial_agg(spark, corpus):
     # = HashAggregate appears in partial then final mode
     plan = formatted_plan(word_count(corpus, ordered=False))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from lab3_spark.queries_catalog import QUERIES
+
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    # every Q6 predicate is scan-pushable
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity"), (
+        formatted_plan(df)
+    )
+    # a global agg needs only the final single-partition exchange
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_q10_topk_and_broadcast(spark, sf_dir):
+    from lab3_spark.queries_catalog import QUERIES
+
+    df = QUERIES["q10_returned_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
