@@ -65,3 +65,26 @@ def test_reference_corpus_wordcount_if_present(spark):
     # hand-checked: 'dracula' appears in the text; stop words are gone
     assert wc.get("dracula", 0) > 0
     assert "the" not in wc
+
+
+def test_line_numbers_match_reference_ground_truth(spark):
+    """phoenixLab/File2ForLab3.txt prefixes every line with its 1-based
+    line number (the lab's hand-check corpus for the inverted index,
+    SURVEY §5) — our 0-based line_no must satisfy prefix == line_no+1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = "/root/reference/phoenixLab/File2ForLab3.txt"
+    if not os.path.exists(path):
+        return
+    lines = read_text_lines(spark, path)
+    prefixed = lines.select(
+        "line_no",
+        F.regexp_extract("text", r"^(\d+)", 1).cast("long").alias("prefix"),
+    ).where(F.col("prefix").isNotNull())
+    mismatches = prefixed.where(
+        F.col("prefix") != F.col("line_no") + 1
+    ).count()
+    assert mismatches == 0
+    assert prefixed.count() > 20000  # ~24,693 lines all carry prefixes
