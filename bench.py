@@ -71,21 +71,34 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two passes, keep the per-query MIN: pass 1 pays one-time codegen
-    # compilation and absorbs this host's scheduler noise; the min is
+    # Multiple passes, keep the per-query MIN: pass 1 pays one-time
+    # codegen compilation; later passes absorb this host's severe CPU
+    # steal (the same query varies 4s↔100s across runs); the min is
     # the reproducible dataflow cost (the reference's self-timing
     # likewise measures the compute phase, not program setup).
-    timings: dict[str, float] = {}
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        # noop sink: full computation of every column, zero driver
+        # transfer (count() would let Catalyst prune projections)
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    passes: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for rnd in (1, 2):
         for name in HEADLINE:
-            fn = QUERIES[name]
-            t0 = time.time()
-            # noop sink: full computation of every column, zero driver
-            # transfer (count() would let Catalyst prune projections)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            dt = run_once(name)
+            passes[name].append(dt)
             print(f"[pass {rnd}] {name} took: {dt:.3f} seconds", file=sys.stderr)
+    timings: dict[str, float] = {}
+    for name, ts in passes.items():
+        best = min(ts)
+        # wildly disagreeing passes = the host stole CPU mid-run;
+        # take one tie-breaker measurement
+        if max(ts) > 2 * best + 0.5:
+            extra = run_once(name)
+            print(f"[pass 3] {name} took: {extra:.3f} seconds", file=sys.stderr)
+            best = min(best, extra)
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     print(
