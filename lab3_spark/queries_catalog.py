@@ -1701,3 +1701,168 @@ def q_wc_antijoin(spark, sf_dir):
     from lab3_spark.operators.wordcount import word_count_antijoin
 
     return word_count_antijoin(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §11 Training-data pipeline capstones: deterministic splits,
+# contamination detection, composed cleaning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   {_h2l("substr(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")} AS h
+            FROM documents)
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible-sampling primitive every training pipeline needs:
+    membership depends only on doc_id, never on partitioning, ordering,
+    or reruns.  (Random sampleBy can't give that guarantee.)"""
+    from lab3_spark.functions.text import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"), salt="split")
+    split = (
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "cross_source_contamination",
+    f"""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY source_a, source_b
+    HAVING count(*) >= 10
+    ORDER BY shared_shingles DESC, source_a, source_b
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Cross-source contamination detection: pairs of sources sharing
+    many distinct 5-gram shingles (the eval-set-leakage check run
+    before training).  Shuffle on the shingle — no source×source text
+    comparison."""
+    from lab3_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = tokenize("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    sh = (
+        docs.repartition(par)
+        .where(F.size(toks) >= 5)
+        .select("source", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 10)
+        .orderBy(F.desc("shared_shingles"), "source_a", "source_b")
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(t) AS n_tokens,
+             md5(array_to_string(t, ' ')) AS fp,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / len(t) ELSE 0.0 END AS distinct_ratio
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN n_tokens < 20 THEN 'too_short'
+               WHEN distinct_ratio < 0.25 THEN 'too_repetitive'
+               WHEN doc_id != min(doc_id) OVER (PARTITION BY fp) THEN 'duplicate'
+               ELSE 'kept' END AS verdict
+      FROM scored
+    )
+    SELECT lang, verdict, count(*) AS n_docs
+    FROM flagged GROUP BY lang, verdict ORDER BY lang, verdict
+    """,
+)
+def q_clean_pipeline(spark, sf_dir):
+    """Composed cleaning pipeline — the operators chained the way a
+    corpus-prep job runs them: length filter → repetition filter →
+    exact dedup (min-id representative), reported as per-language
+    verdict counts.  One narrow scoring pass + one window over the
+    fingerprint."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        F.when(
+            F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+        ).otherwise(0.0).alias("distinct_ratio"),
+    )
+    w = Window.partitionBy("fp")
+    verdict = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("distinct_ratio") < 0.25, "too_repetitive")
+        .when(F.col("doc_id") != F.min("doc_id").over(w), "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        scored.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "verdict")
+    )
