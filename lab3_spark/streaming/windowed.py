@@ -81,3 +81,20 @@ def run_stream_to_memory(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it — the streaming twin of exact dedup
+    (operators/dedup.exact_duplicates) that can run forever on an
+    unbounded stream.  (Plain dropDuplicates on a stream grows state
+    without bound.)"""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
