@@ -55,6 +55,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "top_bigrams",
     "events_funnel",
+    "q6_forecast_revenue",
+    "q10_returned_customers",
+    "q7_nation_volume",
+    "pipeline_clean_corpus",
+    "cross_source_contamination",
 ]
 
 
@@ -70,6 +75,15 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # ... and the Python worker pool (mapInPandas forks one worker per
+    # partition on first use; under host CPU steal those forks can cost
+    # seconds each — one-time setup, not dataflow, so spawn them here)
+    import pandas as _pd
+
+    spark.range(256).repartition(8).mapInPandas(
+        lambda it: ( _pd.DataFrame({"id": p["id"]}) for p in it ),
+        "id long",
+    ).write.format("noop").mode("overwrite").save()
 
     # Multiple passes, keep the per-query MIN: pass 1 pays one-time
     # codegen compilation; later passes absorb this host's severe CPU

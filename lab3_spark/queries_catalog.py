@@ -1953,3 +1953,22 @@ def q_no_orders(spark, sf_dir):
         .agg(F.count("*").alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+@query("events_value_percentiles_approx", None)
+def q_percentiles_approx(spark, sf_dir):
+    """approx_percentile (t-digest) — the single-pass mergeable-sketch
+    twin of events_value_percentiles; rows-only check (sketch estimates
+    are engine-specific), exact twin fully oracle-checked."""
+    from lab3_spark.functions.rounding import trunc
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            trunc(F.expr("approx_percentile(value, 0.5)"), 4).alias("p50"),
+            trunc(F.expr("approx_percentile(value, 0.9)"), 4).alias("p90"),
+            trunc(F.expr("approx_percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
