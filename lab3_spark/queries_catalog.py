@@ -1972,3 +1972,73 @@ def q_percentiles_approx(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_props_from_json",
+    r"""
+    SELECT event_type,
+           count(*) AS n_with_k,
+           sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k
+    FROM events
+    WHERE regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_from_json(spark, sf_dir):
+    """Schema-declared JSON parsing with from_json (JVM Jackson, typed
+    struct output) — the engine path for JSON payload columns; the
+    oracle uses regex extraction for engine-neutrality."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "js", F.from_json("props", "k BIGINT")
+    ).where(F.col("js.k").isNotNull())
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum(F.col("js.k")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "user_running_totals",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 2) AS value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_max
+    FROM events WHERE user_id < 10
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_running(spark, sf_dir):
+    """Cumulative window frames (running sum / running max) per user —
+    ROWS frames with a deterministic (ts, event_id) order."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round("value", 2).alias("value"),
+            F.round(F.sum("value").over(w), 2).alias("running_total"),
+            F.round(F.max("value").over(w), 2).alias("running_max"),
+            F.col("event_id").alias("_eid"),
+        )
+        .orderBy("user_id", "ts", "_eid")
+        .drop("_eid")
+    )
