@@ -886,7 +886,11 @@ def q_streaming_tumbling(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout WITHOUT raising - an
+    # incomplete memory table would silently corrupt the comparison
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_tumbling availableNow run timed out")
     out = spark.table("stream_tumbling_check")
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -1420,7 +1424,9 @@ def q_streaming_stateful(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stateful sessionize availableNow run timed out")
     return (
         spark.table("stream_sess_check")
         .select(
