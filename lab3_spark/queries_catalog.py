@@ -2048,3 +2048,32 @@ def q_running(spark, sf_dir):
         .orderBy("user_id", "ts", "_eid")
         .drop("_eid")
     )
+
+
+@query(
+    "events_weekday_hour_profile",
+    """
+    SELECT strftime(ts, '%a') AS weekday,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY weekday, hour
+    ORDER BY weekday, hour
+    """,
+)
+def q_weekday_profile(spark, sf_dir):
+    """Calendar-dimension profile (weekday × hour heatmap input) —
+    date_format/hour extraction parity with strftime/extract."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "E").alias("weekday"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("weekday", "hour")
+    )
