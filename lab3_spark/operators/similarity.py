@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lab3_spark.functions.rounding import trunc
-from lab3_spark.functions.text import md5_long
 from lab3_spark.functions.vectors import dot_product, unit_vector
 
 
@@ -88,15 +87,39 @@ def ann_ivf(
 
 
 N_PLANES = 16
-PLANE_MOD = 2001  # component ∈ [-1000, 1000] / 1000
+PLANE_MOD = 2001  # integer numerator ∈ [-1000, 1000] (denominator 1000)
+FIXED_SCALE = 1_000_000  # embedding fixed-point scale: floor(x * 1e6)
 
 
-def _plane_component(p: F.Column, d: F.Column) -> F.Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    derived from the portable md5 hash of (plane, dim) — identical in
-    the DuckDB oracle."""
-    h = md5_long(F.concat(p.cast("string"), F.lit(","), d.cast("string")))
-    return ((h % PLANE_MOD) - (PLANE_MOD - 1) / 2) / ((PLANE_MOD - 1) / 2)
+def plane_numerators(n_planes: int, dims: int) -> list[list[int]]:
+    """The deterministic hyperplane matrix as INTEGER numerators.
+
+    Component (p, d) = (md5_long(f"{p},{d}") % 2001) - 1000, computed
+    driver-side with hashlib — `hex_to_long` of a hex prefix IS
+    ``int(hex[:15], 16)``, so this reproduces the portable md5 fold
+    (functions/text.py:69-92) bit-for-bit.  The matrix is tiny
+    (16 × dims ints) and becomes array literals in the plan — no join,
+    no shuffle, no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16) % PLANE_MOD)
+            - (PLANE_MOD - 1) // 2
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _embedding_dims(embeddings: DataFrame) -> int:
+    """Dimensionality from one row (O(1) driver action on metadata-scale
+    data; the alternative — carrying dims as config — couples callers to
+    the dataset)."""
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    if row is None:
+        raise ValueError("empty embeddings table")
+    return int(row["d"])
 
 
 def lsh_codes(embeddings: DataFrame) -> DataFrame:
@@ -104,30 +127,46 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
 
     code bit p = sign(v · plane_p).  Buckets with equal codes hold
     likely-similar vectors; at scale the code is the shuffle key that
-    replaces all-pairs search."""
+    replaces all-pairs search.
+
+    ALL-INTEGER arithmetic (same contract as SimHash, dedup.py): the
+    embedding is fixed-pointed to bigint (floor(x·1e6) — floor, not
+    round: HALF_UP vs nearbyint disagree across engines), plane
+    components stay integer numerators, and the dot product is a bigint
+    sum — associative, so aggregation order can't flip a sign the way
+    float summation did near zero.
+
+    Plan shape: a single narrow projection — per-row zip_with/aggregate
+    folds against literal plane arrays.  No explode, no shuffle, no
+    aggregation at all; the previous form shuffled dims × N_PLANES rows
+    per vector (a 1024× amplifier at 100 TB)."""
+    dims = _embedding_dims(embeddings)
+    planes = plane_numerators(N_PLANES, dims)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    exploded = embeddings.repartition(par).select(
-        "vec_id",
-        F.posexplode("embedding").alias("d", "x"),
-    ).select(
-        "vec_id",
-        "d",
-        F.col("x").cast("double").alias("x"),
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"),
+
+    xi = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(FIXED_SCALE))).cast("bigint"),
     )
-    dots = (
-        exploded.withColumn(
-            "contrib", F.col("x") * _plane_component(F.col("p"), F.col("d"))
+    zero = F.lit(0).cast("bigint")
+
+    def dot_int(plane: list[int]) -> F.Column:
+        lits = F.array(*[F.lit(n).cast("bigint") for n in plane])
+        return F.aggregate(
+            F.zip_with(F.col("xi"), lits, lambda a, b: a * b),
+            zero,
+            lambda acc, v: acc + v,
         )
-        .groupBy("vec_id", "p")
-        .agg(F.sum("contrib").alias("dot"))
-    )
-    return dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("code")
+
+    code = None
+    for p, plane in enumerate(planes):
+        bit = F.when(dot_int(plane) > 0, F.lit(1 << p).cast("bigint")).otherwise(zero)
+        code = bit if code is None else code + bit
+
+    return (
+        embeddings.repartition(par)
+        .select("vec_id", xi.alias("xi"))
+        .select("vec_id", code.alias("code"))
     )
 
 

@@ -22,6 +22,7 @@ from lab3_spark.operators import textstats as TS
 from lab3_spark.operators.inverted_index import inverted_index
 from lab3_spark.operators.topk import top_k_words
 from lab3_spark.operators.wordcount import word_count
+from lab3_spark.sources.tables import ensure_nanos_as_long
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -751,7 +752,9 @@ def q_ann_ivf(spark, sf_dir):
     "ann_lsh_buckets",
     f"""
     WITH ex AS (
-      SELECT vec_id, u.d AS d, u.x AS x FROM (
+      SELECT vec_id, u.d AS d,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM (
         SELECT vec_id,
                unnest(list_transform(range(0, len(embedding)),
                       i -> struct_pack(d := i,
@@ -759,9 +762,10 @@ def q_ann_ivf(spark, sf_dir):
         FROM embeddings)
     ),
     dots AS (
+      -- ALL-BIGINT dot product (mirrors lsh_codes' fixed-point contract):
+      -- integer sums are associative, so aggregation order is irrelevant
       SELECT vec_id, p,
-             sum(x * ((({_h2l("substr(md5(concat(p, ',', d)), 1, 15)")}) % 2001 - 1000)
-                      / 1000)) AS dot
+             sum(xi * ((({_h2l("substr(md5(concat(p, ',', d)), 1, 15)")}) % 2001) - 1000)) AS dot
       FROM ex, (SELECT unnest(range(0, 16)) AS p) ps
       GROUP BY vec_id, p
     ),
@@ -874,6 +878,7 @@ def q_streaming_tumbling(spark, sf_dir):
     # (read-only) file behind a symlink in a temp dir
     stage = _tf.mkdtemp(prefix="stream_events_")
     _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
     if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
@@ -1407,6 +1412,7 @@ def q_streaming_stateful(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     stage = _tf.mkdtemp(prefix="stream_sess_")
     _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
     if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":

@@ -31,14 +31,43 @@ TABLES: tuple[str, ...] = (
 )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Set the runtime SQL conf that lets Spark read TIMESTAMP(NANOS)
+    parquet columns as bigint.
+
+    It's a *runtime* conf (not builder-only), so it works on ANY
+    SparkSession — including ones constructed outside our session
+    factory.  Without it, ``spark.read.parquet`` on events.parquet
+    throws ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS,false))``.
+    Only nano-timestamp columns are affected; all other tables read
+    identically with or without it."""
+    spark.conf.set(_NANOS_CONF, "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, normalizing nano-timestamps.
 
     events.parquet stores ts as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as a long,
     which we truncate to micros (integer division — the same truncation
-    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+
+    Self-sufficient on any session: sets the conf itself (runtime SQL
+    conf), with a catch-and-retry fallback should some other table ever
+    carry a nano column."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        ensure_nanos_as_long(spark)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # pragma: no cover - defensive retry
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        ensure_nanos_as_long(spark)
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's
         # exact-integer range, float division would lose microseconds

@@ -5,7 +5,11 @@ the matching oracle_sql() in DuckDB over the same parquet files, and
 compares: row count, column names, and order-insensitive values (rows
 sorted, columns sorted by name, floats rounded).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--bare] [sf_dir] [query ...]
+
+--bare builds a PLAIN SparkSession (no lab3_spark confs — notably no
+nanosAsLong) to reproduce the driver's environment; round 1 proved the
+builder's own session can mask loader bugs the driver then hits.
 """
 
 from __future__ import annotations
@@ -43,11 +47,33 @@ def canon_rows(cols, rows):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def bare_spark():
+    """A driver-like session: local master + shuffle partitions only,
+    NONE of lab3_spark.session's confs.  Every query must succeed here —
+    the correctness gate runs on a session we don't control."""
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("verify_local")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    return (
+        SparkSession.builder.appName("verify_bare")
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:]]
+    bare = "--bare" in argv
+    if bare:
+        argv.remove("--bare")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    spark = bare_spark() if bare else get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
