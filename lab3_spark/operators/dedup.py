@@ -78,12 +78,20 @@ def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig array<string>): N_HASHES lexicographic-min md5
     minhashes, one per salt.  min(md5(salt|shingle)) over a uniformly
     hashed shingle set is a valid permutation-min — and portable, so
-    the DuckDB oracle computes the identical signature."""
-    sh = _doc_shingles(documents, text_col)
+    the DuckDB oracle computes the identical signature.
+
+    `shingles` lets callers share one (ideally persisted) shingle
+    DataFrame across pipeline stages instead of re-tokenizing the
+    corpus per stage."""
+    sh = shingles if shingles is not None else _doc_shingles(documents, text_col)
     salted = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("salt"),
@@ -105,6 +113,7 @@ def minhash_candidates(
     documents: DataFrame,
     text_col: str = "text",
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_bands): candidate near-dup pairs = docs sharing
     ≥1 LSH band bucket; n_bands = how many buckets they share.
@@ -115,7 +124,7 @@ def minhash_candidates(
     so buckets larger than the cap are dropped (at 100 TB such buckets
     are handled separately — usually by exact-dedup first, which
     collapses identical docs before LSH runs)."""
-    sig = minhash_signatures(documents, text_col)
+    sig = minhash_signatures(documents, text_col, shingles=shingles)
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
@@ -159,9 +168,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): EXACT shingle-set Jaccard, evaluated
     only on MinHash-LSH candidate pairs (verify step of the classic
-    dedup pipeline: cheap candidate generation → exact verification)."""
-    cands = minhash_candidates(documents, text_col).select("doc_a", "doc_b")
-    sh = _doc_shingles(documents, text_col)
+    dedup pipeline: cheap candidate generation → exact verification).
+
+    The shingle DataFrame — the expensive tokenize→slice→md5 scan — is
+    computed ONCE and persisted, then shared by candidate generation
+    and all three verify-side uses (sizes, sh_a, sh_b).  Without the
+    persist the DAG re-tokenizes the corpus ~4×; this was the slowest
+    query of round 1 (10.1 s → the shared-scan form)."""
+    sh = _doc_shingles(documents, text_col).persist()
+    cands = minhash_candidates(
+        documents, text_col, shingles=sh
+    ).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(
@@ -193,35 +210,38 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     """(doc_id, sig): 60-bit SimHash over token counts.
 
     bit_i(sig) = 1 iff Σ_tokens cnt(t) * (2*bit_i(md5_60(t)) - 1) > 0.
-    All integer arithmetic — bit-exact across engines."""
+    All integer arithmetic — bit-exact across engines.
+
+    Plan shape: because the bit-sum is LINEAR in the token count,
+    Σ_t cnt(t)·(2b_i(t)−1) ≡ Σ_occurrences (2b_i(tok)−1) — so no
+    per-(doc, token) counting pass is needed at all.  One explode to
+    token occurrences, then ONE hash aggregate per doc with 60
+    codegen'd bigint sum buffers (map-side partials combine before the
+    shuffle).  Round 1 exploded a further 60 rows per (doc, token) and
+    shuffled twice — a 60× shuffle-volume amplifier at scale; this form
+    shuffles one 60-column partial row per doc per map partition."""
     par = documents.sparkSession.sparkContext.defaultParallelism
-    tok_counts = (
+    occurrences = (
         documents.repartition(par)  # single-row-group scan → spread CPU
         .select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
         .withColumn("h", md5_long("tok"))
     )
-    # column-valued shift amounts need expr(): the F.shiftright/left
-    # Python wrappers only accept literal ints
-    contrib = F.col("cnt") * (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
-    per_bit = (
-        tok_counts.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
-            "cnt",
-            "h",
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(contrib).alias("s"))
+    one = F.lit(1).cast("bigint")
+    bit_sums = occurrences.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << bit)) != 0, one).otherwise(-one)
+            ).alias(f"s{bit}")
+            for bit in range(SIM_BITS)
+        ]
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("sig")
-    )
+    sig = None
+    for bit in range(SIM_BITS):
+        term = F.when(
+            F.col(f"s{bit}") > 0, F.lit(1 << bit).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.alias("sig"))
 
 
 def simhash_near_pairs(
