@@ -2083,3 +2083,179 @@ def q_weekday_profile(spark, sf_dir):
         )
         .orderBy("weekday", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# §10 Materialized layouts and multi-level / correlated join breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_fact_join",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_bucketed_fact_join(spark, sf_dir):
+    """The fact-fact join read from the BUCKETED materialized layout
+    (sources/layout.py): both sides bucketed+sorted by orderkey, so the
+    sort-merge join itself needs NO Exchange — the shuffle was paid once
+    at write time (pinned by tests/test_bucketing.py).  The oracle is
+    the same join over the flat parquet: layout must never change
+    results, only plans."""
+    from lab3_spark.sources.layout import materialize_bucketed_facts
+
+    ob, lb = materialize_bucketed_facts(spark, sf_dir)
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH flat AS (
+      SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN region r    ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END), 2)
+             AS nation_volume,
+           round(sum(volume), 2) AS total_volume,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8-style two-sided snowflake: customer-side nation→region
+    restricts the market (ASIA), supplier-side nation tags each line's
+    origin; market share = NATION_2's revenue fraction per year.  All
+    four dimension joins broadcast (region/nation/supplier/customer are
+    small); only the orders⋈lineitem spine shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .where(r.r_name == "ASIA")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0)
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            F.round(nation_vol, 2).alias("nation_volume"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+            F.round(nation_vol / F.sum("volume"), 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+)
+def q_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17-style correlated scalar subquery (lines below half
+    their part's average quantity).  The oracle states it as the
+    textbook correlated subquery; the Spark plan DE-CORRELATES it
+    explicitly — one aggregate over lineitem for per-part thresholds,
+    then an equi-join back — which is exactly the rewrite Catalyst
+    itself applies to such subqueries, stated declaratively."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "orders_above_cust_avg",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*) AS n_big_orders,
+           round(avg(o.o_totalprice), 2) AS avg_big_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 1.25 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated-predicate breadth: orders more than 25% above their
+    OWN customer's average order value, profiled per market segment.
+    Spark form uses a window average over the customer partition — the
+    shuffle key (custkey) matches the join key, so the window and the
+    broadcast-dim join share one partitioning."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey")
+    big = (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 1.25 * F.col("cust_avg"))
+    )
+    return (
+        big.join(F.broadcast(c), big.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_big_order"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -62,14 +62,22 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed-table sink — the storage layout that turns a
+    """Bucketed table sink — the storage layout that turns a
     fact-fact shuffle join into a ZERO-SHUFFLE sort-merge join
     (docs/SCALE.md: orders⋈lineitem bucketed by orderkey).  Both join
     sides written with the SAME bucket count and column are read back
     co-partitioned, so Catalyst plans the join without any Exchange —
-    verified by tests/test_bucketing.py."""
+    verified by tests/test_bucketing.py.
+
+    With ``path`` the table is EXTERNAL (data at `path`, metadata in the
+    session catalog) — callers control the storage location instead of
+    inheriting whatever spark.sql.warehouse.dir the session happens to
+    have (a static conf we can't change on sessions we didn't build)."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
