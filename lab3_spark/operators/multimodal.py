@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-Real decode libraries (PIL / torchaudio / ffmpeg) are NOT in this
-container, so the decode step is STUBBED (``_decode_real`` raises
-NotImplementedError) behind a deterministic fake
-(``_decode_fake``: md5-derived pseudo-metadata).  Everything around the
-stub IS real and tested: the binary schema, the mapInPandas signature,
-Arrow batch iteration, and the downstream aggregations.
+The real decoder (``_decode_real``) is IMPORT-GUARDED: with Pillow
+installed it decodes true image bytes (dimensions, frame count, mean
+pixel); without it, it raises NotImplementedError.  The default path is
+a deterministic fake (``_decode_fake``: md5-derived pseudo-metadata)
+because correctness gating needs a SQL-recomputable contract.
+Everything around the decode IS real and tested: the binary schema, the
+mapInPandas signature, Arrow batch iteration, and the downstream
+aggregations — plus a Pillow-gated test (tests/test_multimodal.py)
+that exercises the real path on a generated PNG when the library
+exists.
 
 Why mapInPandas (not a scalar UDF): decode is a bytes→many-columns
 expansion with per-batch library state (decoder contexts); an iterator
@@ -64,11 +68,43 @@ def attach_media(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pil_available() -> bool:
+    """True iff Pillow is importable — the routing predicate for the
+    real image decoder."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_real(content: bytes) -> dict:
-    """The real decoder hook — requires PIL/av, not in this container."""
-    raise NotImplementedError(
-        "media decode requires PIL/av; wire them here when available"
-    )
+    """Real image decode via Pillow (import-guarded: the stub error
+    fires only when the library is genuinely absent).
+
+    Returns the same FEATURE_SCHEMA fields as the deterministic fake:
+    true pixel dimensions, frame count (animated formats expose
+    n_frames), and the mean grayscale pixel value."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires Pillow; `pip install Pillow` to enable "
+            "the real path — the deterministic fake remains the default"
+        ) from exc
+    with Image.open(io.BytesIO(content)) as img:
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+        return {
+            "n_bytes": len(content),
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+            "mean_px": float(arr.mean()),
+        }
 
 
 def _decode_fake(content: bytes) -> dict:
@@ -89,9 +125,18 @@ def _decode_fake(content: bytes) -> dict:
     }
 
 
-def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, use_real_decoder: bool | str = False
+) -> DataFrame:
     """media(doc_id, media_type, content) → FEATURE_SCHEMA rows via
-    Arrow-batched mapInPandas."""
+    Arrow-batched mapInPandas.
+
+    ``use_real_decoder``: False = deterministic fake (SQL-oracle-able,
+    the default — catalog correctness rests on it), True = Pillow
+    decode (raises NotImplementedError only if Pillow is absent),
+    "auto" = real iff Pillow is importable."""
+    if use_real_decoder == "auto":
+        use_real_decoder = pil_available()
     decode = _decode_real if use_real_decoder else _decode_fake
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

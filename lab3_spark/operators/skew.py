@@ -1,0 +1,79 @@
+"""Skew mitigation for joins: explicit salting vs AQE.
+
+Aggregation skew is largely a solved problem in Spark: map-side partial
+aggregation collapses the hot key per partition before the shuffle, so
+one reducer receives ~n_partitions partial rows, not the raw row count
+(tests/test_skew.py pins the exactness; tools/bench_skew.py measures
+it).  JOIN skew is the real 100 TB hazard: a shuffle join routes EVERY
+row of the hot key to one task — partial aggregation can't help because
+the join has to see the rows themselves.
+
+Two mitigations, both here:
+
+- AQE skew-join (spark.sql.adaptive.skewJoin.*): runtime detection —
+  oversized partitions are split and the matching side's partition is
+  replicated.  Zero code changes; needs sort-merge join and the skew to
+  show up in map output statistics.
+- Explicit salting (:func:`salted_join`): the fact side gets a
+  deterministic row-level salt in [0, n_salts); the dim side is
+  replicated n_salts×; the join key becomes (key, salt), splitting the
+  hot key across n_salts tasks unconditionally.  Exact for every join
+  type whose semantics survive dim replication (inner/left).
+
+Rule of thumb measured in tools/bench_skew.py: prefer AQE (it costs
+nothing when there's no skew); reach for salting when the skew is known
+and extreme (a handful of keys owning most rows — the natural-language
+norm: stop words, null-ish sentinel keys), when AQE's stats miss it, or
+when the engine must not depend on runtime re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: fact salted, dim replicated n_salts×.
+
+    The salt is derived from a row id (pmod(monotonically_increasing_id,
+    n_salts)) — any row-level spread works because the join result is
+    salt-independent: each fact row still meets exactly its dim match
+    (the one replica carrying its salt).  Supported `how`: inner/left —
+    semantics that survive dim replication unchanged.
+
+    Cost model: dim shuffle volume grows n_salts×; the hot fact key's
+    rows spread over n_salts tasks.  Worth it when hot-key row count /
+    task >> dim size × n_salts."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    f = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    # cast the sequence, not the exploded column: a generator can't be
+    # nested inside another expression (UNSUPPORTED_GENERATOR)
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return f.join(d, on=keys + ["_salt"], how=how).drop("_salt")
+
+
+def zipf_keys(spark, n_rows: int, hot_share: float = 0.3, n_cold: int = 100_000) -> DataFrame:
+    """Synthetic skewed fact table: `hot_share` of rows carry the single
+    key 'hot'; the rest spread uniformly over n_cold keys.  Generated
+    distributed (spark.range), no driver materialization."""
+    threshold = int(1.0 / max(hot_share, 1e-9))
+    return spark.range(n_rows).select(
+        F.when(F.col("id") % threshold == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % n_cold).cast("string")))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )

@@ -2259,3 +2259,51 @@ def q_orders_above_cust_avg(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: transitive closure of the MinHash-LSH
+    candidate graph via iterative min-label propagation
+    (operators/components.py) — the one genuinely iterative operator in
+    the engine.  cluster_id = min doc_id of the component (the
+    canonical keep-representative); the oracle computes the same
+    closure with a recursive CTE."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.components import connected_components
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents"))
+    comps = connected_components(cands, "doc_a", "doc_b")
+    return (
+        comps.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
+    )

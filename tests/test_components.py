@@ -1,0 +1,39 @@
+"""Connected components: exact fixpoint labeling on known graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.components import connected_components
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["comp"] for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_three_components(spark):
+    got = _labels(
+        spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_long_chain_needs_many_iterations(spark):
+    # a path graph 0-1-2-...-12: diameter 12 forces label propagation
+    # through multiple rounds (and past the localCheckpoint boundary)
+    n = 13
+    got = _labels(spark, [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    got = _labels(spark, [(5, 3), (3, 5), (5, 3), (7, 5)])
+    assert got == {3: 3, 5: 3, 7: 3}
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=2)

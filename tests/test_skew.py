@@ -1,10 +1,12 @@
 """Correctness under heavy key skew: one key owning ~half of all rows
 must aggregate exactly, both through the plain dataflow (partial agg
-bounds reduce-side skew) and the salted two-phase facade."""
+bounds reduce-side skew) and the salted two-phase facade; the salted
+JOIN must equal the plain join row-for-row."""
 
 from pyspark.sql import functions as F
 
 from lab3_spark.operators.mapreduce import map_reduce, map_reduce_salted
+from lab3_spark.operators.skew import salted_join, zipf_keys
 
 
 def test_skewed_aggregation_exact(spark):
@@ -30,3 +32,45 @@ def test_skewed_aggregation_exact(spark):
     by = dict(plain)
     assert by["hot"] == n // 2
     assert sum(by.values()) == n
+
+
+def test_salted_join_matches_plain(spark):
+    fact = zipf_keys(spark, 50_000, hot_share=1 / 3, n_cold=500)
+    dim = (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            (F.col("id") % 7).cast("double").alias("w"),
+        )
+        .union(spark.range(1).select(F.lit("hot").alias("k"), F.lit(1.0).alias("w")))
+    )
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("v") * F.col("w")), 6).alias("s"))
+    )
+    salted = (
+        salted_join(fact, dim, "k", n_salts=8)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("v") * F.col("w")), 6).alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("zz", 9.0)], "k string, v double"
+    )
+    dim = spark.createDataFrame([("a", 10.0)], "k string, w double")
+    rows = sorted(
+        map(tuple, salted_join(fact, dim, "k", n_salts=4, how="left").collect())
+    )
+    assert rows == [("a", 1.0, 10.0), ("a", 2.0, 10.0), ("zz", 9.0, None)]
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    df = spark.range(1).select(F.lit("x").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
