@@ -60,6 +60,13 @@ HEADLINE = [
     "q7_nation_volume",
     "pipeline_clean_corpus",
     "cross_source_contamination",
+    # round 2 additions
+    "ann_lsh_buckets",
+    "dedup_clusters",
+    "bucketed_fact_join",
+    "q8_market_share",
+    "q17_small_qty_revenue",
+    "orders_above_cust_avg",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Deterministic sampling and sequence packing for training pipelines.
+
+Random sampling (`df.sample`) is non-reproducible across runs/engines —
+useless for a data pipeline that must be audited or re-run to the same
+result.  Everything here derives its randomness from the portable md5
+hash (functions/text.py), so:
+
+- the same row always lands in the same sample/split/bin,
+- the DuckDB oracle recomputes the identical selection,
+- at scale the decision is a pure per-row expression: no shuffle, no
+  state, embarrassingly parallel (the sampling predicate pushes into
+  the scan's data filters).
+
+Sequence packing is the pretraining-batch shape: assign documents to
+fixed token-budget bins greedily in a deterministic order.  One window
+cumsum per group — a single shuffle on the group key, the same cost
+class as any per-source aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lab3_spark.functions.text import md5_long, tokenize
+
+SAMPLE_MOD = 1_000_000
+
+
+def hash_keep(id_col: Column | str, fraction: float, salt: str = "sample") -> Column:
+    """Deterministic keep-predicate: md5_long(salt|id) % 1e6 < fraction·1e6.
+
+    Uniform because md5 is; deterministic because nothing else is
+    involved.  The SQL oracle states the same arithmetic."""
+    h = md5_long(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"), salt=salt)
+    return (h % SAMPLE_MOD) < int(fraction * SAMPLE_MOD)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Reproducible row sample: WHERE on the hash predicate — a narrow
+    per-row filter, no shuffle, no RNG state."""
+    return df.where(hash_keep(id_col, fraction, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (`sampleBy`'s reproducible
+    twin): each stratum value gets its own keep-fraction; unlisted
+    strata get `default_fraction`.  The per-row decision stays a pure
+    expression — a CASE over the stratum column against the hash."""
+    h = md5_long(F.col(id_col).cast("string"), salt=salt) % SAMPLE_MOD
+    thresh: Column = F.lit(int(default_fraction * SAMPLE_MOD))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * SAMPLE_MOD))
+        ).otherwise(thresh)
+    return df.where(h < thresh)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group, n_tokens, bin_id): greedy fixed-budget packing.
+
+    Documents are laid end-to-end per group in deterministic id order;
+    a document starts in bin floor(tokens_before_it / budget).  (A doc
+    longer than the budget overflows its bin — the real pipeline would
+    split it; bin assignment stays by start offset, the standard greedy
+    approximation.)  Cost: one window cumsum per group = one shuffle on
+    the group key."""
+    n_tokens = F.size(tokenize(text_col))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    before = F.coalesce(
+        F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+    )
+    return (
+        documents.select(
+            id_col, group_col, n_tokens.alias("n_tokens")
+        )
+        .withColumn("bin_id", F.floor(before / budget))
+        .orderBy(group_col, id_col)
+    )

@@ -2307,3 +2307,122 @@ def q_dedup_clusters(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §11 Deterministic sampling, sequence packing, column profiling
+# ---------------------------------------------------------------------------
+
+_STRATA_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_STRATA_DEFAULT = 0.05
+
+
+def _duck_strata_case() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(f * 1_000_000)}"
+        for v, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"CASE source {whens} ELSE {int(_STRATA_DEFAULT * 1_000_000)} END"
+
+
+@query(
+    "stratified_sample_documents",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ({_h2l("substr(md5(concat('strata', '|', CAST(doc_id AS VARCHAR))), 1, 15)")})
+          % 1000000 < {_duck_strata_case()}
+    ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (sampleBy's reproducible
+    twin): the keep-decision is a pure md5-hash expression, so the
+    sample is stable across runs, engines, and partitionings — and the
+    predicate is a narrow filter (no shuffle, no RNG state)."""
+    from lab3_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, "doc_id", "source", _STRATA_FRACTIONS,
+            salt="strata", default_fraction=_STRATA_DEFAULT,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pack_training_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM t ORDER BY source, doc_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining batches: documents laid
+    end-to-end per source in deterministic id order, assigned to
+    fixed 512-token-budget bins by start offset (greedy packing).
+    One window cumsum per group = one shuffle on the group key."""
+    from lab3_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "profile_orders",
+    """
+    SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+           CAST(max(o_custkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           printf('%.4f', min(o_totalprice)), printf('%.4f', max(o_totalprice))
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """Single-scan column profiler over orders: every metric for every
+    column from ONE aggregate row (map-side combinable), unpivoted to
+    one row per column.  min/max rendered as canonical printf strings
+    so heterogeneous columns share a schema and the oracle reproduces
+    them byte-for-byte."""
+    from lab3_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))

@@ -1,0 +1,72 @@
+"""Deterministic sampling, sequence packing, and the single-scan
+profiler."""
+
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.profile import profile_table
+from lab3_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_hash_sample,
+)
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # reproducible
+    assert abs(len(a) / 20_000 - 0.3) < 0.02  # within 2pp of the target
+    # a smaller fraction with the same salt is a SUBSET (threshold cut)
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert c <= a
+
+
+def test_stratified_fractions_respected(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    out = (
+        stratified_hash_sample(
+            df, "doc_id", "src", {"s0": 0.5, "s1": 0.1}, default_fraction=0.0
+        )
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    by = {r["src"]: r["count"] for r in out}
+    assert abs(by["s0"] / 10_000 - 0.5) < 0.03
+    assert abs(by["s1"] / 10_000 - 0.1) < 0.03
+    assert "s2" not in by  # default fraction 0 drops the stratum
+
+
+def test_pack_sequences_budget_and_order(spark):
+    rows = [
+        # source a: 300 + 300 + 300 tokens -> bins 0, 0, 1 (budget 512)
+        (0, "a", "w " * 300),
+        (1, "a", "w " * 300),
+        (2, "a", "w " * 300),
+        # source b: a 600-token doc overflows bin 0; next doc starts bin 1
+        (10, "b", "w " * 600),
+        (11, "b", "w " * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(df, budget=512).collect()
+    }
+    assert got == {0: (300, 0), 1: (300, 0), 2: (300, 1), 10: (600, 0), 11: (100, 1)}
+
+
+def test_profile_counts_nulls_and_canonical_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "b", 0.125), (2, "a", None)],
+        "k long, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert (rows["s"]["min_repr"], rows["s"]["max_repr"]) == ("a", "b")
+    assert (rows["v"]["min_repr"], rows["v"]["max_repr"]) == ("0.1250", "2.5000")
