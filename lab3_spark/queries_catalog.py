@@ -2426,3 +2426,64 @@ def q_profile_orders(spark, sf_dir):
     from lab3_spark.operators.profile import profile_table
 
     return profile_table(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.user_id < 300
+    ORDER BY user_id, view_event_id, purchase_event_id
+    """,
+)
+def q_streaming_ss_join(spark, sf_dir):
+    """STREAM-STREAM inner join as a real StreamingQuery: views joined
+    to same-user purchases within 30 min (streaming/joins.py), file
+    source → append-mode memory sink, availableNow.  Watermarks + the
+    time-range bound make both state buffers evictable; with the
+    bounded source the result equals the batch interval join — which
+    is exactly what the oracle states."""
+    import os as _os
+    import tempfile as _tf
+
+    from lab3_spark.streaming.joins import view_purchase_interval_join
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    stage = _tf.mkdtemp(prefix="stream_ssj_")
+    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = view_purchase_interval_join(src.where(F.col("user_id") < 300))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ssj_check")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream-stream join availableNow run timed out")
+    return (
+        spark.table("stream_ssj_check")
+        .select(
+            "user_id",
+            "view_event_id",
+            "purchase_event_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "view_event_id", "purchase_event_id")
+    )

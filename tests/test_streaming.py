@@ -69,3 +69,51 @@ def test_streaming_tumbling_counts_runs(spark, tmp_path):
     }
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:05:00", "view")] == (1, 3.0)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Inner stream-stream interval join over a bounded source must
+    equal the batch interval join of the same inputs."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.sources.tables import load_table
+    from lab3_spark.streaming.joins import view_purchase_interval_join
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 500)
+    batch = sorted(
+        map(
+            tuple,
+            view_purchase_interval_join(ev)
+            .select("user_id", "view_event_id", "purchase_event_id")
+            .collect(),
+        )
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="ssj_test_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = view_purchase_interval_join(src.where(F.col("user_id") < 500))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_eq_check")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    streamed = sorted(
+        map(
+            tuple,
+            spark.table("ssj_eq_check")
+            .select("user_id", "view_event_id", "purchase_event_id")
+            .collect(),
+        )
+    )
+    assert streamed == batch and len(batch) >= 0
