@@ -86,3 +86,61 @@ def test_q10_topk_and_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simhash_single_aggregation_no_bit_explode(spark, corpus):
+    # round-2 contract: ONE hash aggregate over 60 sum buffers, no
+    # 60-rows-per-token explode (plan shows exactly one groupBy chain:
+    # partial + final HashAggregate, one Exchange)
+    from lab3_spark.operators.dedup import simhash_signatures
+
+    df = simhash_signatures(corpus)
+    plan = formatted_plan(df)
+    # formatted plans list each node twice (tree + detail): one
+    # partial+final pair = 4 occurrences, and no second groupBy chain
+    assert plan.count("HashAggregate") == 4, plan
+    # one data shuffle (the doc_id agg) + the explicit repartition
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_lsh_codes_zero_shuffle_projection(spark, sf_dir):
+    from lab3_spark.operators.similarity import lsh_codes
+    from lab3_spark.sources.tables import load_table
+
+    df = lsh_codes(load_table(spark, sf_dir, "embeddings"))
+    plan = formatted_plan(df)
+    # a pure narrow projection: no aggregation at all, only the
+    # explicit spread-the-scan repartition
+    assert "HashAggregate" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    from lab3_spark.operators.profile import profile_table
+    from lab3_spark.sources.tables import load_table
+
+    df = profile_table(load_table(spark, sf_dir, "orders"))
+    plan = formatted_plan(df)
+    # ONE scan node (listed twice: tree + detail section)
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_q8_dimension_joins_broadcast(spark, sf_dir):
+    from lab3_spark.queries_catalog import QUERIES
+
+    df = QUERIES["q8_market_share"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # 4 dimension joins broadcast (each node listed twice); at test
+    # scale the fact-fact join may broadcast too - the invariant is
+    # that NO dimension join shuffles
+    assert plan.count("BroadcastHashJoin") >= 8, plan
+
+
+def test_pack_sequences_one_shuffle(spark, sf_dir):
+    from lab3_spark.operators.sampling import pack_sequences
+    from lab3_spark.sources.tables import load_table
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"))
+    # the window over (source, doc_id) is the only exchange; the final
+    # orderBy adds a range partitioning
+    assert count_exchanges(df) <= 2, formatted_plan(df)
