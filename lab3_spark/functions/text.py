@@ -71,15 +71,18 @@ def hex_to_long(hexstr: Column | str) -> Column:
 
     Same arithmetic as the DuckDB-side
     ``list_reduce(list_transform(string_split(h,''),
-    c -> strpos('0123456789abcdef',c)-1), (a,b) -> a*16+b)`` — so hashes
-    derived from md5 agree across engines.
+    c -> strpos('0123456789abcdef',c)-1), (a,b) -> a*16+b)`` — i.e.
+    base-16 positional value — so hashes derived from md5 agree across
+    engines.
+
+    Implemented as ``conv(h, 16, 10)``: identical value to the
+    digit-fold (both are int(h, 16); 15 hex chars = 60 bits fits a
+    signed 64-bit int) but fully codegen'd JVM string parsing instead
+    of an interpreted 15-step higher-order fold per row — md5-derived
+    hashing is the CPU hot path of SimHash/sampling/fingerprinting.
+    Equivalence is pinned by tests/test_text_functions.py.
     """
-    chars = F.split(_col(hexstr), "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: acc * 16 + (F.instr(F.lit(HEX_DIGITS), c) - 1).cast("bigint"),
-    )
+    return F.conv(_col(hexstr), 16, 10).cast("bigint")
 
 
 def md5_long(c: Column | str, salt: str | None = None) -> Column:
