@@ -197,3 +197,103 @@ def day_over_day_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def hourly_gapfill_locf(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, n_events, filled, locf_max_value): hourly
+    buckets over each type's full [first, last] span with GAPS
+    MATERIALIZED — count 0, filled=1 — and the last observed per-bucket
+    max value carried forward (LOCF).
+
+    The hypertable-rollup/gapfill shape (TimescaleDB's
+    time_bucket_gapfill): real aggregation first, then a generated
+    bucket spine LEFT JOINed so downstream consumers see a dense
+    series.  The carried metric is a MAX (order-independent across
+    engines), not a float sum.  Scale: the spine is generated per
+    group with `sequence()` (no driver loop); one shuffle for the agg,
+    the spine join is on (type, bucket) — co-partitioned with it."""
+    buckets = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    spans = buckets.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(buckets, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("filled"),
+            F.round(
+                F.last("max_value", ignorenulls=True).over(
+                    Window.partitionBy("event_type")
+                    .orderBy(F.col("bucket"))
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ).alias("locf_max_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def daily_count_anomalies(events: DataFrame, z: int = 2) -> DataFrame:
+    """(event_type, day, n_events, is_anomaly): days whose event count
+    deviates from the type's mean by more than `z` population standard
+    deviations — decided in EXACT INTEGER arithmetic.
+
+    |x − μ| > zσ  ⟺  (x·n − S)² > z²·(n·Q − S²)   with S=Σx, Q=Σx²
+    (multiply both sides by n²) — all bigint, so the verdict is
+    bit-identical in any engine and any aggregation order; no float
+    mean/stddev ever computed.  One shuffle (per-type daily counts);
+    the stats join is per-type (broadcast-sized)."""
+    daily = (
+        events.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    # d*d, not d**2: Column ** routes through pow() which returns
+    # DOUBLE — the whole point here is staying in bigint
+    d = F.col("n_events") * F.col("n_days") - F.col("s")
+    lhs = d * d
+    rhs = F.lit(z * z) * (
+        F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            (lhs > rhs).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

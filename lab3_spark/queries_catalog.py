@@ -2561,3 +2561,73 @@ def q_udtf_tokens(spark, sf_dir):
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "events_gapfill_locf",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events, max(value) AS max_value
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      FROM b GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT s.event_type AS event_type,
+           strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(b.n_events, 0) AS n_events,
+           CASE WHEN b.n_events IS NULL THEN 1 ELSE 0 END AS filled,
+           round(last_value(b.max_value IGNORE NULLS)
+                 OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS locf_max_value
+    FROM spine s LEFT JOIN b ON s.event_type = b.event_type
+                            AND s.bucket = b.bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Hourly gap-fill + last-observation-carried-forward — the
+    hypertable/gapfill rollup shape (operators/events.py): generated
+    bucket spine LEFT JOINed to the real aggregation, gaps
+    materialized with count 0 and the carried metric a MAX
+    (order-independent across engines, unlike a float sum)."""
+    return EV.hourly_gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n_days, sum(n_events) AS s,
+             sum(n_events * n_events) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type AS event_type,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           d.n_events AS n_events,
+           CASE WHEN (d.n_events * st.n_days - st.s)
+                     * (d.n_events * st.n_days - st.s)
+                     > 4 * (st.n_days * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d JOIN stats st ON d.event_type = st.event_type
+    ORDER BY event_type, day
+    """,
+)
+def q_daily_anomalies(spark, sf_dir):
+    """2σ daily-count anomaly detection decided in EXACT INTEGER
+    arithmetic: |x−μ|>zσ restated as (x·n−S)² > z²(nQ−S²) with bigint
+    S=Σx, Q=Σx² — bit-identical verdicts in any engine / aggregation
+    order; no float mean or stddev computed at all."""
+    return EV.daily_count_anomalies(_t(spark, sf_dir, "events"))
