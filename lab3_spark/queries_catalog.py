@@ -2631,3 +2631,41 @@ def q_daily_anomalies(spark, sf_dir):
     S=Σx, Q=Σx² — bit-identical verdicts in any engine / aggregation
     order; no float mean or stddev computed at all."""
     return EV.daily_count_anomalies(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "pysource_synthetic_docs",
+    f"""
+    WITH w AS (
+      SELECT ['alpha','bravo','charlie','delta','echo','foxtrot',
+              'golf','hotel','india','juliet','kilo','lima',
+              'mike','november','oscar','papa','quebec','romeo',
+              'sierra','tango','uniform','victor','whiskey','yankee'] AS ws
+    )
+    SELECT range AS doc_id,
+           array_to_string(
+             list_transform(
+               range(0, 5 + ({_h2l("substr(md5(concat('len,', range)), 1, 15)")}) % 20),
+               i -> ws[1 + ({_h2l("substr(md5(concat(range, ',', i)), 1, 15)")}) % 24]),
+             ' ') AS text
+    FROM range(0, 200), w
+    ORDER BY doc_id
+    """,
+)
+def q_pysource(spark, sf_dir):
+    """A CUSTOM PYTHON DATASOURCE (PySpark 4 DataSource API,
+    sources/pysource.py) hash-checked against SQL: every word of every
+    generated doc derives from the portable md5 fold, so DuckDB
+    recomputes the identical table — the strongest correctness check a
+    pluggable source can get.  Partition-parallel generation, no
+    driver involvement (the reference's split hook, source-side)."""
+    from lab3_spark.sources.pysource import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("parts", 8)
+        .load()
+        .orderBy("doc_id")
+    )
