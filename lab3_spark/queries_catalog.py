@@ -2669,3 +2669,52 @@ def q_pysource(spark, sf_dir):
         .load()
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_length_distribution",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM documents
+      WINDOW w AS (ORDER BY n_chars, doc_id)
+    )
+    SELECT decile,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           floor(min(pct_rank) * 10000) / 10000 AS min_pct_rank,
+           floor(max(cume) * 10000) / 10000 AS max_cume
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def q_doc_length_distribution(spark, sf_dir):
+    """Distribution windows (ntile / percent_rank / cume_dist) over
+    document length — the quantile-binning step of a corpus length
+    filter.  Deterministic under the (n_chars, doc_id) total order;
+    the rank ratios are exact small-integer divisions, truncated at 4
+    decimals like every cross-engine float."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("n_chars", "doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.floor(F.min("pct_rank") * 10000) / 10000).alias("min_pct_rank"),
+            (F.floor(F.max("cume") * 10000) / 10000).alias("max_cume"),
+        )
+        .orderBy("decile")
+    )
