@@ -2718,3 +2718,38 @@ def q_doc_length_distribution(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "grouped_minmax_normalize",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, u.d AS d, CAST(u.x AS DOUBLE) AS x FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(0, len(embedding)),
+                      i -> struct_pack(d := i, x := embedding[i+1]))) AS u
+        FROM embeddings)
+    ),
+    mm AS (SELECT label, d, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1, 2),
+    norm AS (
+      SELECT vec_id, ex.label AS label, ex.d AS d,
+             floor((CASE WHEN hi = lo THEN 0.0
+                         ELSE (x - lo) / (hi - lo) END) * 10000) / 10000 AS nx
+      FROM ex JOIN mm ON ex.label = mm.label AND ex.d = mm.d
+    )
+    SELECT vec_id, label, list(nx ORDER BY d) AS normalized
+    FROM norm GROUP BY vec_id, label ORDER BY vec_id
+    """,
+)
+def q_grouped_minmax(spark, sf_dir):
+    """BATCH applyInPandas grouped-map (operators/grouped.py): each
+    label group arrives as one pandas DataFrame (Arrow transfer) and
+    numpy rescales every dimension to [0,1] within the group.  Min/max
+    are exact (order-independent) and the per-element arithmetic has
+    no summation, so the DuckDB oracle recomputes the doubles
+    bit-for-bit before the shared 4-decimal truncation."""
+    from lab3_spark.operators.grouped import minmax_normalize_embeddings
+
+    return minmax_normalize_embeddings(
+        _t(spark, sf_dir, "embeddings")
+    ).orderBy("vec_id")
