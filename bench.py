@@ -67,6 +67,16 @@ HEADLINE = [
     "q8_market_share",
     "q17_small_qty_revenue",
     "orders_above_cust_avg",
+    "pmi_collocations",
+    "events_gapfill_locf",
+    "events_daily_anomalies",
+    "doc_length_distribution",
+    "grouped_minmax_normalize",
+    "stratified_sample_documents",
+    "pack_training_sequences",
+    "profile_orders",
+    # excluded like the streaming queries: udtf_token_positions and
+    # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
 
 

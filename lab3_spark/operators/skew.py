@@ -4,7 +4,10 @@ Aggregation skew is largely a solved problem in Spark: map-side partial
 aggregation collapses the hot key per partition before the shuffle, so
 one reducer receives ~n_partitions partial rows, not the raw row count
 (tests/test_skew.py pins the exactness; tools/bench_skew.py measures
-it).  JOIN skew is the real 100 TB hazard: a shuffle join routes EVERY
+it).  The reference has the unmitigated form of the same pathology:
+every value of a key lands in one hash-bucket chain processed by one
+reduce task (phoenixLab/include/container.h:185, map_reduce.h:238-252
+reduce phase) — a hot word serializes its whole group there too.  JOIN skew is the real 100 TB hazard: a shuffle join routes EVERY
 row of the hot key to one task — partial aggregation can't help because
 the join has to see the rows themselves.
 
