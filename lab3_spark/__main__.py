@@ -11,6 +11,7 @@ Engine commands:
 
     python -m lab3_spark list                        # catalog queries
     python -m lab3_spark run <query> [--sf-dir DIR] [--limit N]
+    python -m lab3_spark explain <query> [--sf-dir DIR]   # physical plan
 """
 
 from __future__ import annotations
@@ -38,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sp.add_argument("--limit", type=int, default=20)
+    sp = sub.add_parser("explain")
+    sp.add_argument("query")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     args = p.parse_args(argv)
 
@@ -64,6 +68,18 @@ def main(argv: list[str] | None = None) -> int:
         df = QUERIES[args.query](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
         print(f"{args.query} took: {time.time() - t0:.3f} seconds")
+        return 0
+
+    if args.cmd == "explain":
+        from lab3_spark.plans.explain import count_exchanges, formatted_plan
+        from lab3_spark.queries_catalog import QUERIES
+
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        df = QUERIES[args.query](spark, args.sf_dir)
+        print(formatted_plan(df))
+        print(f"shuffle exchanges: {count_exchanges(df)}")
         return 0
 
     # the three reference pipelines over a raw text file, printed in
