@@ -88,3 +88,41 @@ def test_line_numbers_match_reference_ground_truth(spark):
     ).count()
     assert mismatches == 0
     assert prefixed.count() > 20000  # ~24,693 lines all carry prefixes
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC: the other columnar format Spark ships natively — write,
+    read back identically, and predicates reach the ORC scan
+    (searchArgument pushdown) like parquet."""
+    from lab3_spark.plans.explain import formatted_plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    filtered = back.where("o_orderstatus = 'F'").select("o_orderkey")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters" in plan and "o_orderstatus" in plan, plan
+
+
+def test_observe_metrics_ride_along_with_action(spark, corpus):
+    """df.observe(): pipeline QA counters collected DURING the real
+    action (no second scan) — the production shape for 'how many docs
+    did the cleaner drop' accounting."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("clean_stats")
+    cleaned = (
+        corpus.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum((F.length("text") < 10).cast("long")).alias("n_short"),
+        )
+        .where(F.length("text") >= 10)
+    )
+    n_out = cleaned.count()  # the action that populates the observation
+    assert obs.get["n_in"] == corpus.count()
+    assert obs.get["n_in"] - obs.get["n_short"] == n_out
