@@ -32,6 +32,7 @@ TABLES: tuple[str, ...] = (
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_TZ_CONF = "spark.sql.session.timeZone"
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
@@ -47,6 +48,19 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     spark.conf.set(_NANOS_CONF, "true")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime confs every catalog query depends on, applied to ANY
+    session (round-1 lesson: the correctness gate runs on a session we
+    didn't build).
+
+    - UTC session timezone: `date_format` renders timestamps in the
+      session TZ; the DuckDB oracle's timestamps are TZ-less.  A
+      non-UTC session would shift every formatted timestamp string.
+    - nanosAsLong: see :func:`ensure_nanos_as_long`."""
+    spark.conf.set(_TZ_CONF, "UTC")
+    ensure_nanos_as_long(spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, normalizing nano-timestamps.
 
@@ -59,8 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conf), with a catch-and-retry fallback should some other table ever
     carry a nano column."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        ensure_nanos_as_long(spark)
+    ensure_session_defaults(spark)
     try:
         df = spark.read.parquet(path)
     except Exception as exc:  # pragma: no cover - defensive retry

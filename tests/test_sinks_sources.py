@@ -126,3 +126,18 @@ def test_observe_metrics_ride_along_with_action(spark, corpus):
     n_out = cleaned.count()  # the action that populates the observation
     assert obs.get["n_in"] == corpus.count()
     assert obs.get["n_in"] - obs.get["n_short"] == n_out
+
+
+def test_load_table_self_heals_session_confs(spark, sf_dir):
+    """load_table must work on sessions we didn't configure: it pins
+    UTC (date_format strings must match the TZ-less oracle) and the
+    nanos conf at runtime — the round-1 driver failure mode."""
+    from lab3_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
