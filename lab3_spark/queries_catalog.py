@@ -2753,3 +2753,111 @@ def q_grouped_minmax(spark, sf_dir):
     return minmax_normalize_embeddings(
         _t(spark, sf_dir, "embeddings")
     ).orderBy("vec_id")
+
+
+@query(
+    "pipeline_dedup_to_packing",
+    f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, text, source,
+             md5(array_to_string(regexp_extract_all(lower(text),
+                 {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    keep1 AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               min(doc_id) OVER (PARTITION BY fp) AS rep
+        FROM fp) f
+      WHERE doc_id = rep
+    ),
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM keep1
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, salt, min(md5(concat(salt, '|', shingle))) AS mh
+      FROM sh, (SELECT unnest(range(0, 16)) AS salt) salts
+      GROUP BY doc_id, salt
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY salt) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    dups AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING least(src, min(dst)) != src
+    ),
+    keep2 AS (
+      SELECT k.doc_id, k.source,
+             len(regexp_extract_all(lower(k.text), {OR.DUCK_TOKEN_REGEX}))
+               AS n_tokens
+      FROM keep1 k ANTI JOIN dups d ON k.doc_id = d.doc_id
+    ),
+    clean AS (SELECT * FROM keep2 WHERE n_tokens >= 10)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM clean ORDER BY source, doc_id
+    """,
+)
+def q_pipeline_dedup_to_packing(spark, sf_dir):
+    """The training-data pipeline END-TO-END in one composed plan:
+    exact dedup (md5 fingerprint, min-id representative) → near-dup
+    CLUSTER collapse on the survivors (MinHash-LSH candidates →
+    connected components → keep each cluster's min-id doc) → quality
+    floor (≥10 tokens) → 512-token-budget sequence packing per source.
+    Every stage is deterministic, so the whole composition has a full
+    value-hash oracle (recursive CTE included) — the strongest
+    statement the engine makes: multi-stage pipelines verify, not just
+    single operators."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.components import connected_components
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    from lab3_spark.functions.text import tokenize
+
+    norm = F.concat_ws(" ", tokenize("text"))
+    w = Window.partitionBy("fp")
+    keep1 = (
+        docs.withColumn("fp", F.md5(norm))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text", "source")
+    )
+    cands = minhash_candidates(keep1)
+    comps = connected_components(cands, "doc_a", "doc_b")
+    dups = comps.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    keep2 = keep1.join(dups, "doc_id", "left_anti")
+    clean = keep2.where(F.size(tokenize("text")) >= 10)
+    return pack_sequences(clean, budget=512)
