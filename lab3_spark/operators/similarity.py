@@ -122,6 +122,42 @@ def _embedding_dims(embeddings: DataFrame) -> int:
     return int(row["d"])
 
 
+def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, code): the SAME integer fixed-point signature as
+    :func:`lsh_codes`, computed as an Arrow-batched numpy matmul
+    (mapInPandas) — the vectorized-Python path for wide embeddings.
+
+    Bit-identical by construction: int64 `floor(x·1e6)` matrix times
+    the int64 plane matrix is exact in numpy exactly as in the JVM
+    fold (tests pin expression == pandas).  Shape: one narrow
+    mapInPandas pass, no shuffle — dims×N_PLANES multiply-adds per row
+    run inside BLAS-grade loops instead of interpreted Catalyst HOF
+    lambdas, the trade documented in SCALE.md."""
+    import numpy as np
+    import pandas as pd
+
+    dims = _embedding_dims(embeddings)
+    planes = np.array(plane_numerators(N_PLANES, dims), dtype=np.int64)  # 16×d
+    bits = (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
+
+    def batches(it):
+        for pdf in it:
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            dots = xi @ planes.T  # n×16 exact int64
+            codes = ((dots > 0) * bits).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": codes})
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(batches, "vec_id bigint, code bigint")
+    )
+
+
 def lsh_codes(embeddings: DataFrame) -> DataFrame:
     """(vec_id, code): N_PLANES-bit random-hyperplane signature.
 
