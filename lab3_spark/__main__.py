@@ -48,9 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         from lab3_spark.queries_catalog import ORACLES, QUERIES
 
-        for name in QUERIES:
-            tag = "oracle" if name in ORACLES else "rows-only"
-            print(f"{name}  [{tag}]")
+        width = max(map(len, QUERIES))
+        for name, fn in QUERIES.items():
+            tag = "oracle   " if name in ORACLES else "rows-only"
+            doc = (fn.__doc__ or "").strip().split("\n")[0]
+            print(f"{name:<{width}}  [{tag}]  {doc}")
         return 0
 
     from lab3_spark.session import get_spark
