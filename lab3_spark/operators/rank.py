@@ -1,0 +1,166 @@
+"""Distributed global order statistics — no single-partition window.
+
+``ntile / percent_rank / cume_dist OVER (ORDER BY ...)`` with no
+PARTITION BY is the classic scale trap: Spark's WindowExec moves the
+ENTIRE input to one partition ("No Partition Defined for Window
+operation" warning), which is a guaranteed OOM/stall at 100 TB.  The
+reference's sort phase (phoenixLab: the merge-sort over all emitted
+pairs feeding top50.cpp:109-159) has the same global-total-order
+semantics; Phoenix++ solves it with a parallel merge — this module is
+the Spark-native equivalent:
+
+1. ``repartitionByRange(order keys)`` — one sampling pass plus ONE
+   shuffle gives disjoint, globally-ordered key ranges per partition
+   (partition i's keys all sort before partition i+1's);
+   ``sortWithinPartitions`` completes the total order.
+2. per-partition local index via ``monotonically_increasing_id`` —
+   pid<<33 | row-index evaluated over the sorted iterator (the
+   sources/text.py:36-54 line-numbering trick), so no window — and
+   therefore no second Exchange — ever touches the big side.
+3. partition row-counts (a metadata-scale aggregate, one row per
+   partition) → cumulative offsets, broadcast back.
+4. global row number = local index + partition offset + 1.
+
+``ntile(k)``, ``percent_rank`` and ``cume_dist`` are then pure
+arithmetic on (rn, N) when the order key is a total order (unique per
+row — callers append a unique tie-break column, same determinism rule
+as every ordered query in the catalog):
+
+- percent_rank = (rn - 1) / (N - 1)
+- cume_dist    = rn / N
+- ntile(k): the first ``N mod k`` buckets get ``ceil(N/k)`` rows, the
+  rest ``floor(N/k)`` (the SQL-standard split DuckDB and Spark share).
+
+Everything is JVM-side; N arrives via a broadcast of the (tiny) offsets
+aggregate, not a driver collect.  The only unpartitioned window left
+runs over the per-partition counts — #partitions rows, metadata scale
+(same pattern as sources/text.py:36-54 line numbering).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "_gos_pid"
+_RIDX = "_gos_ridx"
+_OFF = "_gos_offset"
+_TOT = "_gos_total"
+
+
+def with_global_row_number(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "rn"
+) -> DataFrame:
+    """Add a 1-based global row number following ``ORDER BY order_cols``
+    without a single-partition window.
+
+    Also leaves a ``_gos_total`` column (total row count N) for derived
+    statistics; callers drop it via :func:`drop_rank_internals`.
+
+    ``order_cols`` must be a total order (append a unique key as the
+    last column) — equal keys across a range boundary would otherwise
+    make ranks partition-placement-dependent."""
+    from lab3_spark.sources.text import ROW_IDX_BITS
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+
+    # One shuffle: sampling-based range partitioner => partition ids are
+    # globally ordered and key ranges are disjoint; the within-partition
+    # sort completes the total order.  monotonically_increasing_id is
+    # then evaluated over the SORTED iterator, so (pid, local index)
+    # decompose from it with no window and no further exchange.
+    mid = F.monotonically_increasing_id()
+    d = (
+        df.repartitionByRange(par, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
+        .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
+    )
+    # The ranged shuffle output feeds both the counts aggregate and the
+    # final join — persist so it is not recomputed (and the partitioner
+    # is not re-sampled) for the second branch.
+    d = d.persist()
+
+    counts = d.groupBy(_PID).agg(F.count("*").alias("_n"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        counts.withColumn(_OFF, F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .withColumn(_TOT, F.sum("_n").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(_PID, _OFF, _TOT)
+    )
+
+    return (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_RIDX) + F.col(_OFF) + 1).cast("long"))
+        .drop(_PID, _RIDX, _OFF)
+    )
+
+
+def drop_rank_internals(df: DataFrame) -> DataFrame:
+    return df.drop(_TOT)
+
+
+def total_rows_col() -> Column:
+    """N (total row count) as a column, valid on a
+    :func:`with_global_row_number` result before ``drop_rank_internals``."""
+    return F.col(_TOT)
+
+
+def ntile_from_rank(rn: Column, n_total: Column, k: int) -> Column:
+    """SQL-standard ntile(k) from a 1-based unique global rank.
+
+    With N rows: the first ``N % k`` buckets hold ``N div k + 1`` rows,
+    the remaining buckets ``N div k`` (DuckDB and Spark agree on this
+    split, so the derived form is hash-identical to the window form)."""
+    size_small = F.floor(n_total / k).cast("long")  # floor(N/k)
+    rem = (n_total % k).cast("long")
+    big = size_small + 1
+    cutover = rem * big  # rows 1..cutover live in the `rem` bigger buckets
+    in_big = F.floor((rn - 1) / big).cast("long") + 1
+    # N < k => size_small == 0, but then cutover == N covers every row,
+    # so the in_small branch is never taken; guard keeps the divisor
+    # positive regardless of branch evaluation order.
+    safe_small = F.greatest(size_small, F.lit(1))
+    in_small = rem + F.floor((rn - cutover - 1) / safe_small).cast("long") + 1
+    return F.when(rn <= cutover, in_big).otherwise(in_small).cast("int")
+
+
+def percent_rank_from_rank(rn: Column, n_total: Column) -> Column:
+    """percent_rank = (rank-1)/(N-1) — exact for a unique total order
+    (rank == row_number).  N==1 degenerates to 0.0 like the window fn."""
+    return F.when(n_total > 1, (rn - 1) / (n_total - 1)).otherwise(F.lit(0.0))
+
+
+def cume_dist_from_rank(rn: Column, n_total: Column) -> Column:
+    """cume_dist = rn/N — exact when the order is a unique total order
+    (each row is its own peer group)."""
+    return rn / n_total
+
+
+def with_global_order_stats(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    ntile: int | None = None,
+    percent_rank: bool = False,
+    cume_dist: bool = False,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """One-stop: global row number plus any of ntile / percent_rank /
+    cume_dist, all derived from the distributed rank — the drop-in
+    replacement for an unpartitioned window."""
+    d = with_global_row_number(df, order_cols, out_col=rn_col)
+    rn = F.col(rn_col)
+    n = total_rows_col()
+    if ntile is not None:
+        d = d.withColumn("ntile", ntile_from_rank(rn, n, ntile))
+    if percent_rank:
+        d = d.withColumn("pct_rank", percent_rank_from_rank(rn, n))
+    if cume_dist:
+        d = d.withColumn("cume", cume_dist_from_rank(rn, n))
+    return drop_rank_internals(d)

@@ -1678,14 +1678,23 @@ def q_above_avg(spark, sf_dir):
     """,
 )
 def q_deciles(spark, sf_dir):
-    """ntile distribution windows with a deterministic tie-break;
-    at scale prefer approx_percentile boundaries over a global sort."""
-    from pyspark.sql.window import Window
+    """ntile distribution with a deterministic tie-break — computed by
+    the DISTRIBUTED global-rank operator (operators/rank.py): an
+    unpartitioned `ntile() OVER (ORDER BY ...)` window would move the
+    whole table to one partition (Spark's WindowExec warning), the
+    canonical 100 TB stall.  Range-repartition + per-partition
+    row_number + broadcast offsets yields the identical bucket ids
+    fully in parallel."""
+    from lab3_spark.operators.rank import with_global_order_stats
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = with_global_order_stats(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        ntile=10,
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", F.col("ntile").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
@@ -2692,21 +2701,27 @@ def q_pysource(spark, sf_dir):
     """,
 )
 def q_doc_length_distribution(spark, sf_dir):
-    """Distribution windows (ntile / percent_rank / cume_dist) over
+    """Distribution statistics (ntile / percent_rank / cume_dist) over
     document length — the quantile-binning step of a corpus length
     filter.  Deterministic under the (n_chars, doc_id) total order;
     the rank ratios are exact small-integer divisions, truncated at 4
-    decimals like every cross-engine float."""
-    from pyspark.sql.window import Window
+    decimals like every cross-engine float.
 
-    w = Window.orderBy("n_chars", "doc_id")
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
+    Computed via the distributed global-rank operator
+    (operators/rank.py) instead of an unpartitioned window: under a
+    unique total order, rank == row_number, so
+    percent_rank = (rn-1)/(N-1) and cume_dist = rn/N are pure
+    arithmetic — bit-identical to the window functions while staying
+    fully parallel."""
+    from lab3_spark.operators.rank import with_global_order_stats
+
+    d = with_global_order_stats(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"],
+        ntile=10,
+        percent_rank=True,
+        cume_dist=True,
+    ).select("doc_id", "n_chars", F.col("ntile").alias("decile"), "pct_rank", "cume")
     return (
         d.groupBy("decile")
         .agg(
