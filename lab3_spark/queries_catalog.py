@@ -2271,6 +2271,207 @@ def q_orders_above_cust_avg(spark, sf_dir):
 
 
 @query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_rev
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style (top supplier via a revenue view + scalar-max
+    subquery).  The quarter revenue aggregate is computed ONCE and
+    reused for both the max and the equality filter (Spark reuses the
+    shuffle via ReusedExchange); the 1-row max and the supplier dim
+    both broadcast.  Revenues are rounded to 2 decimals BEFORE the
+    equality compare in both engines — float-sum order sensitivity
+    cannot flip the winner (the round-before-compare contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS totalprice, big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o.o_orderkey ASC
+    """,
+)
+def q_q18_large_volume(spark, sf_dir):
+    """TPC-H Q18-style (large-volume orders).  The HAVING-filtered
+    per-order quantity aggregate shrinks lineitem to a handful of hot
+    orderkeys BEFORE any join — the surviving key list is small enough
+    to broadcast into orders, so the fact-fact join never shuffles
+    orders at all (aggregate-then-semi-join, the Q18 scale idiom).
+    l_quantity values are integer-valued doubles: the sums are exact,
+    no float-order hazard."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19-style disjunctive multi-band join: three OR'd
+    brand/size/quantity brackets.  The join itself stays a plain
+    broadcast equi-join on partkey with the disjunction as a residual
+    filter; Catalyst additionally extracts the per-side implied
+    conjuncts (quantity <= 30 on lineitem, size <= 25 on part) and
+    pushes them into the scans, so neither side reads rows no bracket
+    could accept."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22-style: above-average-balance customers with NO order
+    in the final year (every synthetic customer has *some* order, so
+    the anti-join is made temporal to stay a meaningful gate).  Three
+    join strategies in one plan: a 1-row broadcast for the scalar
+    average, a broadcast LEFT ANTI against the distinct recent-order
+    custkeys (NOT EXISTS), and a broadcast dim join to nation.  At
+    scale the anti join's build side is distinct(custkey of recent
+    orders) — the date filter pushes to the orders scan and the
+    distinct bounds it by customer cardinality, not order count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_ab"))
+        .join(
+            o.where(
+                F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+            )
+            .select("o_custkey")
+            .distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_DUCK_MINHASH_CTES},
