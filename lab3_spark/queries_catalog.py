@@ -926,6 +926,52 @@ def q_cube(spark, sf_dir):
 
 
 @query(
+    "lineitem_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           2 * grouping(l_returnflag) + grouping(l_linestatus) AS gid,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY gid ASC,
+             l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form rollup and cube are
+    sugar for): per-(flag,status), per-flag, and grand-total revenue in
+    ONE pass over lineitem — Spark expands the sets map-side and
+    aggregates once, vs three scans for the UNION ALL equivalent.  The
+    explicit grouping-id expression disambiguates real NULL group keys
+    from the expanded super-aggregate rows identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (
+                2 * F.grouping("l_returnflag") + F.grouping("l_linestatus")
+            ).alias("gid"),
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(
+            F.asc("gid"),
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )
+
+
+@query(
     "nation_status_pivot",
     """
     SELECT n_name,
