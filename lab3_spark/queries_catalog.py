@@ -2111,6 +2111,54 @@ def q_running(spark, sf_dir):
     )
 
 
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((qa >> {i}) & 1) << {2 * i}) + (((qb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@query(
+    "events_zorder_cells",
+    f"""
+    WITH stats AS (
+      SELECT CAST(min(user_id) AS DOUBLE) AS lo_a,
+             CAST(max(user_id) AS DOUBLE) AS hi_a,
+             min(value) AS lo_b, max(value) AS hi_b
+      FROM events
+    ),
+    q AS (
+      SELECT CASE WHEN hi_a > lo_a THEN least(CAST(floor(
+               (CAST(user_id AS DOUBLE) - lo_a) / (hi_a - lo_a) * 255)
+               AS BIGINT), 255) ELSE 0 END AS qa,
+             CASE WHEN hi_b > lo_b THEN least(CAST(floor(
+               (value - lo_b) / (hi_b - lo_b) * 255)
+               AS BIGINT), 255) ELSE 0 END AS qb
+      FROM events, stats
+    ),
+    z AS (SELECT {_Z_INTERLEAVE_SQL} AS z FROM q)
+    SELECT z >> 8 AS cell, count(*) AS n_events, sum(z) AS z_sum
+    FROM z GROUP BY cell ORDER BY cell
+    """,
+)
+def q_events_zorder_cells(spark, sf_dir):
+    """Morton (z-order) codes over (user_id, value) — the write-time
+    clustering key that buys multi-dimensional parquet min-max skipping
+    (operators/zorder.py; layout effect measured in
+    tests/test_zorder.py).  The gate aggregates per coarse curve cell
+    with sum(z): any single bit divergence in the 16-bit interleave
+    or the fixed-point bucketize flips the hash.  All-integer past the
+    one shared floor(), identical IEEE expression order before it."""
+    from lab3_spark.operators.zorder import with_z_value
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    z = with_z_value(ev, "user_id", "value", bits=8)
+    return (
+        z.groupBy(F.shiftright(F.col("z"), 8).alias("cell"))
+        .agg(F.count("*").alias("n_events"), F.sum("z").alias("z_sum"))
+        .orderBy("cell")
+    )
+
+
 @query(
     "events_weekday_hour_profile",
     """

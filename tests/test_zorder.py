@@ -1,0 +1,132 @@
+"""Z-order layout (operators/zorder.py): code correctness and the
+actual data-skipping effect, measured from parquet footer statistics."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.zorder import (
+    interleave_bits,
+    with_z_value,
+    zorder_write,
+)
+
+
+def test_interleave_known_values(spark):
+    # bit i of a -> bit 2i, bit i of b -> bit 2i+1
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 0), (0, 3), (255, 255)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            interleave_bits(F.col("a"), F.col("b"), 8).alias("z")
+        ).collect()
+    ]
+    # morton(a,b): a bits even positions, b bits odd
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 0), (0, 3), (255, 255)]]
+    assert got[-1] == (1 << 16) - 1  # all 16 bits set
+
+
+def test_z_value_locality(spark, sf_dir):
+    # nearby (a, b) points share high z bits: the top-4-bits cell of z
+    # must correspond to a bounded rectangle of the key space
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    z = with_z_value(ev, "user_id", "value", bits=8)
+    cells = (
+        z.groupBy(F.shiftright("z", 12).alias("cell"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("span_a"),
+            (F.max("value") - F.min("value")).alias("span_b"),
+        )
+        .collect()
+    )
+    full_a = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    full_b = ev.agg(F.max("value") - F.min("value")).first()[0]
+    # top-4 z bits = 2 bits per dimension = each cell covers <= ~1/4 of
+    # each axis (plus one bucket of quantization slack)
+    for r in cells:
+        assert r["span_a"] <= full_a * 0.27 + 1, r
+        assert r["span_b"] <= full_b * 0.27 + 1, r
+
+
+def _file_ranges(path, cols):
+    """Per-file (lo, hi) for each column, from parquet footer stats."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        rng = {c: [float("inf"), float("-inf")] for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema in rng:
+                    stats = col.statistics
+                    rng[col.path_in_schema][0] = min(
+                        rng[col.path_in_schema][0], stats.min
+                    )
+                    rng[col.path_in_schema][1] = max(
+                        rng[col.path_in_schema][1], stats.max
+                    )
+        out.append(rng)
+    return out
+
+
+def _expected_hit_fraction(ranges, col, full_lo, full_hi):
+    """For a uniformly random point predicate on `col`: the expected
+    fraction of files whose footer min-max cannot be skipped.  This is
+    the quantity min-max pruning actually optimizes."""
+    width = full_hi - full_lo
+    return sum((r[col][1] - r[col][0]) / width for r in ranges) / len(ranges)
+
+
+def test_zorder_layout_skips_both_dimensions(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    lo_a, hi_a, lo_b, hi_b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    n_files = 32
+    # linear baseline: sorted by user_id only, same file count
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zorder_write(ev, zpath, "user_id", "value", n_files=n_files)
+
+    lin = _file_ranges(linear, ["user_id", "value"])
+    zrd = _file_ranges(zpath, ["user_id", "value"])
+
+    # dimension a (the linear sort key): linear wins outright — that's
+    # the whole trade; it must still be decent under z-order.
+    lin_a = _expected_hit_fraction(lin, "user_id", lo_a, hi_a)
+    z_a = _expected_hit_fraction(zrd, "user_id", lo_a, hi_a)
+    # dimension b: a linear layout cannot skip AT ALL (every file spans
+    # ~the full value axis); z-order must skip substantially.
+    lin_b = _expected_hit_fraction(lin, "value", lo_b, hi_b)
+    z_b = _expected_hit_fraction(zrd, "value", lo_b, hi_b)
+
+    # baseline can barely skip on value (not exactly 1.0 at tiny SF:
+    # ~30-row files under-sample the full value range)
+    assert lin_b > 0.5, lin_b
+    assert z_b < 0.6 * lin_b, (z_b, lin_b)  # z-order skips where linear can't
+    # and the layout's WORST dimension beats linear's worst dimension
+    assert max(z_a, z_b) < 0.7 * max(lin_a, lin_b), (z_a, z_b, lin_a, lin_b)
+
+    # and the data survives the round trip
+    assert spark.read.parquet(zpath).count() == ev.count()
