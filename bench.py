@@ -75,6 +75,14 @@ HEADLINE = [
     "stratified_sample_documents",
     "pack_training_sequences",
     "profile_orders",
+    # round 2, second half
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q19_bracket_revenue",
+    "q22_idle_rich_customers",
+    "lineitem_grouping_sets",
+    "order_total_deciles",
+    "events_zorder_cells",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
