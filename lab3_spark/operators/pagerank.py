@@ -1,0 +1,81 @@
+"""Fixed-point PageRank — the second iterative DataFrame algorithm
+(alongside operators/components.py), run over the MinHash candidate
+graph: rank near-duplicate clusters by centrality so the KEPT
+representative is the best-connected document, not merely min(doc_id).
+
+ALL-INTEGER arithmetic (the same cross-engine contract as SimHash and
+the LSH codes): ranks are bigint fixed-point (RANK_SCALE = 1e12),
+per-edge contribution is `rank div degree` (integer division — exact),
+the damping step is `base + (85 * sum) div 100` — every operation is
+associative/exact, so a SQL oracle unrolling the same iterations
+reproduces the ranks bit-for-bit.  Float PageRank would hash-mismatch:
+summation order differs between engines (the round-1
+`ann_lsh_buckets` lesson).
+
+Scale shape per iteration: one hash-shuffle join of edges with ranks
+on src (degree rides along, pre-joined once) and one groupBy(dst) —
+both keyed shuffles, no broadcast of anything data-sized, no driver
+collect.  Lineage is truncated with localCheckpoint each iteration
+(the components.py pattern) so the plan doesn't grow exponentially
+with iteration count."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 10**12
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+BASE_FP = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN
+
+
+def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Undirected candidate pairs (a < b, unique) → directed edge list
+    with both orientations."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """(node, rank_fp): integer fixed-point PageRank after ``n_iter``
+    synchronous iterations from a uniform RANK_SCALE start.
+
+    ``edges`` is a directed (src, dst) list; a symmetrized graph (every
+    node has out-degree ≥ 1) has no dangling-mass problem by
+    construction."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # degree rides with the edge list from the start: one narrow join
+    # now instead of a second join every iteration
+    edeg = edges.join(deg, "src").select("src", "dst", "deg")
+    edeg = edeg.persist()
+    nodes = nodes.persist()
+
+    ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
+    for _ in range(n_iter):
+        summed = (
+            edeg.join(ranks, edeg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(BASE_FP)
+                + F.expr(
+                    f"({DAMPING_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div {DAMPING_DEN}"
+                )
+            )
+            .cast("bigint")
+            .alias("rank_fp"),
+        )
+        # truncate lineage so the logical plan stays O(1) per iteration
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -2613,6 +2613,81 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _duck_pagerank_iters(n_iter: int) -> str:
+    """Unrolled fixed-point PageRank iteration CTEs r1..r{n} — integer
+    arithmetic identical to operators/pagerank.py (`//` == Spark's
+    `div` for non-negative bigints)."""
+    from lab3_spark.operators.pagerank import (
+        BASE_FP,
+        DAMPING_DEN,
+        DAMPING_NUM,
+    )
+
+    ctes = []
+    for k in range(1, n_iter + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"""
+    r{k} AS (
+      SELECT n.node,
+             CAST({BASE_FP} + ({DAMPING_NUM} * COALESCE(s.s, 0))
+                  // {DAMPING_DEN} AS BIGINT) AS rank_fp
+      FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_fp // e.deg) AS s
+        FROM pr_edeg e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+        )
+    return ",".join(ctes)
+
+
+_PAGERANK_ITERS = 5
+
+
+@query(
+    "pagerank_candidates",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    pr_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_edeg AS (
+      SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src
+    ),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM pr_nodes),
+    {_duck_pagerank_iters(_PAGERANK_ITERS)}
+    SELECT node AS doc_id, rank_fp
+    FROM r{_PAGERANK_ITERS}
+    ORDER BY rank_fp DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_pagerank_candidates(spark, sf_dir):
+    """Fixed-point PageRank over the MinHash candidate graph
+    (operators/pagerank.py) — ranks near-duplicate documents by
+    centrality so cluster representatives can be chosen by connectivity
+    rather than min-id.  All-bigint arithmetic end to end; the oracle
+    unrolls the same {_PAGERANK_ITERS} synchronous iterations as plain
+    CTEs and matches bit-for-bit."""
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.pagerank import (
+        pagerank_fixed_point,
+        symmetrize,
+    )
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents"))
+    ranks = pagerank_fixed_point(symmetrize(cands), n_iter=_PAGERANK_ITERS)
+    return (
+        ranks.select(F.col("node").alias("doc_id"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §11 Deterministic sampling, sequence packing, column profiling
 # ---------------------------------------------------------------------------

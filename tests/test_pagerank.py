@@ -1,0 +1,57 @@
+"""Fixed-point PageRank (operators/pagerank.py): hand-computed small
+graphs; integer arithmetic must match an exact Python re-computation."""
+
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.pagerank import (
+    BASE_FP,
+    DAMPING_DEN,
+    DAMPING_NUM,
+    RANK_SCALE,
+    pagerank_fixed_point,
+    symmetrize,
+)
+
+
+def python_pagerank(edges, n_iter):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: RANK_SCALE for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0 for n in nodes}
+        for src, dst in edges:
+            s[dst] += rank[src] // deg[src]
+        rank = {n: BASE_FP + (DAMPING_NUM * s[n]) // DAMPING_DEN for n in nodes}
+    return rank
+
+
+def test_matches_python_on_path_graph(spark):
+    # path 1-2-3 plus pendant 4-1: asymmetric degrees
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    edges = symmetrize(pairs)
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(edges, n_iter=4).collect()
+    }
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert got == python_pagerank(edge_list, 4)
+    # center node 1 (degree 2) outranks the leaves
+    assert got[1] == max(got.values())
+
+
+def test_uniform_on_regular_graph(spark):
+    # triangle: every node symmetric -> equal ranks, mass conserved-ish
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = [
+        r["rank_fp"]
+        for r in pagerank_fixed_point(symmetrize(pairs), n_iter=3).collect()
+    ]
+    assert len(set(got)) == 1
+    # uniform start is the fixpoint of a regular graph (up to div floor)
+    assert abs(got[0] - RANK_SCALE) <= DAMPING_DEN
