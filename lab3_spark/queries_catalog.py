@@ -2688,6 +2688,67 @@ def q_pagerank_candidates(spark, sf_dir):
     )
 
 
+@query(
+    "data_quality_report",
+    """
+    SELECT 'customer_negative_acctbal' AS check_name,
+           (SELECT count(*) FROM customer WHERE c_acctbal < 0) AS violations
+    UNION ALL
+    SELECT 'documents_short_text',
+           (SELECT count(*) FROM documents WHERE n_chars < 50)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem_dup_line_id',
+           (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+            FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_fk_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'orders_fk_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+    ORDER BY check_name
+    """,
+)
+def q_data_quality_report(spark, sf_dir):
+    """Constraint audit (operators/quality.py): nulls, domains,
+    uniqueness, and referential integrity over the star schema in one
+    report.  Per-table checks share ONE scan each (conditional sums
+    unpivoted via stack); FK checks are column-pruned LEFT ANTI joins.
+    The synthetic data genuinely violates two rules (negative acctbals,
+    duplicate (orderkey, linenumber) ids) — the gate proves the audit
+    finds real dirt, not just zeros."""
+    from lab3_spark.operators.quality import quality_report
+
+    return quality_report(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §11 Deterministic sampling, sequence packing, column profiling
 # ---------------------------------------------------------------------------
