@@ -158,6 +158,46 @@ def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def lsh_codes_arrow(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, code): the SAME integer signature as :func:`lsh_codes`,
+    via ``mapInArrow`` — the lowest-overhead Python path: RecordBatches
+    cross the Arrow boundary with NO pandas materialization, the list
+    column is flattened zero-copy into one numpy matrix per batch, and
+    the int64 matmul is identical to the pandas and JVM variants
+    (tests pin all three bit-equal).
+
+    When to choose which (SCALE.md): expression fold = no Python at
+    all (small dims); mapInPandas = convenient but pays pandas
+    boxing; mapInArrow = BLAS throughput at minimum serialization —
+    the right shape for wide embeddings at 100 TB."""
+    import numpy as np
+    import pyarrow as pa
+
+    dims = _embedding_dims(embeddings)
+    planes = np.array(plane_numerators(N_PLANES, dims), dtype=np.int64)
+    bits = np.int64(1) << np.arange(N_PLANES, dtype=np.int64)
+
+    def batches(it):
+        for batch in it:
+            vec_id = batch.column(0)
+            emb = batch.column(1)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(-1, dims)
+            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            codes = ((xi @ planes.T > 0) * bits).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(codes, type=pa.int64())],
+                names=["vec_id", "code"],
+            )
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInArrow(batches, "vec_id bigint, code bigint")
+    )
+
+
 def lsh_codes(embeddings: DataFrame) -> DataFrame:
     """(vec_id, code): N_PLANES-bit random-hyperplane signature.
 
