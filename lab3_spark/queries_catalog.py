@@ -2071,6 +2071,79 @@ def q_from_json(spark, sf_dir):
 
 
 @query(
+    "events_props_variant",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n_events,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY k_mod ORDER BY k_mod
+    """,
+)
+def q_props_variant(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json once into an
+    open-schema VARIANT value, typed extraction via variant_get — the
+    modern alternative to from_json when the payload schema is not
+    fixed up front (shredded columnar storage at scale).  Twin of
+    events_props_from_json: same payload, schema-on-read instead of
+    schema-declared."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@query(
+    "hourly_spine_recursive",
+    """
+    WITH RECURSIVE spine(hour) AS (
+      SELECT 0
+      UNION ALL
+      SELECT hour + 1 FROM spine WHERE hour < 23
+    )
+    SELECT s.hour, count(e.event_id) AS n_events
+    FROM spine s LEFT JOIN events e
+      ON CAST(extract(hour FROM e.ts) AS INT) = s.hour
+    GROUP BY s.hour ORDER BY s.hour
+    """,
+)
+def q_hourly_spine_recursive(spark, sf_dir):
+    """Recursive CTE (Spark 4, SPARK-24497): a 24-row hour spine built
+    by bounded UNION ALL recursion, LEFT JOINed to hourly event counts
+    so empty hours appear as zero — the recursion twin of the
+    sequence()-based gap-fill (events_gapfill_locf).  Spark's recursion
+    is UNION ALL-only (no fixpoint dedup yet), so the engine's policy
+    is: bounded generators in SQL recursion; unbounded/cyclic closures
+    in the iterative DataFrame operator (operators/components.py),
+    which handles cycles via min-label convergence."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_spine_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(hour) AS (
+          SELECT 0
+          UNION ALL
+          SELECT hour + 1 FROM spine WHERE hour < 23
+        )
+        SELECT s.hour, count(e.event_id) AS n_events
+        FROM spine s LEFT JOIN _spine_events e ON hour(e.ts) = s.hour
+        GROUP BY s.hour ORDER BY s.hour
+        """
+    )
+
+
+@query(
     "user_running_totals",
     """
     SELECT user_id,
