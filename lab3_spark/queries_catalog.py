@@ -388,7 +388,7 @@ def q_props(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM e
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*) AS n_events
@@ -771,7 +771,8 @@ def q_ann_ivf(spark, sf_dir):
     ),
     codes AS (
       SELECT vec_id,
-             sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS code
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p)
+                           ELSE 0::BIGINT END) AS BIGINT) AS code
       FROM dots GROUP BY vec_id
     )
     SELECT code, count(*) AS n_vecs FROM codes GROUP BY code ORDER BY code
@@ -1251,12 +1252,13 @@ def q_session_native(spark, sf_dir):
       GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
-                    THEN 1 ELSE 0 END) AS n_view_click,
-           sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
+           CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
                      AND p IS NOT NULL AND p >= c
-                    THEN 1 ELSE 0 END) AS n_view_click_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
     FROM firsts
     """,
 )
@@ -2046,7 +2048,8 @@ def q_percentiles_approx(spark, sf_dir):
     r"""
     SELECT event_type,
            count(*) AS n_with_k,
-           sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k
+           CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     WHERE regexp_extract(props, '"k":\s*(\d+)', 1) != ''
     GROUP BY event_type ORDER BY event_type
@@ -2209,7 +2212,8 @@ _Z_INTERLEAVE_SQL = " + ".join(
       FROM events, stats
     ),
     z AS (SELECT {_Z_INTERLEAVE_SQL} AS z FROM q)
-    SELECT z >> 8 AS cell, count(*) AS n_events, sum(z) AS z_sum
+    SELECT z >> 8 AS cell, count(*) AS n_events,
+           CAST(sum(z) AS BIGINT) AS z_sum
     FROM z GROUP BY cell ORDER BY cell
     """,
 )
@@ -3579,10 +3583,10 @@ def q_q11_important_parts(spark, sf_dir):
                 THEN 'FAST'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
                 THEN 'MEDIUM' ELSE 'SLOW' END AS ship_band,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY 1 ORDER BY ship_band
     """,

@@ -5,6 +5,13 @@ the matching oracle_sql() in DuckDB over the same parquet files, and
 compares: row count, column names, and order-insensitive values (rows
 sorted, columns sorted by name, floats rounded).
 
+BOTH sides are materialized through pandas (Spark ``toPandas()``,
+DuckDB ``.df()``) to reproduce the driver's comparison.  Round 2
+proved ``fetchall()`` hides type artifacts the driver then hits:
+DuckDB ``sum()`` over INTEGER returns HUGEINT, which pandas renders
+as float64 ("81.0") while Spark's BIGINT renders as "81" — flipping
+the value hash even though the numbers are identical.
+
 Usage: python tools/verify_local.py [--bare] [sf_dir] [query ...]
 
 --bare builds a PLAIN SparkSession (no lab3_spark confs — notably no
@@ -22,6 +29,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from lab3_spark.session import get_spark
@@ -31,6 +40,12 @@ ROUND = 6
 
 
 def canon_value(v):
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if v is pd.NaT:
+        return "NaN"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -38,6 +53,11 @@ def canon_value(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     return str(v)
+
+
+def pandas_rows(df: "pd.DataFrame"):
+    """Materialize a pandas frame the way the driver hashes it."""
+    return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def canon_rows(cols, rows):
@@ -89,8 +109,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = pandas_rows(spdf)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -102,9 +123,9 @@ def main() -> int:
             continue
         try:
             t1 = time.time()
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = pandas_rows(odf)
             duck_t = time.time() - t1
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
