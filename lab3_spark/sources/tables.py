@@ -81,10 +81,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
         ensure_nanos_as_long(spark)
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's
-        # exact-integer range, float division would lose microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP regardless of how the
+    parquet file encoded it — the testdata generator has shipped both:
+
+    - TIMESTAMP(NANOS): read as bigint under nanosAsLong; truncate to
+      micros with integer `div` (nano epochs ~1.7e18 exceed double's
+      exact-integer range, float division would lose microseconds).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TIMESTAMP_NTZ in
+      Spark 4, which `unix_micros` and watermarks reject.  With the
+      session TZ pinned to UTC the cast reinterprets the naive instant
+      as UTC — zero shift — so the whole catalog (windows, date_format,
+      unix_micros) sees one TIMESTAMP type either way.
+
+    Works on batch and streaming frames alike (pure column expressions)."""
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

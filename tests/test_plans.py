@@ -115,14 +115,32 @@ def test_lsh_codes_zero_shuffle_projection(spark, sf_dir):
     assert count_exchanges(df) <= 1, plan
 
 
-def test_profile_is_single_scan(spark, sf_dir):
+def test_profile_approx_is_single_scan_no_expand(spark, sf_dir):
     from lab3_spark.operators.profile import profile_table
     from lab3_spark.sources.tables import load_table
 
     df = profile_table(load_table(spark, sf_dir, "orders"))
     plan = formatted_plan(df)
-    # ONE scan node (listed twice: tree + detail section)
+    # ONE scan node (listed twice: tree + detail section); and no
+    # multi-distinct Expand replicating the input per profiled column
     assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" not in plan, plan
+
+
+def test_profile_exact_has_no_expand(spark, sf_dir):
+    """The exact path pays a second scan (melt) but must never plan the
+    multi-distinct Expand — the N× row amplifier verdict r2 item 4
+    flagged (grows with table width; a scale-killer on wide tables)."""
+    from lab3_spark.operators.profile import profile_table
+    from lab3_spark.sources.tables import load_table
+
+    df = profile_table(load_table(spark, sf_dir, "orders"), distinct="exact")
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+    # wide agg scan + melt scan, each listed twice
+    assert plan.count("Scan parquet") == 4, plan
+    # the melt's distinct-pair dedup must partial-aggregate map-side
+    assert "HashAggregate" in plan, plan
 
 
 def test_q8_dimension_joins_broadcast(spark, sf_dir):

@@ -79,7 +79,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from lab3_spark.sources.tables import load_table
+    from lab3_spark.sources.tables import load_table, normalize_event_time
     from lab3_spark.streaming.joins import view_purchase_interval_join
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 500)
@@ -97,8 +97,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     os.symlink(path, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_event_time(src)
     out = view_purchase_interval_join(src.where(F.col("user_id") < 500))
     q = (
         out.writeStream.outputMode("append")

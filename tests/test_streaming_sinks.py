@@ -5,7 +5,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from lab3_spark.sources.tables import load_table
+from lab3_spark.sources.tables import load_table, normalize_event_time
 from lab3_spark.streaming.sinks import (
     foreach_batch_parquet_sink,
     latest_batch_output,
@@ -21,8 +21,7 @@ def _staged_stream(spark, sf_dir, tmp_path):
     os.symlink(path, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_event_time(src)
     return src
 
 
