@@ -9,13 +9,18 @@ the one operator family Catalyst can't express in a single plan.
 Implementation: min-label propagation to fixpoint, driven by a
 driver-side loop (each iteration is a join + groupBy-min; the
 per-iteration `.count()` is the convergence check — the canonical
-Spark shape for iterative graph algorithms, cf. GraphX Pregel).
-Iteration count is bounded by the graph DIAMETER, and dedup-candidate
-graphs are piles of tiny dense clusters — diameter is small; at 100 TB
-the per-iteration cost is one shuffle of (node, label) pairs, and the
-alternating small-star/large-star trick (Kiveris et al., "Connected
-Components in MapReduce") drops the iteration count to
-O(log diameter) if ever needed.
+Spark shape for iterative graph algorithms, cf. GraphX Pregel), PLUS a
+pointer-doubling shortcut each round (comp ← comp(comp), i.e. path
+compression, the same label-shortcutting the small-star/large-star
+family of Kiveris et al., "Connected Components in MapReduce and
+Beyond", builds on).  Plain propagation moves the min label ONE hop
+per iteration — a pathological chain of length d needs d rounds; with
+the per-round jump the label distance halves, so convergence is
+O(log d).  Dedup graphs are piles of tiny dense clusters where both
+finish in 2-3 rounds; the shortcut is insurance for degenerate
+near-dup chains (e.g. sliding-window crawl dups) at 100 TB, costing
+one extra (node, comp) shuffle per round — O(log d) extra shuffles
+total versus O(d) extra ROUNDS without it.
 
 Lineage is truncated with localCheckpoint every few rounds — iterative
 self-joins otherwise grow the plan tree exponentially and analysis
@@ -35,11 +40,15 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    shortcut: bool = True,
 ) -> DataFrame:
     """(node, comp): component id = MIN node id reachable via `edges`
     (treated undirected).  Only nodes appearing in `edges` are labeled
     — isolated nodes are their own trivial component and carry no
     information for dedup.
+
+    `shortcut` adds the pointer-doubling jump (see module docstring);
+    disable only to observe the plain propagation behavior in tests.
 
     Exact fixpoint: terminates when an iteration changes no label, or
     raises after `max_iter` (never silently returns a half-converged
@@ -60,13 +69,28 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("_chg"),
+        stepped = labels.select(
+            "node", F.col("comp").alias("comp0")
+        ).join(neighbor_min, "node", "left").select(
+            "node",
+            "comp0",
+            F.least(F.col("comp0"), F.coalesce("ncomp", F.col("comp0"))).alias("comp"),
+        )
+        if shortcut:
+            # comp is itself a node id — jump to ITS label (labels are
+            # monotone non-increasing, so parent_comp ≤ comp always and
+            # the min-label fixpoint is unchanged; distance-to-root
+            # halves each round).
+            parents = stepped.select(
+                F.col("node").alias("comp"), F.col("comp").alias("parent_comp")
             )
+            stepped = stepped.join(parents, "comp", "left").select(
+                "node",
+                "comp0",
+                F.coalesce("parent_comp", "comp").alias("comp"),
+            )
+        new_labels = stepped.select(
+            "node", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=True)

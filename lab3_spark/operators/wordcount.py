@@ -51,9 +51,16 @@ def word_count(
     mode: 'idiomatic' (set membership) | 'parity' (substring semantics,
     wordCount.cpp:152) — outputs genuinely differ (SURVEY.md §7.0).
     """
-    counts = word_counts_unfiltered(df, text_col).where(
-        ~is_stop_word("word", mode)
-    )
+    counts = word_counts_unfiltered(df, text_col)
+    # The stop filter must run AFTER the aggregation: post-agg it tests
+    # ~vocabulary-many distinct words; pushed below the partial agg it
+    # runs per token OCCURRENCE (per-corpus-token substring search in
+    # parity mode — measured 3× the whole query at sf0.1).  Catalyst
+    # pushes any grouping-key-only predicate through the aggregate, so
+    # add a never-true disjunct referencing the aggregated column: an
+    # OR spanning both sides can't be split into pushable conjuncts.
+    no_pushdown_barrier = F.col("cnt") < F.lit(0)
+    counts = counts.where(~is_stop_word("word", mode) | no_pushdown_barrier)
     if ordered:
         counts = counts.orderBy(F.asc("cnt"), F.desc("word"))
     return counts

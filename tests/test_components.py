@@ -36,4 +36,14 @@ def test_direction_and_duplicates_ignored(spark):
 def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, shortcut=False)
+
+
+def test_shortcut_converges_long_chain_in_log_rounds(spark):
+    # 65-node path: diameter 64 — plain propagation moves the min ONE
+    # hop per round and would need ~64 rounds (past max_iter); with the
+    # pointer-doubling jump the label distance halves per round, so 12
+    # rounds are ample.  Pins the O(log d) claim in the module docstring.
+    n = 65
+    got = _labels(spark, [(i, i + 1) for i in range(n - 1)], max_iter=12)
+    assert got == {i: 0 for i in range(n)}

@@ -54,6 +54,24 @@ def test_word_count_single_shuffle_before_sort(spark, corpus):
     assert count_exchanges(df) == 1, formatted_plan(df)
 
 
+def test_stop_filter_stays_above_aggregate(spark, corpus):
+    """The stop-word filter must evaluate on DISTINCT words (post-agg),
+    not per token occurrence: Catalyst pushes grouping-key predicates
+    through aggregates, which turns parity mode's per-word substring
+    search into a per-corpus-token scan (measured 3× the whole query).
+    word_count blocks the pushdown with an OR-barrier on cnt."""
+    for mode in ("idiomatic", "parity"):
+        plan = formatted_plan(word_count(corpus, mode=mode, ordered=False))
+        tree = plan.split("\n\n")[0]  # the numbered operator tree
+        filt = min(
+            i for i, ln in enumerate(tree.splitlines()) if "Filter" in ln
+        )
+        aggs = [i for i, ln in enumerate(tree.splitlines()) if "HashAggregate" in ln]
+        # tree prints top-down: the Filter row must sit ABOVE both
+        # aggregate rows (earlier line = later in execution)
+        assert filt < min(aggs), plan
+
+
 def test_antijoin_stop_filter_is_broadcast(spark, corpus):
     df = word_count_antijoin(corpus)
     plan = formatted_plan(df)
