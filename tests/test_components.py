@@ -41,9 +41,10 @@ def test_non_convergence_raises(spark):
 
 def test_shortcut_converges_long_chain_in_log_rounds(spark):
     # 65-node path: diameter 64 — plain propagation moves the min ONE
-    # hop per round and would need ~64 rounds (past max_iter); with the
-    # pointer-doubling jump the label distance halves per round, so 12
-    # rounds are ample.  Pins the O(log d) claim in the module docstring.
+    # hop per round and would need ~64 rounds (past max_iter); the
+    # pointer-doubling jump engages after round 3 and halves the label
+    # distance per round, so 14 rounds are ample.  Pins the O(log d)
+    # claim in the module docstring.
     n = 65
-    got = _labels(spark, [(i, i + 1) for i in range(n - 1)], max_iter=12)
+    got = _labels(spark, [(i, i + 1) for i in range(n - 1)], max_iter=14)
     assert got == {i: 0 for i in range(n)}
