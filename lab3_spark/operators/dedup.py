@@ -266,6 +266,21 @@ def simhash_near_pairs(
         .alias("chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    # A pair matching in m chunks would surface m times; instead of a
+    # dropDuplicates (a full extra shuffle on (doc_a, doc_b)), keep a
+    # match only when NO LOWER-indexed chunk also matches — both sigs
+    # are in the joined row, so "first matching chunk" is a pure
+    # expression and each qualifying pair survives exactly once.
+    x = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    chunk_mask = (1 << CHUNK_BITS) - 1
+    no_earlier_match = F.expr(
+        " AND ".join(
+            f"((shiftright(a.sig, {j * CHUNK_BITS}) & {chunk_mask}) != "
+            f"(shiftright(b.sig, {j * CHUNK_BITS}) & {chunk_mask}) "
+            f"OR a.c <= {j})"
+            for j in range(SIM_CHUNKS - 1)
+        )
+    )
     pairs = (
         a.join(
             b,
@@ -273,12 +288,12 @@ def simhash_near_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(no_earlier_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").bitwiseXOR(F.col("b.sig")).alias("x"),
+            x.alias("x"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", F.expr("bit_count(x)").cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
