@@ -248,9 +248,16 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
 
 def lsh_bucket_sizes(embeddings: DataFrame) -> DataFrame:
     """(code, n_vecs): LSH bucket histogram — the partition-balance
-    diagnostic for the ANN scale path."""
+    diagnostic for the ANN scale path.
+
+    Uses the mapInArrow code path: all three implementations are
+    bit-identical (pinned by tests/test_similarity_impls.py), and the
+    measured ladder at sf0.1 is expression fold 2.5 s vs arrow 0.48 s
+    vs pandas 0.43 s — 16 interpreted Catalyst `aggregate` folds per
+    row lose to one BLAS matmul per Arrow batch by ~5× even at 64
+    dims, and the gap widens with dimension."""
     return (
-        lsh_codes(embeddings)
+        lsh_codes_arrow(embeddings)
         .groupBy("code")
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("code")
