@@ -4,9 +4,11 @@ Language-ID (stop-word-hit heuristic), quality scoring (length/punct/
 stop-word ratios), token counting (whitespace + BPE-ish regex pieces),
 and document fingerprinting (md5 of normalized token stream).
 
-All pure Catalyst expressions — per-document, embarrassingly parallel,
-zero shuffle (narrow transformations over the documents scan); at
-100 TB these run at scan speed.
+All pure Catalyst expressions — per-document, embarrassingly
+parallel; at 100 TB these run at scan speed over the input splits.
+Locally the single-row-group testdata scan arrives as ONE partition,
+so the per-doc operators `spread()` it first (round-robins only when
+partitions < parallelism — a no-op on a real cluster scan).
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import spread
 from lab3_spark.functions.rounding import trunc
 from lab3_spark.functions.text import tokenize
 from lab3_spark.stopwords import STOP_WORDS
@@ -33,7 +36,7 @@ def _stop_hits(tokens: Column) -> Column:
 def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc token statistics: counts by three tokenizers + length."""
     toks = tokenize(text_col)
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
@@ -52,18 +55,24 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     stability): stop-word ratio, punctuation ratio, mean token length,
     distinct-token ratio.  score = weighted blend in [0,1]-ish.
     """
-    d = documents.withColumn("toks", tokenize(text_col))
+    d = spread(documents).withColumn("toks", tokenize(text_col)).withColumn(
+        # hoisted: array_distinct was evaluated 3× per row (stop_ratio
+        # twice, distinct_ratio once) — Catalyst does not CSE repeated
+        # non-trivial expressions across projections
+        "dtoks",
+        F.array_distinct("toks"),
+    )
     n_tokens = F.size("toks")
     n_chars = F.length(text_col)
     punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
-    stop_ratio = F.when(n_tokens > 0, _stop_hits(F.array_distinct(F.col("toks"))) / F.size(F.array_distinct(F.col("toks")))).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, _stop_hits(F.col("dtoks")) / F.size("dtoks")).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     mean_tok_len = F.when(
         n_tokens > 0,
         F.aggregate("toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
         / n_tokens,
     ).otherwise(0.0)
-    distinct_ratio = F.when(n_tokens > 0, F.size(F.array_distinct("toks")) / n_tokens).otherwise(0.0)
+    distinct_ratio = F.when(n_tokens > 0, F.size("dtoks") / n_tokens).otherwise(0.0)
     score = (
         0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
         + 0.3 * (1 - punct_ratio)
@@ -86,7 +95,7 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     (A real system broadcasts per-language frequency tables; the
     heuristic keeps the operator oracle-checkable.)  Returns the
     labelled `lang` column too, so accuracy is inspectable."""
-    d = documents.withColumn("dtoks", F.array_distinct(tokenize(text_col)))
+    d = spread(documents).withColumn("dtoks", F.array_distinct(tokenize(text_col)))
     ratio = F.when(F.size("dtoks") > 0, _stop_hits(F.col("dtoks")) / F.size("dtoks")).otherwise(0.0)
     return d.select(
         "doc_id",
@@ -101,7 +110,7 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     (lowercase tokens joined by single spaces) — whitespace/punct/case
     insensitive; the exact-dedup key."""
     norm = F.concat_ws(" ", tokenize(text_col))
-    return documents.select(
+    return spread(documents).select(
         "doc_id", F.md5(norm).alias("fp")
     ).orderBy("doc_id")
 
