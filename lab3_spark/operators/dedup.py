@@ -25,8 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
 
+from lab3_spark.functions.partitioning import spread
 from lab3_spark.functions.rounding import trunc
 from lab3_spark.functions.text import md5_long, tokenize
 from lab3_spark.functions.vectors import cosine_similarity
@@ -65,14 +67,13 @@ def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     # path and the testdata parquet is a single row group (one scan
     # task).  At cluster scale input splits already provide the
     # parallelism; the tiny exchange is noise next to the hash work.
-    par = documents.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
     )
     return (
-        documents.repartition(par)
+        spread(documents)
         .where(F.size(toks) >= SHINGLE_N)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
@@ -220,9 +221,8 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     shuffle).  Round 1 exploded a further 60 rows per (doc, token) and
     shuffled twice — a 60× shuffle-volume amplifier at scale; this form
     shuffles one 60-column partial row per doc per map partition."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
     occurrences = (
-        documents.repartition(par)  # single-row-group scan → spread CPU
+        spread(documents)  # single-row-group scan → spread CPU
         .select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
         .withColumn("h", md5_long("tok"))
     )
@@ -315,8 +315,7 @@ def embedding_near_duplicates(
     (testdata parquet is a single row group = one scan task)."""
     from lab3_spark.functions.vectors import dot_product, unit_vector
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(par).select(
+    e = spread(embeddings).select(
         "vec_id", "label", unit_vector("embedding").alias("u")
     )
     a = e.alias("a")

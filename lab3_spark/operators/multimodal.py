@@ -30,6 +30,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from lab3_spark.functions.partitioning import spread
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -61,7 +63,7 @@ def attach_media(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # scale partitioning is driven by maxPartitionBytes (bounded blob
     # bytes per task), not a worker-count cap.
     par = min(documents.sparkSession.sparkContext.defaultParallelism, 8)
-    return documents.repartition(par).select(
+    return spread(documents, par).select(
         "doc_id",
         F.lit("image/fake").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
 
+from lab3_spark.functions.partitioning import spread
 from lab3_spark.functions.rounding import trunc
 from lab3_spark.functions.vectors import dot_product, unit_vector
 
@@ -49,8 +51,7 @@ def ann_bruteforce(
     BroadcastNestedLoopJoin so the corpus is scanned once, partitions
     in parallel, no shuffle of the big side.  Both sides are
     unit-normalized before the join: one fold per pair."""
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = embeddings.repartition(par).select(
+    corpus = spread(embeddings).select(
         F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
@@ -70,8 +71,7 @@ def ann_ivf(
     bucket (label = centroid id stand-in).  Same output schema as
     ann_bruteforce; recall < 1 when true neighbors live in other
     buckets — that is the documented trade."""
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = embeddings.repartition(par).select(
+    corpus = spread(embeddings).select(
         "label", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
@@ -150,9 +150,8 @@ def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
             codes = ((dots > 0) * bits).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": codes})
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
     return (
-        embeddings.repartition(par)
+        spread(embeddings)
         .select("vec_id", "embedding")
         .mapInPandas(batches, "vec_id bigint, code bigint")
     )
@@ -190,9 +189,8 @@ def lsh_codes_arrow(embeddings: DataFrame) -> DataFrame:
                 names=["vec_id", "code"],
             )
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
     return (
-        embeddings.repartition(par)
+        spread(embeddings)
         .select("vec_id", "embedding")
         .mapInArrow(batches, "vec_id bigint, code bigint")
     )
@@ -218,7 +216,6 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
     per vector (a 1024× amplifier at 100 TB)."""
     dims = _embedding_dims(embeddings)
     planes = plane_numerators(N_PLANES, dims)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
 
     xi = F.transform(
         F.col("embedding"),
@@ -240,7 +237,7 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
         code = bit if code is None else code + bit
 
     return (
-        embeddings.repartition(par)
+        spread(embeddings)
         .select("vec_id", xi.alias("xi"))
         .select("vec_id", code.alias("code"))
     )

@@ -121,14 +121,13 @@ def ngram_frequencies(
     """Top-K word n-grams by corpus frequency (ALL occurrences, unlike
     dedup's per-doc-distinct shingles).  One shuffle (the n-gram
     group-by); top-K via TakeOrderedAndProject."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return (
-        documents.repartition(par)
+        spread(documents)
         .where(F.size(toks) >= n)
         .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -146,9 +145,8 @@ def tfidf_top_terms(
     the per-term document frequency; N broadcast as a 1-row join."""
     from pyspark.sql.window import Window
 
-    par = documents.sparkSession.sparkContext.defaultParallelism
     tf = (
-        documents.repartition(par)
+        spread(documents)
         .select("doc_id", F.explode(tokenize(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -195,9 +193,8 @@ def pmi_collocations(
     expression is arranged with an explicit operation order —
     ln((pair·N·N)/(bi_total·cnt·cnt)) — so the DuckDB oracle computes
     bit-identical doubles, truncated to 4 decimals for the gate."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
     tok_arrays = (
-        documents.repartition(par)
+        spread(documents)
         .select(tokenize(text_col).alias("toks"))
         .persist()
     )
