@@ -1837,21 +1837,24 @@ def q_contamination(spark, sf_dir):
     """Cross-source contamination detection: pairs of sources sharing
     many distinct 5-gram shingles (the eval-set-leakage check run
     before training).  Shuffle on the shingle — no source×source text
-    comparison."""
+    comparison.  The distinct (source, shingle) frame is persisted so
+    the self-join's two sides share ONE tokenize+shingle scan instead
+    of recomputing it per side."""
+    from lab3_spark.functions.partitioning import spread
     from lab3_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     toks = tokenize("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 4),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
     sh = (
-        docs.repartition(par)
+        spread(docs)
         .where(F.size(toks) >= 5)
         .select("source", F.explode(grams).alias("shingle"))
         .distinct()
+        .persist()
     )
     a = sh.alias("a")
     b = sh.alias("b")
