@@ -173,6 +173,133 @@ def tfidf_top_terms(
     )
 
 
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style corpus-filtering signals per document (Rae et al.
+    2021, "Scaling Language Models", appendix A — the public rule set
+    most LLM data pipelines start from).
+
+    Signals (all deterministic, truncated for cross-engine hashing):
+
+    - ``n_words``             token count (engine tokenizer)
+    - ``mean_word_len``       mean token length, rule: in [3, 10]
+    - ``top_word_ratio``      most frequent token / tokens — repetition,
+                              rule: < 0.2.  Computed as a LINEAR fold
+                              over the sorted token array (longest equal
+                              run), not distinct×filter (quadratic in
+                              doc length) and not an explode+groupBy
+                              (a (doc,word) shuffle of the corpus).
+    - ``dup_line_frac``       1 − distinct lines / lines, rule: < 0.3
+    - ``bullet_line_frac``    lines starting with -, * or •, rule: < 0.9
+    - ``ellipsis_line_frac``  lines ending with ... or …, rule: < 0.3
+    - ``symbol_word_ratio``   (# + … + ...) per whitespace word, < 0.1
+    - ``alpha_word_frac``     whitespace words containing a letter, > 0.8
+    - ``gopher_pass``         conjunction of the rules above plus
+                              50 ≤ n_words ≤ 100,000
+
+    Pure per-document Catalyst expressions — no shuffle, no UDF; at
+    100 TB this runs at scan speed and the pass flag prunes the corpus
+    before any downstream dedup shuffle.  The flag is computed from the
+    TRUNCATED features so the oracle compares bit-identical doubles.
+    """
+    text = F.col(text_col)
+    d = (
+        spread(documents)
+        .withColumn("toks", tokenize(text_col))
+        .withColumn("wwords", F.split(F.trim(text), r"\s+"))
+        .withColumn(
+            "lines",
+            F.filter(
+                F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            ),
+        )
+    )
+    n_toks = F.size("toks")
+    n_ww = F.size("wwords")
+    n_lines = F.size("lines")
+
+    mean_word_len = F.when(
+        n_toks > 0,
+        F.aggregate("toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_toks,
+    ).otherwise(0.0)
+
+    # longest run of equal adjacent tokens in the sorted array == max
+    # token frequency; one O(n log n) per-row pass, no shuffle.
+    run0 = F.lit(0).cast("bigint")
+    zero = F.struct(
+        F.lit("").alias("prev"), run0.alias("run"), run0.alias("best")
+    )
+
+    def _step(a, t):
+        run = F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort("toks"), zero, _step, lambda a: a["best"])
+    top_word_ratio = F.when(n_toks > 0, top_cnt / n_toks).otherwise(0.0)
+
+    dup_line_frac = F.when(
+        n_lines > 0, F.lit(1) - F.size(F.array_distinct("lines")) / n_lines
+    ).otherwise(0.0)
+    bullet_line_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_line_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(F.col("lines"), lambda l: l.endswith("...") | l.endswith("…"))
+        )
+        / n_lines,
+    ).otherwise(0.0)
+
+    n_hash = F.length(text) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_dots = (
+        F.length(text) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    n_ell = F.length(text) - F.length(F.expr(f"replace({text_col}, '…', '')"))
+    symbol_word_ratio = F.when(
+        n_ww > 0, (n_hash + n_dots + n_ell) / n_ww
+    ).otherwise(0.0)
+    alpha_word_frac = F.when(
+        n_ww > 0,
+        F.size(F.filter(F.col("wwords"), lambda w: w.rlike("[a-zA-Z]"))) / n_ww,
+    ).otherwise(0.0)
+
+    feats = d.select(
+        "doc_id",
+        n_toks.alias("n_words"),
+        trunc(mean_word_len, RATIO).alias("mean_word_len"),
+        trunc(top_word_ratio, RATIO).alias("top_word_ratio"),
+        trunc(dup_line_frac, RATIO).alias("dup_line_frac"),
+        trunc(bullet_line_frac, RATIO).alias("bullet_line_frac"),
+        trunc(ellipsis_line_frac, RATIO).alias("ellipsis_line_frac"),
+        trunc(symbol_word_ratio, RATIO).alias("symbol_word_ratio"),
+        trunc(alpha_word_frac, RATIO).alias("alpha_word_frac"),
+    )
+    gopher_pass = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("top_word_ratio") < 0.2)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_frac") > 0.8)
+    )
+    return feats.withColumn("gopher_pass", gopher_pass).orderBy("doc_id")
+
+
 def pmi_collocations(
     documents: DataFrame,
     text_col: str = "text",

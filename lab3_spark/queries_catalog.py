@@ -488,6 +488,68 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_gopher_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+             string_split_regex(trim(text), '\\s+') AS wwords,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> length(l) > 0) AS lines
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS word FROM t) u
+      GROUP BY doc_id, word
+    ),
+    top AS (SELECT doc_id, max(c) AS topc FROM tf GROUP BY doc_id),
+    f AS (
+      SELECT t.doc_id,
+        len(toks) AS n_words,
+        floor((CASE WHEN len(toks) > 0 THEN
+          list_sum(list_transform(toks, x -> length(x))) / len(toks)
+          ELSE 0.0 END) * 10000) / 10000 AS mean_word_len,
+        floor((CASE WHEN len(toks) > 0 THEN
+          coalesce(top.topc, 0) / len(toks)
+          ELSE 0.0 END) * 10000) / 10000 AS top_word_ratio,
+        floor((CASE WHEN len(lines) > 0 THEN
+          1 - (len(list_distinct(lines)) / len(lines))
+          ELSE 0.0 END) * 10000) / 10000 AS dup_line_frac,
+        floor((CASE WHEN len(lines) > 0 THEN
+          len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+                                      OR l LIKE '•%')) / len(lines)
+          ELSE 0.0 END) * 10000) / 10000 AS bullet_line_frac,
+        floor((CASE WHEN len(lines) > 0 THEN
+          len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+            / len(lines)
+          ELSE 0.0 END) * 10000) / 10000 AS ellipsis_line_frac,
+        floor((CASE WHEN len(wwords) > 0 THEN
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', '')))) / len(wwords)
+          ELSE 0.0 END) * 10000) / 10000 AS symbol_word_ratio,
+        floor((CASE WHEN len(wwords) > 0 THEN
+          len(list_filter(wwords, w -> regexp_matches(w, '[a-zA-Z]')))
+            / len(wwords)
+          ELSE 0.0 END) * 10000) / 10000 AS alpha_word_frac
+      FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+    )
+    SELECT *,
+      (n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND top_word_ratio < 0.2 AND dup_line_frac < 0.3
+       AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+       AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8) AS gopher_pass
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher corpus-filtering rules (textstats.gopher_quality)."""
+    return TS.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # §5 Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 # embedding-cosine) — SURVEY.md north-star operators.

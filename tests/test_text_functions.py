@@ -67,3 +67,32 @@ def test_hex_to_long_matches_python(spark):
         expect = int(hashlib.md5(r["s"].encode()).hexdigest()[:15], 16)
         assert r["h"] == expect
         assert r["h2"] == expect
+
+
+def test_gopher_quality_handcrafted(spark):
+    """Feature-by-feature check on a constructed document."""
+    from lab3_spark.operators.textstats import gopher_quality
+
+    # 4 lines (one duplicated), one bullet line, one ellipsis line,
+    # tokens: the×3 cat dog dog runs fast → 8 tokens, top 'the'=3
+    text = "the cat the dog\nthe cat the dog\n- dog runs...\nfast # x1"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = gopher_quality(df).collect()[0]
+    assert row["n_words"] == 12  # the×4 cat×2 dog×3 runs fast x
+    assert row["top_word_ratio"] == 0.3333  # 'the' appears 4/12, truncated
+    assert row["dup_line_frac"] == 0.25  # 1 - 3 distinct / 4 lines
+    assert row["bullet_line_frac"] == 0.25
+    assert row["ellipsis_line_frac"] == 0.25
+    # symbols: one '#', one '...' over 14 whitespace words
+    assert abs(row["symbol_word_ratio"] - 2 / 14) < 1e-3
+    assert row["gopher_pass"] is False  # n_words < 50
+
+
+def test_gopher_pass_on_normal_prose(spark):
+    from lab3_spark.operators.textstats import gopher_quality
+
+    words = " ".join(f"prose word number {i} flows nicely along" for i in range(20))
+    df = spark.createDataFrame([(1, words)], "doc_id bigint, text string")
+    row = gopher_quality(df).collect()[0]
+    assert row["n_words"] >= 50
+    assert row["gopher_pass"] is True
