@@ -1,0 +1,171 @@
+"""Fixed-point k-means (Lloyd) over embedding columns.
+
+The canonical distributed iterative algorithm, shaped the way MLlib's
+KMeans shapes it on a cluster:
+
+- **assignment** is a narrow per-row argmin against the centroids,
+  which are metadata-scale (k×d integers) and travel to executors as
+  broadcast literal arrays — zero shuffle, scan-speed;
+- **update** is ONE hash aggregation keyed by (cluster, position):
+  map-side partial sums reduce each partition's contribution to k×d
+  rows before the exchange, so the shuffle is k×d×partitions rows no
+  matter how big the corpus is;
+- between iterations the k×d centroid table is collected to the
+  driver (the same collect-and-rebroadcast loop MLlib runs) — the ONLY
+  driver-side data is the centroids themselves.
+
+ALL-INTEGER arithmetic (the LSH/SimHash/PageRank contract — round-1's
+float-sign lesson): embeddings are fixed-pointed to bigint
+(floor(x·1e6), shared constant with operators/similarity.py), squared
+distances are exact bigint sums (|xi| ≤ 1e6 ⇒ Σd (2e6)² ≤ 2.6e14, far
+inside int64), and the centroid update is floor(sum/count) — every
+engine computes the identical centroid, so the DuckDB oracle unrolls
+the same synchronous iterations as plain CTEs and matches bit-for-bit.
+Ties in the argmin break to the smallest cluster id (struct ordering).
+
+Empty clusters drop out of the update (no members → no rows), exactly
+as in the SQL GROUP BY — both engines shrink k identically.
+
+Reference parity note: the reference (Phoenix++ MapReduce,
+include/map_reduce.h) ships no clustering; this is a SURVEY §2.9
+engine extension.  Its historical sibling is the k-means sample that
+shipped with original Phoenix — the map/combine/reduce decomposition
+here (per-row assign = map, partial sums = combine, centroid rebuild =
+reduce) is the same dataflow expressed as DataFrame operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lab3_spark.functions.partitioning import spread
+from lab3_spark.operators.similarity import FIXED_SCALE
+
+DEFAULT_K = 8
+DEFAULT_ITERS = 3
+
+
+def fixed_point(col: Column) -> Column:
+    """array<bigint> fixed-point embedding: floor(x·1e6) per component
+    (floor, not round — HALF_UP vs nearbyint disagree across engines)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(FIXED_SCALE))).cast("bigint")
+    )
+
+
+def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
+    """argmin_cl Σ (xi − c_cl)² as a pure expression over broadcast
+    literal centroid arrays; ties → smallest cl via struct ordering."""
+    zero = F.lit(0).cast("bigint")
+    structs = []
+    for cl, arr in cents:
+        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+        diff2 = F.zip_with(F.col("xi"), lits, lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(int(cl)).cast("bigint").alias("cl"))
+        )
+    return F.array_min(F.array(*structs))["cl"]
+
+
+def kmeans_fixed(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+) -> DataFrame:
+    """(cluster_id, pos, c, n_members): centroids after `n_iter` Lloyd
+    iterations, one row per (cluster, dimension position), plus the
+    cluster population.
+
+    Init: the k lowest vec_ids seed the centroids (deterministic — no
+    RNG state to reconcile across engines; k-means++ would need a
+    portable RNG for no oracle benefit)."""
+    xi = (
+        spread(embeddings)
+        .select("vec_id", fixed_point(F.col("embedding")).alias("xi"))
+        .persist()
+    )
+    init = xi.where(F.col("vec_id") < k).select(F.col("vec_id").alias("cl"), "xi")
+    cents = sorted((int(r["cl"]), list(r["xi"])) for r in init.collect())
+    if not cents:
+        raise ValueError("empty embeddings table")
+
+    out: DataFrame | None = None
+    for it in range(n_iter):
+        assigned = xi.select("xi", _assign_expr(cents).alias("cl"))
+        upd = (
+            assigned.select("cl", F.posexplode("xi").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cl",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("bigint").alias("c"),
+                "n",
+            )
+        )
+        if it < n_iter - 1:
+            bycl: dict[int, dict[int, int]] = {}
+            for r in upd.collect():
+                bycl.setdefault(int(r["cl"]), {})[int(r["pos"])] = int(r["c"])
+            cents = sorted(
+                (cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items()
+            )
+        else:
+            out = upd.select(
+                F.col("cl").alias("cluster_id"),
+                "pos",
+                "c",
+                F.col("n").alias("n_members"),
+            ).orderBy("cluster_id", "pos")
+    assert out is not None
+    return out
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+) -> DataFrame:
+    """(vec_id, cl): every vector's cluster under the trained centroids
+    — one extra narrow assignment pass over the corpus.  This is the
+    coarse quantizer a TRAINED IVF index probes (vs. ann_ivf's label
+    stand-in)."""
+    cent_rows = kmeans_fixed(embeddings, k, n_iter).collect()
+    bycl: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
+    cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+    xi = spread(embeddings).select(
+        "vec_id", F.col("embedding"), fixed_point(F.col("embedding")).alias("xi")
+    )
+    return xi.select("vec_id", "embedding", _assign_expr(cents).alias("cl"))
+
+
+def ann_ivf_trained(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+) -> DataFrame:
+    """IVF top-k over TRAINED k-means cells: the coarse quantizer is
+    kmeans_fixed instead of ann_ivf's `label` stand-in.  Same probe
+    shape — queries broadcast, only the query's own cell scanned
+    (1/nlist of the corpus at scale), exact cosine within the cell."""
+    from lab3_spark.functions.vectors import dot_product, unit_vector
+    from lab3_spark.operators.similarity import _topk_per_query
+
+    assigned = kmeans_assign(embeddings, k, n_iter).persist()
+    corpus = assigned.select(
+        "cl", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
+    )
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("cl").alias("qcl"),
+        F.col("vec_id").alias("query_id"),
+        unit_vector("embedding").alias("u_q"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(corpus, F.col("qcl") == F.col("cl"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", dot_product(F.col("u_q"), F.col("u_n")))
+    )
+    return _topk_per_query(pairs, topk)

@@ -2828,6 +2828,135 @@ def q_pagerank_candidates(spark, sf_dir):
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
+    """Base + unrolled Lloyd-iteration CTEs mirroring operators/kmeans.py:
+    v = fixed-point vectors, px = (vec_id, pos, val) exploded, c0 = seed
+    centroids (lowest k vec_ids), then d{i}/a{i}/c{i} per iteration —
+    exact bigint distances, floor(sum/count) updates, ties → min cl."""
+    ctes = [
+        """
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
+      FROM v
+    ),
+    c0 AS (SELECT vec_id AS cl, pos, val AS c FROM px WHERE vec_id < """
+        + str(k)
+        + ")"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    d{i} AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{i - 1} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    a{i} AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d{i}) t
+      WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cl, px.pos,
+             CAST(floor(CAST(sum(px.val) AS BIGINT) / count(*)) AS BIGINT) AS c,
+             count(*) AS n
+      FROM a{i} a JOIN px ON a.vec_id = px.vec_id
+      GROUP BY a.cl, px.pos
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "kmeans_centroids",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)}
+    SELECT cl AS cluster_id, pos, c, n AS n_members
+    FROM c{_KMEANS_ITERS}
+    ORDER BY cluster_id, pos
+    """,
+)
+def q_kmeans_centroids(spark, sf_dir):
+    """Fixed-point Lloyd k-means over the embeddings table
+    (operators/kmeans.py): broadcast-literal assignment (zero shuffle),
+    one (cluster, pos)-keyed partial aggregation per update, k×d
+    driver collect between iterations — MLlib's dataflow as DataFrame
+    ops, all-bigint so the unrolled-CTE oracle matches bit-for-bit."""
+    from lab3_spark.operators.kmeans import kmeans_fixed
+
+    return kmeans_fixed(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
+@query(
+    "ann_ivf_trained",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    {_DUCK_VEC.strip()},
+    q AS (
+      SELECT a.vec_id AS query_id, a.cl AS qcl, e.u AS uq
+      FROM aA a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id < 20
+    ),
+    pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='en.u')}) AS cos_raw
+      FROM q
+      JOIN aA n ON n.cl = q.qcl
+      JOIN e en ON en.vec_id = n.vec_id
+      WHERE n.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-5 probing TRAINED k-means cells (vs. ann_ivf_top5's
+    label stand-in): coarse quantizer = kmeans_fixed centroids, one
+    extra narrow assignment pass, then the same bucketed top-k."""
+    from lab3_spark.operators.kmeans import ann_ivf_trained
+
+    return ann_ivf_trained(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
 @query(
     "data_quality_report",
     """

@@ -1,0 +1,59 @@
+"""Fixed-point k-means: hand-computed Lloyd iterations + table-scale
+invariants (operators/kmeans.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.kmeans import kmeans_assign, kmeans_fixed
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # exactly-representable doubles so fixed-pointing is trivial to
+    # hand-compute: floor(x * 1e6)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.25, 0.0]),
+        (3, [0.75, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_hand_computed(spark, tiny):
+    """k=2 seeded from vec 0/1: {0,2} and {1,3} from iteration 1 on;
+    centroids are floor-averaged fixed-point components."""
+    got = [tuple(r) for r in kmeans_fixed(tiny, k=2, n_iter=3).collect()]
+    assert got == [
+        (0, 0, 125000, 2),
+        (0, 1, 0, 2),
+        (1, 0, 875000, 2),
+        (1, 1, 1000000, 2),
+    ]
+
+
+def test_kmeans_assign_matches_centroid_population(spark, tiny):
+    a = kmeans_assign(tiny, k=2, n_iter=3)
+    by_cl = {r["vec_id"]: r["cl"] for r in a.collect()}
+    assert by_cl == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_kmeans_invariants_on_table(spark, sf_dir):
+    """Population conservation + bounded centroid components on the
+    real embeddings table."""
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = kmeans_fixed(emb, k=8, n_iter=2)
+    per_cluster = (
+        cents.groupBy("cluster_id")
+        .agg(F.min("n_members").alias("lo"), F.max("n_members").alias("hi"))
+        .collect()
+    )
+    # n_members is constant across positions within a cluster
+    assert all(r["lo"] == r["hi"] for r in per_cluster)
+    assert sum(r["lo"] for r in per_cluster) == n
+    # fixed-point components stay inside the unit-ball scale
+    bounds = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()[0]
+    assert -1_000_000 <= bounds["lo"] and bounds["hi"] <= 1_000_000
