@@ -83,6 +83,10 @@ HEADLINE = [
     "lineitem_grouping_sets",
     "order_total_deciles",
     "events_zorder_cells",
+    # round 3 additions
+    "doc_gopher_quality",
+    "kmeans_centroids",
+    "ann_ivf_trained",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -4115,9 +4115,12 @@ _DRIVER_PRIORITY = [
     "q18_large_volume_customer",
     "q19_bracket_revenue",
     "q20_excess_shippers",
-    "q21_sole_latest_supplier",
-    "q22_idle_rich_customers",
-    "promo_revenue_share",
+    # round 3: new-family gates displace the last three TPC-H sweep
+    # rows (q21/q22/promo) — the sweep keeps 13 in-window rows, and the
+    # displaced shapes stay bare-verified + judge-spot-checkable.
+    "doc_gopher_quality",
+    "kmeans_centroids",
+    "ann_ivf_trained",
 ]
 
 
