@@ -69,6 +69,60 @@ def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(F.array(*structs))["cl"]
 
 
+def _iter_partials(embeddings: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """One Lloyd iteration as a single ``mapInArrow`` pass: per-batch
+    assignment (exact int64 distances, argmin ties → lowest cl) fused
+    with per-batch (cluster, pos) partial sums — each Arrow batch
+    contributes at most k×d rows to the update shuffle regardless of
+    batch size.  Bit-identical to the expression fold (`_assign_expr`):
+    numpy int64 arithmetic == JVM bigint arithmetic, the same
+    equivalence tests/test_similarity_impls.py pins for LSH."""
+    import numpy as np
+    import pyarrow as pa
+
+    cls = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([arr for _, arr in cents], dtype=np.int64)
+    k, dims = cmat.shape
+
+    def batches(it):
+        for batch in it:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(-1, dims)
+            n = x.shape[0]
+            if n == 0:
+                continue
+            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            d2 = np.empty((n, k), dtype=np.int64)
+            for j in range(k):
+                diff = xi - cmat[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+            a = d2.argmin(axis=1)
+            counts = np.bincount(a, minlength=k)
+            out_cl, out_pos, out_s, out_n = [], [], [], []
+            for j in range(k):
+                if counts[j] == 0:
+                    continue
+                out_cl.append(np.full(dims, cls[j], dtype=np.int64))
+                out_pos.append(np.arange(dims, dtype=np.int64))
+                out_s.append(xi[a == j].sum(axis=0))
+                out_n.append(np.full(dims, counts[j], dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_cl), type=pa.int64()),
+                    pa.array(np.concatenate(out_pos), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                ],
+                names=["cl", "pos", "s", "n"],
+            )
+
+    return (
+        spread(embeddings)
+        .select("embedding")
+        .mapInArrow(batches, "cl bigint, pos bigint, s bigint, n bigint")
+    )
+
+
 def kmeans_fixed(
     embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
 ) -> DataFrame:
@@ -78,24 +132,30 @@ def kmeans_fixed(
 
     Init: the k lowest vec_ids seed the centroids (deterministic — no
     RNG state to reconcile across engines; k-means++ would need a
-    portable RNG for no oracle benefit)."""
-    xi = (
+    portable RNG for no oracle benefit).
+
+    Stateless by design: each iteration re-reads the input (narrow
+    columnar scan) rather than holding a persisted fixed-point frame —
+    a cached frame whose projection coincides with other operators'
+    (LSH shares the floor(x·1e6) transform) gets silently substituted
+    into THEIR plans by the cache manager, which round 3 measured as a
+    cross-query plan-pollution bug.  Callers looping many more
+    iterations can persist `embeddings` themselves."""
+    init = (
         spread(embeddings)
-        .select("vec_id", fixed_point(F.col("embedding")).alias("xi"))
-        .persist()
+        .where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cl"), fixed_point(F.col("embedding")).alias("xi"))
     )
-    init = xi.where(F.col("vec_id") < k).select(F.col("vec_id").alias("cl"), "xi")
     cents = sorted((int(r["cl"]), list(r["xi"])) for r in init.collect())
     if not cents:
         raise ValueError("empty embeddings table")
 
     out: DataFrame | None = None
     for it in range(n_iter):
-        assigned = xi.select("xi", _assign_expr(cents).alias("cl"))
         upd = (
-            assigned.select("cl", F.posexplode("xi").alias("pos", "v"))
+            _iter_partials(embeddings, cents)
             .groupBy("cl", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select(
                 "cl",
                 "pos",

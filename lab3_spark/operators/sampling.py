@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lab3_spark.functions.partitioning import spread
 from lab3_spark.functions.text import md5_long, tokenize
 
 SAMPLE_MOD = 1_000_000
@@ -92,4 +93,47 @@ def pack_sequences(
         )
         .withColumn("bin_id", F.floor(before / budget))
         .orderBy(group_col, id_col)
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text): split every
+    document into consecutive fixed-token-count windows — the
+    context-window pre-chunking step that feeds sequence packing (a
+    doc longer than the training context must be CUT, not overflowed).
+
+    Pure per-row explode of an in-row sequence: token array → chunk
+    index range → slice + re-join.  No shuffle, scales at scan speed;
+    output rows ≈ corpus tokens / chunk_tokens.  Empty documents yield
+    no chunks.  The last chunk keeps the remainder (n_chunk_tokens ≤
+    chunk_tokens)."""
+    toks = tokenize(text_col)
+    c = F.lit(chunk_tokens)
+    n_chunks = F.ceil(F.size("toks") / c)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.least(c.cast("bigint"), F.size("toks") - i * c).alias(
+                    "n_chunk_tokens"
+                ),
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), (i * c + 1).cast("int"), chunk_tokens)
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    return (
+        spread(documents)
+        .withColumn("toks", toks)
+        .where(F.size("toks") > 0)
+        .select(id_col, chunk.alias("ch"))
+        .select(id_col, "ch.chunk_id", "ch.n_chunk_tokens", "ch.chunk_text")
+        .orderBy(id_col, "chunk_id")
     )

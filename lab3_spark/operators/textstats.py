@@ -173,6 +173,75 @@ def tfidf_top_terms(
     )
 
 
+def _longest_equal_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the max element frequency — as one linear fold (no shuffle, no
+    explode; the distinct×filter alternative is quadratic in length)."""
+    run0 = F.lit(0).cast("bigint")
+    zero = F.struct(F.lit("").alias("prev"), run0.alias("run"), run0.alias("best"))
+
+    def _step(a, t):
+        run = F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, _step, lambda a: a["best"])
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams (ALL occurrences).
+    Guarded: ``sequence(1, stop)`` DESCENDS when stop < 1 (it is not
+    empty), so short docs must short-circuit to an empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc n-gram repetition signals (the Gopher repetition rules
+    beyond single tokens): for 2-grams and 3-grams, the duplicate
+    fraction (1 − distinct/total) and the top-gram fraction (most
+    frequent n-gram / total).  High values flag boilerplate and
+    degenerate generations.
+
+    Narrow per-document expressions — the n-gram arrays never leave
+    the row, so this runs at scan speed with zero shuffle (contrast
+    `ngram_frequencies`, which explodes to a corpus-wide group-by)."""
+    toks = tokenize(text_col)
+    d = (
+        spread(documents)
+        .withColumn("g2", _word_ngrams(toks, 2))
+        .withColumn("g3", _word_ngrams(toks, 3))
+    )
+
+    def feats(col: str):
+        n = F.size(col)
+        dup = F.when(
+            n > 0, F.lit(1) - F.size(F.array_distinct(col)) / n
+        ).otherwise(0.0)
+        top = F.when(
+            n > 0, _longest_equal_run(F.array_sort(F.col(col))) / n
+        ).otherwise(0.0)
+        return n, trunc(dup, RATIO), trunc(top, RATIO)
+
+    n2, dup2, top2 = feats("g2")
+    n3, dup3, top3 = feats("g3")
+    return d.select(
+        "doc_id",
+        n2.alias("n_bigrams"),
+        dup2.alias("dup_bigram_frac"),
+        top2.alias("top_bigram_frac"),
+        n3.alias("n_trigrams"),
+        dup3.alias("dup_trigram_frac"),
+        top3.alias("top_trigram_frac"),
+    ).orderBy("doc_id")
+
+
 def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style corpus-filtering signals per document (Rae et al.
     2021, "Scaling Language Models", appendix A — the public rule set
@@ -224,20 +293,9 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
         / n_toks,
     ).otherwise(0.0)
 
-    # longest run of equal adjacent tokens in the sorted array == max
-    # token frequency; one O(n log n) per-row pass, no shuffle.
-    run0 = F.lit(0).cast("bigint")
-    zero = F.struct(
-        F.lit("").alias("prev"), run0.alias("run"), run0.alias("best")
-    )
-
-    def _step(a, t):
-        run = F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint"))
-        return F.struct(
-            t.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
-        )
-
-    top_cnt = F.aggregate(F.array_sort("toks"), zero, _step, lambda a: a["best"])
+    # max token frequency == longest equal run in the sorted array;
+    # one O(n log n) per-row pass, no shuffle.
+    top_cnt = _longest_equal_run(F.array_sort("toks"))
     top_word_ratio = F.when(n_toks > 0, top_cnt / n_toks).otherwise(0.0)
 
     dup_line_frac = F.when(

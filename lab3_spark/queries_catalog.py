@@ -550,6 +550,90 @@ def q_gopher_quality(spark, sf_dir):
     return TS.gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_ngram_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+        list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    ),
+    f2 AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g) u
+        GROUP BY doc_id, gram) cg
+      GROUP BY doc_id
+    ),
+    f3 AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g3) AS gram FROM g) u
+        GROUP BY doc_id, gram) cg
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+      len(g2) AS n_bigrams,
+      floor((CASE WHEN len(g2) > 0 THEN
+        1 - (len(list_distinct(g2)) / len(g2)) ELSE 0.0 END)
+        * 10000) / 10000 AS dup_bigram_frac,
+      floor((CASE WHEN len(g2) > 0 THEN
+        coalesce(f2.topc, 0) / len(g2) ELSE 0.0 END)
+        * 10000) / 10000 AS top_bigram_frac,
+      len(g3) AS n_trigrams,
+      floor((CASE WHEN len(g3) > 0 THEN
+        1 - (len(list_distinct(g3)) / len(g3)) ELSE 0.0 END)
+        * 10000) / 10000 AS dup_trigram_frac,
+      floor((CASE WHEN len(g3) > 0 THEN
+        coalesce(f3.topc, 0) / len(g3) ELSE 0.0 END)
+        * 10000) / 10000 AS top_trigram_frac
+    FROM g LEFT JOIN f2 ON g.doc_id = f2.doc_id
+           LEFT JOIN f3 ON g.doc_id = f3.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q_ngram_repetition(spark, sf_dir):
+    """Per-doc n-gram repetition (textstats.ngram_repetition)."""
+    return TS.ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
+_CHUNK_TOKENS = 64
+
+
+@query(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                                  AS BIGINT))) AS chunk_id
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id,
+           least({_CHUNK_TOKENS}, len(toks) - chunk_id * {_CHUNK_TOKENS})
+             AS n_chunk_tokens,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_TOKENS} + 1
+                  : chunk_id * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM ch ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-window chunking (sampling.chunk_documents) — the
+    context-window pre-cut that feeds pack_training_sequences."""
+    from lab3_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=_CHUNK_TOKENS
+    )
+
+
 # ---------------------------------------------------------------------------
 # §5 Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 # embedding-cosine) — SURVEY.md north-star operators.

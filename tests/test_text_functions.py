@@ -96,3 +96,36 @@ def test_gopher_pass_on_normal_prose(spark):
     row = gopher_quality(df).collect()[0]
     assert row["n_words"] >= 50
     assert row["gopher_pass"] is True
+
+
+def test_ngram_repetition_handcrafted(spark):
+    from lab3_spark.operators.textstats import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    r = rows[1]  # bigrams: ab ba ab ba; trigrams: aba bab aba
+    assert r["n_bigrams"] == 4 and r["dup_bigram_frac"] == 0.5
+    assert r["top_bigram_frac"] == 0.5
+    assert r["n_trigrams"] == 3 and r["dup_trigram_frac"] == 0.3333
+    assert r["top_trigram_frac"] == 0.6666
+    # short/empty docs: no descending-sequence ghosts, all zeros
+    for d in (2, 3):
+        assert rows[d]["n_bigrams"] == 0 and rows[d]["dup_bigram_frac"] == 0.0
+        assert rows[d]["n_trigrams"] == 0 and rows[d]["top_trigram_frac"] == 0.0
+
+
+def test_chunk_documents_handcrafted(spark):
+    from lab3_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t one two three four"), (2, "")], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in chunk_documents(df, chunk_tokens=2).collect()]
+    assert got == [
+        (1, 0, 2, "t one"),
+        (1, 1, 2, "two three"),
+        (1, 2, 1, "four"),
+    ]
