@@ -60,6 +60,43 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp, quality, n_copies, keep): QUALITY-AWARE exact dedup
+    — within each content-fingerprint group keep the doc with the
+    highest quality score (ties → lowest doc_id), not the lowest id.
+    This is what production corpus dedup actually does: near-identical
+    crawls differ in boilerplate, and the keep-rule should prefer the
+    cleanest copy.
+
+    quality = the same composite as textstats.quality_score (truncated,
+    so the oracle's window comparisons see exact decimals).  Cost: one
+    shuffle on fp (the window), identical to min-id exact dedup."""
+    norm = F.concat_ws(" ", tokenize(text_col))
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(0.0)
+    score = (
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * distinct_ratio
+    )
+    w = Window.partitionBy("fp")
+    wr = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        documents.select(
+            "doc_id", F.md5(norm).alias("fp"), trunc(score, 4).alias("quality")
+        )
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("keep", (F.row_number().over(wr) == 1).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
     < SHINGLE_N tokens are excluded — no shingle exists)."""

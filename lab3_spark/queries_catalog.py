@@ -708,6 +708,41 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_best",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, fp,
+        floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) / 10000 AS quality
+      FROM t
+    )
+    SELECT doc_id, fp, quality,
+           count(*) OVER (PARTITION BY fp) AS n_copies,
+           CASE WHEN row_number() OVER (PARTITION BY fp
+                ORDER BY quality DESC, doc_id ASC) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM q ORDER BY doc_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (dedup.keep_best_duplicates)."""
+    from lab3_spark.operators.dedup import keep_best_duplicates
+
+    return keep_best_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH {_DUCK_MINHASH_CTES}

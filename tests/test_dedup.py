@@ -98,3 +98,21 @@ def test_minhash_repartition_invariance(spark, near_dup_corpus):
             map(tuple, minhash_candidates(near_dup_corpus.repartition(n)).collect())
         )
         assert got == base, f"repartition({n}) changed LSH candidates"
+
+
+def test_keep_best_prefers_clean_copy(spark):
+    """Same token stream (same fp), different punctuation noise: the
+    cleaner copy wins regardless of doc_id order."""
+    from lab3_spark.operators.dedup import keep_best_duplicates
+
+    rows = [
+        (1, "hello,, world!! nice### text... here;;"),  # noisy, lower quality
+        (2, "hello world nice text here"),              # clean twin
+        (3, "completely different document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in keep_best_duplicates(df).collect()}
+    assert got[1]["fp"] == got[2]["fp"]
+    assert got[1]["n_copies"] == 2 and got[2]["n_copies"] == 2
+    assert got[2]["keep"] == 1 and got[1]["keep"] == 0
+    assert got[3]["keep"] == 1 and got[3]["n_copies"] == 1
