@@ -110,3 +110,66 @@ def test_hash_sample_fraction_is_threshold_cut(spark, fraction):
         < int(fraction * SAMPLE_MOD)
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_ngram_repetition_matches_python_reference(spark, texts):
+    """dup/top n-gram fractions recomputed in pure Python (truncation
+    included) must match the per-row expression pipeline."""
+    from collections import Counter
+
+    from lab3_spark.operators.textstats import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    pat = re.compile(TOKEN_REGEX)
+
+    def tr(x):
+        import math
+
+        return math.floor(x * 10000) / 10000
+
+    for i, t in enumerate(texts):
+        toks = pat.findall(t.lower())
+        for n, pre in ((2, "bigram"), (3, "trigram")):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            r = got[i]
+            assert r[f"n_{pre}s"] == len(grams), (t, n)
+            if grams:
+                c = Counter(grams)
+                assert r[f"dup_{pre}_frac"] == tr(1 - len(c) / len(grams)), (t, n)
+                assert r[f"top_{pre}_frac"] == tr(max(c.values()) / len(grams)), (t, n)
+            else:
+                assert r[f"dup_{pre}_frac"] == 0.0 and r[f"top_{pre}_frac"] == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_chunk_documents_reassembles_corpus(spark, texts):
+    """Chunks partition the token stream: concatenating a doc's chunks
+    in chunk_id order reproduces its full normalized token stream, and
+    every chunk except the last is exactly the window size."""
+    from lab3_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    pat = re.compile(TOKEN_REGEX)
+    for i, t in enumerate(texts):
+        toks = pat.findall(t.lower())
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert chunks == []
+            continue
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        joined = " ".join(c["chunk_text"] for c in chunks)
+        assert joined == " ".join(toks), (t,)
+        assert all(c["n_chunk_tokens"] == 3 for c in chunks[:-1])
+        assert chunks[-1]["n_chunk_tokens"] == len(toks) - 3 * (len(chunks) - 1)
