@@ -65,6 +65,36 @@ def approx_dau(events: DataFrame, rsd: float = 0.01) -> DataFrame:
     )
 
 
+def hll_daily_merge(events: DataFrame) -> DataFrame:
+    """(day, est_users, est_users_total): Apache DataSketches HLL as a
+    MERGEABLE sketch column (Spark 4 `hll_sketch_agg` /
+    `hll_union_agg` / `hll_sketch_estimate`).
+
+    The production shape `approx_count_distinct` cannot express: the
+    per-day sketch BYTES are reusable state — stored once, unioned
+    later across any date range without rescanning events.  At 100 TB
+    the nightly job appends one fixed-size sketch row per day and any
+    rollup (week/month/all-time) is a union over sketches, not a scan.
+
+    One shuffle (day group-by); the union of the tiny per-day sketch
+    table is a broadcast scalar join.  No oracle: sketch internals are
+    engine-specific (rows-only driver check; the estimate-vs-exact
+    tolerance is pinned in tests)."""
+    daily = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    total = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users_total")
+    )
+    return (
+        daily.select(
+            "day", F.expr("hll_sketch_estimate(sk)").alias("est_users")
+        )
+        .crossJoin(F.broadcast(total))
+        .orderBy("day")
+    )
+
+
 def props_stats(events: DataFrame) -> DataFrame:
     """JSON prop extraction (props = '{"k": N}') + per-type stats.
 

@@ -1478,6 +1478,17 @@ def q_approx_dau(spark, sf_dir):
     return EV.approx_dau(_t(spark, sf_dir, "events"))
 
 
+@query("events_hll_daily_merge", None)
+def q_hll_daily_merge(spark, sf_dir):
+    """DataSketches HLL as a MERGEABLE sketch column (events.
+    hll_daily_merge): per-day sketches, later unioned across days
+    without rescanning — the reusable-state shape approx_count_distinct
+    can't express.  Rows-only check (sketch internals are
+    engine-specific); estimate-vs-exact tolerance pinned in
+    tests/test_sketches.py."""
+    return EV.hll_daily_merge(_t(spark, sf_dir, "events"))
+
+
 @query(
     "supplier_coverage",
     """

@@ -1,0 +1,37 @@
+"""Mergeable HLL sketch column (operators/events.hll_daily_merge):
+estimates must track exact distincts, and the union must equal a
+sketch built over the whole input (merge associativity)."""
+
+from pyspark.sql import functions as F
+
+from lab3_spark.operators.events import hll_daily_merge
+from lab3_spark.sources.tables import load_table
+
+
+def test_hll_estimates_track_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = hll_daily_merge(ev).collect()
+    exact = {
+        r["day"]: r["dau"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert len(got) == len(exact)
+    for r in got:
+        e = exact[r["day"]]
+        assert abs(r["est_users"] - e) <= max(2, 0.05 * e), (r["day"], e)
+    total_exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    t = got[0]["est_users_total"]
+    assert abs(t - total_exact) <= max(2, 0.05 * total_exact)
+
+
+def test_hll_union_equals_whole_input_sketch(spark, sf_dir):
+    """Merging per-day sketches == sketching the whole column: the
+    mergeability contract that makes sketch columns reusable state."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = hll_daily_merge(ev).collect()[0]["est_users_total"]
+    whole = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
+    ).collect()[0]["e"]
+    assert merged == whole
