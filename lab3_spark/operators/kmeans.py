@@ -181,22 +181,75 @@ def kmeans_fixed(
     return out
 
 
-def kmeans_assign(
-    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+def assign_expr_frame(
+    embeddings: DataFrame, cents: list[tuple[int, list[int]]]
 ) -> DataFrame:
-    """(vec_id, cl): every vector's cluster under the trained centroids
-    — one extra narrow assignment pass over the corpus.  This is the
-    coarse quantizer a TRAINED IVF index probes (vs. ann_ivf's label
-    stand-in)."""
-    cent_rows = kmeans_fixed(embeddings, k, n_iter).collect()
-    bycl: dict[int, dict[int, int]] = {}
-    for r in cent_rows:
-        bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
-    cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+    """(vec_id, embedding, cl) via the Catalyst expression fold — the
+    zero-Python reference implementation tests pin `_assign_arrow`
+    against."""
     xi = spread(embeddings).select(
         "vec_id", F.col("embedding"), fixed_point(F.col("embedding")).alias("xi")
     )
     return xi.select("vec_id", "embedding", _assign_expr(cents).alias("cl"))
+
+
+def _assign_arrow(
+    embeddings: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, embedding, cl): batch argmin assignment — same int64
+    arithmetic as `_assign_expr` (equality pinned in tests), one numpy
+    pass per Arrow batch with the embedding column passed through
+    zero-copy."""
+    import numpy as np
+    import pyarrow as pa
+
+    cls = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([arr for _, arr in cents], dtype=np.int64)
+    k, dims = cmat.shape
+
+    def batches(it):
+        for batch in it:
+            vec_id, emb = batch.column(0), batch.column(1)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(-1, dims)
+            if x.shape[0] == 0:
+                continue
+            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            d2 = np.empty((x.shape[0], k), dtype=np.int64)
+            for j in range(k):
+                diff = xi - cmat[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+            a = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, emb, pa.array(cls[a], type=pa.int64())],
+                names=["vec_id", "embedding", "cl"],
+            )
+
+    return (
+        spread(embeddings)
+        .select("vec_id", "embedding")
+        .mapInArrow(batches, "vec_id bigint, embedding array<float>, cl bigint")
+    )
+
+
+def trained_centroids(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+) -> list[tuple[int, list[int]]]:
+    """Train and collect the final centroids as (cl, components)."""
+    bycl: dict[int, dict[int, int]] = {}
+    for r in kmeans_fixed(embeddings, k, n_iter).collect():
+        bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
+    return sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+) -> DataFrame:
+    """(vec_id, embedding, cl): every vector's cluster under the
+    trained centroids — one extra narrow assignment pass over the
+    corpus (Arrow batch argmin).  This is the coarse quantizer a
+    TRAINED IVF index probes (vs. ann_ivf's label stand-in)."""
+    return _assign_arrow(embeddings, trained_centroids(embeddings, k, n_iter))
 
 
 def ann_ivf_trained(

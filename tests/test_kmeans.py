@@ -57,3 +57,20 @@ def test_kmeans_invariants_on_table(spark, sf_dir):
     # fixed-point components stay inside the unit-ball scale
     bounds = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()[0]
     assert -1_000_000 <= bounds["lo"] and bounds["hi"] <= 1_000_000
+
+
+def test_assignment_arrow_equals_expression(spark, sf_dir):
+    """The Arrow batch argmin and the Catalyst expression fold are the
+    same int64 arithmetic — bit-equal assignments on the real table."""
+    from lab3_spark.operators.kmeans import (
+        _assign_arrow,
+        assign_expr_frame,
+        trained_centroids,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = trained_centroids(emb, k=8, n_iter=2)
+    a = {r["vec_id"]: r["cl"] for r in _assign_arrow(emb, cents).collect()}
+    e = {r["vec_id"]: r["cl"] for r in assign_expr_frame(emb, cents).collect()}
+    assert a == e
