@@ -91,6 +91,31 @@ def main() -> None:
         docs.unpersist()
         k *= 2
 
+    # k-means over replicated embeddings: the iterative-operator curve
+    # (assignment+partial-sum arrow pass per iteration; centroids are
+    # k×d metadata, so growth should be the scan cost alone).
+    from lab3_spark.operators.kmeans import kmeans_fixed
+
+    ebase = load_table(spark, SF_DIR, "embeddings")
+    ebase.count()
+    k = 1
+    while k <= MAX_K:
+        emb = None
+        for i in range(k):
+            c = ebase.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            emb = c if emb is None else emb.unionAll(c)
+        emb = emb.persist()
+        n = emb.count()
+        sizes.setdefault(str(k), {})["n_vecs"] = n
+        sizes[str(k)]["kmeans"] = timed(lambda: noop(kmeans_fixed(emb)))
+        print(f"[k={k}] kmeans: {sizes[str(k)]['kmeans']}s", file=sys.stderr)
+        emb.unpersist()
+        k *= 2
+
     print(json.dumps({"metric": "scale_curve", "sf_base": SF_DIR,
                       "passes": PASSES, "unit": "sec", "sizes": sizes}))
 
