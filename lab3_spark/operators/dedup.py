@@ -97,6 +97,34 @@ def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
+def repeated_chunks(
+    documents: DataFrame, chunk_tokens: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """(chunk_fp, n_occurrences, n_docs, first_doc_id): fixed-window
+    chunks of the token stream that occur more than once in the corpus
+    — the cheap, shuffle-bounded approximation of substring-level
+    dedup (Lee et al. 2021 use suffix arrays; a 64-token window
+    catches the same boilerplate/templating mass at equi-join cost).
+
+    Cost: the chunk explode is narrow (sampling.chunk_documents), then
+    ONE hash shuffle on the chunk fingerprint with map-side partial
+    aggregation.  At 100 TB the group-by key is a 32-char md5 — the
+    same cardinality class as exact-dedup fingerprints."""
+    from lab3_spark.operators.sampling import chunk_documents
+
+    ch = chunk_documents(documents, chunk_tokens=chunk_tokens, text_col=text_col)
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_fp"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy("chunk_fp")
+    )
+
+
 def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
     < SHINGLE_N tokens are excluded — no shingle exists)."""

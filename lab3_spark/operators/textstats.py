@@ -358,6 +358,38 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("gopher_pass", gopher_pass).orderBy("doc_id")
 
 
+def feature_hash_embedding(
+    documents: DataFrame, dims: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dim, w): sparse feature-hashing document embedding —
+    every token hashes to a dimension (portable md5 % dims) with a
+    ±1 sign from an independent hash bit; w = signed count.  The
+    deterministic text→vector bridge (Weinberger et al. 2009): no
+    vocabulary table, no training state, embarrassingly parallel.
+
+    Cost: one narrow explode + ONE hash shuffle on (doc_id, dim) with
+    map-side combine — the same cost class as per-doc term counting.
+    Both hashes are the engine's portable md5 fold, so the oracle
+    recomputes identical dimensions and signs."""
+    from lab3_spark.functions.text import md5_long
+
+    tok = spread(documents).select(
+        "doc_id", F.explode(tokenize(text_col)).alias("word")
+    )
+    h = tok.select(
+        "doc_id",
+        (md5_long("word", salt="fh") % dims).alias("dim"),
+        F.when(md5_long("word", salt="fhs") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("w"))
+        .orderBy("doc_id", "dim")
+    )
+
+
 def pmi_collocations(
     documents: DataFrame,
     text_col: str = "text",

@@ -743,6 +743,59 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 @query(
+    "dedup_repeated_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT)))
+               AS chunk_id
+      FROM t WHERE len(toks) > 0
+    ),
+    cf AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ')) AS chunk_fp
+      FROM ch
+    )
+    SELECT chunk_fp,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc_id
+    FROM cf
+    GROUP BY chunk_fp
+    HAVING count(*) > 1
+    ORDER BY chunk_fp
+    """,
+)
+def q_dedup_repeated_chunks(spark, sf_dir):
+    """Chunk-level repeated-substring detection (dedup.repeated_chunks)."""
+    from lab3_spark.operators.dedup import repeated_chunks
+
+    return repeated_chunks(_t(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+@query(
+    "doc_hash_embeddings",
+    f"""
+    WITH {OR.duck_tokens_cte()},
+    h AS (
+      SELECT id AS doc_id,
+             {_h2l("substr(md5(concat('fh', '|', word)), 1, 15)")} % 16 AS dim,
+             CASE WHEN {_h2l("substr(md5(concat('fhs', '|', word)), 1, 15)")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w
+    FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim
+    """,
+)
+def q_doc_hash_embeddings(spark, sf_dir):
+    """Feature-hashing document embedding (textstats.feature_hash_embedding)."""
+    return TS.feature_hash_embedding(_t(spark, sf_dir, "documents"), dims=16)
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH {_DUCK_MINHASH_CTES}

@@ -116,3 +116,17 @@ def test_keep_best_prefers_clean_copy(spark):
     assert got[1]["n_copies"] == 2 and got[2]["n_copies"] == 2
     assert got[2]["keep"] == 1 and got[1]["keep"] == 0
     assert got[3]["keep"] == 1 and got[3]["n_copies"] == 1
+
+
+def test_repeated_chunks_flags_duplicated_doc(spark):
+    from lab3_spark.operators.dedup import repeated_chunks
+
+    body = " ".join(f"tok{i}" for i in range(5))
+    rows = [(1, body), (2, body), (3, "something else entirely here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = repeated_chunks(df, chunk_tokens=4).collect()
+    # the two copies share chunk windows; the unique doc contributes none
+    assert len(got) >= 1
+    for r in got:
+        assert r["n_occurrences"] == 2 and r["n_docs"] == 2
+        assert r["first_doc_id"] == 1

@@ -129,3 +129,23 @@ def test_chunk_documents_handcrafted(spark):
         (1, 1, 2, "two three"),
         (1, 2, 1, "four"),
     ]
+
+
+def test_feature_hash_embedding_matches_python(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from lab3_spark.operators.textstats import feature_hash_embedding
+
+    text = "alpha beta alpha gamma delta beta alpha"
+    df = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+    got = {(r["doc_id"], r["dim"]): r["w"] for r in feature_hash_embedding(df).collect()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = defaultdict(int)
+    for w in text.split():
+        sgn = 1 if h(f"fhs|{w}") % 2 == 0 else -1
+        expect[(7, h(f"fh|{w}") % 16)] += sgn
+    assert got == {k: v for k, v in expect.items()}
