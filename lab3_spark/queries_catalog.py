@@ -488,10 +488,10 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "doc_gopher_quality",
-    f"""
-    WITH t AS (
+# Shared Gopher-feature CTEs (gf = per-doc truncated features) and the
+# pass predicate — interpolated by doc_gopher_quality AND the
+# pipeline_gopher_prune capstone so the two oracles cannot drift.
+_DUCK_GOPHER_CTES = f"""gt AS (
       SELECT doc_id, text, {_DUCK_TOKS} AS toks,
              string_split_regex(trim(text), '\\s+') AS wwords,
              list_filter(list_transform(string_split(text, chr(10)),
@@ -499,20 +499,20 @@ def q_fingerprint(spark, sf_dir):
                          l -> length(l) > 0) AS lines
       FROM documents
     ),
-    tf AS (
+    gtf AS (
       SELECT doc_id, word, count(*) AS c
-      FROM (SELECT doc_id, unnest(toks) AS word FROM t) u
+      FROM (SELECT doc_id, unnest(toks) AS word FROM gt) u
       GROUP BY doc_id, word
     ),
-    top AS (SELECT doc_id, max(c) AS topc FROM tf GROUP BY doc_id),
-    f AS (
-      SELECT t.doc_id,
+    gtop AS (SELECT doc_id, max(c) AS topc FROM gtf GROUP BY doc_id),
+    gf AS (
+      SELECT gt.doc_id,
         len(toks) AS n_words,
         floor((CASE WHEN len(toks) > 0 THEN
           list_sum(list_transform(toks, x -> length(x))) / len(toks)
           ELSE 0.0 END) * 10000) / 10000 AS mean_word_len,
         floor((CASE WHEN len(toks) > 0 THEN
-          coalesce(top.topc, 0) / len(toks)
+          coalesce(gtop.topc, 0) / len(toks)
           ELSE 0.0 END) * 10000) / 10000 AS top_word_ratio,
         floor((CASE WHEN len(lines) > 0 THEN
           1 - (len(list_distinct(lines)) / len(lines))
@@ -534,15 +534,22 @@ def q_fingerprint(spark, sf_dir):
           len(list_filter(wwords, w -> regexp_matches(w, '[a-zA-Z]')))
             / len(wwords)
           ELSE 0.0 END) * 10000) / 10000 AS alpha_word_frac
-      FROM t LEFT JOIN top ON t.doc_id = top.doc_id
-    )
-    SELECT *,
-      (n_words >= 50 AND n_words <= 100000
+      FROM gt LEFT JOIN gtop ON gt.doc_id = gtop.doc_id
+    )"""
+
+_DUCK_GOPHER_PASS = """(n_words >= 50 AND n_words <= 100000
        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
        AND top_word_ratio < 0.2 AND dup_line_frac < 0.3
        AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
-       AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8) AS gopher_pass
-    FROM f ORDER BY doc_id
+       AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8)"""
+
+
+@query(
+    "doc_gopher_quality",
+    f"""
+    WITH {_DUCK_GOPHER_CTES}
+    SELECT *, {_DUCK_GOPHER_PASS} AS gopher_pass
+    FROM gf ORDER BY doc_id
     """,
 )
 def q_gopher_quality(spark, sf_dir):
@@ -793,6 +800,97 @@ def q_dedup_repeated_chunks(spark, sf_dir):
 def q_doc_hash_embeddings(spark, sf_dir):
     """Feature-hashing document embedding (textstats.feature_hash_embedding)."""
     return TS.feature_hash_embedding(_t(spark, sf_dir, "documents"), dims=16)
+
+
+@query(
+    "pipeline_gopher_prune",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    gp AS (SELECT doc_id FROM gf WHERE {_DUCK_GOPHER_PASS}),
+    pd AS (
+      SELECT d.doc_id, d.source,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp,
+             len({_DUCK_TOKS}) AS n_toks
+      FROM documents d JOIN gp USING (doc_id)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT pd.*, min(doc_id) OVER (PARTITION BY fp) AS rep FROM pd) x
+      WHERE doc_id = rep
+    ),
+    src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    ps AS (
+      SELECT d.source, count(*) AS n_gopher_pass
+      FROM documents d JOIN gp USING (doc_id) GROUP BY d.source
+    ),
+    ks AS (
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(CAST(ceil(n_toks / 64.0) AS BIGINT)) AS BIGINT)
+               AS n_chunks
+      FROM kept GROUP BY source
+    )
+    SELECT src.source, src.n_docs,
+           coalesce(ps.n_gopher_pass, 0) AS n_gopher_pass,
+           coalesce(ks.n_kept, 0) AS n_kept,
+           coalesce(ks.n_chunks, 0) AS n_chunks
+    FROM src
+    LEFT JOIN ps ON src.source = ps.source
+    LEFT JOIN ks ON src.source = ks.source
+    ORDER BY src.source
+    """,
+)
+def q_pipeline_gopher_prune(spark, sf_dir):
+    """Corpus-pruning pipeline END-TO-END: Gopher rule filter → exact
+    dedup of the survivors (min-id per fingerprint) → context-window
+    chunk budget, reported per source.  Composes the round-3 operators
+    into one oracled plan: the per-source funnel (raw → rule-passing →
+    deduped → chunk count) is the number a data curator actually
+    tracks.  Every stage is deterministic so the whole composition
+    value-hash-verifies."""
+    from pyspark.sql.window import Window as W
+
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.textstats import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    gp = (
+        gopher_quality(docs)
+        .where(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    toks = tokenize("text")
+    pd_ = docs.join(gp, "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        F.size(toks).alias("n_toks"),
+    )
+    kept = pd_.withColumn("rep", F.min("doc_id").over(W.partitionBy("fp"))).where(
+        F.col("doc_id") == F.col("rep")
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ps = (
+        docs.join(gp, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_gopher_pass"))
+    )
+    ks = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.ceil(F.col("n_toks") / 64.0)).cast("bigint").alias("n_chunks"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        src.join(ps, "source", "left")
+        .join(ks, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_gopher_pass", zero).alias("n_gopher_pass"),
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            F.coalesce("n_chunks", zero).alias("n_chunks"),
+        )
+        .orderBy("source")
+    )
 
 
 @query(
