@@ -180,3 +180,41 @@ def test_pack_sequences_one_shuffle(spark, sf_dir):
     # the window over (source, doc_id) is the only exchange; the final
     # orderBy adds a range partitioning
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_gopher_and_chunks_are_aggregation_free(spark, sf_dir):
+    """The per-doc quality/chunking operators must stay narrow: zero
+    aggregation, no Expand; only spread + the output sort exchange."""
+    from lab3_spark.operators.sampling import chunk_documents
+    from lab3_spark.operators.textstats import gopher_quality, ngram_repetition
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (gopher_quality(docs), chunk_documents(docs), ngram_repetition(docs)):
+        plan = formatted_plan(df)
+        assert "HashAggregate" not in plan, plan
+        assert "Expand" not in plan, plan
+        assert count_exchanges(df) <= 2, plan
+
+
+def test_repeated_chunks_no_expand(spark, sf_dir):
+    """count_distinct alongside other aggs must not plan a row-
+    replicating Expand (the profile_orders lesson)."""
+    from lab3_spark.operators.dedup import repeated_chunks
+    from lab3_spark.sources.tables import load_table
+
+    df = repeated_chunks(load_table(spark, sf_dir, "documents"))
+    assert "Expand" not in formatted_plan(df), formatted_plan(df)
+
+
+def test_hash_embedding_single_combine_shuffle(spark, sf_dir):
+    """Feature hashing = one partial/final aggregation pair on
+    (doc_id, dim) plus spread and the output sort."""
+    from lab3_spark.operators.textstats import feature_hash_embedding
+    from lab3_spark.sources.tables import load_table
+
+    df = feature_hash_embedding(load_table(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    # one partial+final pair; formatted plans list each node twice
+    assert plan.count("HashAggregate") == 4, plan
+    assert count_exchanges(df) <= 3, plan
