@@ -803,6 +803,36 @@ def q_doc_hash_embeddings(spark, sf_dir):
 
 
 @query(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink → source round trip: documents written once as
+    JSON-lines (idempotent, SaveMode.Ignore, per-SF dir under the
+    engine's materialized warehouse) and read back with the DECLARED
+    schema (sources/files.read_json — no inference pass).  The oracle
+    reads the ORIGINAL parquet, so a green row proves the JSON format
+    path is lossless row-for-row, including escaped newlines/quotes in
+    `text`."""
+    from lab3_spark.sources.files import read_json
+    from lab3_spark.sources.layout import MATERIALIZED_ROOT, _sf_tag
+
+    path = os.path.join(MATERIALIZED_ROOT, f"docs_jsonl_{_sf_tag(sf_dir)}")
+    _t(spark, sf_dir, "documents").write.mode("ignore").json(path)
+    out = read_json(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return out.select("doc_id", "text", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "pipeline_gopher_prune",
     f"""
     WITH {_DUCK_GOPHER_CTES},
