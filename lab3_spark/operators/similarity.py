@@ -243,6 +243,48 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def ann_hash_embedding(
+    documents: DataFrame, n_queries: int = 20, k: int = 5, dims: int = 16
+) -> DataFrame:
+    """Text-only ANN: brute-force cosine top-k over the engine's OWN
+    feature-hash embeddings (textstats.feature_hash_embedding) — the
+    end-to-end text → vector → similarity path with no pretrained
+    embedder.  Sparse (doc_id, dim, w) rows densify to a dims-vector
+    via a map lookup (per-row, no join); zero-norm documents (no
+    tokens that survive hashing) are excluded on BOTH sides; the probe
+    is the same broadcast-queries fold as ann_bruteforce."""
+    from lab3_spark.operators.textstats import feature_hash_embedding
+
+    sparse = feature_hash_embedding(documents, dims=dims)
+    zero = F.lit(0).cast("bigint")
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "w"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(zero, F.lit(dims - 1).cast("bigint")),
+                lambda d: F.coalesce(F.col("m")[d], zero),
+            ).alias("v"),
+        )
+    )
+    norm2 = F.aggregate("v", zero, lambda acc, x: acc + x * x)
+    nonzero = dense.where(norm2 > 0)
+    corpus = nonzero.select(
+        F.col("doc_id").alias("neighbor_id"), unit_vector("v").alias("u_n")
+    )
+    queries = nonzero.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), unit_vector("v").alias("u_q")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", dot_product(F.col("u_q"), F.col("u_n")))
+    )
+    return _topk_per_query(pairs, k)
+
+
 def lsh_bucket_sizes(embeddings: DataFrame) -> DataFrame:
     """(code, n_vecs): LSH bucket histogram — the partition-balance
     diagnostic for the ANN scale path.

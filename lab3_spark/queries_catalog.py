@@ -660,6 +660,29 @@ def _h2l(expr: str) -> str:
     return _H2L.format(h=expr)
 
 
+# unit-normalized vectors (same formulation as the Spark side:
+# functions/vectors.unit_vector) so cos = one dot-product fold per pair
+_DUCK_VEC = """
+    ev AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x /
+               sqrt(list_reduce(list_transform(v, q -> q * q),
+                                (acc, q) -> acc + q))) AS u
+      FROM ev
+    )"""
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
 _DUCK_SHINGLE_CTES = f"""
     toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
@@ -800,6 +823,63 @@ def q_dedup_repeated_chunks(spark, sf_dir):
 def q_doc_hash_embeddings(spark, sf_dir):
     """Feature-hashing document embedding (textstats.feature_hash_embedding)."""
     return TS.feature_hash_embedding(_t(spark, sf_dir, "documents"), dims=16)
+
+
+@query(
+    "ann_hash_embedding_top5",
+    f"""
+    WITH {OR.duck_tokens_cte()},
+    h AS (
+      SELECT id AS doc_id,
+             {_h2l("substr(md5(concat('fh', '|', word)), 1, 15)")} % 16 AS dim,
+             CASE WHEN {_h2l("substr(md5(concat('fhs', '|', word)), 1, 15)")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    sw AS (
+      SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w
+      FROM h GROUP BY doc_id, dim
+    ),
+    dims16 AS (SELECT unnest(range(0, 16)) AS dim),
+    dv AS (
+      SELECT dd.doc_id,
+             list(CAST(coalesce(sw.w, 0) AS DOUBLE) ORDER BY dims16.dim) AS v
+      FROM (SELECT DISTINCT doc_id FROM sw) dd
+      CROSS JOIN dims16
+      LEFT JOIN sw ON sw.doc_id = dd.doc_id AND sw.dim = dims16.dim
+      GROUP BY dd.doc_id
+    ),
+    e AS (
+      SELECT doc_id,
+             list_transform(v, x -> x /
+               sqrt(list_reduce(list_transform(v, q -> q * q),
+                                (a, b) -> a + b))) AS u
+      FROM dv
+      WHERE list_reduce(list_transform(v, q -> q * q), (a, b) -> a + b) > 0
+    ),
+    q AS (SELECT doc_id AS query_id, u AS uq FROM e WHERE doc_id < 20),
+    pairs AS (
+      SELECT query_id, n.doc_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='n.u')}) AS cos_raw
+      FROM q, e n WHERE n.doc_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_hash_embedding(spark, sf_dir):
+    """Text-only ANN over engine-generated hash embeddings
+    (similarity.ann_hash_embedding)."""
+    from lab3_spark.operators.similarity import ann_hash_embedding
+
+    return ann_hash_embedding(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1005,29 +1085,6 @@ def q_dedup_simhash(spark, sf_dir):
     from lab3_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_t(spark, sf_dir, "documents"))
-
-
-# unit-normalized vectors (same formulation as the Spark side:
-# functions/vectors.unit_vector) so cos = one dot-product fold per pair
-_DUCK_VEC = """
-    ev AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, label,
-             list_transform(v, x -> x /
-               sqrt(list_reduce(list_transform(v, q -> q * q),
-                                (acc, q) -> acc + q))) AS u
-      FROM ev
-    )"""
-
-_DUCK_DOT = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-)
-_DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
 
 
 @query(
