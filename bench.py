@@ -87,6 +87,13 @@ HEADLINE = [
     "doc_gopher_quality",
     "kmeans_centroids",
     "ann_ivf_trained",
+    "doc_ngram_repetition",
+    "doc_chunks",
+    "dedup_keep_best",
+    "dedup_repeated_chunks",
+    "doc_hash_embeddings",
+    "ann_hash_embedding_top5",
+    "pipeline_gopher_prune",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
