@@ -28,3 +28,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+_PERSISTED_LATEST: dict[str, DataFrame] = {}
+
+
+def persist_latest(key: str, df: DataFrame) -> DataFrame:
+    """``persist()`` with bounded growth: drops the PREVIOUS frame
+    cached under ``key`` first, so repeated invocations of an operator
+    hold at most one cached copy per session.  Plain per-call persists
+    accumulate in Spark's CacheManager until explicitly unpersisted —
+    the round-3 review measured them as a slow storage-memory leak in
+    a long-lived session running the catalog repeatedly."""
+    prev = _PERSISTED_LATEST.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be stopped/replaced; nothing to free
+    _PERSISTED_LATEST[key] = df
+    return df.persist()

@@ -68,27 +68,20 @@ def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFr
     crawls differ in boilerplate, and the keep-rule should prefer the
     cleanest copy.
 
-    quality = the same composite as textstats.quality_score (truncated,
-    so the oracle's window comparisons see exact decimals).  Cost: one
-    shuffle on fp (the window), identical to min-id exact dedup."""
+    quality = textstats.quality_expr — the SAME expression object the
+    quality_score operator reports (truncated, so the oracle's window
+    comparisons see exact decimals).  Cost: one shuffle on fp (the
+    window), identical to min-id exact dedup; the per-doc hash/score
+    projection is spread across cores first (single-row-group scans)."""
+    from lab3_spark.operators.textstats import quality_expr
+
     norm = F.concat_ws(" ", tokenize(text_col))
-    toks = tokenize(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(text_col)
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
-    distinct_ratio = F.when(
-        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
-    ).otherwise(0.0)
-    score = (
-        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + 0.3 * (1 - punct_ratio)
-        + 0.3 * distinct_ratio
-    )
+    score = quality_expr(text_col)
     w = Window.partitionBy("fp")
     wr = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
-        documents.select(
+        spread(documents)
+        .select(
             "doc_id", F.md5(norm).alias("fp"), trunc(score, 4).alias("quality")
         )
         .withColumn("n_copies", F.count("*").over(w))

@@ -141,6 +141,8 @@ def kmeans_fixed(
     into THEIR plans by the cache manager, which round 3 measured as a
     cross-query plan-pollution bug.  Callers looping many more
     iterations can persist `embeddings` themselves."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     init = (
         spread(embeddings)
         .where(F.col("vec_id") < k)
@@ -263,10 +265,13 @@ def ann_ivf_trained(
     kmeans_fixed instead of ann_ivf's `label` stand-in.  Same probe
     shape — queries broadcast, only the query's own cell scanned
     (1/nlist of the corpus at scale), exact cosine within the cell."""
+    from lab3_spark.functions.partitioning import persist_latest
     from lab3_spark.functions.vectors import dot_product, unit_vector
     from lab3_spark.operators.similarity import _topk_per_query
 
-    assigned = kmeans_assign(embeddings, k, n_iter).persist()
+    assigned = persist_latest(
+        "ann_ivf_trained_assigned", kmeans_assign(embeddings, k, n_iter)
+    )
     corpus = assigned.select(
         "cl", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )

@@ -63,7 +63,14 @@ def attach_media(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # scale partitioning is driven by maxPartitionBytes (bounded blob
     # bytes per task), not a worker-count cap.
     par = min(documents.sparkSession.sparkContext.defaultParallelism, 8)
-    return spread(documents, par).select(
+    n = documents.rdd.getNumPartitions()
+    if n > par:
+        # the cap must also bound DOWN: spread() only raises low counts,
+        # but every partition forks a Python worker
+        documents = documents.coalesce(par)
+    else:
+        documents = spread(documents, par)
+    return documents.select(
         "doc_id",
         F.lit("image/fake").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),

@@ -96,7 +96,18 @@ def profile_table(
         wide = (
             wide.drop("n_distinct")
             .join(F.broadcast(nd), "column", "left")
-            .select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+            .select(
+                "column",
+                "n_rows",
+                "n_nulls",
+                # an all-NULL column contributes no melt rows → no join
+                # match; count(DISTINCT c) semantics say 0, not NULL
+                F.coalesce("n_distinct", F.lit(0).cast("bigint")).alias(
+                    "n_distinct"
+                ),
+                "min_repr",
+                "max_repr",
+            )
         )
     return wide.orderBy("column")
 
@@ -107,9 +118,14 @@ def exact_distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     via ``groupBy(column, value)`` (map-side partial agg — the shuffle
     carries distinct pairs only), then count per column.
 
-    Plain string cast is injective within a column's type, so distinct
-    counts equal distinct counts of the raw values; NULLs are dropped to
-    match ``count(DISTINCT c)`` semantics."""
+    NULLs are dropped to match ``count(DISTINCT c)`` semantics.  The
+    string cast is the melt's common type; it is faithful for the
+    numeric/string/date columns this profiler targets but NOT a
+    universally injective encoding — ``-0.0``/``0.0`` render as two
+    strings where grouping treats them as one, and complex types can
+    collide in their rendering.  For such columns use the
+    ``approx_count_distinct`` default path (exact profiling of complex
+    types is not a supported claim)."""
     pairs = F.explode(
         F.array(
             *[

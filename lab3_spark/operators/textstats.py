@@ -48,6 +48,27 @@ def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality score as ONE standalone expression —
+    the single source of truth shared by :func:`quality_score` and
+    ``dedup.keep_best_duplicates`` (a test pins the two equal, so a
+    tweak here cannot silently diverge the dedup keep-rule from the
+    reported quality column)."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(0.0)
+    return (
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * distinct_ratio
+    )
+
+
 def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score per document.
 
@@ -410,10 +431,11 @@ def pmi_collocations(
     expression is arranged with an explicit operation order —
     ln((pair·N·N)/(bi_total·cnt·cnt)) — so the DuckDB oracle computes
     bit-identical doubles, truncated to 4 decimals for the gate."""
-    tok_arrays = (
-        spread(documents)
-        .select(tokenize(text_col).alias("toks"))
-        .persist()
+    from lab3_spark.functions.partitioning import persist_latest
+
+    tok_arrays = persist_latest(
+        "pmi_tok_arrays",
+        spread(documents).select(tokenize(text_col).alias("toks")),
     )
     toks = F.col("toks")
     grams = F.transform(

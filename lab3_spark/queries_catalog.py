@@ -890,10 +890,10 @@ def q_ann_hash_embedding(spark, sf_dir):
     """,
 )
 def q_jsonl_roundtrip(spark, sf_dir):
-    """JSONL sink → source round trip: documents written once as
-    JSON-lines (idempotent, SaveMode.Ignore, per-SF dir under the
-    engine's materialized warehouse) and read back with the DECLARED
-    schema (sources/files.read_json — no inference pass).  The oracle
+    """JSONL sink → source round trip: documents written as JSON-lines
+    (fresh overwrite per run, per-SF dir under the engine's
+    materialized warehouse) and read back with the DECLARED schema
+    (sources/files.read_json — no inference pass).  The oracle
     reads the ORIGINAL parquet, so a green row proves the JSON format
     path is lossless row-for-row, including escaped newlines/quotes in
     `text`."""
@@ -901,7 +901,10 @@ def q_jsonl_roundtrip(spark, sf_dir):
     from lab3_spark.sources.layout import MATERIALIZED_ROOT, _sf_tag
 
     path = os.path.join(MATERIALIZED_ROOT, f"docs_jsonl_{_sf_tag(sf_dir)}")
-    _t(spark, sf_dir, "documents").write.mode("ignore").json(path)
+    # overwrite, not ignore: SaveMode.Ignore would silently reuse a
+    # stale or partially-written directory forever (e.g. after a crash
+    # mid-write or regenerated testdata); the write is metadata-scale
+    _t(spark, sf_dir, "documents").write.mode("overwrite").json(path)
     out = read_json(
         spark,
         path,
@@ -2270,7 +2273,7 @@ def q_contamination(spark, sf_dir):
     comparison.  The distinct (source, shingle) frame is persisted so
     the self-join's two sides share ONE tokenize+shingle scan instead
     of recomputing it per side."""
-    from lab3_spark.functions.partitioning import spread
+    from lab3_spark.functions.partitioning import persist_latest, spread
     from lab3_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -2279,12 +2282,12 @@ def q_contamination(spark, sf_dir):
         F.sequence(F.lit(1), F.size(toks) - 4),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    sh = (
+    sh = persist_latest(
+        "contamination_shingles",
         spread(docs)
         .where(F.size(toks) >= 5)
         .select("source", F.explode(grams).alias("shingle"))
-        .distinct()
-        .persist()
+        .distinct(),
     )
     a = sh.alias("a")
     b = sh.alias("b")

@@ -130,3 +130,16 @@ def test_repeated_chunks_flags_duplicated_doc(spark):
     for r in got:
         assert r["n_occurrences"] == 2 and r["n_docs"] == 2
         assert r["first_doc_id"] == 1
+
+
+def test_keep_best_quality_matches_quality_score(spark, sf_dir):
+    """keep_best's ranking key must equal the quality column the
+    quality_score operator reports (shared expression, pinned here)."""
+    from lab3_spark.operators.dedup import keep_best_duplicates
+    from lab3_spark.operators.textstats import quality_score
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kb = {r["doc_id"]: r["quality"] for r in keep_best_duplicates(docs).collect()}
+    qs = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert kb == qs
