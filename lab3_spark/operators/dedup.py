@@ -72,7 +72,14 @@ def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFr
     quality_score operator reports (truncated, so the oracle's window
     comparisons see exact decimals).  Cost: one shuffle on fp (the
     window), identical to min-id exact dedup; the per-doc hash/score
-    projection is spread across cores first (single-row-group scans)."""
+    projection is spread across cores first (single-row-group scans).
+
+    Degenerate-key note (100 TB): a pathological fingerprint with
+    millions of copies lands its whole group on one window task.  When
+    only the survivors are needed (not per-row flags), the combine-able
+    form — ``groupBy(fp).agg(max_by(doc_id, struct(quality, -doc_id)))``
+    — partial-aggregates map-side and has no hot-task problem; this
+    row-level variant exists for the flag/audit output shape."""
     from lab3_spark.operators.textstats import quality_expr
 
     norm = F.concat_ws(" ", tokenize(text_col))
