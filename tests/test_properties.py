@@ -173,3 +173,43 @@ def test_chunk_documents_reassembles_corpus(spark, texts):
         assert joined == " ".join(toks), (t,)
         assert all(c["n_chunk_tokens"] == 3 for c in chunks[:-1])
         assert chunks[-1]["n_chunk_tokens"] == len(toks) - 3 * (len(chunks) - 1)
+
+
+def test_round3_table_invariants(spark, sf_dir):
+    """Structural invariants of the round-3 operators on the real
+    documents table: exactly one keeper per fingerprint group, repeated
+    chunks really repeat, hash-embedding mass is bounded by tokens."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.dedup import keep_best_duplicates, repeated_chunks
+    from lab3_spark.operators.textstats import feature_hash_embedding
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    by_fp = defaultdict(list)
+    for r in keep_best_duplicates(docs).collect():
+        by_fp[r["fp"]].append(r)
+    for fp, rows in by_fp.items():
+        assert sum(r["keep"] for r in rows) == 1, fp
+        kept = next(r for r in rows if r["keep"])
+        assert all(kept["quality"] >= r["quality"] for r in rows)
+        assert all(r["n_copies"] == len(rows) for r in rows)
+
+    for r in repeated_chunks(docs).collect():
+        assert r["n_occurrences"] >= 2
+        assert 1 <= r["n_docs"] <= r["n_occurrences"]
+
+    emb = feature_hash_embedding(docs)
+    agg = emb.agg(
+        F.min("dim").alias("lo"), F.max("dim").alias("hi"),
+        F.sum(F.abs("w")).alias("mass"),
+    ).collect()[0]
+    assert 0 <= agg["lo"] and agg["hi"] <= 15
+    n_tokens = docs.select(
+        F.sum(F.size(F.regexp_extract_all(F.lower("text"),
+                                          F.lit(r"[a-z][a-z']*"), F.lit(0))))
+    ).collect()[0][0]
+    assert agg["mass"] <= n_tokens
