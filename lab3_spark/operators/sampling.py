@@ -96,6 +96,33 @@ def pack_sequences(
     )
 
 
+def stratified_fixed_sample(
+    documents: DataFrame,
+    n_per_stratum: int = 10,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "fixed",
+) -> DataFrame:
+    """(stratum, doc_id, rk): EXACTLY n rows per stratum (or all rows
+    for smaller strata) — the balanced-evaluation-set allocation that
+    fractional hash sampling can't promise.  Rows are ranked inside
+    each stratum by portable hash of the id (tie → id), so membership
+    is deterministic, engine-independent, and stable under
+    repartitioning.  Cost: one window shuffle on the stratum key;
+    strata are assumed many/modest-sized (eval sets) — a single giant
+    stratum would hot-task the window, at which point fractional
+    hash_sample is the right tool."""
+    hv = md5_long(F.col(id_col).cast("string"), salt=salt)
+    w = Window.partitionBy("stratum").orderBy(hv, F.col(id_col))
+    return (
+        spread(documents)
+        .select(F.col(stratum_col).alias("stratum"), F.col(id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_per_stratum)
+        .orderBy("stratum", "rk")
+    )
+
+
 def chunk_documents(
     documents: DataFrame,
     chunk_tokens: int = 64,

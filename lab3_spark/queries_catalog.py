@@ -883,6 +883,37 @@ def q_ann_hash_embedding(spark, sf_dir):
 
 
 @query(
+    "stratified_fixed_n_sample",
+    f"""
+    WITH h AS (
+      SELECT source AS stratum, doc_id,
+             {_h2l("substr(md5(concat('fixed', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+               AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT stratum, doc_id,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT stratum, doc_id, rk FROM r
+    WHERE rk <= 10 ORDER BY stratum, rk
+    """,
+)
+def q_stratified_fixed_n(spark, sf_dir):
+    """Fixed-allocation stratified sample (sampling.
+    stratified_fixed_sample): exactly 10 per source, deterministic
+    portable-hash order — the balanced-eval-set allocation fractional
+    hash sampling can't promise."""
+    from lab3_spark.operators.sampling import stratified_fixed_sample
+
+    return stratified_fixed_sample(
+        _t(spark, sf_dir, "documents"), n_per_stratum=10
+    )
+
+
+@query(
     "jsonl_roundtrip_docs",
     """
     SELECT doc_id, text, lang, source, n_chars

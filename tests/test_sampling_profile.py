@@ -70,3 +70,23 @@ def test_profile_counts_nulls_and_canonical_minmax(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert (rows["s"]["min_repr"], rows["s"]["max_repr"]) == ("a", "b")
     assert (rows["v"]["min_repr"], rows["v"]["max_repr"]) == ("0.1250", "2.5000")
+
+
+def test_stratified_fixed_sample_allocation(spark, sf_dir):
+    """Exactly n per stratum (or the whole stratum when smaller), and
+    membership is stable under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.sampling import stratified_fixed_sample
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 7
+    got = stratified_fixed_sample(docs, n_per_stratum=n)
+    sizes = {r["stratum"]: r["c"] for r in
+             got.groupBy("stratum").agg(F.count("*").alias("c")).collect()}
+    full = {r["source"]: r["c"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert sizes == {s: min(n, c) for s, c in full.items()}
+    again = stratified_fixed_sample(docs.repartition(13), n_per_stratum=n)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
