@@ -379,6 +379,41 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("gopher_pass", gopher_pass).orderBy("doc_id")
 
 
+# PII patterns restricted to syntax Java regex and RE2 (DuckDB) parse
+# and match IDENTICALLY: character classes, bounded quantifiers,
+# non-capturing groups, \b word boundaries.  No backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9() -]{7,14}[0-9]"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_fp): PII scrubbing —
+    emails, IPv4 addresses and international-format phone numbers are
+    replaced with typed placeholders; counts per class are reported and
+    the redacted text is fingerprinted (md5) so the oracle can verify
+    the FULL output without hauling text through the hash gate twice.
+
+    Redaction order is fixed (email → ip → phone) because the classes
+    can overlap; both engines apply the identical sequence.  Pure
+    per-row regexp expressions — scan-speed, no shuffle, the standard
+    pre-training curation pass."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
+    step1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(PII_IP), F.lit(0)))
+    step2 = F.regexp_replace(step1, PII_IP, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(step2, F.lit(PII_PHONE), F.lit(0)))
+    step3 = F.regexp_replace(step2, PII_PHONE, "<PHONE>")
+    return spread(documents).select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(step3).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
 def feature_hash_embedding(
     documents: DataFrame, dims: int = 16, text_col: str = "text"
 ) -> DataFrame:

@@ -883,6 +883,44 @@ def q_ann_hash_embedding(spark, sf_dir):
 
 
 @query(
+    "doc_redact_pii",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+        len(regexp_extract_all(t1,
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+      FROM s
+    ),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ips,
+        len(regexp_extract_all(t2,
+            '\+[0-9][0-9() -]{7,14}[0-9]')) AS n_phones,
+        regexp_replace(t2, '\+[0-9][0-9() -]{7,14}[0-9]',
+                       '<PHONE>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS clean_fp
+    FROM s3 ORDER BY doc_id
+    """,
+)
+def q_doc_redact_pii(spark, sf_dir):
+    """PII scrubbing pass (textstats.redact_pii): typed placeholders +
+    per-class counts + redacted-text fingerprint, oracle-verified."""
+    return TS.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "stratified_fixed_n_sample",
     f"""
     WITH h AS (

@@ -149,3 +149,24 @@ def test_feature_hash_embedding_matches_python(spark):
         sgn = 1 if h(f"fhs|{w}") % 2 == 0 else -1
         expect[(7, h(f"fh|{w}") % 16)] += sgn
     assert got == {k: v for k, v in expect.items()}
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@test.org and 10.0.0.1 call +1 (555) 123-4567 end"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.co z@w.io one ip 192.168.001.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (2, 1, 0)
+    # the fingerprint is over the redacted text: recompute directly
+    redacted = "mail <EMAIL> and <IP> call <PHONE> end"
+    fp = df.where("doc_id = 1").select(F.md5(F.lit(redacted))).collect()[0][0]
+    assert got[1]["clean_fp"] == fp
