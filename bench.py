@@ -94,6 +94,8 @@ HEADLINE = [
     "doc_hash_embeddings",
     "ann_hash_embedding_top5",
     "pipeline_gopher_prune",
+    "doc_redact_pii",
+    "stratified_fixed_n_sample",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
