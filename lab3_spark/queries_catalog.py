@@ -4481,86 +4481,76 @@ def q_q21_sole_latest_supplier(spark, sf_dir):
 # Driver-window ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
-# registration order above is build-chronological, which left 53 of 103
-# queries without a driver row in round 2.  ``_DRIVER_PRIORITY`` pins the
-# window deliberately:
+# registration order above is build-chronological.  ``_DRIVER_PRIORITY``
+# pins the window deliberately; round 4's curation goal (per the round-3
+# verdict) is CUMULATIVE 114/114 driver coverage:
 #
-#   1-5    SURVEY §2 parity queries (the reference's own three programs
-#          plus their exact-quirk twins) — always first.
-#   6-11   the six oracles that carried the DuckDB HUGEINT hash artifact
-#          (now CAST ... AS BIGINT) — must show green this round.
-#   12-14  promotions the round-2 verdict named: F2's anti-join mode,
-#          A8's scale form, the train/val/test split capstone.
-#   15-20  one representative per already-green SURVEY family so §2.7
-#          (facade), A5 (UDAF), as-of join, §2.8 (streaming), multimodal
-#          and MinHash dedup keep a current-round row.
-#   21-50  every high-value query that has never had a driver row:
-#          cluster closure, PageRank, global deciles, the end-to-end
-#          pipeline, contamination, recursion, VARIANT, quality audit,
-#          sampling/packing, profiler, PMI, bucketed join, and the
-#          remaining TPC-H sweep.
+#   1-28   the 28 oracled queries that never had a driver CORRECTNESS row
+#          in rounds 1-3 (includes the two streaming oracle gates
+#          ``streaming_sessionize_stateful`` / ``streaming_view_purchase_
+#          join`` which were never oracle-checked by driver OR judge).
+#   29+    new round-4 gates (survivors-only dedup, ANN recall,
+#          multi-probe IVF) followed by re-confirmations: the §2 parity
+#          core, queries whose implementation changed this round
+#          (SimHash Arrow fusion), and one representative per family so
+#          every SURVEY §2 family keeps a recent green row.
 #
 # Everything else follows in original order (driver may check more than
 # 50 someday; nothing is dropped — only reordered).
 _DRIVER_PRIORITY = [
-    # §2 parity core
+    # -- never driver-checked in r1-r3 (28) ------------------------------
+    "streaming_sessionize_stateful",
+    "streaming_view_purchase_join",
+    "doc_ngram_repetition",
+    "doc_chunks",
+    "dedup_keep_best",
+    "dedup_repeated_chunks",
+    "doc_hash_embeddings",
+    "ann_hash_embedding_top5",
+    "doc_redact_pii",
+    "stratified_fixed_n_sample",
+    "jsonl_roundtrip_docs",
+    "pipeline_gopher_prune",
+    "pipeline_clean_corpus",
+    "fuzzy_part_names",
+    "promo_revenue_share",
+    "above_avg_spenders",
+    "customers_without_orders",
+    "user_running_totals",
+    "events_weekday_hour_profile",
+    "orders_above_cust_avg",
+    "q21_sole_latest_supplier",
+    "q22_idle_rich_customers",
+    "udtf_token_positions",
+    "events_gapfill_locf",
+    "events_daily_anomalies",
+    "pysource_synthetic_docs",
+    "doc_length_distribution",
+    "grouped_minmax_normalize",
+    # -- re-confirmations (fill to 50; new r4 gates get inserted above
+    #    this block as they land, displacing the tail) -------------------
     "word_count",
     "word_count_parity",
     "top50_words",
     "inverted_index",
     "inverted_index_parity",
-    # HUGEINT-fixed oracles (3 red in r2 + 3 at-risk)
-    "events_sessionize",
-    "events_funnel",
+    "dedup_simhash",  # implementation Arrow-fused in round 4
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "kmeans_centroids",
+    "ann_ivf_trained",
     "ann_lsh_buckets",
-    "events_props_from_json",
-    "events_zorder_cells",
-    "q12_latency_priority",
-    # verdict-named promotions
-    "word_count_antijoin",
-    "posting_pairs_scale_form",
-    "train_val_test_split",
-    # family representatives (keep a current-round green row)
+    "events_sessionize",
+    "streaming_tumbling_5min",
+    "multimodal_features",
     "mapreduce_facade_wordcount",
     "events_geomean_value",
     "events_asof_join",
-    "streaming_tumbling_5min",
-    "multimodal_features",
-    "dedup_minhash_lsh",
-    # never-checked high-value
-    "dedup_clusters",
-    "pagerank_candidates",
-    "order_total_deciles",
     "pipeline_dedup_to_packing",
+    "order_total_deciles",
     "cross_source_contamination",
-    "hourly_spine_recursive",
-    "events_props_variant",
-    "data_quality_report",
-    "stratified_sample_documents",
-    "pack_training_sequences",
-    "profile_orders",
-    "pmi_collocations",
-    "bucketed_fact_join",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_customers",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_bracket_revenue",
-    "q20_excess_shippers",
-    # round 3: new-family gates displace the last three TPC-H sweep
-    # rows (q21/q22/promo) — the sweep keeps 13 in-window rows, and the
-    # displaced shapes stay bare-verified + judge-spot-checkable.
     "doc_gopher_quality",
-    "kmeans_centroids",
-    "ann_ivf_trained",
 ]
 
 
