@@ -39,7 +39,15 @@ def persist_latest(key: str, df: DataFrame) -> DataFrame:
     hold at most one cached copy per session.  Plain per-call persists
     accumulate in Spark's CacheManager until explicitly unpersisted —
     the round-3 review measured them as a slow storage-memory leak in
-    a long-lived session running the catalog repeatedly."""
+    a long-lived session running the catalog repeatedly.
+
+    Single-driver assumption: the registry is keyed by ``key`` alone
+    (process-global).  Two interleaved catalog runs — or threads —
+    sharing a key would unpersist a frame the other run still reads;
+    that frame silently reverts to recompute-per-action (correct, just
+    uncached).  The verify/bench flow is one driver, one run at a
+    time, so this is the intended trade; key by session id if that
+    ever changes."""
     prev = _PERSISTED_LATEST.pop(key, None)
     if prev is not None:
         try:

@@ -240,8 +240,14 @@ def ngram_jaccard_pairs(
     computed ONCE and persisted, then shared by candidate generation
     and all three verify-side uses (sizes, sh_a, sh_b).  Without the
     persist the DAG re-tokenizes the corpus ~4×; this was the slowest
-    query of round 1 (10.1 s → the shared-scan form)."""
-    sh = _doc_shingles(documents, text_col).persist()
+    query of round 1 (10.1 s → the shared-scan form).  Cached via
+    ``persist_latest`` so repeated catalog runs in one session hold at
+    most one shingle frame (CacheManager entries are never GC'd)."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    sh = persist_latest(
+        "dedup.ngram_jaccard.shingles", _doc_shingles(documents, text_col)
+    )
     cands = minhash_candidates(
         documents, text_col, shingles=sh
     ).select("doc_a", "doc_b")

@@ -77,11 +77,19 @@ def hll_daily_merge(events: DataFrame) -> DataFrame:
     rollup (week/month/all-time) is a union over sketches, not a scan.
 
     One shuffle (day group-by); the union of the tiny per-day sketch
-    table is a broadcast scalar join.  No oracle: sketch internals are
-    engine-specific (rows-only driver check; the estimate-vs-exact
-    tolerance is pinned in tests)."""
-    daily = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    table is a broadcast scalar join.  The per-day sketch frame is
+    persisted (bounded, via ``persist_latest``) so deriving both the
+    per-day estimates AND the union total sketches the events scan
+    once — "sketch once, union cheaply" for real, not just in prose.
+    No oracle: sketch internals are engine-specific (rows-only driver
+    check; the estimate-vs-exact tolerance is pinned in tests)."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    daily = persist_latest(
+        "events.hll_daily",
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        ),
     )
     total = daily.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users_total")

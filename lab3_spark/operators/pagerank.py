@@ -50,8 +50,13 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     # degree rides with the edge list from the start: one narrow join
     # now instead of a second join every iteration
     edeg = edges.join(deg, "src").select("src", "dst", "deg")
-    edeg = edeg.persist()
-    nodes = nodes.persist()
+    # persist_latest (not bare persist): both frames are re-read every
+    # iteration, but CacheManager entries outlive the call — bound the
+    # growth to one cached (edeg, nodes) pair per session.
+    from lab3_spark.functions.partitioning import persist_latest
+
+    edeg = persist_latest("pagerank.edeg", edeg)
+    nodes = persist_latest("pagerank.nodes", nodes)
 
     ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
     for _ in range(n_iter):

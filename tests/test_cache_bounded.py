@@ -1,0 +1,82 @@
+"""CacheManager boundedness: repeated catalog runs must not grow the
+set of persisted RDDs.
+
+Round 3 measured the leak class this pins: a bare per-call
+``.persist()`` inside an operator leaves one CacheManager entry per
+invocation for the life of the session (entries are NOT GC-cleaned).
+Every shared-scan persist in the engine now routes through
+``functions.partitioning.persist_latest``, which unpersists the
+previous frame under the same key — so running the same operators
+twice must end with exactly as many persisted RDDs as running them
+once (at most one cached frame per persist_latest key).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lab3_spark.queries_catalog import QUERIES
+
+# Every operator family the round-3 verdict named as leaking (ngram
+# jaccard's shingle frame, global row numbers, PageRank) plus the HLL
+# double-scan fix — each exercised through its public catalog query.
+_PERSISTING_QUERIES = [
+    "dedup_ngram_jaccard",
+    "order_total_deciles",
+    "pagerank_candidates",
+    "events_hll_daily_merge",
+]
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _run_all(spark, sf_dir) -> None:
+    for name in _PERSISTING_QUERIES:
+        QUERIES[name](spark, sf_dir).collect()
+
+
+def test_persistent_rdds_bounded_across_repeat_runs(spark, sf_dir):
+    _run_all(spark, sf_dir)
+    after_first = _n_persistent_rdds(spark)
+    _run_all(spark, sf_dir)
+    after_second = _n_persistent_rdds(spark)
+    # Second pass replaces, never accumulates: persist_latest holds at
+    # most one frame per key, so the count must not grow.
+    assert after_second <= after_first, (
+        f"CacheManager grew across identical runs: {after_first} -> "
+        f"{after_second} persisted RDDs (a bare .persist() leaked)"
+    )
+
+
+def test_no_bare_persist_outside_managed_sites():
+    """Structural guard: every ``.persist()`` in lab3_spark is either
+    persist_latest's own call or paired with an explicit unpersist in
+    the same module (components.py's iterative bookkeeping)."""
+    import os
+
+    import lab3_spark
+
+    root = os.path.dirname(lab3_spark.__file__)
+    allowed = {
+        # persist_latest implementation itself
+        os.path.join("functions", "partitioning.py"),
+        # iterative loop with explicit unpersist bookkeeping
+        os.path.join("operators", "components.py"),
+    }
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            with open(path, encoding="utf-8") as fh:
+                src = fh.read()
+            if ".persist()" in src and rel not in allowed:
+                offenders.append(rel)
+    assert not offenders, (
+        f"bare .persist() outside managed sites: {offenders}; route "
+        "through functions.partitioning.persist_latest"
+    )
