@@ -143,3 +143,29 @@ def test_keep_best_quality_matches_quality_score(spark, sf_dir):
     kb = {r["doc_id"]: r["quality"] for r in keep_best_duplicates(docs).collect()}
     qs = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
     assert kb == qs
+
+
+def test_simhash_expr_and_arrow_signatures_identical(spark, sf_dir):
+    """The Arrow-fused bit-sum path must be bit-identical to the pure
+    expression aggregate (the test_similarity_impls.py pinning pattern
+    applied to SimHash): integer ±1 sums are associative, so partial
+    per-batch reduction cannot change any signature."""
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["sig"] for r in
+         simhash_signatures(docs, impl="expr").collect()}
+    b = {r["doc_id"]: r["sig"] for r in
+         simhash_signatures(docs, impl="arrow").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_bucket_cap(spark, near_dup_corpus):
+    # cap of 1: every shared chunk bucket is degenerate → no pairs
+    assert simhash_near_pairs(near_dup_corpus, max_bucket=1).collect() == []
+    # generous cap keeps the full pair set
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            simhash_near_pairs(near_dup_corpus).collect()}
+    wide = {(r["doc_a"], r["doc_b"]) for r in
+            simhash_near_pairs(near_dup_corpus, max_bucket=10_000).collect()}
+    assert wide == full
