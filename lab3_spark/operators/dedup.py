@@ -97,6 +97,49 @@ def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
+def dedup_survivors(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, doc_id, quality, n_copies): exactly ONE surviving row per
+    content-fingerprint group — the highest-quality copy, ties broken
+    to the lowest doc_id.
+
+    The COMBINE-ABLE form promised by keep_best_duplicates' docstring:
+    ``groupBy(fp).agg(max_by(doc_id, struct(quality, -doc_id)))``
+    partial-aggregates map-side, so a degenerate fingerprint (millions
+    of byte-identical copies of one boilerplate page — common in web
+    corpora) reduces to ONE candidate row per map partition before the
+    shuffle.  The window form (`Window.partitionBy("fp")`) lands that
+    whole group on a single task.  Use this when only survivors are
+    needed; ``keep_best_duplicates`` when per-row audit flags are.
+
+    A plan test pins the shape: partial+final aggregation, no Window
+    operator anywhere in the physical plan."""
+    from lab3_spark.operators.textstats import quality_expr
+
+    norm = F.concat_ws(" ", tokenize(text_col))
+    base = spread(documents).select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        trunc(quality_expr(text_col), 4).alias("quality"),
+    )
+    # one max_by keyed on (quality, -doc_id): struct ordering is
+    # lexicographic, so higher quality wins, then lower doc_id
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("quality")),
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")),
+    )
+    return (
+        base.groupBy("fp")
+        .agg(best.alias("_best"), F.count("*").alias("n_copies"))
+        .select(
+            "fp",
+            F.col("_best.doc_id").alias("doc_id"),
+            F.col("_best.quality").alias("quality"),
+            "n_copies",
+        )
+        .orderBy("fp")
+    )
+
+
 def repeated_chunks(
     documents: DataFrame, chunk_tokens: int = 64, text_col: str = "text"
 ) -> DataFrame:

@@ -48,12 +48,25 @@ def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _quality_blend(n_tokens: Column, punct_ratio: Column, distinct_ratio: Column) -> Column:
+    """THE composite quality formula — the only place the weights and
+    terms exist.  Both :func:`quality_expr` (standalone expression for
+    dedup keep-rules) and :func:`quality_score` (reporting, with
+    hoisted/CSE'd inputs) build their score through this function, so
+    the formula structurally cannot drift between them."""
+    return (
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * distinct_ratio
+    )
+
+
 def quality_expr(text_col: str = "text") -> Column:
     """The composite quality score as ONE standalone expression —
-    the single source of truth shared by :func:`quality_score` and
-    ``dedup.keep_best_duplicates`` (a test pins the two equal, so a
-    tweak here cannot silently diverge the dedup keep-rule from the
-    reported quality column)."""
+    shared by ``dedup.keep_best_duplicates`` / ``dedup_survivors``;
+    :func:`quality_score` reports the same formula via the shared
+    :func:`_quality_blend` builder (plus a table-scale test pinning
+    the two columns equal)."""
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -62,11 +75,7 @@ def quality_expr(text_col: str = "text") -> Column:
     distinct_ratio = F.when(
         n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
     ).otherwise(0.0)
-    return (
-        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + 0.3 * (1 - punct_ratio)
-        + 0.3 * distinct_ratio
-    )
+    return _quality_blend(n_tokens, punct_ratio, distinct_ratio)
 
 
 def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -94,11 +103,7 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
         / n_tokens,
     ).otherwise(0.0)
     distinct_ratio = F.when(n_tokens > 0, F.size("dtoks") / n_tokens).otherwise(0.0)
-    score = (
-        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + 0.3 * (1 - punct_ratio)
-        + 0.3 * distinct_ratio
-    )
+    score = _quality_blend(n_tokens, punct_ratio, distinct_ratio)
     return d.select(
         "doc_id",
         trunc(stop_ratio, RATIO).alias("stop_ratio"),

