@@ -254,32 +254,80 @@ def kmeans_assign(
     return _assign_arrow(embeddings, trained_centroids(embeddings, k, n_iter))
 
 
+def _nearest_cells_expr(cents: list[tuple[int, list[int]]], nprobe: int) -> Column:
+    """array<bigint> of the ``nprobe`` nearest cell ids for the vector
+    in column ``xi`` — `_assign_expr` generalized from argmin to top-P:
+    the same exact int64 (dist, cl) structs, array_sort's lexicographic
+    struct ordering (ties → lowest cl, identical to the argmin), slice
+    P, project cl."""
+    zero = F.lit(0).cast("bigint")
+    structs = []
+    for cl, arr in cents:
+        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+        diff2 = F.zip_with(F.col("xi"), lits, lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(int(cl)).cast("bigint").alias("cl"))
+        )
+    ordered = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cl"])
+
+
 def ann_ivf_trained(
     embeddings: DataFrame,
     n_queries: int = 20,
     topk: int = 5,
     k: int = DEFAULT_K,
     n_iter: int = DEFAULT_ITERS,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF top-k over TRAINED k-means cells: the coarse quantizer is
     kmeans_fixed instead of ann_ivf's `label` stand-in.  Same probe
-    shape — queries broadcast, only the query's own cell scanned
-    (1/nlist of the corpus at scale), exact cosine within the cell."""
+    shape — queries broadcast, only the probed cells scanned
+    (nprobe/nlist of the corpus at scale), exact cosine within cells.
+
+    ``nprobe`` is the standard IVF recall knob: probe the query's
+    ``nprobe`` nearest cells instead of only its own.  The probe list
+    is a per-QUERY expression against the k×d literal centroids (the
+    query side is tiny and broadcast — computing top-P cells there
+    costs nothing), exploded to (query, cell) rows; the corpus-side
+    join stays the same equi-join on cell id, and since cells
+    partition the corpus no pair can appear twice.  Recall lift is
+    gated by `ann_recall_vs_bruteforce` (the nprobe=2 ≥ nprobe=1
+    assertion lives in tests)."""
     from lab3_spark.functions.partitioning import persist_latest
     from lab3_spark.functions.vectors import dot_product, unit_vector
     from lab3_spark.operators.similarity import _topk_per_query
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cents = trained_centroids(embeddings, k, n_iter)
     assigned = persist_latest(
-        "ann_ivf_trained_assigned", kmeans_assign(embeddings, k, n_iter)
+        "ann_ivf_trained_assigned", _assign_arrow(embeddings, cents)
     )
     corpus = assigned.select(
         "cl", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")
     )
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("cl").alias("qcl"),
-        F.col("vec_id").alias("query_id"),
-        unit_vector("embedding").alias("u_q"),
-    )
+    if nprobe == 1:
+        queries = assigned.where(F.col("vec_id") < n_queries).select(
+            F.col("cl").alias("qcl"),
+            F.col("vec_id").alias("query_id"),
+            unit_vector("embedding").alias("u_q"),
+        )
+    else:
+        queries = (
+            embeddings.where(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                unit_vector("embedding").alias("u_q"),
+                fixed_point(F.col("embedding")).alias("xi"),
+            )
+            .select(
+                "query_id",
+                "u_q",
+                F.explode(_nearest_cells_expr(cents, nprobe)).alias("qcl"),
+            )
+        )
     pairs = (
         F.broadcast(queries)
         .join(corpus, F.col("qcl") == F.col("cl"))
@@ -287,3 +335,48 @@ def ann_ivf_trained(
         .withColumn("cos_raw", dot_product(F.col("u_q"), F.col("u_n")))
     )
     return _topk_per_query(pairs, topk)
+
+
+def ann_recall_vs_bruteforce(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(query_id, n_true, n_hit, recall): per-query recall@topk of the
+    trained-IVF probe against the exact brute-force baseline.
+
+    THE regression gate for quantizer quality: IVF trades recall for
+    probing 1/nlist of the corpus, and without this measurement a
+    k-means regression (bad seeds, broken update) would silently
+    degrade results while every other gate stayed green.  Pure
+    DataFrame join+agg over the two result sets — the oracle runs the
+    identical computation over the two oracle CTE chains."""
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.operators.similarity import ann_bruteforce
+
+    bf = ann_bruteforce(embeddings, n_queries, topk).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_ivf_trained(embeddings, n_queries, topk, k, n_iter, nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            n_hit.alias("n_hit"),
+            trunc(n_hit / F.col("n_true"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -3438,6 +3438,153 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_probe2",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    pQ AS (
+      SELECT vec_id AS query_id, cl AS qcl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn <= 2 AND vec_id < 20
+    ),
+    {_DUCK_VEC.strip()},
+    q AS (
+      SELECT p.query_id, p.qcl, e.u AS uq
+      FROM pQ p JOIN e ON e.vec_id = p.query_id
+    ),
+    pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='en.u')}) AS cos_raw
+      FROM q
+      JOIN aA n ON n.cl = q.qcl
+      JOIN e en ON en.vec_id = n.vec_id
+      WHERE n.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivf_probe2(spark, sf_dir):
+    """Multi-probe IVF (nprobe=2): each query probes its TWO nearest
+    trained cells — the standard recall knob.  Probe cells come from a
+    per-query expression over the k×d literal centroids (query side is
+    tiny + broadcast); the corpus join is the same cell-id equi-join,
+    and since cells partition the corpus no pair appears twice."""
+    from lab3_spark.operators.kmeans import ann_ivf_trained
+
+    return ann_ivf_trained(
+        _t(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        n_iter=_KMEANS_ITERS,
+        nprobe=2,
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    {_DUCK_VEC.strip()},
+    q AS (
+      SELECT a.vec_id AS query_id, a.cl AS qcl, e.u AS uq
+      FROM aA a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id < 20
+    ),
+    ivf_pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='en.u')}) AS cos_raw
+      FROM q
+      JOIN aA n ON n.cl = q.qcl
+      JOIN e en ON en.vec_id = n.vec_id
+      WHERE n.vec_id != query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        FROM ivf_pairs) t
+      WHERE rnk <= 5
+    ),
+    bf_pairs AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='q.uq', b='n.u')}) AS cos_raw
+      FROM q, e n WHERE n.vec_id != q.query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        FROM bf_pairs) t
+      WHERE rnk <= 5
+    ),
+    truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+    hits AS (
+      SELECT b.query_id, count(*) AS n_hit
+      FROM bf b JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT t.query_id,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           floor(CAST(coalesce(h.n_hit, 0) AS BIGINT)
+                 / t.n_true * 10000) / 10000 AS recall
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+    """,
+)
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@5 of the trained-IVF probe vs the exact brute-force
+    baseline — the quantizer-quality regression gate (kmeans.
+    ann_recall_vs_bruteforce).  A k-means regression now flips this
+    row instead of silently degrading search results."""
+    from lab3_spark.operators.kmeans import ann_recall_vs_bruteforce
+
+    return ann_recall_vs_bruteforce(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
+@query(
     "data_quality_report",
     """
     SELECT 'customer_negative_acctbal' AS check_name,
@@ -4569,6 +4716,8 @@ _DRIVER_PRIORITY = [
     "grouped_minmax_normalize",
     # -- new round-4 gates ----------------------------------------------
     "dedup_survivors",
+    "ann_ivf_probe2",
+    "ann_ivf_recall",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

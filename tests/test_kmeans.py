@@ -74,3 +74,23 @@ def test_assignment_arrow_equals_expression(spark, sf_dir):
     a = {r["vec_id"]: r["cl"] for r in _assign_arrow(emb, cents).collect()}
     e = {r["vec_id"]: r["cl"] for r in assign_expr_frame(emb, cents).collect()}
     assert a == e
+
+
+def test_ivf_recall_floor_and_multiprobe_lift(spark, sf_dir):
+    """The quantizer-quality gate: trained-IVF recall@5 vs brute force
+    must clear a floor, and probing 2 cells must not lose recall vs
+    probing 1 (everything is deterministic — fixed seeds, fixed data —
+    so these are exact pins, not statistical ones)."""
+    from lab3_spark.operators.kmeans import ann_recall_vs_bruteforce
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = {}
+    for nprobe in (1, 2):
+        rows = ann_recall_vs_bruteforce(emb, nprobe=nprobe).collect()
+        assert len(rows) > 0
+        means[nprobe] = sum(r["recall"] for r in rows) / len(rows)
+    # measured 0.54 / 0.71 at sf0.001 — floors leave headroom for
+    # other scale factors, the ordering is the real invariant
+    assert means[1] >= 0.4, means
+    assert means[2] >= means[1], means
