@@ -54,6 +54,26 @@ def fixed_point(col: Column) -> Column:
     )
 
 
+def _flat_matrix(emb_chunk, dims: int):
+    """Flatten an Arrow list column to an (n, dims) float64 matrix,
+    failing LOUDLY on shape violations: ``flatten()`` silently DROPS
+    null lists, and a ragged row (len != dims) shifts every subsequent
+    vector — either would corrupt all later assignments in the batch
+    with no error.  numpy ``reshape`` only catches totals that don't
+    divide evenly, so the exact size check is the real guard."""
+    import numpy as np
+
+    n = len(emb_chunk)
+    flat = emb_chunk.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != n * dims:
+        raise ValueError(
+            f"embedding column shape violation: {n} rows x {dims} dims "
+            f"expected {n * dims} values, flattened to {flat.size} "
+            "(null or ragged embedding in batch)"
+        )
+    return flat.astype(np.float64).reshape(-1, dims)
+
+
 def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     """argmin_cl Σ (xi − c_cl)² as a pure expression over broadcast
     literal centroid arrays; ties → smallest cl via struct ordering."""
@@ -86,8 +106,7 @@ def _iter_partials(embeddings: DataFrame, cents: list[tuple[int, list[int]]]) ->
 
     def batches(it):
         for batch in it:
-            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
-            x = flat.astype(np.float64).reshape(-1, dims)
+            x = _flat_matrix(batch.column(0), dims)
             n = x.shape[0]
             if n == 0:
                 continue
@@ -212,8 +231,7 @@ def _assign_arrow(
     def batches(it):
         for batch in it:
             vec_id, emb = batch.column(0), batch.column(1)
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
-            x = flat.astype(np.float64).reshape(-1, dims)
+            x = _flat_matrix(emb, dims)
             if x.shape[0] == 0:
                 continue
             xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)

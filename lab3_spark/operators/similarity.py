@@ -112,17 +112,20 @@ def plane_numerators(n_planes: int, dims: int) -> list[list[int]]:
     ]
 
 
-def _embedding_dims(embeddings: DataFrame) -> int:
-    """Dimensionality from one row (O(1) driver action on metadata-scale
-    data; the alternative — carrying dims as config — couples callers to
-    the dataset)."""
+def _embedding_dims(embeddings: DataFrame, dims: int | None = None) -> int:
+    """Dimensionality: the caller-supplied value when known (zero Spark
+    jobs), else probed from one row (an O(1) driver action, but still
+    one extra Spark job per call — callers that know their corpus
+    should pass ``dims``)."""
+    if dims is not None:
+        return int(dims)
     row = embeddings.select(F.size("embedding").alias("d")).first()
     if row is None:
         raise ValueError("empty embeddings table")
     return int(row["d"])
 
 
-def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
+def lsh_codes_pandas(embeddings: DataFrame, dims: int | None = None) -> DataFrame:
     """(vec_id, code): the SAME integer fixed-point signature as
     :func:`lsh_codes`, computed as an Arrow-batched numpy matmul
     (mapInPandas) — the vectorized-Python path for wide embeddings.
@@ -136,7 +139,7 @@ def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    dims = _embedding_dims(embeddings)
+    dims = _embedding_dims(embeddings, dims)
     planes = np.array(plane_numerators(N_PLANES, dims), dtype=np.int64)  # 16×d
     bits = (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
 
@@ -157,7 +160,7 @@ def lsh_codes_pandas(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def lsh_codes_arrow(embeddings: DataFrame) -> DataFrame:
+def lsh_codes_arrow(embeddings: DataFrame, dims: int | None = None) -> DataFrame:
     """(vec_id, code): the SAME integer signature as :func:`lsh_codes`,
     via ``mapInArrow`` — the lowest-overhead Python path: RecordBatches
     cross the Arrow boundary with NO pandas materialization, the list
@@ -172,7 +175,7 @@ def lsh_codes_arrow(embeddings: DataFrame) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    dims = _embedding_dims(embeddings)
+    dims = _embedding_dims(embeddings, dims)
     planes = np.array(plane_numerators(N_PLANES, dims), dtype=np.int64)
     bits = np.int64(1) << np.arange(N_PLANES, dtype=np.int64)
 
@@ -196,7 +199,7 @@ def lsh_codes_arrow(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def lsh_codes(embeddings: DataFrame) -> DataFrame:
+def lsh_codes(embeddings: DataFrame, dims: int | None = None) -> DataFrame:
     """(vec_id, code): N_PLANES-bit random-hyperplane signature.
 
     code bit p = sign(v · plane_p).  Buckets with equal codes hold
@@ -214,7 +217,7 @@ def lsh_codes(embeddings: DataFrame) -> DataFrame:
     folds against literal plane arrays.  No explode, no shuffle, no
     aggregation at all; the previous form shuffled dims × N_PLANES rows
     per vector (a 1024× amplifier at 100 TB)."""
-    dims = _embedding_dims(embeddings)
+    dims = _embedding_dims(embeddings, dims)
     planes = plane_numerators(N_PLANES, dims)
 
     xi = F.transform(
@@ -285,7 +288,7 @@ def ann_hash_embedding(
     return _topk_per_query(pairs, k)
 
 
-def lsh_bucket_sizes(embeddings: DataFrame) -> DataFrame:
+def lsh_bucket_sizes(embeddings: DataFrame, dims: int | None = None) -> DataFrame:
     """(code, n_vecs): LSH bucket histogram — the partition-balance
     diagnostic for the ANN scale path.
 
@@ -296,7 +299,7 @@ def lsh_bucket_sizes(embeddings: DataFrame) -> DataFrame:
     row lose to one BLAS matmul per Arrow batch by ~5× even at 64
     dims, and the gap widens with dimension."""
     return (
-        lsh_codes_arrow(embeddings)
+        lsh_codes_arrow(embeddings, dims)
         .groupBy("code")
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("code")

@@ -1312,7 +1312,10 @@ def q_ann_ivf(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     from lab3_spark.operators.similarity import lsh_bucket_sizes
 
-    return lsh_bucket_sizes(_t(spark, sf_dir, "embeddings"))
+    # dims=64 per TESTDATA.md — threading it skips the one-row dims
+    # probe (one fewer Spark job per call); the operator still probes
+    # when a caller doesn't know its corpus
+    return lsh_bucket_sizes(_t(spark, sf_dir, "embeddings"), dims=64)
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,17 @@ def test_ivf_recall_floor_and_multiprobe_lift(spark, sf_dir):
     # other scale factors, the ordering is the real invariant
     assert means[1] >= 0.4, means
     assert means[2] >= means[1], means
+
+
+def test_null_embedding_fails_loudly(spark):
+    """pyarrow flatten() silently drops null lists — without the shape
+    guard a single NULL embedding would shift every later vector in
+    the batch and corrupt assignments with no error."""
+    import pytest as _pytest
+
+    from lab3_spark.operators.kmeans import kmeans_fixed
+
+    rows = [(0, [0.1, 0.2]), (1, [0.3, 0.4]), (2, None), (3, [0.5, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="shape violation"):
+        kmeans_fixed(df, k=2, n_iter=1).collect()
