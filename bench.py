@@ -96,6 +96,10 @@ HEADLINE = [
     "pipeline_gopher_prune",
     "doc_redact_pii",
     "stratified_fixed_n_sample",
+    # round 4 additions
+    "dedup_survivors",
+    "ann_ivf_probe2",
+    "ann_ivf_recall",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
