@@ -51,8 +51,68 @@ def persist_latest(key: str, df: DataFrame) -> DataFrame:
     prev = _PERSISTED_LATEST.pop(key, None)
     if prev is not None:
         try:
-            prev.unpersist(blocking=False)
+            # blocking: the CacheManager entry must be GONE when this
+            # returns, so getPersistentRDDs() counts are deterministic
+            # (non-blocking left entries visible under load and made
+            # the boundedness test flaky); the freed frame is metadata
+            # -scale, so the synchronous wait is negligible
+            prev.unpersist(blocking=True)
         except Exception:
             pass  # session may be stopped/replaced; nothing to free
     _PERSISTED_LATEST[key] = df
     return df.persist()
+
+
+_RETIRED_LATEST: dict[str, DataFrame] = {}
+
+
+def retire_latest(key: str, df: DataFrame) -> DataFrame:
+    """Register ``df`` as the latest LONG-LIVED result frame under
+    ``key``, freeing the previous call's frame — `persist_latest`'s
+    bounded-growth contract extended to frames that may be
+    localCheckpoint-backed (where ``unpersist()`` is a silent no-op;
+    see :func:`free_checkpoint`).
+
+    Used for iterative operators' RETURNED frames: the final
+    labels/ranks must stay persisted until the caller consumes them,
+    so the operator can't free them itself — instead the NEXT call
+    retires them.  Same single-driver assumption as `persist_latest`,
+    with a sharper edge: a checkpoint-backed previous result cannot be
+    recomputed, so re-collecting a stale handle after the next call
+    raises instead of recomputing.  The verify/bench flow consumes each
+    result immediately; this is the intended trade."""
+    prev = _RETIRED_LATEST.pop(key, None)
+    if prev is not None:
+        try:
+            if not free_checkpoint(prev):
+                prev.unpersist(blocking=True)
+        except Exception:
+            pass  # session may be stopped/replaced; nothing to free
+    _RETIRED_LATEST[key] = df
+    return df
+
+
+def free_checkpoint(df: DataFrame) -> bool:
+    """Explicitly unpersist the RDD behind a ``localCheckpoint``-backed
+    frame.  ``DataFrame.unpersist()`` is a SILENT NO-OP for checkpointed
+    frames — they are RDD-level persists, invisible to the SQL
+    CacheManager — so iterative operators that "unpersist" a superseded
+    checkpoint actually leave it pinned until the ContextCleaner GCs the
+    JVM-side reference.  This reaches the LogicalRDD's stored RDD and
+    frees it NOW.
+
+    DANGER: a locally-checkpointed RDD has truncated lineage — it
+    CANNOT be recomputed after unpersisting, so only call this on a
+    frame that has been fully superseded (its successor materialized)
+    and will never be read again.  Returns False (no-op) when ``df`` is
+    not directly checkpoint-backed."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.getClass().getName() != (
+            "org.apache.spark.sql.execution.LogicalRDD"
+        ):
+            return False
+        analyzed.rdd().unpersist(True)
+        return True
+    except Exception:
+        return False

@@ -44,4 +44,7 @@ def unit_vector(a: Column | str) -> Column:
     the dominant cost of vector similarity at any scale."""
     a = _col(a)
     n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    # 0-norm guarded to NULL (not a DIVIDE_BY_ZERO under ANSI mode),
+    # mirroring cosine_similarity: a NULL unit vector NULLs any dot
+    # it joins into, and a NULL cos fails every >= threshold filter
+    return F.when(n != 0, F.transform(a, lambda x: x.cast("double") / n))

@@ -68,6 +68,12 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .persist()
     )
+    # the persisted/checkpointed frame CURRENTLY backing `labels` —
+    # tracked separately because `labels` itself is a Project over it
+    # after drop("_chg"), and freeing a checkpoint needs the backing
+    # frame (DataFrame.unpersist is a silent no-op on checkpoints; see
+    # functions.partitioning.free_checkpoint)
+    backing = labels
 
     for it in range(max_iter):
         neighbor_min = (
@@ -103,10 +109,21 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         changed = new_labels.where(F.col("_chg")).count()
-        labels.unpersist()
+        # new_labels is materialized (the count above) — the previous
+        # round's backing frame is fully superseded and safe to free
+        from lab3_spark.functions.partitioning import free_checkpoint
+
+        if not free_checkpoint(backing):
+            backing.unpersist()
+        backing = new_labels
         labels = new_labels.drop("_chg")
         if changed == 0:
             und.unpersist()
+            # the final backing frame must outlive this call (the
+            # caller still reads it) — the NEXT call retires it
+            from lab3_spark.functions.partitioning import retire_latest
+
+            retire_latest("components.labels", backing)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"

@@ -398,3 +398,57 @@ def ann_recall_vs_bruteforce(
         )
         .orderBy("query_id")
     )
+
+
+def semantic_near_duplicates(
+    embeddings: DataFrame,
+    min_cosine: float = 0.35,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): SemDeDup-style semantic near-duplicate
+    pairs, blocked by TRAINED k-means cells.
+
+    The SemDeDup recipe (Abbas et al. 2023, public): cluster the
+    embedding space, then compare pairs only WITHIN a cluster — two
+    documents whose embeddings land in different cells are far apart
+    by construction, so the O(n²) corpus self-join collapses to
+    Σ_cells O(|cell|²).  This upgrades `dedup_embedding_cosine`'s
+    `label` stand-in blocking to the engine's own Lloyd quantizer
+    (`kmeans_fixed`): blocking quality is now a trained property of
+    the data, not a pre-existing column, and the recall knob is k.
+
+    Scale shape: train (k×d driver round-trips), ONE narrow Arrow
+    assignment pass, then per-cell self-joins on the cell-id equi-join
+    key — never all-pairs.  Cells partition the corpus, so no pair is
+    seen twice and the join parallelizes per cell.  Cosine is an exact
+    double dot of once-normalized unit vectors (`unit_vector` runs
+    before the join — one fold per PAIR, not three).
+
+    Reference parity note: no clustering/dedup exists in the reference
+    (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension row.
+    """
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.functions.vectors import dot_product, unit_vector
+
+    cents = trained_centroids(embeddings, k, n_iter)
+    e = _assign_arrow(embeddings, cents).select(
+        "vec_id", "cl", unit_vector("embedding").alias("u")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot_product(F.col("a.u"), F.col("b.u"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            trunc(cos, 4).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cosine)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -53,12 +53,17 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     # persist_latest (not bare persist): both frames are re-read every
     # iteration, but CacheManager entries outlive the call — bound the
     # growth to one cached (edeg, nodes) pair per session.
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import (
+        free_checkpoint,
+        persist_latest,
+        retire_latest,
+    )
 
     edeg = persist_latest("pagerank.edeg", edeg)
     nodes = persist_latest("pagerank.nodes", nodes)
 
     ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
+    prev_ckpt = None
     for _ in range(n_iter):
         summed = (
             edeg.join(ranks, edeg.src == ranks.node)
@@ -81,6 +86,17 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
             .cast("bigint")
             .alias("rank_fp"),
         )
-        # truncate lineage so the logical plan stays O(1) per iteration
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+        # truncate lineage so the logical plan stays O(1) per
+        # iteration.  EAGER + free-prev keeps at most TWO rank tables
+        # persisted at any moment (the lazy chain pinned every
+        # iteration's checkpoint until the ContextCleaner got to them —
+        # at scale that is n_iter full rank tables of storage); the
+        # materialization cost is nothing extra, the final action paid
+        # it anyway.
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            free_checkpoint(prev_ckpt)
+        prev_ckpt = ranks
+    # the final checkpoint outlives this call (the caller reads it);
+    # the NEXT call retires it
+    return retire_latest("pagerank.ranks", ranks)

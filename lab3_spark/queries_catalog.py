@@ -3588,6 +3588,50 @@ def q_ann_ivf_recall(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    {_DUCK_VEC.strip()},
+    cell AS (
+      SELECT a.vec_id, a.cl, e.u
+      FROM aA a JOIN e ON e.vec_id = a.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(({_DUCK_DOT.format(a='a.u', b='b.u')})
+                 * 10000) / 10000 AS cos
+    FROM cell a JOIN cell b ON a.cl = b.cl AND a.vec_id < b.vec_id
+    WHERE floor(({_DUCK_DOT.format(a='a.u', b='b.u')})
+                * 10000) / 10000 >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: near-duplicate pairs blocked by TRAINED k-means cells
+    (kmeans.semantic_near_duplicates) — `dedup_embedding_cosine`'s
+    blocking upgraded from the `label` stand-in column to the engine's
+    own Lloyd quantizer; per-cell self-joins, never all-pairs."""
+    from lab3_spark.operators.kmeans import semantic_near_duplicates
+
+    return semantic_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
+@query(
     "data_quality_report",
     """
     SELECT 'customer_negative_acctbal' AS check_name,
@@ -4721,6 +4765,7 @@ _DRIVER_PRIORITY = [
     "dedup_survivors",
     "ann_ivf_probe2",
     "ann_ivf_recall",
+    "dedup_semantic",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

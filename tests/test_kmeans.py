@@ -108,3 +108,46 @@ def test_null_embedding_fails_loudly(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="shape violation"):
         kmeans_fixed(df, k=2, n_iter=1).collect()
+
+
+def test_semantic_near_duplicates_tiny(spark, tiny):
+    """SemDeDup on the hand-computed clusters: pairs form only WITHIN
+    a trained cell ({0,2} and {1,3}), cos is the exact unit-vector
+    dot.  Vec 0 is the zero vector — its unit vector is NULL-guarded,
+    so only (1,3) can pass the threshold."""
+    from lab3_spark.operators.kmeans import semantic_near_duplicates
+
+    got = semantic_near_duplicates(tiny, min_cosine=0.35, k=2, n_iter=3).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in got] == [(1, 3)]
+    # cos((1,1),(0.75,1)) = 1.75/(sqrt(2)*1.25) = 0.9899...
+    assert abs(got[0]["cos"] - 0.9899) < 1e-9
+
+
+def test_semantic_blocking_is_subset_of_allpairs(spark, sf_dir):
+    """Every SemDeDup pair is a true near-dup pair (blocking never
+    invents pairs): within-cell pairs ⊆ all-pairs above threshold."""
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.functions.vectors import dot_product, unit_vector
+    from lab3_spark.operators.kmeans import semantic_near_duplicates
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in semantic_near_duplicates(emb, k=4, n_iter=2).collect()
+    }
+    e = emb.select("vec_id", unit_vector("embedding").alias("u"))
+    a, b = e.alias("a"), e.alias("b")
+    allpairs = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            trunc(dot_product(F.col("a.u"), F.col("b.u")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+        .collect()
+    }
+    assert sem <= allpairs
+    assert len(sem) > 0
