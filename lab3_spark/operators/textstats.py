@@ -515,3 +515,171 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+SURPRISAL_SCALE = 1_000_000
+
+
+def unigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_surprisal_fp): corpus-unigram-LM
+    surprisal per document — the classic cheap "perplexity" quality
+    signal for training-data curation (a doc of mostly ultra-common
+    tokens scores low; rare-token gibberish scores high; both tails
+    are what curators prune).
+
+    Model: p(t) = cnt(t)/N over the corpus's own token occurrences;
+    per-token surprisal −log2 p(t) = ln(N/cnt)/ln 2.  The ONLY float
+    arithmetic is one expression per DISTINCT vocabulary term,
+    immediately fixed-pointed (floor ·1e6 → bigint); per-document
+    totals are then exact bigint sums and an exact integer division —
+    summation order cannot perturb the result, so the DuckDB oracle
+    matches bit-for-bit (the SimHash/PageRank/k-means contract).
+
+    Scale shape: one hash agg over token occurrences for the vocab
+    (map-side combine, vocab ≪ corpus), surprisal table BROADCAST back
+    onto the token stream (no shuffle of the corpus), one per-doc hash
+    agg.  Two keyed shuffles total, both over combine-compressed rows.
+
+    Reference parity note: no LM scoring exists in the reference
+    (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension; the
+    vocab count IS the wordCount pipeline (wordCount.cpp:67-86)
+    without the stop filter, reused as a model instead of a report.
+    """
+    toks = spread(documents).select(
+        "doc_id", F.explode(tokenize(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    n_total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    surprisal = (
+        vocab.crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("n_corpus").cast("double") / F.col("cnt"))
+                / F.log(F.lit(2.0))
+                * SURPRISAL_SCALE
+            )
+            .cast("bigint")
+            .alias("s_fp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(surprisal), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("s_fp").alias("total_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("total_fp div n_tokens").alias("mean_surprisal_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IDF_SCALE = 1_000
+
+
+def sparse_tfidf_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_cosine: float = 0.5,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """(doc_a, doc_b, cos): document-pair cosine similarity over
+    SPARSE TF-IDF vectors of 3-gram shingles, via an inverted-index
+    (term-at-a-time) join — the classic sparse retrieval shape, and
+    the weighted upgrade of `ngram_jaccard_pairs` (cosine over tf·idf
+    instead of set Jaccard).
+
+    Why shingles, not words: shingle vocabulary grows with the corpus
+    so document frequency actually discriminates (the synthetic
+    corpus's WORD vocabulary is ~29 terms — every doc would share
+    every term and the "sparse" join would be dense).
+
+    The scale story is DF PRUNING: a term kept only if
+    2 ≤ df ≤ max_df_frac·N.  df < 2 cannot create a pair; df above
+    the cap creates up to df² pair rows — one ubiquitous shingle
+    turns the inverted-index join quadratic, so the cap is the
+    degenerate-key guard (same role as minhash_candidates'
+    max_bucket).  Everything else is term-keyed equi-joins: the idf
+    table is NOT broadcast — shingle vocab scales with the corpus, so
+    tf→idf is a shuffle join on term, exactly co-partitioned with the
+    pair join that follows.
+
+    ALL-INTEGER accumulation (the SimHash/PageRank/k-means contract):
+    idf is fixed-pointed per DISTINCT term (floor ·1e3, the only
+    float op), weights w = tf·idf_fp are exact bigints, dot products
+    and squared norms are exact bigint sums, and the single float
+    division cos = dot / sqrt(ssq_a·ssq_b) is one IEEE op from exact
+    integers — bit-identical across engines, no summation-order risk.
+
+    Reference parity note: no similarity join exists in the reference
+    (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension row.
+    """
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    tf = (
+        spread(documents)
+        .where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = documents.select(F.count("*").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("n_docs")))
+        )
+        .select(
+            "term",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                    )
+                    + 1
+                )
+                * IDF_SCALE
+            )
+            .cast("bigint")
+            .alias("idf_fp"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "term", "doc_id", (F.col("tf") * F.col("idf_fp")).alias("w")
+    )
+    ssq = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    sa = ssq.select(F.col("doc_id").alias("doc_a"), F.col("ssq").alias("ssq_a"))
+    sb = ssq.select(F.col("doc_id").alias("doc_b"), F.col("ssq").alias("ssq_b"))
+    cos = F.col("dot") / F.sqrt(
+        F.col("ssq_a").cast("double") * F.col("ssq_b").cast("double")
+    )
+    return (
+        dot.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", trunc(cos, 4).alias("cos"))
+        .where(F.col("cos") >= min_cosine)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1633,6 +1633,90 @@ def q_tfidf(spark, sf_dir):
 
 
 @query(
+    "doc_unigram_logprob",
+    f"""
+    WITH {OR.duck_tokens_cte()},
+    vocab AS (SELECT word AS term, count(*) AS cnt FROM toks GROUP BY word),
+    n AS (SELECT sum(cnt) AS n_corpus FROM vocab),
+    surprisal AS (
+      SELECT term,
+             CAST(floor(ln(CAST(n.n_corpus AS DOUBLE) / cnt) / ln(2)
+                        * 1000000) AS BIGINT) AS s_fp
+      FROM vocab CROSS JOIN n
+    )
+    SELECT t.id AS doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(s.s_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+    FROM toks t JOIN surprisal s ON t.word = s.term
+    GROUP BY t.id
+    ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM surprisal per doc (TS.unigram_surprisal): the
+    cheap perplexity-style quality signal — one float op per DISTINCT
+    vocab term, fixed-pointed before any per-doc summation, so both
+    engines produce identical bigint means."""
+    return TS.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "sparse_tfidf_pairs",
+    f"""
+    WITH t3 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS term
+        FROM t3 WHERE len(t) >= 3)
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             CAST(floor((ln(CAST(n.n_docs + 1 AS DOUBLE) / (df + 1)) + 1)
+                        * 1000) AS BIGINT) AS idf_fp
+      FROM (SELECT term, count(*) AS df FROM tf GROUP BY term) d
+      CROSS JOIN n
+      WHERE d.df >= 2 AND d.df <= floor(0.2 * n.n_docs)
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf_fp AS w
+      FROM tf JOIN idf ON tf.term = idf.term
+    ),
+    ssq AS (SELECT doc_id, sum(w * w) AS ssq FROM w GROUP BY doc_id),
+    dt AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(sa.ssq AS DOUBLE) * CAST(sb.ssq AS DOUBLE))
+                 * 10000) / 10000 AS cos
+    FROM dt
+    JOIN ssq sa ON sa.doc_id = dt.doc_a
+    JOIN ssq sb ON sb.doc_id = dt.doc_b
+    WHERE floor(CAST(dot AS DOUBLE)
+                / sqrt(CAST(sa.ssq AS DOUBLE) * CAST(sb.ssq AS DOUBLE))
+                * 10000) / 10000 >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_sparse_tfidf_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine pairs over 3-gram shingles via the
+    inverted-index (term-at-a-time) join with DF pruning
+    (TS.sparse_tfidf_pairs) — the weighted upgrade of
+    dedup_ngram_jaccard; all-integer accumulation, one IEEE division
+    per pair."""
+    return TS.sparse_tfidf_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "events_geomean_value",
     """
     SELECT event_type,
@@ -4766,6 +4850,8 @@ _DRIVER_PRIORITY = [
     "ann_ivf_probe2",
     "ann_ivf_recall",
     "dedup_semantic",
+    "doc_unigram_logprob",
+    "sparse_tfidf_pairs",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

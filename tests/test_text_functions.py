@@ -170,3 +170,47 @@ def test_redact_pii_counts_and_placeholders(spark):
     redacted = "mail <EMAIL> and <IP> call <PHONE> end"
     fp = df.where("doc_id = 1").select(F.md5(F.lit(redacted))).collect()[0][0]
     assert got[1]["clean_fp"] == fp
+
+
+def test_unigram_surprisal_handcomputed(spark):
+    """Corpus {doc0: "a a b", doc1: "b c"}: N=5, cnt(a)=2 cnt(b)=2
+    cnt(c)=1; s_fp(a)=s_fp(b)=floor(log2(2.5)*1e6)=1321928,
+    s_fp(c)=floor(log2(5)*1e6)=2321928; doc0 mean = 1321928 exactly,
+    doc1 mean = (1321928+2321928) div 2 = 1821928."""
+    from lab3_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_surprisal_fp"])
+           for r in unigram_surprisal(docs).collect()}
+    assert got == {0: (3, 1321928), 1: (2, 1821928)}
+
+
+def test_sparse_tfidf_pairs_handcomputed(spark):
+    """Only the shared shingle "x y z" survives df-pruning (df>=2);
+    both docs' surviving vectors are scalar multiples of the same
+    one-hot vector, so cos == 1.0 exactly; doc2 shares nothing."""
+    from lab3_spark.operators.textstats import sparse_tfidf_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "x y z x y z"), (1, "x y z w"), (2, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    got = [tuple(r) for r in
+           sparse_tfidf_pairs(docs, min_cosine=0.5, max_df_frac=1.0).collect()]
+    assert got == [(0, 1, 1.0)]
+
+
+def test_sparse_tfidf_df_cap_guards_degenerate_terms(spark):
+    """A shingle present in EVERY doc is pruned by the df cap — the
+    quadratic-blowup guard: with the cap at 0.5·N the ubiquitous term
+    contributes no pairs."""
+    from lab3_spark.operators.textstats import sparse_tfidf_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common shingle here unique%d tail" % i) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    got = sparse_tfidf_pairs(docs, min_cosine=0.0, max_df_frac=0.5).collect()
+    assert got == []
