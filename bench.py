@@ -100,6 +100,13 @@ HEADLINE = [
     "dedup_survivors",
     "ann_ivf_probe2",
     "ann_ivf_recall",
+    "dedup_semantic",
+    "doc_unigram_logprob",
+    "sparse_tfidf_pairs",
+    "doc_dsir_weights",
+    "dedup_semantic",
+    "doc_unigram_logprob",
+    "sparse_tfidf_pairs",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

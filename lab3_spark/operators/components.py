@@ -59,21 +59,26 @@ def connected_components(
     Exact fixpoint: terminates when an iteration changes no label, or
     raises after `max_iter` (never silently returns a half-converged
     labeling)."""
-    und = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    # every persisted frame goes through memo_persist: ONE bounded
+    # registry entry per key, and a repeat run over the SAME input
+    # cache-hits every iteration (sameResult plan match) instead of
+    # recomputing the fixpoint — deterministic-plan memoization, the
+    # bounded version of what round 3's silently-no-op per-iteration
+    # unpersist provided by leaking (see functions/partitioning.py)
+    from lab3_spark.functions.partitioning import memo_persist, retire_latest
 
-    labels = (
+    und = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    und = memo_persist(
+        "components.und",
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+    )
+
+    labels = memo_persist(
+        "components.labels0",
         und.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist()
+        .select("node", F.col("node").alias("comp")),
     )
-    # the persisted/checkpointed frame CURRENTLY backing `labels` —
-    # tracked separately because `labels` itself is a Project over it
-    # after drop("_chg"), and freeing a checkpoint needs the backing
-    # frame (DataFrame.unpersist is a silent no-op on checkpoints; see
-    # functions.partitioning.free_checkpoint)
-    backing = labels
 
     for it in range(max_iter):
         neighbor_min = (
@@ -105,25 +110,19 @@ def connected_components(
             "node", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # a checkpoint truncates lineage to a fresh LogicalRDD, so
+            # it can never memo-match a later call — register it with
+            # retire_latest instead: the NEXT checkpoint (or call)
+            # under this key frees it (DataFrame.unpersist is a silent
+            # no-op on checkpoints; retire_latest reaches the RDD)
+            new_labels = retire_latest(
+                f"components.ckpt{it}", new_labels.localCheckpoint(eager=True)
+            )
         else:
-            new_labels = new_labels.persist()
+            new_labels = memo_persist(f"components.iter{it}", new_labels)
         changed = new_labels.where(F.col("_chg")).count()
-        # new_labels is materialized (the count above) — the previous
-        # round's backing frame is fully superseded and safe to free
-        from lab3_spark.functions.partitioning import free_checkpoint
-
-        if not free_checkpoint(backing):
-            backing.unpersist()
-        backing = new_labels
         labels = new_labels.drop("_chg")
         if changed == 0:
-            und.unpersist()
-            # the final backing frame must outlive this call (the
-            # caller still reads it) — the NEXT call retires it
-            from lab3_spark.functions.partitioning import retire_latest
-
-            retire_latest("components.labels", backing)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"

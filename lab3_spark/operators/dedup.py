@@ -284,11 +284,11 @@ def ngram_jaccard_pairs(
     and all three verify-side uses (sizes, sh_a, sh_b).  Without the
     persist the DAG re-tokenizes the corpus ~4×; this was the slowest
     query of round 1 (10.1 s → the shared-scan form).  Cached via
-    ``persist_latest`` so repeated catalog runs in one session hold at
+    ``memo_persist`` so repeated catalog runs in one session hold at
     most one shingle frame (CacheManager entries are never GC'd)."""
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
 
-    sh = persist_latest(
+    sh = memo_persist(
         "dedup.ngram_jaccard.shingles", _doc_shingles(documents, text_col)
     )
     cands = minhash_candidates(
@@ -447,16 +447,16 @@ def simhash_near_pairs(
     hot join task; buckets above the cap are dropped (at 100 TB such
     masses are collapsed by exact dedup BEFORE near-dup runs).
 
-    The signature frame is persisted (bounded, persist_latest) before
+    The signature frame is persisted (bounded, memo_persist) before
     the self-join: Spark plans the two join sides as independent
     subtrees (no ReusedExchange materializes here — measured r4), so
     without the persist the whole tokenize→md5→bit-sum scan runs
     TWICE.  The persisted frame is 16 bytes/doc — at 100 TB corpus
     scale the signature table is ~GBs, exactly what you'd checkpoint
     between dedup stages anyway."""
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
 
-    sig = persist_latest(
+    sig = memo_persist(
         "dedup.simhash.signatures", simhash_signatures(documents, text_col)
     )
     chunks = sig.select(

@@ -78,14 +78,14 @@ def hll_daily_merge(events: DataFrame) -> DataFrame:
 
     One shuffle (day group-by); the union of the tiny per-day sketch
     table is a broadcast scalar join.  The per-day sketch frame is
-    persisted (bounded, via ``persist_latest``) so deriving both the
+    persisted (bounded, via ``memo_persist``) so deriving both the
     per-day estimates AND the union total sketches the events scan
     once — "sketch once, union cheaply" for real, not just in prose.
     No oracle: sketch internals are engine-specific (rows-only driver
     check; the estimate-vs-exact tolerance is pinned in tests)."""
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
 
-    daily = persist_latest(
+    daily = memo_persist(
         "events.hll_daily",
         events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
             F.expr("hll_sketch_agg(user_id)").alias("sk")

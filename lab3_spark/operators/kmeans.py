@@ -313,14 +313,14 @@ def ann_ivf_trained(
     partition the corpus no pair can appear twice.  Recall lift is
     gated by `ann_recall_vs_bruteforce` (the nprobe=2 ≥ nprobe=1
     assertion lives in tests)."""
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
     from lab3_spark.functions.vectors import dot_product, unit_vector
     from lab3_spark.operators.similarity import _topk_per_query
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents = trained_centroids(embeddings, k, n_iter)
-    assigned = persist_latest(
+    assigned = memo_persist(
         "ann_ivf_trained_assigned", _assign_arrow(embeddings, cents)
     )
     corpus = assigned.select(

@@ -50,17 +50,18 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     # degree rides with the edge list from the start: one narrow join
     # now instead of a second join every iteration
     edeg = edges.join(deg, "src").select("src", "dst", "deg")
-    # persist_latest (not bare persist): both frames are re-read every
-    # iteration, but CacheManager entries outlive the call — bound the
-    # growth to one cached (edeg, nodes) pair per session.
+    # memo_persist: both frames are re-read every iteration; the
+    # registry bounds growth to one cached (edeg, nodes) pair per
+    # session AND lets a repeat run over the same graph cache-hit
+    # them instead of rebuilding (sameResult plan match).
     from lab3_spark.functions.partitioning import (
         free_checkpoint,
-        persist_latest,
+        memo_persist,
         retire_latest,
     )
 
-    edeg = persist_latest("pagerank.edeg", edeg)
-    nodes = persist_latest("pagerank.nodes", nodes)
+    edeg = memo_persist("pagerank.edeg", edeg)
+    nodes = memo_persist("pagerank.nodes", nodes)
 
     ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
     prev_ckpt = None

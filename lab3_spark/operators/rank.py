@@ -83,12 +83,12 @@ def with_global_row_number(
     )
     # The ranged shuffle output feeds both the counts aggregate and the
     # final join — persist so it is not recomputed (and the partitioner
-    # is not re-sampled) for the second branch.  persist_latest bounds
+    # is not re-sampled) for the second branch.  memo_persist bounds
     # CacheManager growth across repeated catalog runs: at most one
     # ranged frame stays cached per session.
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
 
-    d = persist_latest("rank.global_row_number", d)
+    d = memo_persist("rank.global_row_number", d)
 
     counts = d.groupBy(_PID).agg(F.count("*").alias("_n"))
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

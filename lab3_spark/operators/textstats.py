@@ -471,9 +471,9 @@ def pmi_collocations(
     expression is arranged with an explicit operation order —
     ln((pair·N·N)/(bi_total·cnt·cnt)) — so the DuckDB oracle computes
     bit-identical doubles, truncated to 4 decimals for the gate."""
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import memo_persist
 
-    tok_arrays = persist_latest(
+    tok_arrays = memo_persist(
         "pmi_tok_arrays",
         spread(documents).select(tokenize(text_col).alias("toks")),
     )
@@ -682,4 +682,101 @@ def sparse_tfidf_pairs(
         .select("doc_a", "doc_b", trunc(cos, 4).alias("cos"))
         .where(F.col("cos") >= min_cosine)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+DSIR_DIMS = 1024
+
+
+def dsir_log_ratio_weights(
+    documents: DataFrame,
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    dims: int = DSIR_DIMS,
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_fp, mean_fp): DSIR-style importance
+    weights — how much each document "looks like" a TARGET slice of
+    the corpus under hashed n-gram language models.
+
+    The Data Selection via Importance Resampling recipe (Xie et al.
+    2023, public): fit two bag-of-hashed-ngram LMs — target (here:
+    docs with ``target_col == target_value``) and background (the
+    rest) — and weight every document by Σ_feats log p_tgt(f) −
+    log p_bg(f).  High weight = resample into training; the standard
+    cheap alternative to classifier-based selection.
+
+    Features are HASHED (md5 % dims over unigrams + bigrams), which is
+    the load-bearing scale choice: the feature space is bounded at
+    ``dims`` regardless of corpus size, so the log-ratio table is
+    metadata-scale and its join back onto the token stream is a
+    BROADCAST — the corpus is never shuffled, only per-doc aggregated.
+    (A raw-vocabulary variant would force a term-keyed shuffle join —
+    see sparse_tfidf_pairs for that shape.)
+
+    Fixed-point contract (SimHash/PageRank/k-means): the two ln's per
+    DISTINCT feature are floored to ·1e6 bigints; per-doc sums and the
+    mean's integer division are exact, so the DuckDB oracle matches
+    bit-for-bit regardless of summation order.
+
+    Reference parity note: no scoring/selection exists in the
+    reference (Phoenix++, include/map_reduce.h) — SURVEY §2.9
+    extension; the per-side feature count is the wordCount dataflow
+    (wordCount.cpp:67-86) over hashed grams.
+    """
+    from lab3_spark.functions.text import md5_long
+
+    toks = tokenize(text_col)
+    grams = F.concat(toks, _word_ngrams(toks, 2))
+    feats = spread(documents).select(
+        "doc_id",
+        (F.col(target_col) == target_value).alias("is_tgt"),
+        F.explode(grams).alias("gram"),
+    ).select("doc_id", "is_tgt", (md5_long("gram", salt="dsir") % dims).alias("feat"))
+
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    cnts = feats.groupBy("feat").agg(
+        F.sum(F.when(F.col("is_tgt"), one).otherwise(zero)).alias("cnt_t"),
+        F.sum(F.when(F.col("is_tgt"), zero).otherwise(one)).alias("cnt_b"),
+    )
+    totals = cnts.agg(
+        F.sum("cnt_t").alias("n_t"), F.sum("cnt_b").alias("n_b")
+    )
+    ratio = cnts.crossJoin(F.broadcast(totals)).select(
+        "feat",
+        F.floor(
+            (
+                F.log(
+                    (F.col("cnt_t") + 1).cast("double")
+                    / (F.col("n_t") + dims).cast("double")
+                )
+                - F.log(
+                    (F.col("cnt_b") + 1).cast("double")
+                    / (F.col("n_b") + dims).cast("double")
+                )
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("r_fp"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "feat")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("r_fp").alias("dsir_fp"))
+        .select(
+            "doc_id",
+            "n_feats",
+            "dsir_fp",
+            # floor of a double division, NOT integer `div`: dsir_fp is
+            # often NEGATIVE and Spark's `div` truncates toward zero
+            # while floor rounds toward -inf — an exact cross-engine
+            # mismatch for every negative weight.  The double quotient
+            # is exact (|dsir_fp| ≪ 2^53), so floor agrees everywhere.
+            F.floor(F.col("dsir_fp").cast("double") / F.col("n_feats"))
+            .cast("bigint")
+            .alias("mean_fp"),
+        )
+        .orderBy("doc_id")
     )

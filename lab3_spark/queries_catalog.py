@@ -1717,6 +1717,61 @@ def q_sparse_tfidf_pairs(spark, sf_dir):
 
 
 @query(
+    "doc_dsir_weights",
+    f"""
+    WITH td AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_tgt,
+             {_h2l("substr(md5(concat('dsir', '|', gram)), 1, 15)")}
+               % 1024 AS feat
+      FROM (
+        SELECT doc_id, is_tgt,
+               unnest(list_concat(t,
+                      list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' '))))
+                 AS gram
+        FROM td)
+    ),
+    cnts AS (
+      SELECT feat,
+             CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+             CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM feats GROUP BY feat
+    ),
+    totals AS (SELECT sum(cnt_t) AS n_t, sum(cnt_b) AS n_b FROM cnts),
+    ratio AS (
+      SELECT feat,
+             CAST(floor((ln(CAST(cnt_t + 1 AS DOUBLE)
+                            / CAST(n_t + 1024 AS DOUBLE))
+                         - ln(CAST(cnt_b + 1 AS DOUBLE)
+                              / CAST(n_b + 1024 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS r_fp
+      FROM cnts CROSS JOIN totals
+    )
+    SELECT f.doc_id,
+           count(*) AS n_feats,
+           CAST(sum(r.r_fp) AS BIGINT) AS dsir_fp,
+           CAST(floor(CAST(sum(r.r_fp) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_fp
+    FROM feats f JOIN ratio r ON f.feat = r.feat
+    GROUP BY f.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (TS.dsir_log_ratio_weights): hashed
+    unigram+bigram LMs for a target slice (lang='en') vs background;
+    per-doc Σ log-ratio, fixed-pointed per DISTINCT feature so both
+    engines sum identical bigints.  The hashed feature space (1024)
+    keeps the ratio table broadcast-scale at any corpus size."""
+    return TS.dsir_log_ratio_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "events_geomean_value",
     """
     SELECT event_type,
@@ -2469,7 +2524,7 @@ def q_contamination(spark, sf_dir):
     comparison.  The distinct (source, shingle) frame is persisted so
     the self-join's two sides share ONE tokenize+shingle scan instead
     of recomputing it per side."""
-    from lab3_spark.functions.partitioning import persist_latest, spread
+    from lab3_spark.functions.partitioning import memo_persist, spread
     from lab3_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -2478,7 +2533,7 @@ def q_contamination(spark, sf_dir):
         F.sequence(F.lit(1), F.size(toks) - 4),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    sh = persist_latest(
+    sh = memo_persist(
         "contamination_shingles",
         spread(docs)
         .where(F.size(toks) >= 5)
@@ -4852,6 +4907,7 @@ _DRIVER_PRIORITY = [
     "dedup_semantic",
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",
+    "doc_dsir_weights",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -100,8 +100,6 @@ def test_no_bare_persist_outside_managed_sites():
     allowed = {
         # persist_latest implementation itself
         os.path.join("functions", "partitioning.py"),
-        # iterative loop with explicit unpersist bookkeeping
-        os.path.join("operators", "components.py"),
     }
     offenders = []
     for dirpath, _dirs, files in os.walk(root):
@@ -118,3 +116,27 @@ def test_no_bare_persist_outside_managed_sites():
         f"bare .persist() outside managed sites: {offenders}; route "
         "through functions.partitioning.persist_latest"
     )
+
+
+def test_memo_persist_hits_same_plan_replaces_different(spark):
+    """Same analyzed plan → the registered frame comes back (object
+    identity — zero recompute); a different plan under the same key →
+    replaced, and the registry still holds exactly one entry."""
+    from lab3_spark.functions.partitioning import (
+        _PERSISTED_LATEST,
+        memo_persist,
+    )
+
+    a1 = spark.range(100).selectExpr("id", "id * 2 AS x")
+    m1 = memo_persist("test.memo", a1)
+    m1.count()
+    a2 = spark.range(100).selectExpr("id", "id * 2 AS x")  # same plan
+    m2 = memo_persist("test.memo", a2)
+    assert m2 is m1  # hit: the registered frame itself
+    b = spark.range(50).selectExpr("id", "id * 3 AS x")  # different plan
+    m3 = memo_persist("test.memo", b)
+    assert m3 is not m1
+    assert _PERSISTED_LATEST["test.memo"] is m3
+    assert m3.count() == 50
+    m3.unpersist()
+    del _PERSISTED_LATEST["test.memo"]

@@ -214,3 +214,23 @@ def test_sparse_tfidf_df_cap_guards_degenerate_terms(spark):
     )
     got = sparse_tfidf_pairs(docs, min_cosine=0.0, max_df_frac=0.5).collect()
     assert got == []
+
+
+def test_dsir_weights_separate_disjoint_vocab(spark):
+    """Target (en) and background (de) docs use DISJOINT vocabularies:
+    every en doc must get positive log-ratio weight, every de doc
+    negative — the separation DSIR exists to measure."""
+    from lab3_spark.operators.textstats import dsir_log_ratio_weights
+
+    rows = []
+    for i in range(4):
+        rows.append((i, "alpha beta gamma alpha beta", "en"))
+    for i in range(4, 8):
+        rows.append((i, "delta epsilon zeta delta epsilon", "de"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["doc_id"]: r["mean_fp"] for r in dsir_log_ratio_weights(docs).collect()}
+    assert len(got) == 8
+    for i in range(4):
+        assert got[i] > 0, (i, got[i])
+    for i in range(4, 8):
+        assert got[i] < 0, (i, got[i])
