@@ -104,6 +104,7 @@ HEADLINE = [
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",
     "doc_dsir_weights",
+    "dedup_containment",
     "dedup_semantic",
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",

@@ -547,3 +547,81 @@ def embedding_near_duplicates(
         .where(F.col("cos") >= min_cosine)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def containment_pairs(
+    documents: DataFrame, text_col: str = "text", min_containment: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, cont_a_in_b, cont_b_in_a): ASYMMETRIC shingle
+    containment on MinHash-LSH candidate pairs — |A∩B|/|A| and
+    |A∩B|/|B|.
+
+    Why it exists next to `ngram_jaccard_pairs`: Jaccard is symmetric
+    and PENALIZES size mismatch — a short document wholly embedded in
+    a much longer one (quoted article, concatenated crawl page,
+    boilerplate-wrapped body) scores low Jaccard but containment ≈ 1
+    on the short side.  Training-data pipelines prune exactly this
+    shape (the sub-document duplicate), so both directions are
+    emitted and the filter keeps a pair when EITHER direction clears
+    the threshold.
+
+    Same scale shape as the Jaccard verify: the shingle scan is
+    computed once (memo_persist, shared with candidate generation and
+    both verify sides), candidates come from the banded LSH equi-join
+    (never all-pairs), and the intersection is a shingle equi-join on
+    candidate pairs only.  Ratios are exact-integer numerator/
+    denominator with one final division, truncated — hash-stable.
+
+    Recall caveat (documented, not hidden): MinHash-LSH candidates
+    are JACCARD-tuned, so an extreme size mismatch (tiny doc inside a
+    huge one — Jaccard near zero) can miss candidacy entirely; that
+    regime belongs to `repeated_chunks`, whose fixed-width chunk
+    equality is size-ratio-independent.  This operator covers the
+    moderate-mismatch band where LSH still fires but Jaccard
+    understates the duplication.
+
+    Reference parity note: no similarity ops in the reference
+    (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension row.
+    """
+    from lab3_spark.functions.partitioning import memo_persist
+
+    sh = memo_persist(
+        "dedup.ngram_jaccard.shingles", _doc_shingles(documents, text_col)
+    )
+    cands = minhash_candidates(documents, text_col, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b_"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c_ab = trunc(F.col("n_inter") / F.col("n_a"), 4)
+    c_ba = trunc(F.col("n_inter") / F.col("n_b"), 4)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= min_containment)
+            | (F.col("cont_b_in_a") >= min_containment)
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -252,14 +252,38 @@ def _assign_arrow(
     )
 
 
+_CENTROID_MEMO: list[tuple[DataFrame, int, int, list]] = []
+
+
 def trained_centroids(
     embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
 ) -> list[tuple[int, list[int]]]:
-    """Train and collect the final centroids as (cl, components)."""
+    """Train and collect the final centroids as (cl, components).
+
+    Driver-side memoized (bounded, last 4 configs): the training is a
+    deterministic pure function of (input plan, k, n_iter), and FIVE
+    catalog queries (assign / IVF / multi-probe / recall / SemDeDup)
+    need the same quantizer — retraining per query re-ran ~15 Spark
+    jobs each.  Same sameResult predicate as
+    functions.partitioning.memo_persist."""
+    for f, kk, nn, cents in _CENTROID_MEMO:
+        if kk == k and nn == n_iter:
+            try:
+                if (
+                    f._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(embeddings._jdf.queryExecution().analyzed())
+                ):
+                    return cents
+            except Exception:
+                pass  # stale session — retrain
     bycl: dict[int, dict[int, int]] = {}
     for r in kmeans_fixed(embeddings, k, n_iter).collect():
         bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
-    return sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+    cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+    _CENTROID_MEMO.append((embeddings, k, n_iter, cents))
+    del _CENTROID_MEMO[:-4]
+    return cents
 
 
 def kmeans_assign(

@@ -655,8 +655,17 @@ def sparse_tfidf_pairs(
             .alias("idf_fp"),
         )
     )
-    w = tf.join(idf, "term").select(
-        "term", "doc_id", (F.col("tf") * F.col("idf_fp")).alias("w")
+    from lab3_spark.functions.partitioning import memo_persist
+
+    # the pruned weight frame feeds THREE consumers (ssq, both pair
+    # sides) — without the persist the tokenize→shingle→tf scan runs
+    # 3×; post-pruning it is the compact inverted index, the right
+    # frame to hold (the ngram_jaccard shared-shingle pattern)
+    w = memo_persist(
+        "textstats.sparse_tfidf.w",
+        tf.join(idf, "term").select(
+            "term", "doc_id", (F.col("tf") * F.col("idf_fp")).alias("w")
+        ),
     )
     ssq = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
     a, b = w.alias("a"), w.alias("b")

@@ -1157,6 +1157,39 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT i.doc_a, i.doc_b,
+             floor((n_inter / na.n_sh) * 10000) / 10000 AS cont_a_in_b,
+             floor((n_inter / nb.n_sh) * 10000) / 10000 AS cont_b_in_a
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b) t
+    WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment on LSH candidates
+    (dedup.containment_pairs): catches the sub-document duplicate —
+    a short doc embedded in a longer one — that symmetric Jaccard
+    misses; both directions emitted, pair kept when either clears 0.5."""
+    from lab3_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_simhash",
     f"""
     WITH tc AS (
@@ -4908,6 +4941,7 @@ _DRIVER_PRIORITY = [
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",
     "doc_dsir_weights",
+    "dedup_containment",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -169,3 +169,28 @@ def test_simhash_bucket_cap(spark, near_dup_corpus):
     wide = {(r["doc_a"], r["doc_b"]) for r in
             simhash_near_pairs(near_dup_corpus, max_bucket=10_000).collect()}
     assert wide == full
+
+
+def test_containment_detects_embedded_doc(spark):
+    """doc0's text embedded verbatim at the head of doc1 (plus a small
+    tail): containment(doc0 in doc1) is exactly 1.0 while Jaccard is
+    strictly below 1 — the asymmetric signal Jaccard dilutes."""
+    from lab3_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # " sigma tau" tail chosen so the pair lands in a shared LSH band
+    # (md5 minhashes are deterministic; some tails miss all 4 bands —
+    # candidate recall < 1 is inherent to banded LSH, see the
+    # containment_pairs docstring's recall caveat)
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " sigma tau")],
+        "doc_id bigint, text string",
+    )
+    got = containment_pairs(docs, min_containment=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] < 1.0
+    jac = ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()[0]["jaccard"]
+    assert jac < r["cont_a_in_b"]

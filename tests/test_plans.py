@@ -240,3 +240,45 @@ def test_dedup_survivors_partial_agg_no_window(spark, sf_dir):
     # fp exchange
     assert "Aggregate" in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_sparse_tfidf_pairs_no_cartesian(spark, sf_dir):
+    """The pair join must be the term equi-join (SMJ/SHJ), never a
+    cartesian/nested-loop over documents; the only nested-loop allowed
+    is the 1-row n_docs scalar broadcast."""
+    from lab3_spark.operators.textstats import sparse_tfidf_pairs
+
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(sparse_tfidf_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    # count DISTINCT nested-loop nodes: the formatted tree prints a
+    # node once per referencing branch (the weight frame feeds three
+    # consumers), so raw substring counts overcount shared subtrees
+    nlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nlj_ids) <= 1, plan
+    # tf aggregation partial+final (map-side combine before shuffle)
+    assert "HashAggregate" in plan, plan
+
+
+def test_dedup_semantic_no_cartesian(spark, sf_dir):
+    """SemDeDup's pair join is the cell-id equi-join — never all-pairs."""
+    from lab3_spark.operators.kmeans import semantic_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = formatted_plan(semantic_near_duplicates(emb, k=4, n_iter=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """The hashed-feature ratio table is metadata-scale (<= dims rows)
+    and must broadcast — the corpus-side token stream is never
+    shuffled for the join."""
+    from lab3_spark.operators.textstats import dsir_log_ratio_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(dsir_log_ratio_weights(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
