@@ -105,6 +105,7 @@ HEADLINE = [
     "sparse_tfidf_pairs",
     "doc_dsir_weights",
     "dedup_containment",
+    "pipeline_dsir_select",
     "dedup_semantic",
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",

@@ -1478,6 +1478,72 @@ def q_streaming_tumbling(spark, sf_dir):
 
 
 @query(
+    "streaming_incremental_dedup",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             md5(array_to_string(regexp_extract_all(lower(text),
+                 {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    first_b AS (SELECT fp, min(b) AS batch_id FROM fps GROUP BY fp)
+    SELECT min(f.doc_id) AS doc_id, f.fp AS fp,
+           CAST(fb.batch_id AS BIGINT) AS batch_id
+    FROM fps f JOIN first_b fb ON f.fp = fb.fp AND f.b = fb.batch_id
+    GROUP BY f.fp, fb.batch_id
+    ORDER BY f.fp
+    """,
+)
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """A REAL incremental-ingest run: documents split into three
+    micro-batches by doc_id % 3 (file mtimes pin the arrival order),
+    drained one file per trigger through the foreachBatch
+    fingerprint-store dedup (streaming/incremental_dedup.py).  The
+    accepted store must hold exactly one doc per fingerprint — the
+    min doc_id within the EARLIEST batch where the fingerprint
+    appeared — which the oracle states directly in SQL."""
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from lab3_spark.streaming.incremental_dedup import (
+        accepted_store,
+        start_incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _tf.mkdtemp(prefix="stream_incdedup_")
+    flat = _os.path.join(root, "incoming")
+    _os.makedirs(flat)
+    now = _time.time()
+    for b in range(3):
+        part_dir = _os.path.join(root, f"part{b}")
+        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(part_dir)
+        (pf,) = [
+            f for f in _os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = _os.path.join(flat, f"{b:02d}.parquet")
+        _os.rename(_os.path.join(part_dir, pf), dst)
+        # FileStreamSource orders by modification time: pin arrival order
+        _os.utime(dst, (now + b * 10, now + b * 10))
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_dedup(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental dedup availableNow run timed out")
+    return (
+        accepted_store(spark, store)
+        .select("doc_id", "fp", F.col("batch_id").cast("bigint").alias("batch_id"))
+        .orderBy("fp")
+    )
+
+
+@query(
     "order_status_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -1802,6 +1868,97 @@ def q_doc_dsir_weights(spark, sf_dir):
     engines sum identical bigints.  The hashed feature space (1024)
     keeps the ratio table broadcast-scale at any corpus size."""
     return TS.dsir_log_ratio_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_dsir_select",
+    f"""
+    WITH td AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_tgt,
+             {_h2l("substr(md5(concat('dsir', '|', gram)), 1, 15)")}
+               % 1024 AS feat
+      FROM (
+        SELECT doc_id, is_tgt,
+               unnest(list_concat(t,
+                      list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' '))))
+                 AS gram
+        FROM td)
+    ),
+    cnts AS (
+      SELECT feat,
+             CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+             CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM feats GROUP BY feat
+    ),
+    totals AS (SELECT sum(cnt_t) AS n_t, sum(cnt_b) AS n_b FROM cnts),
+    ratio AS (
+      SELECT feat,
+             CAST(floor((ln(CAST(cnt_t + 1 AS DOUBLE)
+                            / CAST(n_t + 1024 AS DOUBLE))
+                         - ln(CAST(cnt_b + 1 AS DOUBLE)
+                              / CAST(n_b + 1024 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS r_fp
+      FROM cnts CROSS JOIN totals
+    ),
+    weights AS (
+      SELECT f.doc_id,
+             CAST(floor(CAST(sum(r.r_fp) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mean_fp
+      FROM feats f JOIN ratio r ON f.feat = r.feat
+      GROUP BY f.doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             len(regexp_extract_all(lower(d.text), {OR.DUCK_TOKEN_REGEX}))
+               AS n_tokens,
+             w.mean_fp,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY w.mean_fp DESC, d.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY d.source) AS n_src
+      FROM documents d JOIN weights w ON w.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, n_tokens, mean_fp, rn
+    FROM ranked
+    WHERE rn <= CAST(ceil(n_src / 2.0) AS BIGINT)
+    ORDER BY source, rn
+    """,
+)
+def q_pipeline_dsir_select(spark, sf_dir):
+    """Data-SELECTION capstone: DSIR importance weights → keep each
+    source's most-target-like HALF (row_number over mean_fp desc,
+    doc_id tiebreak — deterministic) → emit with token counts.  The
+    curator's targeted-resampling funnel, composed as ONE oracle-
+    checked plan: score (broadcast ratio join), rank (per-source
+    window — bounded partitions, never a global sort), select."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = TS.dsir_log_ratio_weights(docs).select("doc_id", "mean_fp")
+    from lab3_spark.functions.text import tokenize
+
+    scored = docs.join(w, "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).alias("n_tokens"),
+        "mean_fp",
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("mean_fp"), F.asc("doc_id")
+    )
+    cnt = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_src", F.count("*").over(cnt))
+        .where(F.col("rn") <= F.ceil(F.col("n_src") / 2.0).cast("bigint"))
+        .select("doc_id", "source", "n_tokens", "mean_fp", "rn")
+        .orderBy("source", "rn")
+    )
 
 
 @query(
@@ -4942,6 +5099,8 @@ _DRIVER_PRIORITY = [
     "sparse_tfidf_pairs",
     "doc_dsir_weights",
     "dedup_containment",
+    "pipeline_dsir_select",
+    "streaming_incremental_dedup",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -1,0 +1,96 @@
+"""Streaming incremental dedup: the accepted-store's fingerprint set
+equals batch exact-dedup of the full input; replay is idempotent."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lab3_spark.functions.text import tokenize
+from lab3_spark.streaming.incremental_dedup import (
+    accepted_store,
+    start_incremental_dedup,
+)
+
+
+def _three_file_stream(spark, tmp_path):
+    """Three parquet files drained one per micro-batch; duplicates
+    planted within AND across files."""
+    stage = str(tmp_path / "incoming")
+    rows = {
+        "f0": [(0, "the quick brown fox"), (1, "lorem ipsum dolor sit"),
+               (2, "the quick brown fox")],           # in-batch dup of 0
+        "f1": [(3, "lorem ipsum dolor sit"),           # cross-batch dup of 1
+               (4, "a wholly novel document here")],
+        "f2": [(5, "the quick brown fox"),             # cross-batch dup of 0
+               (6, "another novel one appears"),
+               (7, "a wholly novel document here")],   # cross-batch dup of 4
+    }
+    for name, rs in rows.items():
+        spark.createDataFrame(rs, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(f"{stage}/{name}")
+    # one directory of files; maxFilesPerTrigger=1 → one file per batch
+    import glob
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/f*/part-*.parquet"))):
+        os.symlink(f, f"{flat}/{i:02d}.parquet")
+    schema = "doc_id bigint, text string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    all_rows = [r for rs in rows.values() for r in rs]
+    batch_df = spark.createDataFrame(all_rows, schema)
+    return src, batch_df
+
+
+def test_incremental_store_matches_batch_dedup(spark, tmp_path):
+    src, full = _three_file_stream(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = start_incremental_dedup(src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = accepted_store(spark, store).collect()
+    fps = [r["fp"] for r in got]
+    # one accepted doc per distinct fingerprint — never a duplicate
+    assert len(fps) == len(set(fps))
+    batch_fps = {
+        r["fp"]
+        for r in full.select(
+            F.md5(F.concat_ws(" ", tokenize("text"))).alias("fp")
+        ).collect()
+    }
+    assert set(fps) == batch_fps
+    assert len(fps) == 4  # fox, lorem, novel-here, another-novel
+
+
+def test_incremental_replay_is_idempotent(spark, tmp_path):
+    """Re-running a committed batch id must leave the store unchanged
+    (the crash-between-write-and-commit case)."""
+    src, full = _three_file_stream(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = start_incremental_dedup(src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    before = sorted(
+        (r["doc_id"], r["fp"], r["batch_id"])
+        for r in accepted_store(spark, store).collect()
+    )
+    # replay batch 1 by hand: same data, same id, through the same fn
+    batch1 = spark.read.parquet(f"{str(tmp_path / 'flat')}/01.parquet")
+    from lab3_spark.streaming import incremental_dedup as mod
+
+    fp1 = mod._fingerprints(batch1, "text").groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    prior = accepted_store(spark, store).where(F.col("batch_id") < 1).select("fp")
+    fp1.join(prior, "fp", "left_anti").select("doc_id", "fp").write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id=1")
+    after = sorted(
+        (r["doc_id"], r["fp"], r["batch_id"])
+        for r in accepted_store(spark, store).collect()
+    )
+    assert after == before
