@@ -106,6 +106,8 @@ HEADLINE = [
     "doc_dsir_weights",
     "dedup_containment",
     "pipeline_dsir_select",
+    "ann_pq_adc_top5",
+    "ann_bruteforce_l2_top5",
     "dedup_semantic",
     "doc_unigram_logprob",
     "sparse_tfidf_pairs",

@@ -3644,6 +3644,48 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
+def _duck_pq_subspace_ctes(k: int, n_iter: int, lo: int, hi: int, p: str) -> str:
+    """Per-SUBSPACE Lloyd chain for the PQ oracle: the same unrolled
+    recursion as `_duck_kmeans_ctes` but over px rows with
+    ``lo <= pos < hi`` and CTE names prefixed ``{p}`` so two subspaces
+    coexist in one WITH clause.  Positions stay global (no rebase):
+    only matching pos pairs enter distances/updates, so the centroid
+    VALUES are identical to the Spark side's rebased slice."""
+    ctes = [
+        f"""
+    px{p} AS (SELECT vec_id, pos, val FROM px
+              WHERE pos >= {lo} AND pos < {hi}),
+    c{p}0 AS (SELECT vec_id AS cl, pos, val AS c FROM px{p}
+              WHERE vec_id < {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    d{p}{i} AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px{p} px JOIN c{p}{i - 1} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    a{p}{i} AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d{p}{i}) t
+      WHERE rn = 1
+    ),
+    c{p}{i} AS (
+      SELECT a.cl, px.pos,
+             CAST(floor(CAST(sum(px.val) AS BIGINT) / count(*)) AS BIGINT) AS c,
+             count(*) AS n
+      FROM a{p}{i} a JOIN px{p} px ON a.vec_id = px.vec_id
+      GROUP BY a.cl, px.pos
+    )"""
+        )
+    return ",".join(ctes)
+
+
 def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
     """Base + unrolled Lloyd-iteration CTEs mirroring operators/kmeans.py:
     v = fixed-point vectors, px = (vec_id, pos, val) exploded, c0 = seed
@@ -3957,6 +3999,255 @@ def q_dedup_semantic(spark, sf_dir):
 
     return semantic_near_duplicates(
         _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
+_PQ_ITERS = 2
+
+
+@query(
+    "ann_pq_adc_top5",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
+      FROM v
+    ),
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 0, 32, "A")},
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 32, 64, "B")},
+    fA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fA) t WHERE rn = 1
+    ),
+    fB AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gB AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fB) t WHERE rn = 1
+    ),
+    codes AS (
+      SELECT a.vec_id, a.cl AS code_0, b.cl AS code_1
+      FROM gA a JOIN gB b ON a.vec_id = b.vec_id
+    ),
+    dtA AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    dtB AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT dA.query_id, c.vec_id AS neighbor_id,
+             CAST(dA.dist + dB.dist AS BIGINT) AS adist
+      FROM codes c
+      JOIN dtA dA ON dA.code = c.code_0
+      JOIN dtB dB ON dB.code = c.code_1 AND dB.query_id = dA.query_id
+      WHERE c.vec_id != dA.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, adist, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (kmeans.ann_pq_adc): two independent
+    32-dim sub-quantizers (the engine's own Lloyd), corpus stored as
+    2×3-bit codes, query-time ADC = per-query distance TABLE
+    (broadcast) + code equi-join — all-integer, bit-exact against the
+    per-subspace unrolled-CTE oracle."""
+    from lab3_spark.operators.kmeans import ann_pq_adc
+
+    return ann_pq_adc(
+        _t(spark, sf_dir, "embeddings"),
+        m=2,
+        k=_KMEANS_K,
+        n_iter=_PQ_ITERS,
+        dims=64,
+    )
+
+
+@query(
+    "ann_bruteforce_l2_top5",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(range(1, len(q.xi) + 1),
+                    i -> (q.xi[i] - n.xi[i]) * (q.xi[i] - n.xi[i])),
+                  (a, b) -> a + b) AS BIGINT) AS dist
+      FROM v q, v n
+      WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, dist, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_bruteforce_l2(spark, sf_dir):
+    """Exact integer squared-L2 brute-force top-5
+    (kmeans.ann_bruteforce_l2): the same-metric ground truth the PQ
+    path approximates — zero floats, bit-exact oracle."""
+    from lab3_spark.operators.kmeans import ann_bruteforce_l2
+
+    return ann_bruteforce_l2(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_pq_recall",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
+      FROM v
+    ),
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 0, 32, "A")},
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 32, 64, "B")},
+    fA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fA) t WHERE rn = 1
+    ),
+    fB AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gB AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fB) t WHERE rn = 1
+    ),
+    codes AS (
+      SELECT a.vec_id, a.cl AS code_0, b.cl AS code_1
+      FROM gA a JOIN gB b ON a.vec_id = b.vec_id
+    ),
+    dtA AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    dtB AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    pqpairs AS (
+      SELECT dA.query_id, c.vec_id AS neighbor_id,
+             CAST(dA.dist + dB.dist AS BIGINT) AS adist
+      FROM codes c
+      JOIN dtA dA ON dA.code = c.code_0
+      JOIN dtB dB ON dB.code = c.code_1 AND dB.query_id = dA.query_id
+      WHERE c.vec_id != dA.query_id
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        FROM pqpairs) t
+      WHERE rnk <= 5
+    ),
+    bfpairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(range(1, len(q.xi) + 1),
+                    i -> (q.xi[i] - n.xi[i]) * (q.xi[i] - n.xi[i])),
+                  (a, b) -> a + b) AS BIGINT) AS dist
+      FROM v q, v n
+      WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id ASC) AS rnk
+        FROM bfpairs) t
+      WHERE rnk <= 5
+    ),
+    truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+    hits AS (
+      SELECT b.query_id, count(*) AS n_hit
+      FROM bf b JOIN pq p
+        ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT t.query_id,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           floor(CAST(coalesce(h.n_hit, 0) AS BIGINT)
+                 / t.n_true * 10000) / 10000 AS recall
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+    """,
+)
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ-ADC against the exact same-metric L2 brute
+    force (kmeans.ann_pq_recall) — the PQ quantizer's regression
+    gate; on these near-random synthetic embeddings recall is ~13×
+    the random-guess baseline and collapses if training or encoding
+    breaks."""
+    from lab3_spark.operators.kmeans import ann_pq_recall
+
+    return ann_pq_recall(
+        _t(spark, sf_dir, "embeddings"),
+        m=2,
+        k=_KMEANS_K,
+        n_iter=_PQ_ITERS,
+        dims=64,
     )
 
 
@@ -5101,6 +5392,9 @@ _DRIVER_PRIORITY = [
     "dedup_containment",
     "pipeline_dsir_select",
     "streaming_incremental_dedup",
+    "ann_pq_adc_top5",
+    "ann_bruteforce_l2_top5",
+    "ann_pq_recall",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -151,3 +151,39 @@ def test_semantic_blocking_is_subset_of_allpairs(spark, sf_dir):
     }
     assert sem <= allpairs
     assert len(sem) > 0
+
+
+def test_pq_adc_structure_and_determinism(spark, sf_dir):
+    """PQ-ADC result: 5 ranked neighbors per query, adist
+    non-decreasing within a query, and two runs are identical
+    (all-integer path — no float nondeterminism anywhere)."""
+    from lab3_spark.operators.kmeans import ann_pq_adc
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in ann_pq_adc(emb, n_iter=2).collect()]
+    b = [tuple(r) for r in ann_pq_adc(emb, n_iter=2).collect()]
+    assert a == b
+    per_q = {}
+    for (q, n, d, rnk) in a:
+        per_q.setdefault(q, []).append((rnk, d))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists), (q, dists)
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """PQ recall@5 vs exact L2 ≥ 6× the random-guess baseline — the
+    quantizer-breakage detector (measured ~0.13-0.15 on the synthetic
+    near-random embeddings; random ≈ 5/N ≈ 0.01)."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.kmeans import ann_pq_recall
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = ann_pq_recall(emb, n_iter=2)
+    agg = r.agg(F.sum("n_hit").alias("h"), F.sum("n_true").alias("t")).collect()[0]
+    assert agg["h"] / agg["t"] >= 0.06, (agg["h"], agg["t"])
