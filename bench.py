@@ -108,12 +108,15 @@ HEADLINE = [
     "pipeline_dsir_select",
     "ann_pq_adc_top5",
     "ann_bruteforce_l2_top5",
-    "dedup_semantic",
-    "doc_unigram_logprob",
-    "sparse_tfidf_pairs",
+    "ann_pq_recall",
+    "bm25_top_docs",
+    "doc_ppl_buckets",
+    "token_budget_select",
+    "source_mixing_weights",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]
+assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 
 
 def main() -> None:

@@ -106,6 +106,58 @@ def with_global_row_number(
     )
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    memo_key: str = "rank.global_running_sum",
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` following ``ORDER BY
+    order_cols`` — the distributed replacement for
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``, which
+    Spark plans as a single-partition window (the 100 TB stall).
+
+    Same three-step shape as :func:`with_global_row_number`: ONE ranged
+    shuffle orders the data; per-PARTITION value sums (metadata scale —
+    one row per partition) cumulate through a tiny window and broadcast
+    back as offsets; the within-partition running sum is an ordinary
+    partitioned window.  ``order_cols`` must be a total order (append a
+    unique key)."""
+    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.sources.text import ROW_IDX_BITS
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    mid = F.monotonically_increasing_id()
+    d = (
+        df.repartitionByRange(par, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
+        .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
+    )
+    d = memo_persist(memo_key, d)
+
+    sums = d.groupBy(_PID).agg(F.sum(value_col).alias("_v"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        _OFF, F.coalesce(F.sum("_v").over(w), F.lit(0))
+    ).select(_PID, _OFF)
+
+    local = Window.partitionBy(_PID).orderBy(_RIDX).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(local) + F.col(_OFF)).cast("long"),
+        )
+        .drop(_PID, _RIDX, _OFF)
+    )
+
+
 def drop_rank_internals(df: DataFrame) -> DataFrame:
     return df.drop(_TOT)
 

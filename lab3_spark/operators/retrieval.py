@@ -1,0 +1,156 @@
+"""Full-text retrieval: BM25 scoring and two-stage rank-then-rerank.
+
+The classic sparse-retrieval ranking function (Robertson & Spärck
+Jones / Okapi BM25, public literature), expressed Spark-first:
+
+- The corpus statistics (N, Σdl, per-term df) reduce to ONE scalar row
+  via a single tree-aggregated pass — broadcast back, never a shuffle
+  of the corpus itself.
+- Per-document term frequencies for a FIXED query-term list are array
+  folds over the one tokenize() per row (``size(filter(toks, =t))``)
+  — no (doc, word) explode, no join: for a q-term query the whole
+  scoring pass is q expressions at scan speed.  This matters at
+  100 TB: the naive posting-list shape (explode + groupBy + join)
+  shuffles every token; this shape shuffles nothing but one stats row.
+- Top-k lands in ``TakeOrderedAndProject`` (limit after orderBy), the
+  streaming heap — no full sort.
+
+Cross-engine exactness (the catalog oracle hash-compares values): the
+per-term BM25 contribution is computed by the IDENTICAL sequence of
+IEEE double ops in both engines and fixed-pointed (``floor(x * 1e6)``
+→ BIGINT) BEFORE the per-document summation, so the sum is integer
+and order-free — the `unigram_surprisal` recipe.
+
+Reference parity note: the reference (Phoenix++,
+include/map_reduce.h) has word counting but no ranked retrieval —
+SURVEY §2.9 extension row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lab3_spark.functions.partitioning import spread
+from lab3_spark.functions.text import tokenize
+
+K1 = 1.2
+B = 0.75
+FP = 1_000_000
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("bigint")
+
+
+def bm25_top_docs(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("dup", "vector", "spark"),
+    k: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_fp, rnk): top-k documents by BM25 for a fixed
+    bag-of-terms query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N−df+0.5)/(df+0.5) + 1)  (the Lucene-style
+    non-negative variant).  Each term's contribution is floored to a
+    1e-6 fixed point before the (integer) sum; ties rank by doc_id.
+    """
+    toks = tokenize(text_col)
+    base = spread(documents).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        norm = tf + K1 * (1.0 - B + B * (F.col("dl").cast("double") / avgdl))
+        part = idf * (tf * (K1 + 1.0)) / norm
+        contribs.append(
+            F.when(F.col(f"tf_{i}") > 0, F.floor(part * FP).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    ranked = (
+        scored.select("doc_id", score.alias("score_fp"))
+        .where(F.col("score_fp") > 0)
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(k)
+    )
+    # rnk is derived over the k survivors only (k rows — metadata
+    # scale); the corpus-wide ordering already happened in the heap.
+    return ranked.select(
+        "doc_id",
+        "score_fp",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .alias("rnk"),
+    ).orderBy("rnk")
+
+
+def duck_bm25_sql(
+    terms: tuple[str, ...] = ("dup", "vector", "spark"), k: int = 15
+) -> str:
+    """DuckDB oracle for :func:`bm25_top_docs` — the same op sequence."""
+    from lab3_spark.oracles import DUCK_TOKEN_REGEX, sql_quote
+
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = {sql_quote(t)})) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"""CASE WHEN tf_{i} > 0 THEN CAST(floor(
+              ln((n_docs - CAST(df_{i} AS DOUBLE) + 0.5)
+                 / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf_{i} AS DOUBLE) * ({K1} + 1.0))
+              / (CAST(tf_{i} AS DOUBLE)
+                 + {K1} * (1.0 - {B} + {B} * (CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / n_docs))))
+              * {FP}) AS BIGINT) ELSE 0 END"""
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl, {tf_cols}
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), {DUCK_TOKEN_REGEX}) AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, ({contribs}) AS score_fp
+      FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, score_fp,
+           CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                AS INTEGER) AS rnk
+    FROM scored WHERE score_fp > 0
+    ORDER BY score_fp DESC, doc_id ASC LIMIT {k}
+    """

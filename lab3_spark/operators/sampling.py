@@ -164,3 +164,94 @@ def chunk_documents(
         .select(id_col, "ch.chunk_id", "ch.n_chunk_tokens", "ch.chunk_text")
         .orderBy(id_col, "chunk_id")
     )
+
+
+def token_budget_select(
+    documents: DataFrame, budget: int = 10_000, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, quality, n_tokens, cum_tokens): the quality-ranked
+    prefix of the corpus that fits a global token budget — "spend my
+    n-token training budget on the best documents first", the
+    selection step between scoring and packing in a curation pipeline.
+
+    A document is kept iff the running token total INCLUDING it stays
+    ≤ budget, walking docs by quality DESC (tie: doc_id ASC).  The
+    running total is the DISTRIBUTED prefix sum
+    (rank.with_global_running_sum) — the naive ``sum() OVER (ORDER BY
+    quality)`` is a single-partition window, the 100 TB stall.  The
+    quality score is truncated to the catalog's 1e-4 fixed point
+    BEFORE ordering, so both engines walk the identical total order.
+    """
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.operators.rank import with_global_running_sum
+    from lab3_spark.operators.textstats import quality_expr
+
+    base = spread(documents).select(
+        "doc_id",
+        trunc(quality_expr(text_col), 4).alias("quality"),
+        F.size(tokenize(text_col)).cast("bigint").alias("n_tokens"),
+    ).withColumn("_negq", -F.col("quality"))
+    cum = with_global_running_sum(
+        base,
+        ["_negq", "doc_id"],
+        "n_tokens",
+        out_col="cum_tokens",
+        memo_key="sampling.token_budget_select",
+    )
+    return (
+        cum.where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def source_mixing_weights(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, raw_share, mix_weight, boost):
+    temperature-scaled domain-mixture weights — the "how much of each
+    source goes into the training mix" step (the public multinomial-
+    smoothing recipe from GPT/LLaMA-style pipelines: sample source s
+    with p(s) ∝ tokens(s)^α, α = 0.5, which up-weights small domains
+    relative to raw token share).
+
+    Exactness: tokens^0.5 is ONE IEEE sqrt per SOURCE (metadata
+    scale), immediately fixed-pointed to bigint, so the normalizer Z
+    is an integer sum — summation order cannot perturb it (the
+    unigram_surprisal contract).  raw_share, mix_weight and the
+    boost = mix_weight/raw_share are then identical double sequences
+    in both engines, truncated for the hash.
+
+    Scale shape: one combine-friendly groupBy(source) over the corpus;
+    everything after operates on #sources rows.
+    """
+    from lab3_spark.functions.rounding import trunc
+
+    per = (
+        spread(documents)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokenize(text_col)).cast("bigint")).alias("n_tokens"),
+        )
+        .withColumn(
+            "_s_fp",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000)
+            .cast("bigint"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"), F.sum("_s_fp").alias("_z")
+    )
+    raw_share = F.col("n_tokens").cast("double") / F.col("_tot_tokens")
+    mix_weight = F.col("_s_fp").cast("double") / F.col("_z")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            trunc(raw_share, 6).alias("raw_share"),
+            trunc(mix_weight, 6).alias("mix_weight"),
+            trunc(mix_weight / raw_share, 4).alias("boost"),
+        )
+        .orderBy("source")
+    )

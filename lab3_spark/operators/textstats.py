@@ -579,6 +579,38 @@ def unigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def perplexity_buckets(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, mean_surprisal_fp, ppl_bucket): CCNet-style corpus
+    partition into head / middle / tail thirds by LM "perplexity"
+    (Wenzek et al. 2020, public: bucket Common Crawl by LM score,
+    train preferentially on the head).
+
+    The LM is the engine's own corpus-unigram model
+    (:func:`unigram_surprisal`, bit-exact fixed point); the thirds are
+    assigned by the DISTRIBUTED global-order machinery
+    (operators/rank.py) — an unpartitioned ``ntile(3) OVER (ORDER BY
+    score)`` would move the whole corpus through one partition, the
+    canonical 100 TB stall.  Tie-break is doc_id, making the bucket
+    assignment a deterministic total order both engines agree on.
+    """
+    from lab3_spark.operators.rank import with_global_order_stats
+
+    s = unigram_surprisal(documents, text_col).select(
+        "doc_id", "mean_surprisal_fp"
+    )
+    ranked = with_global_order_stats(
+        s, ["mean_surprisal_fp", "doc_id"], ntile=3
+    )
+    bucket = (
+        F.when(F.col("ntile") == 1, "head")
+        .when(F.col("ntile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "mean_surprisal_fp", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")
+
+
 IDF_SCALE = 1_000
 
 

@@ -5332,6 +5332,138 @@ def q_q21_sole_latest_supplier(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 extension: ranked retrieval (BM25) — round 4
+# ---------------------------------------------------------------------------
+
+from lab3_spark.operators.retrieval import bm25_top_docs, duck_bm25_sql  # noqa: E402
+
+
+@query("bm25_top_docs", duck_bm25_sql())
+def q_bm25_top_docs(spark, sf_dir):
+    """BM25 top-15 for the fixed query {dup, vector, spark}
+    (retrieval.bm25_top_docs): corpus stats reduce to ONE broadcast
+    scalar row, per-doc tf is an array fold (no token explode/join),
+    top-k is a TakeOrderedAndProject heap.  Per-term contributions are
+    fixed-pointed before the integer per-doc sum, so the oracle hash
+    matches bit-for-bit."""
+    return bm25_top_docs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_ppl_buckets",
+    f"""
+    WITH {OR.duck_tokens_cte()},
+    vocab AS (SELECT word AS term, count(*) AS cnt FROM toks GROUP BY word),
+    n AS (SELECT sum(cnt) AS n_corpus FROM vocab),
+    surprisal AS (
+      SELECT term,
+             CAST(floor(ln(CAST(n.n_corpus AS DOUBLE) / cnt) / ln(2)
+                        * 1000000) AS BIGINT) AS s_fp
+      FROM vocab CROSS JOIN n
+    ),
+    per_doc AS (
+      SELECT t.id AS doc_id,
+             CAST(sum(s.s_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+      FROM toks t JOIN surprisal s ON t.word = s.term
+      GROUP BY t.id
+    ),
+    bucketed AS (
+      SELECT doc_id, mean_surprisal_fp,
+             ntile(3) OVER (ORDER BY mean_surprisal_fp ASC, doc_id ASC) AS nt
+      FROM per_doc
+    )
+    SELECT doc_id, mean_surprisal_fp,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+    FROM bucketed ORDER BY doc_id
+    """,
+)
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity thirds (TS.perplexity_buckets):
+    the engine's own unigram-LM surprisal (bit-exact fixed point) fed
+    through the distributed global-rank ntile — no unpartitioned
+    window anywhere."""
+    return TS.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) / 10000 AS quality,
+        CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id
+    """,
+)
+def q_token_budget_select(spark, sf_dir):
+    """Global token-budget selection (sampling.token_budget_select):
+    best-quality-first prefix under a 10k-token budget, computed with
+    the DISTRIBUTED prefix sum (rank.with_global_running_sum) instead
+    of the single-partition ``sum() OVER (ORDER BY ...)`` window."""
+    from lab3_spark.operators.sampling import token_budget_select
+
+    return token_budget_select(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_mixing_weights",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS s_fp
+      FROM per
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(sum(s_fp) AS BIGINT) AS z FROM s)
+    SELECT source, n_docs, n_tokens,
+           floor((CAST(n_tokens AS DOUBLE) / tot_tokens) * 1000000)
+             / 1000000 AS raw_share,
+           floor((CAST(s_fp AS DOUBLE) / z) * 1000000) / 1000000
+             AS mix_weight,
+           floor(((CAST(s_fp AS DOUBLE) / z)
+                  / (CAST(n_tokens AS DOUBLE) / tot_tokens)) * 10000)
+             / 10000 AS boost
+    FROM s CROSS JOIN tot ORDER BY source
+    """,
+)
+def q_source_mixing_weights(spark, sf_dir):
+    """Temperature-scaled (α=0.5) domain-mixture weights
+    (sampling.source_mixing_weights): per-source token mass reduced in
+    one combine-friendly agg, sqrt fixed-pointed per SOURCE so the
+    normalizer is an integer sum — the data-mixing step of a
+    pretraining pipeline, driver-checkable to the hash."""
+    from lab3_spark.operators.sampling import source_mixing_weights
+
+    return source_mixing_weights(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
@@ -5395,6 +5527,10 @@ _DRIVER_PRIORITY = [
     "ann_pq_adc_top5",
     "ann_bruteforce_l2_top5",
     "ann_pq_recall",
+    "bm25_top_docs",
+    "doc_ppl_buckets",
+    "token_budget_select",
+    "source_mixing_weights",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
