@@ -113,6 +113,9 @@ HEADLINE = [
     "doc_ppl_buckets",
     "token_budget_select",
     "source_mixing_weights",
+    "events_sliding_10m",
+    "orders_rolling_7d_revenue",
+    "ann_pq_rerank",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -45,6 +45,38 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding (hopping) window counts + value sums per event_type:
+    each event lands in width/slide overlapping windows (here 2).
+
+    ``F.window(ts, width, slide)`` assigns the window set per ROW as
+    an in-row expression (Catalyst expands to a generator of
+    width/slide buckets) — the overlap factor multiplies rows BEFORE
+    the single hash agg, which still map-side combines per (window,
+    type).  No self-join, no re-scan: one pass, one shuffle, identical
+    cost shape to the tumbling form times the overlap factor."""
+    return (
+        events.groupBy(
+            F.window("ts", width, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), MONEY).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def daily_active_users(events: DataFrame) -> DataFrame:
     """Exact daily distinct users (count-distinct shuffles twice:
     partial distinct then count; use approx_dau at 100 TB)."""

@@ -676,3 +676,61 @@ def ann_pq_recall(
         )
         .orderBy("query_id")
     )
+
+
+def ann_pq_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    shortlist: int = 20,
+    m: int = 2,
+    k: int = DEFAULT_K,
+    n_iter: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rnk): the production two-stage
+    ANN shape — PQ-ADC shortlists ``shortlist`` candidates per query
+    from the COMPRESSED codes, then the exact fixed-point L2 reranks
+    only that shortlist (IVFADC + re-ranking, Jégou et al. 2011 §V,
+    public).
+
+    Why this is the 100 TB answer: stage 1 touches only m-byte codes
+    (the whole index fits in executor memory — no vector I/O); stage 2
+    fetches full vectors for shortlist·Q rows, an equi-join on vec_id
+    against the corpus — the expensive exact fold runs on a
+    vanishingly small fraction of the data.  Recall can only improve
+    over raw ADC at the same k: any true neighbor that survives into
+    the shortlist is exact-closest there, so the rerank keeps it
+    (pinned by the recall test).
+
+    All-integer end to end (fixed-point subvectors → int64 codes/
+    distances → exact int64 L2), so the oracle extends the PQ CTE
+    chain mechanically and matches bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    cand = ann_pq_adc(
+        embeddings, n_queries, shortlist, m, k, n_iter, dims
+    ).select("query_id", "neighbor_id")
+    e = embeddings.select("vec_id", fixed_point(F.col("embedding")).alias("xi"))
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("xi").alias("xq")
+    )
+    d = F.aggregate(
+        F.zip_with("xq", "xi", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ranked = (
+        cand.join(e, cand.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", d.alias("dist"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("dist"), F.asc("neighbor_id")
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("rnk") <= topk).orderBy("query_id", "rnk")

@@ -5463,6 +5463,188 @@ def q_source_mixing_weights(spark, sf_dir):
     return source_mixing_weights(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "events_sliding_10m",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding 10-minute windows hopping every 5 (EV.sliding_counts):
+    the window set is an in-row generator expression (overlap factor 2)
+    feeding ONE combine-friendly hash agg — no self-join.  Oracle
+    derives the same two aligned starts per event via unnest."""
+    return EV.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_rolling_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, revenue, n_orders,
+           round(sum(revenue) OVER (ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS rev_7d,
+           CAST(sum(n_orders) OVER (ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_7d
+    FROM daily ORDER BY day
+    """,
+)
+def q_orders_rolling_7d(spark, sf_dir):
+    """7-day rolling revenue via a RANGE window frame over the daily
+    aggregate (gaps in the calendar shrink the frame — RANGE, not
+    ROWS).  The unpartitioned window runs over post-aggregation rows:
+    one row per DATE, a dimension that stays metadata-scale no matter
+    how many orders feed it (the events_daily_anomalies precedent), so
+    the single-partition window is safe here by cardinality, not luck."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        "n_orders",
+        F.round(F.sum("revenue").over(w), 2).alias("rev_7d"),
+        F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
+    ).orderBy("day")
+
+
+@query(
+    "ann_pq_rerank",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
+      FROM v
+    ),
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 0, 32, "A")},
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 32, 64, "B")},
+    fA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fA) t WHERE rn = 1
+    ),
+    fB AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gB AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fB) t WHERE rn = 1
+    ),
+    codes AS (
+      SELECT a.vec_id, a.cl AS code_0, b.cl AS code_1
+      FROM gA a JOIN gB b ON a.vec_id = b.vec_id
+    ),
+    dtA AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    dtB AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    adc_pairs AS (
+      SELECT dA.query_id, c.vec_id AS neighbor_id,
+             CAST(dA.dist + dB.dist AS BIGINT) AS adist
+      FROM codes c
+      JOIN dtA dA ON dA.code = c.code_0
+      JOIN dtB dB ON dB.code = c.code_1 AND dB.query_id = dA.query_id
+      WHERE c.vec_id != dA.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        FROM adc_pairs) t WHERE rnk <= 20
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_reduce(list_transform(range(1, len(q.xi) + 1),
+                    i -> (q.xi[i] - n.xi[i]) * (q.xi[i] - n.xi[i])),
+                  (a, b) -> a + b) AS BIGINT) AS dist
+      FROM short s
+      JOIN v q ON q.vec_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id
+    ),
+    reranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rnk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, dist, rnk
+    FROM reranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage ANN (kmeans.ann_pq_rerank): PQ-ADC shortlists 20
+    candidates per query from the compressed codes, exact integer L2
+    reranks only the shortlist to top-5 — the IVFADC+rerank production
+    shape, all-integer and bit-exact against the extended PQ oracle
+    chain."""
+    from lab3_spark.operators.kmeans import ann_pq_rerank
+
+    return ann_pq_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        m=2,
+        k=_KMEANS_K,
+        n_iter=_PQ_ITERS,
+        dims=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -5531,6 +5713,9 @@ _DRIVER_PRIORITY = [
     "doc_ppl_buckets",
     "token_budget_select",
     "source_mixing_weights",
+    "events_sliding_10m",
+    "orders_rolling_7d_revenue",
+    "ann_pq_rerank",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
