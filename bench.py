@@ -116,6 +116,8 @@ HEADLINE = [
     "events_sliding_10m",
     "orders_rolling_7d_revenue",
     "ann_pq_rerank",
+    "dedup_graph_triangles",
+    "robust_quality_zscore",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -127,3 +127,59 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """(node, degree, n_tri, clustering): per-node triangle counts and
+    local clustering coefficient over a unique undirected edge list
+    (``a < b``) — the graph-density companion to
+    :func:`connected_components`: a near-dup cluster whose members all
+    pairwise match (high clustering) is a true duplicate pile, while a
+    low-clustering hub pattern flags chained/borderline matches worth
+    re-verifying before dropping documents.
+
+    Algorithm: the ordered-triple enumeration — each triangle
+    {x<y<z} is counted exactly once as the edge pair (x,y),(y,z)
+    closed by (x,z).  Two equi-joins on the edge list, one small agg;
+    no node ever sees a cartesian blow-up beyond its own adjacency
+    (the standard distributed triangle-count; degree-ordering the
+    endpoints — here by id, the classic refinement is by degree —
+    bounds the join fan-out).  clustering = 2·tri / (deg·(deg−1)),
+    exact integers into one truncated double — cross-engine stable.
+    """
+    from lab3_spark.functions.partitioning import memo_persist
+
+    e = memo_persist(
+        "components.triangle_edges",
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y")),
+    )
+    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = e.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = e.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+    coeff = F.when(
+        F.col("degree") > 1,
+        2.0 * n_tri / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        n_tri.alias("n_tri"),
+        (F.floor(coeff * 10000) / 10000).alias("clustering"),
+    )

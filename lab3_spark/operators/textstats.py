@@ -821,3 +821,68 @@ def dsir_log_ratio_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, source, quality, med, mad, robust_z): per-source
+    median/MAD normalization of the quality score — the outlier-proof
+    alternative to mean/std (one spam blob in a source drags a mean
+    but not a median), used to compare documents ACROSS sources whose
+    quality distributions differ.
+
+    Exact distributed medians: within each source the values are
+    ranked by a source-PARTITIONED window (never a global window), the
+    median is the mean of the one/two middle positions (the
+    positional rule, identical in both engines — no engine-native
+    ``median()`` whose interpolation could differ), and MAD repeats
+    the same machinery on |x − med|.  Cost: two partitioned window
+    passes + two per-source aggregates broadcast back — group count
+    never concentrates beyond a source's own rows.
+    """
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.rounding import trunc
+
+    q = spread(documents).select(
+        "doc_id", "source", trunc(quality_expr(text_col), 4).alias("quality")
+    )
+
+    def _median_of(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(val, "doc_id")
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        counts = df.groupBy("source").agg(F.count("*").alias("_n"))
+        mids = (
+            ranked.join(F.broadcast(counts), "source")
+            .where(
+                (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+                | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
+            )
+            .groupBy("source")
+            .agg((F.sum(val) / F.count("*")).alias(out))
+        )
+        return mids
+
+    med = _median_of(q, "quality", "med")
+    withmed = q.join(F.broadcast(med), "source").withColumn(
+        "_dev", F.abs(F.col("quality") - F.col("med"))
+    )
+    mad = _median_of(
+        withmed.select("doc_id", "source", F.col("_dev").alias("quality")),
+        "quality",
+        "mad",
+    )
+    z = F.when(
+        F.col("mad") > 0, (F.col("quality") - F.col("med")) / F.col("mad")
+    ).otherwise(0.0)
+    return (
+        withmed.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            trunc(F.col("med"), 4).alias("med"),
+            trunc(F.col("mad"), 4).alias("mad"),
+            trunc(z, 4).alias("robust_z"),
+        )
+        .orderBy("doc_id")
+    )

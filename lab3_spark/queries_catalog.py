@@ -5645,6 +5645,124 @@ def q_ann_pq_rerank(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_graph_triangles",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    e AS (SELECT doc_a AS x, doc_b AS y FROM cand),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    tri_nodes AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+      GROUP BY node
+    )
+    SELECT d.node AS doc_id, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           floor((CASE WHEN d.degree > 1 THEN
+                    2.0 * coalesce(t.n_tri, 0)
+                      / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END) * 10000) / 10000 AS clustering
+    FROM deg d LEFT JOIN tri_nodes t ON t.node = d.node
+    ORDER BY n_tri DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_dedup_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over
+    the MinHash candidate graph (components.triangle_stats): dense
+    (clustered) near-dup piles vs chained borderline matches.  Ordered
+    -triple enumeration — two equi-joins, each triangle counted once."""
+    from lab3_spark.operators.components import triangle_stats
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return (
+        triangle_stats(cands)
+        .select(F.col("node").alias("doc_id"), "degree", "n_tri", "clustering")
+        .orderBy(F.desc("n_tri"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "robust_quality_zscore",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks,
+             length(text) AS n_chars, len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+        floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) / 10000 AS quality
+      FROM t
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT source, sum(quality) / count(*) AS med
+      FROM r1
+      WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+      GROUP BY source
+    ),
+    d AS (
+      SELECT q.doc_id, q.source, q.quality, m.med,
+             abs(q.quality - m.med) AS dev
+      FROM q JOIN med m ON q.source = m.source
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY dev, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT source, sum(dev) / count(*) AS mad
+      FROM r2
+      WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+      GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.quality,
+           floor(d.med * 10000) / 10000 AS med,
+           floor(a.mad * 10000) / 10000 AS mad,
+           floor((CASE WHEN a.mad > 0
+                       THEN (d.quality - d.med) / a.mad
+                       ELSE 0.0 END) * 10000) / 10000 AS robust_z
+    FROM d JOIN mad a ON d.source = a.source
+    ORDER BY doc_id
+    """,
+)
+def q_robust_quality_zscore(spark, sf_dir):
+    """Per-source median/MAD quality normalization
+    (TS.robust_quality_zscore): exact distributed medians by the
+    positional rule over source-PARTITIONED windows (no engine-native
+    median whose interpolation could differ, no global window)."""
+    return TS.robust_quality_zscore(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -5716,6 +5834,8 @@ _DRIVER_PRIORITY = [
     "events_sliding_10m",
     "orders_rolling_7d_revenue",
     "ann_pq_rerank",
+    "dedup_graph_triangles",
+    "robust_quality_zscore",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
