@@ -282,3 +282,60 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
     plan = formatted_plan(dsir_log_ratio_weights(docs))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_no_token_explode_single_stats_row(spark, sf_dir):
+    """BM25's per-doc tf must be array folds — NO Generate (explode)
+    node, no (doc, word) shuffle; the only aggregation is the 1-row
+    corpus-stats reduce, and top-k plans as TakeOrderedAndProject."""
+    from lab3_spark.operators.retrieval import bm25_top_docs
+    from lab3_spark.sources.tables import load_table
+
+    df = bm25_top_docs(load_table(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sliding_window_single_aggregation(spark, sf_dir):
+    """The hopping window is an in-row generator feeding ONE
+    partial+final hash agg — no self-join, no second groupBy chain."""
+    from lab3_spark.operators.events import sliding_counts
+    from lab3_spark.sources.tables import load_table
+
+    df = sliding_counts(load_table(spark, sf_dir, "events"))
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # one partial+final pair (nodes may print twice in formatted plans)
+    assert 2 <= plan.count("HashAggregate") <= 4, plan
+
+
+def test_token_budget_no_unpartitioned_window_over_corpus(spark, sf_dir):
+    """The prefix sum must come from the range-partitioned machinery:
+    every Window node over data columns is partitioned (by the range
+    partition id); rangepartitioning appears on the order keys."""
+    from lab3_spark.operators.sampling import token_budget_select
+    from lab3_spark.sources.tables import load_table
+
+    df = token_budget_select(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(_negq" in plan.lower(), plan
+    for line in plan.splitlines():
+        if "Window [" in line and "n_tokens" in line:
+            # the running-sum window must carry a partition spec
+            assert "_gos_pid" in line, line
+
+
+def test_triangle_stats_equi_joins_only(spark, sf_dir):
+    """Triangle enumeration must plan as equi-joins (SortMerge or
+    BroadcastHash) — never a cartesian/BroadcastNestedLoop."""
+    from lab3_spark.operators.components import triangle_stats
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.sources.tables import load_table
+
+    cands = minhash_candidates(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    plan = formatted_plan(triangle_stats(cands))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
