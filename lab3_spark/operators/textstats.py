@@ -563,7 +563,7 @@ def unigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame
             .alias("s_fp"),
         )
     )
-    return (
+    out = (
         toks.join(F.broadcast(surprisal), "term")
         .groupBy("doc_id")
         .agg(
@@ -577,6 +577,14 @@ def unigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame
         )
         .orderBy("doc_id")
     )
+    # memoized: doc_unigram_logprob AND perplexity_buckets consume this
+    # exact per-doc frame (n_docs rows — cache is metadata-scale); the
+    # sameResult match means the second consumer skips both corpus
+    # passes in a warm session, and the registry stays bounded to one
+    # entry across sf dirs.
+    from lab3_spark.functions.partitioning import memo_persist
+
+    return memo_persist("textstats.unigram_surprisal", out)
 
 
 def perplexity_buckets(documents: DataFrame, text_col: str = "text") -> DataFrame:
