@@ -571,6 +571,14 @@ def ann_pq_adc(
             )
         )
         dts = dt if dts is None else dts.join(dt, "query_id")
+    # the m-way joined code table is the PQ INDEX — one bigint row per
+    # corpus vector.  Three catalog gates (adc / recall / rerank, the
+    # latter two building the ADC shortlist internally) need the same
+    # codes; memo_persist shares one encode pass per session (bounded,
+    # sameResult-matched like the IVF assignment memo).
+    from lab3_spark.functions.partitioning import memo_persist
+
+    codes = memo_persist(f"kmeans.pq_codes_m{m}_k{k}_i{n_iter}", codes)
     # one broadcast table of all (query, code_0..code_{m-1}) distance
     # combinations: m*k rows per query per subspace joined into k^m
     # combos — still metadata-scale (20 queries × 64 combos here)
