@@ -58,12 +58,23 @@ QUERIES = [
     "pmi_collocations",
     "dedup_clusters",
     "doc_ngram_repetition",
+    # round-4 late additions: new families on the curve
+    "bm25_top_docs",
+    "doc_ppl_buckets",
+    "token_budget_select",
+    "dedup_graph_triangles",
+    "robust_quality_zscore",
+    "ann_pq_adc_top5",
+    "ann_pq_rerank",
+    "dedup_containment",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
     "q18_large_volume_customer",
     "order_total_deciles",
     "word_count",
+    "events_sliding_10m",
+    "orders_rolling_7d_revenue",
 ]
 
 
