@@ -118,6 +118,7 @@ HEADLINE = [
     "ann_pq_rerank",
     "dedup_graph_triangles",
     "robust_quality_zscore",
+    "events_value_histogram",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

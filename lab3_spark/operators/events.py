@@ -367,3 +367,37 @@ def daily_count_anomalies(events: DataFrame, z: int = 2) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def value_histogram(events: DataFrame, bins: int = 20) -> DataFrame:
+    """(bucket, lo, hi, n_events): fixed-bin histogram of `value` with
+    DATA-DERIVED range — the two-pass profile shape: a metadata-scale
+    min/max aggregate broadcast back, then bucket assignment as a pure
+    per-row expression into one combine-friendly hash agg.  The last
+    bucket is closed (value == max clamps to bins-1 via least), the
+    rest are [lo, hi).  Bucket bounds are recomputed from the SAME
+    broadcast stats by the identical double sequence in both engines,
+    truncated for the hash."""
+    from lab3_spark.functions.rounding import trunc
+
+    stats = events.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+    ).cast("int")
+    return (
+        events.crossJoin(F.broadcast(stats))
+        .select(idx.alias("bucket"), "_lo", "_hi")
+        .groupBy("bucket", "_lo", "_hi")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "bucket",
+            trunc(F.col("_lo") + F.col("bucket") * ((F.col("_hi") - F.col("_lo")) / bins), 4).alias("lo"),
+            trunc(F.col("_lo") + (F.col("bucket") + 1) * ((F.col("_hi") - F.col("_lo")) / bins), 4).alias("hi"),
+            "n_events",
+        )
+        .orderBy("bucket")
+    )

@@ -5795,6 +5795,32 @@ def q_orc_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@query(
+    "events_value_histogram",
+    """
+    WITH stats AS (SELECT min(value) AS lo0, max(value) AS hi0 FROM events),
+    b AS (
+      SELECT least(19, CAST(floor((value - lo0) / ((hi0 - lo0) / 20))
+                            AS INTEGER)) AS bucket,
+             lo0, hi0
+      FROM events CROSS JOIN stats
+    )
+    SELECT bucket,
+           floor((lo0 + bucket * ((hi0 - lo0) / 20)) * 10000) / 10000 AS lo,
+           floor((lo0 + (bucket + 1) * ((hi0 - lo0) / 20)) * 10000) / 10000
+             AS hi,
+           count(*) AS n_events
+    FROM b GROUP BY bucket, lo0, hi0 ORDER BY bucket
+    """,
+)
+def q_events_value_histogram(spark, sf_dir):
+    """Dynamic-range 20-bin histogram (EV.value_histogram): the
+    two-pass profile shape — metadata-scale min/max broadcast back,
+    bucket assignment as a per-row expression into one combine-
+    friendly agg.  Last bucket closed via least()."""
+    return EV.value_histogram(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -5872,6 +5898,7 @@ _DRIVER_PRIORITY = [
     # gate that waits for its first driver row until round 5 (judge /
     # bare-session verified meanwhile; losslessness is the whole check)
     "orc_roundtrip_events",
+    "events_value_histogram",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
