@@ -810,7 +810,7 @@ def dsir_log_ratio_weights(
         .cast("bigint")
         .alias("r_fp"),
     )
-    return (
+    out = (
         feats.join(F.broadcast(ratio), "feat")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_feats"), F.sum("r_fp").alias("dsir_fp"))
@@ -829,6 +829,12 @@ def dsir_log_ratio_weights(
         )
         .orderBy("doc_id")
     )
+    # memoized: the weights gate AND the selection capstone consume
+    # this exact per-doc frame — the unigram_surprisal recipe (one
+    # two-pass LM fit per warm session, n_docs-row cache, bounded).
+    from lab3_spark.functions.partitioning import memo_persist
+
+    return memo_persist("textstats.dsir_weights", out)
 
 
 def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataFrame:
