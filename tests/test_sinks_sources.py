@@ -141,3 +141,35 @@ def test_load_table_self_heals_session_confs(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path):
+    """ORC write → read preserves schema, row count, and values
+    including timestamp microseconds."""
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "ev_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    a = sorted(ev.collect(), key=lambda r: r.event_id)
+    b = sorted(back.collect(), key=lambda r: r.event_id)
+    assert a == b
+
+
+def test_value_histogram_partitions_all_events(spark, sf_dir):
+    from lab3_spark.operators.events import value_histogram
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = value_histogram(ev).collect()
+    assert sum(r.n_events for r in h) == ev.count()
+    # buckets tile the range: each hi equals the next bucket's lo when
+    # adjacent, and bounds are monotone
+    for r in h:
+        assert r.lo <= r.hi
+    byb = sorted(h, key=lambda r: r.bucket)
+    for x, y in zip(byb, byb[1:]):
+        assert x.bucket < y.bucket
+        assert x.hi <= y.lo + 1e-9 or y.bucket > x.bucket + 1
