@@ -1472,6 +1472,62 @@ def q_streaming_tumbling(spark, sf_dir):
     ).orderBy("window_start", "event_type")
 
 
+@query(
+    "streaming_sliding_10m",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_streaming_sliding(spark, sf_dir):
+    """REAL Structured Streaming run of the HOPPING window (file
+    source → watermarked sliding agg → memory sink, availableNow):
+    with all data available, complete mode must equal the batch
+    sliding oracle — the events_sliding_10m semantics carried into a
+    stream with bounded state."""
+    import os as _os
+    import tempfile as _tf
+
+    from lab3_spark.streaming.windowed import streaming_sliding_counts
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    stage = _tf.mkdtemp(prefix="stream_events_slide_")
+    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    src = normalize_event_time(src)
+    result = streaming_sliding_counts(src)
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sliding_check")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_sliding availableNow run timed out")
+    out = spark.table("stream_sliding_check")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # §8 Grouping-set lattice, pivot, percentiles, n-grams, TF-IDF, set ops
 # ---------------------------------------------------------------------------
@@ -5899,6 +5955,7 @@ _DRIVER_PRIORITY = [
     # bare-session verified meanwhile; losslessness is the whole check)
     "orc_roundtrip_events",
     "events_value_histogram",
+    "streaming_sliding_10m",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -68,6 +68,33 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/events.sliding_counts: hopping
+    windows in a stream.  State per key set is (windows inside the
+    watermark horizon × types) × overlap factor — still bounded; the
+    window assignment is the same in-row generator as batch, so one
+    event updates width/slide window states per trigger."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, trigger_once: bool = True
 ):

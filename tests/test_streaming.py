@@ -116,3 +116,38 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         )
     )
     assert streamed == batch and len(batch) >= 0
+
+
+def test_streaming_sliding_counts_equals_batch(spark, tmp_path):
+    """Hopping-window stream (complete mode, availableNow) over a
+    bounded source must equal the batch sliding_counts."""
+    from lab3_spark.operators.events import sliding_counts
+    from lab3_spark.streaming.windowed import streaming_sliding_counts
+
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+        ("2024-01-01 00:13:00", "view", 4.0),
+    ]
+    src = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    path = os.path.join(str(tmp_path), "ev_slide_src")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = run_stream_to_memory(
+        streaming_sliding_counts(stream), "ev_slide_stream_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("ev_slide_stream_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in sliding_counts(src).collect()
+    }
+    assert got == want
+    # each event lands in exactly two windows
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
