@@ -119,6 +119,8 @@ HEADLINE = [
     "dedup_graph_triangles",
     "robust_quality_zscore",
     "events_value_histogram",
+    "orders_priority_unpivot",
+    "orders_scd_upsert",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -5877,6 +5877,105 @@ def q_events_value_histogram(spark, sf_dir):
     return EV.value_histogram(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "orders_priority_unpivot",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price,
+             floor(avg(o_totalprice) * 100) / 100 AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value FROM (
+      SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'total_price', total_price FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+    ) ORDER BY o_orderpriority, metric
+    """,
+)
+def q_orders_priority_unpivot(spark, sf_dir):
+    """UNPIVOT (wide → long): per-priority metrics melted to
+    (priority, metric, value) rows via DataFrame.unpivot — the inverse
+    of the pivot gate (`nation_status_pivot`).  Runs over the
+    post-aggregation frame (#priorities rows), so the melt itself is
+    metadata-scale; pivot/unpivot round-tripping is what makes the
+    wide report and the long metric store the same data."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (F.floor(F.avg("o_totalprice") * 100) / 100).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")
+
+
+@query(
+    "orders_scd_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey,
+             round(o_totalprice, 2) AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+    kept AS (
+      SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+             o.o_orderstatus
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM changes c
+                        WHERE c.o_orderkey = o.o_orderkey)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM changes
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_scd_upsert(spark, sf_dir):
+    """MERGE/upsert emulation on plain parquet (no lakehouse format):
+    apply a deterministic change batch (updates for keys %10, inserts
+    with offset keys for %17) as LEFT-ANTI(target, changes) ∪ changes —
+    the standard open-Spark upsert shape.  The anti-join broadcasts
+    the (small) change batch; at 100 TB the rewrite cost is bounded by
+    partition pruning on the join key range, which is why real
+    pipelines pair this with the partitioned/bucketed layouts gated in
+    sources/layout.py."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserts = o.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changes = updates.unionAll(inserts)
+    kept = o.join(
+        F.broadcast(changes.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return kept.unionAll(changes).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -5956,6 +6055,8 @@ _DRIVER_PRIORITY = [
     "orc_roundtrip_events",
     "events_value_histogram",
     "streaming_sliding_10m",
+    "orders_priority_unpivot",
+    "orders_scd_upsert",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
