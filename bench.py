@@ -121,6 +121,7 @@ HEADLINE = [
     "events_value_histogram",
     "orders_priority_unpivot",
     "orders_scd_upsert",
+    "per_source_token_budget",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -255,3 +255,39 @@ def source_mixing_weights(documents: DataFrame, text_col: str = "text") -> DataF
         )
         .orderBy("source")
     )
+
+
+def per_source_token_budget(
+    documents: DataFrame, budget: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """(source, doc_id, quality, n_tokens, cum_tokens): quota
+    selection — each SOURCE independently keeps its best-quality
+    documents until its own token budget fills.  The stratified
+    complement of :func:`token_budget_select`'s single global budget
+    (domain caps are how real mixes prevent one giant crawl source
+    from swallowing the whole budget).
+
+    Scale shape: the running sum is a source-PARTITIONED window —
+    ordinary keyed shuffle, no global machinery needed; contrast with
+    the global form, which requires the ranged prefix-sum primitive.
+    """
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.operators.textstats import quality_expr
+
+    base = spread(documents).select(
+        "doc_id",
+        "source",
+        trunc(quality_expr(text_col), 4).alias("quality"),
+        F.size(tokenize(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .where(F.col("cum_tokens") <= budget)
+        .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )

@@ -5976,6 +5976,47 @@ def q_orders_scd_upsert(spark, sf_dir):
     return kept.unionAll(changes).orderBy("o_orderkey")
 
 
+@query(
+    "per_source_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks,
+             length(text) AS n_chars, len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+        floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) / 10000 AS quality,
+        CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM t
+    ),
+    c AS (
+      SELECT source, doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT source, doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 500 ORDER BY source, doc_id
+    """,
+)
+def q_per_source_token_budget(spark, sf_dir):
+    """Per-source quota selection (sampling.per_source_token_budget):
+    each domain independently fills a 500-token budget best-quality
+    first — a source-partitioned window, the stratified complement of
+    the global-budget gate."""
+    from lab3_spark.operators.sampling import per_source_token_budget
+
+    return per_source_token_budget(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6057,6 +6098,7 @@ _DRIVER_PRIORITY = [
     "streaming_sliding_10m",
     "orders_priority_unpivot",
     "orders_scd_upsert",
+    "per_source_token_budget",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
