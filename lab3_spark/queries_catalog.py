@@ -6017,6 +6017,91 @@ def q_per_source_token_budget(spark, sf_dir):
     return per_source_token_budget(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    pr_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_edeg AS (
+      SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src
+    ),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM pr_nodes),
+    {_duck_pagerank_iters(_PAGERANK_ITERS)},
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, r.rank_fp,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY r.rank_fp DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN r{_PAGERANK_ITERS} r ON r.node = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rank_fp AS rep_rank_fp
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q_dedup_cluster_representatives(spark, sf_dir):
+    """The graph-ops capstone: per near-dup CLUSTER (connected
+    components over the MinHash candidate graph), keep the
+    BEST-CONNECTED document — representative = max fixed-point
+    PageRank, tie → min doc_id.  This is the selection rule the
+    pagerank gate's docstring promises ("representatives chosen by
+    connectivity rather than min-id"), now an oracle-checked operator:
+    both iterative results join on node, one partitioned window picks
+    the winner.  All-bigint ranks, so the composed recursive-CTE +
+    unrolled-iteration oracle matches bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.components import connected_components
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.pagerank import pagerank_fixed_point, symmetrize
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents"))
+    comps = connected_components(cands, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    ranks = pagerank_fixed_point(symmetrize(cands), n_iter=_PAGERANK_ITERS)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank_fp"), F.asc("doc_id")
+    )
+    return (
+        comps.join(ranks, comps.doc_id == ranks.node)
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("rank_fp").alias("rep_rank_fp"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6099,6 +6184,7 @@ _DRIVER_PRIORITY = [
     "orders_priority_unpivot",
     "orders_scd_upsert",
     "per_source_token_budget",
+    "dedup_cluster_representatives",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
