@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_priority_unpivot",
     "orders_scd_upsert",
     "per_source_token_budget",
+    "dedup_cluster_representatives",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -112,13 +112,22 @@ def connected_components(
         if (it + 1) % CHECKPOINT_EVERY == 0:
             # a checkpoint truncates lineage to a fresh LogicalRDD, so
             # it can never memo-match a later call — register it with
-            # retire_latest instead: the NEXT checkpoint (or call)
-            # under this key frees it (DataFrame.unpersist is a silent
-            # no-op on checkpoints; retire_latest reaches the RDD)
+            # retire_latest under ONE key: the next checkpoint (this
+            # run's or a later run's) frees the previous one the moment
+            # its eager materialization completes, so at most one
+            # checkpoint RDD is ever pinned per session.  (Per-
+            # iteration keys would accumulate one pinned RDD per
+            # CHECKPOINT_EVERY rounds on a slow-converging graph with
+            # zero reuse value — checkpoints never memo-match.)
             new_labels = retire_latest(
-                f"components.ckpt{it}", new_labels.localCheckpoint(eager=True)
+                "components.ckpt", new_labels.localCheckpoint(eager=True)
             )
         else:
+            # per-iteration memo keys are deliberate: a warm repeat run
+            # cache-hits every iteration's label frame (measured ~4×).
+            # Bound: #iterations × label-scale (node, comp) rows — for
+            # the O(log d) pointer-doubled convergence this is a handful
+            # of frames, each ≪ corpus size.
             new_labels = memo_persist(f"components.iter{it}", new_labels)
         changed = new_labels.where(F.col("_chg")).count()
         labels = new_labels.drop("_chg")

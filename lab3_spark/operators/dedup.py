@@ -493,25 +493,43 @@ def simhash_near_pairs(
             for j in range(SIM_CHUNKS - 1)
         )
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(no_earlier_match)
-        .select(
+    joined = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if max_bucket is None:
+        # the predicate form assumes every chunk's bucket SURVIVED —
+        # true only with no cap (see the capped branch below)
+        deduped = joined.where(no_earlier_match).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             x.alias("x"),
         )
-        .withColumn("hamming", F.expr("bit_count(x)").cast("bigint"))
+    else:
+        # capped: a pair's lowest matching chunk may live in a DROPPED
+        # bucket, which would make no_earlier_match (computed from the
+        # full signatures) suppress the pair at every SURVIVING chunk
+        # too.  Dedup by grouping instead — one extra keyed shuffle on
+        # the (already cap-bounded) match rows, correctness over the
+        # predicate shortcut.  x is identical for every row of a pair
+        # (pure function of the two sigs), so min() just picks it.
+        deduped = (
+            joined.select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                x.alias("x"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("x").alias("x"))
+        )
+    return (
+        deduped.withColumn("hamming", F.expr("bit_count(x)").cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
-    return pairs
 
 
 def embedding_near_duplicates(

@@ -380,16 +380,24 @@ def value_histogram(events: DataFrame, bins: int = 20) -> DataFrame:
     truncated for the hash."""
     from lab3_spark.functions.rounding import trunc
 
-    stats = events.agg(
+    # NULL values are excluded up front (a NULL bucket index would
+    # otherwise be silently absorbed into the top bucket by least's
+    # null-skipping — in BOTH engines, so the oracle can't catch it);
+    # a constant column (hi == lo, width 0 → NULL index) degenerates
+    # to one bucket 0 holding everything, not a phantom bucket 19.
+    nn = events.where(F.col("value").isNotNull())
+    stats = nn.agg(
         F.min("value").alias("_lo"), F.max("value").alias("_hi")
     )
     width = (F.col("_hi") - F.col("_lo")) / bins
-    idx = F.least(
-        F.lit(bins - 1),
-        F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+        )
     ).cast("int")
     return (
-        events.crossJoin(F.broadcast(stats))
+        nn.crossJoin(F.broadcast(stats))
         .select(idx.alias("bucket"), "_lo", "_hi")
         .groupBy("bucket", "_lo", "_hi")
         .agg(F.count("*").alias("n_events"))

@@ -298,21 +298,12 @@ def kmeans_assign(
 
 def _nearest_cells_expr(cents: list[tuple[int, list[int]]], nprobe: int) -> Column:
     """array<bigint> of the ``nprobe`` nearest cell ids for the vector
-    in column ``xi`` — `_assign_expr` generalized from argmin to top-P:
-    the same exact int64 (dist, cl) structs, array_sort's lexicographic
-    struct ordering (ties → lowest cl, identical to the argmin), slice
-    P, project cl."""
-    zero = F.lit(0).cast("bigint")
-    structs = []
-    for cl, arr in cents:
-        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
-        diff2 = F.zip_with(F.col("xi"), lits, lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(int(cl)).cast("bigint").alias("cl"))
-        )
-    ordered = F.array_sort(F.array(*structs))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cl"])
+    in column ``xi`` — the per-query ADC distance table
+    (:func:`_dist_table_expr`, the ONE place the exact int64 distance
+    structs are built) sorted lexicographically (ties → lowest cell,
+    identical to the argmin), sliced to P, projected to the cell id."""
+    ordered = F.array_sort(_dist_table_expr(cents))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["code"])
 
 
 def ann_ivf_trained(
@@ -405,17 +396,24 @@ def recall_vs_bruteforce(
     embeddings: DataFrame,
     n_queries: int = 20,
     topk: int = 5,
+    baseline: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, n_true, n_hit, recall): recall@topk of ANY
     approximate result frame (columns query_id, neighbor_id) against
-    the exact brute-force baseline — shared by the IVF and PQ recall
-    gates."""
+    an exact baseline — shared by the IVF and PQ recall gates.
+
+    ``baseline`` defaults to the cosine brute force; pass a different
+    ground-truth frame (e.g. `ann_bruteforce_l2` for the same-metric
+    PQ gate) to measure against another exact metric — the truth/hits/
+    recall join exists ONCE here for every gate."""
     from lab3_spark.functions.rounding import trunc
     from lab3_spark.operators.similarity import ann_bruteforce
 
-    bf = ann_bruteforce(embeddings, n_queries, topk).select(
-        "query_id", "neighbor_id"
-    )
+    bf = (
+        baseline
+        if baseline is not None
+        else ann_bruteforce(embeddings, n_queries, topk)
+    ).select("query_id", "neighbor_id")
     ap = approx.select("query_id", "neighbor_id")
     truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
     hits = (
@@ -662,27 +660,12 @@ def ann_pq_recall(
     same code recalls far higher; the gate's job is regression
     visibility, not absolute quality."""
     pq = ann_pq_adc(embeddings, n_queries, topk, m, k, n_iter, dims)
-    from lab3_spark.functions.rounding import trunc
-
-    bf = ann_bruteforce_l2(embeddings, n_queries, topk).select(
-        "query_id", "neighbor_id"
-    )
-    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
-    hits = (
-        bf.join(pq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
-    return (
-        truth.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_true",
-            n_hit.alias("n_hit"),
-            trunc(n_hit / F.col("n_true"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
+    return recall_vs_bruteforce(
+        pq,
+        embeddings,
+        n_queries,
+        topk,
+        baseline=ann_bruteforce_l2(embeddings, n_queries, topk),
     )
 
 

@@ -151,8 +151,11 @@ def with_global_running_sum(
     return (
         d.join(F.broadcast(offsets), _PID)
         .withColumn(
+            # no cast: the sum keeps the value column's own type
+            # (bigint → bigint, double → double) — a generic prefix-sum
+            # helper must not silently floor fractional inputs
             out_col,
-            (F.sum(value_col).over(local) + F.col(_OFF)).cast("long"),
+            F.sum(value_col).over(local) + F.col(_OFF),
         )
         .drop(_PID, _RIDX, _OFF)
     )

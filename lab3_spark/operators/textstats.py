@@ -855,10 +855,20 @@ def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataF
     """
     from pyspark.sql.window import Window
 
+    from lab3_spark.functions.partitioning import memo_persist
     from lab3_spark.functions.rounding import trunc
 
-    q = spread(documents).select(
-        "doc_id", "source", trunc(quality_expr(text_col), 4).alias("quality")
+    # the scored frame feeds four branches (median rank pass + its
+    # counts, the med join, the MAD rank pass) — without a persist the
+    # tokenize+quality scan re-executes per branch (the shared-scan
+    # convention: ngram_jaccard/sparse_tfidf do the same)
+    q = memo_persist(
+        "textstats.robust_zscore.q",
+        spread(documents).select(
+            "doc_id",
+            "source",
+            trunc(quality_expr(text_col), 4).alias("quality"),
+        ),
     )
 
     def _median_of(df: DataFrame, val: str, out: str) -> DataFrame:

@@ -5854,12 +5854,14 @@ def q_orc_roundtrip(spark, sf_dir):
 @query(
     "events_value_histogram",
     """
-    WITH stats AS (SELECT min(value) AS lo0, max(value) AS hi0 FROM events),
+    WITH nn AS (SELECT value FROM events WHERE value IS NOT NULL),
+    stats AS (SELECT min(value) AS lo0, max(value) AS hi0 FROM nn),
     b AS (
-      SELECT least(19, CAST(floor((value - lo0) / ((hi0 - lo0) / 20))
-                            AS INTEGER)) AS bucket,
+      SELECT CASE WHEN hi0 = lo0 THEN 0
+                  ELSE least(19, CAST(floor((value - lo0)
+                         / ((hi0 - lo0) / 20)) AS INTEGER)) END AS bucket,
              lo0, hi0
-      FROM events CROSS JOIN stats
+      FROM nn CROSS JOIN stats
     )
     SELECT bucket,
            floor((lo0 + bucket * ((hi0 - lo0) / 20)) * 10000) / 10000 AS lo,

@@ -68,15 +68,25 @@ def start_incremental_dedup(
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        try:
+        # Explicit existence check instead of try/except: a bare
+        # swallow would also hide REAL store-read failures (corrupt
+        # file, FS error) and silently skip dedup for the whole batch,
+        # breaking the one-doc-per-fingerprint store invariant with no
+        # signal.  Missing store = first batch, the only legitimate
+        # "no prior" case; any other read error now propagates and
+        # fails the StreamingQuery loudly.
+        import os as _os
+
+        has_prior = _os.path.isdir(store_path) and any(
+            e.startswith("batch_id=") for e in _os.listdir(store_path)
+        )
+        if has_prior:
             prior = (
                 accepted_store(spark, store_path)
                 .where(F.col("batch_id") < batch_id)
                 .select("fp")
             )
             batch = batch.join(prior, "fp", "left_anti")
-        except Exception:
-            pass  # first batch: no store yet
         batch.select("doc_id", "fp").write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )

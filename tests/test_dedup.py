@@ -194,3 +194,53 @@ def test_containment_detects_embedded_doc(spark):
     assert r["cont_b_in_a"] < 1.0
     jac = ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()[0]["jaccard"]
     assert jac < r["cont_a_in_b"]
+
+
+def test_simhash_bucket_cap_mixed_case_complete(spark, sf_dir):
+    """With a cap, a pair whose LOWEST matching chunk sits in a dropped
+    bucket must still surface via a surviving shared chunk — the
+    capped path dedups by grouping, not the full-signature
+    first-match predicate (which assumes every bucket survived).
+    Python reference recomputes the expected pair set from the
+    signatures for several cap values."""
+    from collections import Counter
+
+    from lab3_spark.operators.dedup import (
+        CHUNK_BITS,
+        SIM_CHUNKS,
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {
+        r["doc_id"]: r["sig"] for r in simhash_signatures(docs).collect()
+    }
+    mask = (1 << CHUNK_BITS) - 1
+
+    def chunk(s, c):
+        return (s >> (c * CHUNK_BITS)) & mask
+
+    for cap in (2, 5, 50):
+        sizes = Counter(
+            (c, chunk(s, c)) for s in sigs.values() for c in range(SIM_CHUNKS)
+        )
+        expected = set()
+        ids = sorted(sigs)
+        for i, da in enumerate(ids):
+            for db in ids[i + 1:]:
+                x = sigs[da] ^ sigs[db]
+                if bin(x).count("1") > 3:
+                    continue
+                if any(
+                    chunk(sigs[da], c) == chunk(sigs[db], c)
+                    and sizes[(c, chunk(sigs[da], c))] <= cap
+                    for c in range(SIM_CHUNKS)
+                ):
+                    expected.add((da, db))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_pairs(docs, max_bucket=cap).collect()
+        }
+        assert got == expected, cap

@@ -217,8 +217,12 @@ def test_hash_embedding_single_combine_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     # at least one aggregate, and no more than one partial+final pair
     # (formatted plans may list each node twice; exact node duplication
-    # varies across Spark versions/AQE, so pin bounds, not equality)
+    # varies across Spark versions/AQE, so pin bounds, not equality) —
+    # but the PARTIAL phase must exist: dropping map-side combine would
+    # shuffle every (doc, feature) row, the exact regression this test
+    # was written to catch
     assert 1 <= plan.count("HashAggregate") <= 4, plan
+    assert "partial_" in plan, plan
     assert count_exchanges(df) <= 3, plan
 
 

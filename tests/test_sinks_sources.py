@@ -173,3 +173,15 @@ def test_value_histogram_partitions_all_events(spark, sf_dir):
     for x, y in zip(byb, byb[1:]):
         assert x.bucket < y.bucket
         assert x.hi <= y.lo + 1e-9 or y.bucket > x.bucket + 1
+
+
+def test_value_histogram_null_and_constant_edge_cases(spark):
+    from lab3_spark.operators.events import value_histogram
+
+    rows = [(1, 5.0), (2, 5.0), (3, None), (4, 5.0)]
+    ev = spark.createDataFrame(rows, "event_id long, value double")
+    h = value_histogram(ev).collect()
+    # nulls excluded; constant column collapses to one bucket 0
+    assert len(h) == 1
+    assert h[0].bucket == 0 and h[0].n_events == 3
+    assert h[0].lo == h[0].hi == 5.0
