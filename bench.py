@@ -123,6 +123,7 @@ HEADLINE = [
     "orders_scd_upsert",
     "per_source_token_budget",
     "dedup_cluster_representatives",
+    "weighted_sample_docs",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -291,3 +291,59 @@ def per_source_token_budget(
         .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
         .orderBy("source", "doc_id")
     )
+
+
+SPS_HASH_MOD = 1 << 30  # uniform u = (h30+1) / 2^30
+SPS_SCALE = 1 << 48  # w_fp·2^48 ≤ 10001·2^48 < 2^63 — no int64 overflow
+
+
+def weighted_sample_docs(
+    documents: DataFrame, n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, quality_fp, priority, rnk): n documents sampled
+    WITHOUT replacement with probability ∝ quality — Sequential
+    Poisson sampling (Ohlsson 1998, public): priority q_i = w_i / u_i
+    with u_i uniform in (0,1], keep the top n priorities.
+
+    ALL-INTEGER: u_i derives from the portable md5 hash reduced to 30
+    bits (deterministic, re-runnable, identical in the oracle), and
+    the priority is the exact integer ``w_fp · 2^48 div (h30+1)`` —
+    the scale chosen so the product fits int64 (w_fp ≤ 10001) while
+    keeping ≥ 2^18 resolution at the low end.  No float anywhere, so
+    rank boundaries cannot wobble on engine-libm differences; ties
+    break by doc_id.  Weight = fixed-point quality + 1 (strictly
+    positive).  Top-n plans as TakeOrderedAndProject.
+
+    This is the weighted companion to `hash_sample`'s uniform
+    deterministic sampling: quality-proportional subset selection for
+    a training mix, auditable and reproducible by construction.
+    """
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.textstats import quality_expr
+
+    w_fp = (F.floor(quality_expr(text_col) * 10_000) + 1).cast("bigint")
+    h1 = (
+        md5_long(F.col("doc_id").cast("string"), salt="sps") % SPS_HASH_MOD
+    ) + 1
+    base = (
+        spread(documents)
+        .select("doc_id", w_fp.alias("quality_fp"), h1.alias("_h1"))
+        .select(
+            "doc_id",
+            "quality_fp",
+            F.expr(f"(quality_fp * CAST({SPS_SCALE} AS BIGINT)) div _h1")
+            .cast("bigint")
+            .alias("priority"),
+        )
+    )
+    top = base.orderBy(F.desc("priority"), F.asc("doc_id")).limit(n)
+    return top.select(
+        "doc_id",
+        "quality_fp",
+        "priority",
+        F.row_number()
+        .over(Window.orderBy(F.desc("priority"), F.asc("doc_id")))
+        .alias("rnk"),
+    ).orderBy("rnk")

@@ -6104,6 +6104,48 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        CAST(floor((0.4 * least(n_tokens / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN n_chars > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / n_chars
+              ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tokens > 0 THEN
+              len(list_distinct(toks)) / n_tokens ELSE 0.0 END))
+          * 10000) + 1 AS BIGINT) AS quality_fp
+      FROM t
+    ),
+    pri AS (
+      SELECT doc_id, quality_fp,
+             CAST((quality_fp * CAST({1 << 48} AS BIGINT))
+                  // (({_h2l("substr(md5(concat('sps', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+                       % {1 << 30}) + 1) AS BIGINT) AS priority
+      FROM q
+    )
+    SELECT doc_id, quality_fp, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+                AS INTEGER) AS rnk
+    FROM pri ORDER BY priority DESC, doc_id ASC LIMIT 50
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Sequential Poisson weighted sampling (Ohlsson 1998):
+    quality-proportional without-replacement top-n by the ALL-INTEGER
+    priority w_fp·2^48 div (h30+1) — deterministic, reproducible, and
+    bit-exact against the oracle (sampling.weighted_sample_docs)."""
+    from lab3_spark.operators.sampling import weighted_sample_docs
+
+    return weighted_sample_docs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6187,6 +6229,7 @@ _DRIVER_PRIORITY = [
     "orders_scd_upsert",
     "per_source_token_budget",
     "dedup_cluster_representatives",
+    "weighted_sample_docs",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

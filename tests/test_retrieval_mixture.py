@@ -150,3 +150,30 @@ def test_source_mixing_weights_properties(docs):
     by_tokens = sorted(res, key=lambda r: r.n_tokens)
     boosts = [r.boost for r in by_tokens]
     assert boosts == sorted(boosts, reverse=True)
+
+
+def test_weighted_sample_matches_python(docs):
+    """Sequential Poisson priorities recomputed in pure Python — the
+    integer arithmetic must agree exactly, and the top-50 must be the
+    50 largest priorities (tie: doc_id)."""
+    import hashlib
+
+    from lab3_spark.operators.sampling import (
+        SPS_HASH_MOD,
+        SPS_SCALE,
+        weighted_sample_docs,
+    )
+
+    got = weighted_sample_docs(docs, n=50).collect()
+    qf = {r.doc_id: r.quality_fp for r in got}
+
+    def py_pri(doc_id, w):
+        h = int(hashlib.md5(f"sps|{doc_id}".encode()).hexdigest()[:15], 16)
+        return (w * SPS_SCALE) // ((h % SPS_HASH_MOD) + 1)
+
+    for r in got:
+        assert r.priority == py_pri(r.doc_id, r.quality_fp), r.doc_id
+    # priorities non-increasing with rank
+    pris = [r.priority for r in sorted(got, key=lambda r: r.rnk)]
+    assert pris == sorted(pris, reverse=True)
+    assert len({r.doc_id for r in got}) == 50  # without replacement
