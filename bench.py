@@ -124,6 +124,7 @@ HEADLINE = [
     "per_source_token_budget",
     "dedup_cluster_representatives",
     "weighted_sample_docs",
+    "multimodal_byte_chunks",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

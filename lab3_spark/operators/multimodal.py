@@ -175,3 +175,42 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     ).orderBy("doc_id", "frame_idx")
+
+
+def byte_chunks(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """(doc_id, chunk_idx, n_bytes, chunk_md5): split every media blob
+    into consecutive fixed-size byte windows with per-chunk checksums —
+    the storage/transfer chunking step of a media pipeline (bounded
+    chunk size is what lets a 100 GB video move through fixed-memory
+    executors; checksums make chunk-level dedup/integrity possible).
+
+    Pure in-row explode of a sequence — no shuffle, scan speed; the
+    last chunk keeps the remainder.  Works on the OPAQUE binary column
+    (no decode), so it composes with any media type.
+    """
+    n_chunks = F.ceil(F.length("content") / chunk_bytes)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.least(
+                    F.lit(chunk_bytes).cast("bigint"),
+                    F.length("content") - i * chunk_bytes,
+                ).alias("n_bytes"),
+                F.md5(
+                    F.substring(
+                        F.col("content"),
+                        (i * chunk_bytes + 1).cast("int"),
+                        F.lit(chunk_bytes),
+                    )
+                ).alias("chunk_md5"),
+            ),
+        )
+    )
+    return (
+        media.where(F.length("content") > 0)
+        .select("doc_id", chunk.alias("ch"))
+        .select("doc_id", "ch.chunk_idx", "ch.n_bytes", "ch.chunk_md5")
+        .orderBy("doc_id", "chunk_idx")
+    )

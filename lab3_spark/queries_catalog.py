@@ -6146,6 +6146,38 @@ def q_weighted_sample_docs(spark, sf_dir):
     return weighted_sample_docs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "multimodal_byte_chunks",
+    """
+    WITH m AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)),
+               i -> struct_pack(
+                 chunk_idx := i,
+                 n_bytes := least(64, length(text) - i * 64),
+                 chunk_md5 := md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64))
+               ))) AS ch
+      FROM m
+    )
+    SELECT doc_id, ch.chunk_idx AS chunk_idx,
+           CAST(ch.n_bytes AS BIGINT) AS n_bytes,
+           ch.chunk_md5 AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_multimodal_byte_chunks(spark, sf_dir):
+    """Fixed-64-byte chunking of opaque media blobs with per-chunk
+    md5 (multimodal.byte_chunks): in-row explode, no shuffle, no
+    decode — the storage/transfer chunking step.  The synthetic blobs
+    are utf-8 of ASCII text, so the oracle's char-slice md5 equals the
+    byte-slice md5 exactly."""
+    from lab3_spark.operators.multimodal import attach_media, byte_chunks
+
+    return byte_chunks(attach_media(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6230,6 +6262,7 @@ _DRIVER_PRIORITY = [
     "per_source_token_budget",
     "dedup_cluster_representatives",
     "weighted_sample_docs",
+    "multimodal_byte_chunks",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
