@@ -54,3 +54,35 @@ def test_real_decoder_on_generated_png(spark):
     row = extract_features(media, use_real_decoder=True).collect()[0]
     assert (row["width"], row["height"], row["n_frames"]) == (8, 5, 1)
     assert 0.0 <= row["mean_px"] <= 255.0
+
+
+def test_byte_chunks_reassemble(spark, sf_dir):
+    """Chunks tile each blob exactly: sizes sum to the blob length,
+    indexes are contiguous from 0, every chunk but the last is full,
+    and each chunk_md5 matches a Python recompute."""
+    import hashlib
+    import math
+
+    from lab3_spark.operators.multimodal import attach_media, byte_chunks
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_media(docs)
+    blobs = {r.doc_id: bytes(r.content) for r in media.collect()}
+    out = {}
+    for r in byte_chunks(media).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in out.items():
+        blob = blobs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == math.ceil(len(blob) / 64)
+        assert sum(c.n_bytes for c in chunks) == len(blob)
+        for c in chunks[:-1]:
+            assert c.n_bytes == 64
+        for c in chunks:
+            piece = blob[c.chunk_idx * 64 : c.chunk_idx * 64 + 64]
+            assert c.chunk_md5 == hashlib.md5(piece).hexdigest(), (
+                doc_id,
+                c.chunk_idx,
+            )
