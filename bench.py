@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "weighted_sample_docs",
     "multimodal_byte_chunks",
+    "dedup_method_agreement",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

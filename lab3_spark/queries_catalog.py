@@ -6178,6 +6178,126 @@ def q_multimodal_byte_chunks(spark, sf_dir):
     return byte_chunks(attach_media(_t(spark, sf_dir, "documents")))
 
 
+@query(
+    "dedup_method_agreement",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    efp AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_extract_all(lower(text),
+                 {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM efp a JOIN efp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    stc AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             {_h2l("substr(md5(tok), 1, 15)")} AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    sperbit AS (
+      SELECT doc_id, bit, sum(cnt * (2 * ((h >> bit) & 1) - 1)) AS s
+      FROM stc, (SELECT unnest(range(0, 60)) AS bit) bits
+      GROUP BY doc_id, bit
+    ),
+    ssigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS sig
+      FROM sperbit GROUP BY doc_id
+    ),
+    schunks AS (
+      SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS chunk
+      FROM ssigs, (SELECT unnest(range(0, 4)) AS c) cs
+    ),
+    sim_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM schunks a
+      JOIN schunks b ON a.c = b.c AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    tagged AS (
+      SELECT doc_a, doc_b, 1 AS e, 0 AS m, 0 AS s FROM exact_pairs
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 1, 0 FROM cand
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 0, 1 FROM sim_pairs
+    ),
+    flags AS (
+      SELECT doc_a, doc_b,
+             max(e) AS in_exact, max(m) AS in_minhash, max(s) AS in_simhash
+      FROM tagged GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(in_exact AS INTEGER) AS in_exact,
+           CAST(in_minhash AS INTEGER) AS in_minhash,
+           CAST(in_simhash AS INTEGER) AS in_simhash,
+           count(*) AS n_pairs
+    FROM flags GROUP BY 1, 2, 3
+    ORDER BY in_exact DESC, in_minhash DESC, in_simhash DESC
+    """,
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    """Curator meta-analysis: the AGREEMENT MATRIX of three dedup
+    methods — exact fingerprints, MinHash-LSH candidates, SimHash
+    hamming≤3 — as pair counts per membership combination.  Answers
+    "which pairs does each method see that the others miss" (exact ⊂
+    near-dup in principle; LSH-vs-SimHash disagreement is the
+    borderline band worth human review).  One tagged union + two small
+    aggs over the three already-gated pair generators; each pair set
+    is computed by the SAME operators its own gate checks."""
+    from lab3_spark.operators.dedup import (
+        minhash_candidates,
+        simhash_near_pairs,
+    )
+    from lab3_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    mh = minhash_candidates(docs).select("doc_a", "doc_b")
+    sim = simhash_near_pairs(docs).select("doc_a", "doc_b")
+
+    def tag(df, e, m, s):
+        return df.select(
+            "doc_a",
+            "doc_b",
+            F.lit(e).alias("e"),
+            F.lit(m).alias("m"),
+            F.lit(s).alias("s"),
+        )
+
+    tagged = (
+        tag(exact_pairs, 1, 0, 0)
+        .unionAll(tag(mh, 0, 1, 0))
+        .unionAll(tag(sim, 0, 0, 1))
+    )
+    return (
+        tagged.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("e").alias("in_exact"),
+            F.max("m").alias("in_minhash"),
+            F.max("s").alias("in_simhash"),
+        )
+        .groupBy("in_exact", "in_minhash", "in_simhash")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(
+            F.desc("in_exact"), F.desc("in_minhash"), F.desc("in_simhash")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6263,6 +6383,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_representatives",
     "weighted_sample_docs",
     "multimodal_byte_chunks",
+    "dedup_method_agreement",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
