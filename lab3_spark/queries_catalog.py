@@ -6074,11 +6074,18 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     unrolled-iteration oracle matches bit-for-bit."""
     from pyspark.sql.window import Window
 
+    from lab3_spark.functions.partitioning import memo_persist
     from lab3_spark.operators.components import connected_components
     from lab3_spark.operators.dedup import minhash_candidates
     from lab3_spark.operators.pagerank import pagerank_fixed_point, symmetrize
 
-    cands = minhash_candidates(_t(spark, sf_dir, "documents"))
+    # BOTH iterative consumers (components, pagerank) re-read the
+    # candidate frame many times; one bounded persist shares the
+    # LSH banding pass instead of recomputing it per branch
+    cands = memo_persist(
+        "catalog.cluster_rep_cands",
+        minhash_candidates(_t(spark, sf_dir, "documents")),
+    )
     comps = connected_components(cands, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
