@@ -126,6 +126,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "multimodal_byte_chunks",
     "dedup_method_agreement",
+    "doc_bigram_surprisal",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -910,3 +910,66 @@ def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, mean_surprisal_fp): corpus-BIGRAM-LM
+    conditional surprisal per document — the Markov-chain upgrade of
+    :func:`unigram_surprisal`: per-token surprisal is −log2
+    P(w_i | w_{i−1}) = ln(cnt(w_{i−1}·) / cnt(w_{i−1} w_i)) / ln 2,
+    which scores REPEATED fluent sequences low and locally improbable
+    transitions high (closer to real LM perplexity than the unigram
+    bag).  No smoothing needed: every document bigram exists in the
+    corpus model by construction (the model IS the corpus).
+
+    Same exactness contract as the unigram form: ONE float expression
+    per DISTINCT bigram type, fixed-pointed to bigint before any
+    per-document summation; integer sums and division — bit-exact
+    oracle regardless of order.
+
+    Scale shape: bigram-type agg (map-side combine over token
+    transitions), context-count agg derived FROM the bigram frame
+    (no second corpus scan), surprisal table joined back onto the
+    per-doc bigram stream.  The bigram-type table can exceed broadcast
+    size at 100 TB — this join is keyed (shuffle) rather than
+    broadcast, the honest cost of a conditional model; the unigram
+    form remains the broadcast-cheap variant.
+    """
+    from lab3_spark.functions.partitioning import memo_persist
+
+    toks = tokenize(text_col)
+    grams = spread(documents).where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(_word_ngrams(toks, 2)).alias("bg"),
+    )
+    bg_counts = memo_persist(
+        "textstats.bigram_counts",
+        grams.groupBy("bg").agg(F.count("*").alias("cnt_bg")).withColumn(
+            "w1", F.split("bg", " ")[0]
+        ),
+    )
+    ctx = bg_counts.groupBy("w1").agg(F.sum("cnt_bg").alias("cnt_ctx"))
+    surprisal = bg_counts.join(ctx, "w1").select(
+        "bg",
+        F.floor(
+            F.log(F.col("cnt_ctx").cast("double") / F.col("cnt_bg"))
+            / F.log(F.lit(2.0))
+            * SURPRISAL_SCALE
+        )
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    return (
+        grams.join(surprisal, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s_fp").alias("total_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("total_fp div n_bigrams").alias("mean_surprisal_fp"),
+        )
+        .orderBy("doc_id")
+    )

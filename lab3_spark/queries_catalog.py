@@ -6305,6 +6305,45 @@ def q_dedup_method_agreement(spark, sf_dir):
     )
 
 
+@query(
+    "doc_bigram_surprisal",
+    f"""
+    WITH tt AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS bg
+      FROM tt WHERE len(t) >= 2
+    ),
+    bgc AS (
+      SELECT bg, count(*) AS cnt_bg, string_split(bg, ' ')[1] AS w1
+      FROM g GROUP BY bg
+    ),
+    ctx AS (SELECT w1, sum(cnt_bg) AS cnt_ctx FROM bgc GROUP BY w1),
+    surp AS (
+      SELECT bg,
+             CAST(floor(ln(CAST(c.cnt_ctx AS DOUBLE) / b.cnt_bg) / ln(2)
+                        * 1000000) AS BIGINT) AS s_fp
+      FROM bgc b JOIN ctx c ON b.w1 = c.w1
+    )
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           CAST(sum(s.s_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+    FROM g JOIN surp s ON g.bg = s.bg
+    GROUP BY g.doc_id ORDER BY doc_id
+    """,
+)
+def q_doc_bigram_surprisal(spark, sf_dir):
+    """Corpus-bigram-LM conditional surprisal per doc
+    (TS.bigram_surprisal): −log2 P(w_i | w_{i−1}) under the corpus's
+    own Markov chain — the perplexity-style signal one order up from
+    the unigram gate; fixed-pointed per DISTINCT bigram before integer
+    per-doc sums, bit-exact."""
+    return TS.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6391,6 +6430,7 @@ _DRIVER_PRIORITY = [
     "weighted_sample_docs",
     "multimodal_byte_chunks",
     "dedup_method_agreement",
+    "doc_bigram_surprisal",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
