@@ -127,6 +127,7 @@ HEADLINE = [
     "multimodal_byte_chunks",
     "dedup_method_agreement",
     "doc_bigram_surprisal",
+    "events_top_type_per_hour",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -6344,6 +6344,51 @@ def q_doc_bigram_surprisal(spark, sf_dir):
     return TS.bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "events_top_type_per_hour",
+    """
+    WITH hourly AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT hour, event_type, n_events,
+             row_number() OVER (PARTITION BY hour
+               ORDER BY n_events DESC, event_type ASC) AS rn
+      FROM hourly
+    )
+    SELECT hour, event_type, n_events
+    FROM ranked WHERE rn = 1 ORDER BY hour
+    """,
+)
+def q_events_top_type_per_hour(spark, sf_dir):
+    """Grouped top-1 per time bucket: the dominant event type each
+    hour.  The rank window runs over the POST-aggregation hourly frame
+    and is PARTITIONED by hour — both cardinalities stay bounded no
+    matter how many raw events feed them (one combine-friendly agg +
+    one keyed window, no global sort)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("hour", "event_type", "n_events")
+        .orderBy("hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6431,6 +6476,7 @@ _DRIVER_PRIORITY = [
     "multimodal_byte_chunks",
     "dedup_method_agreement",
     "doc_bigram_surprisal",
+    "events_top_type_per_hour",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
