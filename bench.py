@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_method_agreement",
     "doc_bigram_surprisal",
     "events_top_type_per_hour",
+    "dedup_rate_by_source",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

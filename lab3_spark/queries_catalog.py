@@ -6389,6 +6389,66 @@ def q_events_top_type_per_hour(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_rate_by_source",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(regexp_extract_all(lower(text),
+                 {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           floor((CAST(sum(is_dup) AS DOUBLE) / count(*)) * 10000) / 10000
+             AS dup_rate
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Curator dashboard number: per-SOURCE exact-duplicate rates
+    (min-id survivor rule) — which domains are bloated with copies
+    before any pruning.  One fingerprint scan + fp-partitioned window
+    + per-source agg; the window key is the fingerprint (bounded
+    groups), never the source."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs).join(docs.select("doc_id", "source"), "doc_id")
+    flagged = fp.withColumn(
+        "is_dup",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fp"))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            (F.floor(F.col("n_dups").cast("double") / F.col("n_docs") * 10000) / 10000).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6477,6 +6537,7 @@ _DRIVER_PRIORITY = [
     "dedup_method_agreement",
     "doc_bigram_surprisal",
     "events_top_type_per_hour",
+    "dedup_rate_by_source",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
