@@ -52,7 +52,10 @@ _TOT = "_gos_total"
 
 
 def with_global_row_number(
-    df: DataFrame, order_cols: Sequence[str], out_col: str = "rn"
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    memo_key: str = "rank.global_row_number",
 ) -> DataFrame:
     """Add a 1-based global row number following ``ORDER BY order_cols``
     without a single-partition window.
@@ -88,7 +91,7 @@ def with_global_row_number(
     # ranged frame stays cached per session.
     from lab3_spark.functions.partitioning import memo_persist
 
-    d = memo_persist("rank.global_row_number", d)
+    d = memo_persist(memo_key, d)
 
     counts = d.groupBy(_PID).agg(F.count("*").alias("_n"))
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -209,11 +212,12 @@ def with_global_order_stats(
     percent_rank: bool = False,
     cume_dist: bool = False,
     rn_col: str = "rn",
+    memo_key: str = "rank.global_row_number",
 ) -> DataFrame:
     """One-stop: global row number plus any of ntile / percent_rank /
     cume_dist, all derived from the distributed rank — the drop-in
     replacement for an unpartitioned window."""
-    d = with_global_row_number(df, order_cols, out_col=rn_col)
+    d = with_global_row_number(df, order_cols, out_col=rn_col, memo_key=memo_key)
     rn = F.col(rn_col)
     n = total_rows_col()
     if ntile is not None:

@@ -607,7 +607,13 @@ def perplexity_buckets(documents: DataFrame, text_col: str = "text") -> DataFram
         "doc_id", "mean_surprisal_fp"
     )
     ranked = with_global_order_stats(
-        s, ["mean_surprisal_fp", "doc_id"], ntile=3
+        s,
+        ["mean_surprisal_fp", "doc_id"],
+        ntile=3,
+        # own memo key: sharing "rank.global_row_number" with the
+        # deciles gate would retire each other's ranged frame on
+        # alternating runs (correct, just uncached)
+        memo_key="rank.ppl_buckets",
     )
     bucket = (
         F.when(F.col("ntile") == 1, "head")
