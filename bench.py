@@ -129,6 +129,7 @@ HEADLINE = [
     "doc_bigram_surprisal",
     "events_top_type_per_hour",
     "dedup_rate_by_source",
+    "events_by_customer_segment",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

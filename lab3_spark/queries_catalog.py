@@ -6449,6 +6449,42 @@ def q_dedup_rate_by_source(spark, sf_dir):
     )
 
 
+@query(
+    "events_by_customer_segment",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY mktsegment
+    """,
+)
+def q_events_by_customer_segment(spark, sf_dir):
+    """Behavioral × relational join: the event stream keyed to the
+    customer dimension (user_id == c_custkey by the testdata's design)
+    and rolled up per market segment — the cross-domain enrichment a
+    warehouse does constantly.  The dimension side broadcasts (tiny);
+    the fact side shuffles once for the segment agg."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6538,6 +6574,7 @@ _DRIVER_PRIORITY = [
     "doc_bigram_surprisal",
     "events_top_type_per_hour",
     "dedup_rate_by_source",
+    "events_by_customer_segment",
     # -- re-confirmations (fill to 50; new r4 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
