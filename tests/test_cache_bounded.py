@@ -27,6 +27,16 @@ _PERSISTING_QUERIES = [
     "events_hll_daily_merge",
     # iterative localCheckpoint bookkeeping (free_checkpoint path)
     "dedup_clusters",
+    # round-4 memo sites: surprisal frame (2 consumers), DSIR weights,
+    # robust-zscore quality frame, triangle edge frame, the prefix-sum
+    # ranged frame, and the cluster-representatives candidate frame
+    # (which also walks BOTH iterative checkpointers in one query)
+    "doc_ppl_buckets",
+    "doc_dsir_weights",
+    "robust_quality_zscore",
+    "dedup_graph_triangles",
+    "token_budget_select",
+    "dedup_cluster_representatives",
 ]
 
 
