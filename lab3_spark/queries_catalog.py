@@ -4803,8 +4803,7 @@ def q_doc_length_distribution(spark, sf_dir):
                          ELSE (x - lo) / (hi - lo) END) * 10000) / 10000 AS nx
       FROM ex JOIN mm ON ex.label = mm.label AND ex.d = mm.d
     )
-    SELECT vec_id, label, list(nx ORDER BY d) AS normalized
-    FROM norm GROUP BY vec_id, label ORDER BY vec_id
+    SELECT vec_id, label, d, nx FROM norm ORDER BY vec_id, d
     """,
 )
 def q_grouped_minmax(spark, sf_dir):
@@ -4813,12 +4812,21 @@ def q_grouped_minmax(spark, sf_dir):
     numpy rescales every dimension to [0,1] within the group.  Min/max
     are exact (order-independent) and the per-element arithmetic has
     no summation, so the DuckDB oracle recomputes the doubles
-    bit-for-bit before the shared 4-decimal truncation."""
+    bit-for-bit before the shared 4-decimal truncation.
+
+    Output is LONG form (vec_id, label, d, nx) — the round-4 driver
+    canonicalizer cannot sort/hash a pandas column of Python lists
+    (``TypeError: unhashable type: 'list'``), so the array result is
+    posexploded into one scalar row per dimension.  The operator
+    itself still returns the array shape; the gate projects it."""
     from lab3_spark.operators.grouped import minmax_normalize_embeddings
 
-    return minmax_normalize_embeddings(
-        _t(spark, sf_dir, "embeddings")
-    ).orderBy("vec_id")
+    n = minmax_normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return n.select(
+        "vec_id",
+        "label",
+        F.posexplode("normalized").alias("d", "nx"),
+    ).withColumn("d", F.col("d").cast("bigint")).orderBy("vec_id", "d")
 
 
 @query(
@@ -6490,77 +6498,24 @@ def q_events_by_customer_segment(spark, sf_dir):
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
 # registration order above is build-chronological.  ``_DRIVER_PRIORITY``
-# pins the window deliberately; round 4's curation goal (per the round-3
-# verdict) is CUMULATIVE 114/114 driver coverage:
+# pins the window deliberately; round 5's curation goal (per the round-4
+# verdict) is CUMULATIVE 150/150 driver coverage:
 #
-#   1-28   the 28 oracled queries that never had a driver CORRECTNESS row
-#          in rounds 1-3 (includes the two streaming oracle gates
-#          ``streaming_sessionize_stateful`` / ``streaming_view_purchase_
-#          join`` which were never oracle-checked by driver OR judge).
-#   29+    new round-4 gates (survivors-only dedup, ANN recall,
-#          multi-probe IVF) followed by re-confirmations: the §2 parity
-#          core, queries whose implementation changed this round
-#          (SimHash Arrow fusion), and one representative per family so
-#          every SURVEY §2 family keeps a recent green row.
+#   1-15   the 15 oracled queries with no green driver CORRECTNESS row
+#          after round 4 (14 never windowed — the r4 window held 50 and
+#          these were slots 51+ — plus ``grouped_minmax_normalize``,
+#          whose r4 row was a driver-canon crash on an array column;
+#          reshaped to long form this round).
+#   16+    new round-5 gates as they land, then re-confirmations: the
+#          §2 parity core, queries whose implementation changed this
+#          round, and one representative per family so every SURVEY §2
+#          family keeps a recent green row.
 #
 # Everything else follows in original order (driver may check more than
 # 50 someday; nothing is dropped — only reordered).
 _DRIVER_PRIORITY = [
-    # -- never driver-checked in r1-r3 (28) ------------------------------
-    "streaming_sessionize_stateful",
-    "streaming_view_purchase_join",
-    "doc_ngram_repetition",
-    "doc_chunks",
-    "dedup_keep_best",
-    "dedup_repeated_chunks",
-    "doc_hash_embeddings",
-    "ann_hash_embedding_top5",
-    "doc_redact_pii",
-    "stratified_fixed_n_sample",
-    "jsonl_roundtrip_docs",
-    "pipeline_gopher_prune",
-    "pipeline_clean_corpus",
-    "fuzzy_part_names",
-    "promo_revenue_share",
-    "above_avg_spenders",
-    "customers_without_orders",
-    "user_running_totals",
-    "events_weekday_hour_profile",
-    "orders_above_cust_avg",
-    "q21_sole_latest_supplier",
-    "q22_idle_rich_customers",
-    "udtf_token_positions",
-    "events_gapfill_locf",
-    "events_daily_anomalies",
-    "pysource_synthetic_docs",
-    "doc_length_distribution",
-    "grouped_minmax_normalize",
-    # -- new round-4 gates ----------------------------------------------
-    "dedup_survivors",
-    "ann_ivf_probe2",
-    "ann_ivf_recall",
-    "dedup_semantic",
-    "doc_unigram_logprob",
-    "sparse_tfidf_pairs",
-    "doc_dsir_weights",
-    "dedup_containment",
-    "pipeline_dsir_select",
-    "streaming_incremental_dedup",
-    "ann_pq_adc_top5",
-    "ann_bruteforce_l2_top5",
-    "ann_pq_recall",
-    "bm25_top_docs",
-    "doc_ppl_buckets",
-    "token_budget_select",
-    "source_mixing_weights",
-    "events_sliding_10m",
-    "orders_rolling_7d_revenue",
-    "ann_pq_rerank",
-    "dedup_graph_triangles",
-    "robust_quality_zscore",
-    # 51st: the window holds 50 — orc_roundtrip_events is the one new
-    # gate that waits for its first driver row until round 5 (judge /
-    # bare-session verified meanwhile; losslessness is the whole check)
+    # -- no green driver row after r1-r4 (15) ----------------------------
+    "grouped_minmax_normalize",  # r4 row was canon-crash; reshaped long
     "orc_roundtrip_events",
     "events_value_histogram",
     "streaming_sliding_10m",
@@ -6575,30 +6530,54 @@ _DRIVER_PRIORITY = [
     "events_top_type_per_hour",
     "dedup_rate_by_source",
     "events_by_customer_segment",
-    # -- re-confirmations (fill to 50; new r4 gates get inserted above
+    # -- new round-5 gates (inserted here as they land) ------------------
+    # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
     "word_count_parity",
     "top50_words",
     "inverted_index",
     "inverted_index_parity",
-    "dedup_simhash",  # implementation Arrow-fused in round 4
+    "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_survivors",
+    "dedup_semantic",
+    "dedup_containment",
+    "dedup_graph_triangles",  # re-confirm after degree-ordering change
     "kmeans_centroids",
     "ann_ivf_trained",
+    "ann_ivf_probe2",
+    "ann_ivf_recall",
+    "ann_pq_adc_top5",
+    "ann_pq_recall",
+    "ann_pq_rerank",
     "ann_lsh_buckets",
+    "sparse_tfidf_pairs",
+    "bm25_top_docs",
+    "doc_unigram_logprob",
+    "doc_ppl_buckets",
+    "doc_dsir_weights",
+    "pipeline_dsir_select",
+    "token_budget_select",
+    "source_mixing_weights",
+    "robust_quality_zscore",
     "events_sessionize",
+    "events_sliding_10m",
+    "orders_rolling_7d_revenue",
+    "streaming_sessionize_stateful",
+    "streaming_view_purchase_join",
+    "streaming_incremental_dedup",
     "streaming_tumbling_5min",
     "multimodal_features",
     "mapreduce_facade_wordcount",
-    "events_geomean_value",
     "events_asof_join",
     "pipeline_dedup_to_packing",
     "order_total_deciles",
     "cross_source_contamination",
     "doc_gopher_quality",
+    "doc_length_distribution",
 ]
 
 

@@ -110,3 +110,29 @@ def test_no_cartesian_products_catalog_wide(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders.append((name, "unexpected BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_no_nested_output_columns_catalog_wide(spark, sf_dir):
+    """Driver-canon shape guard (round-4 lesson: grouped_minmax_normalize
+    was value-correct but driver-RED because its array<double> column
+    materializes as Python lists the driver's pandas canonicalizer
+    cannot sort/hash).  No catalog query may emit an array/map/struct
+    output column — emit long form (one scalar row per element) or a
+    deterministic string rendering instead.  The oracle side of the
+    same guard lives in tools/oracle_lint.py."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from lab3_spark.queries_catalog import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception:
+            continue  # build errors are the cartesian sweep's job
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

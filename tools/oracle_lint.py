@@ -26,6 +26,22 @@ import duckdb
 
 BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# Round-4 lesson (CORRECTNESS_r04: grouped_minmax_normalize): the
+# DRIVER's canonicalizer — unlike tools/verify_local.py's — sorts the
+# pandas frame with ``sort_values``/hashing, which raises
+# ``TypeError: unhashable type: 'list'`` on any column that
+# materializes as Python lists/dicts.  A value-correct query turns
+# driver-RED on shape alone.  Nested SQL types (LIST/ARRAY, STRUCT,
+# MAP, JSON) are therefore banned from every oracle's output schema;
+# emit long form (one scalar row per element) or a deterministic
+# string rendering instead.
+NESTED_MARKERS = ("[]", "STRUCT", "MAP(", "LIST", "JSON", "UNION(")
+
+
+def _nested(typ: str) -> bool:
+    t = typ.upper()
+    return any(m in t for m in NESTED_MARKERS)
+
 
 def lint_oracles(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
     """Return a list of 'query.column: TYPE' violations (empty = clean)."""
@@ -52,6 +68,12 @@ def lint_oracles(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
                 problems.append(
                     f"{name}.{col}: {typ} (wrap in CAST(... AS BIGINT) "
                     f"or round to DOUBLE in the oracle SQL)"
+                )
+            if _nested(typ):
+                problems.append(
+                    f"{name}.{col}: {typ} (nested type — the driver "
+                    f"canonicalizer cannot sort/hash list columns; "
+                    f"emit long form or a string rendering)"
                 )
     return problems
 
