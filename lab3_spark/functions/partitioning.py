@@ -129,6 +129,26 @@ def retire_latest(key: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def retire_prefix(prefix: str) -> None:
+    """Free EVERY retired frame whose key starts with ``prefix`` — the
+    function-entry form of :func:`retire_latest` for operators that pin
+    several checkpoint frames per run (one per CHECKPOINT_EVERY
+    rounds).  Freeing at the NEXT call's entry instead of mid-run
+    keeps two invariants the mid-run single-key form broke (round-4
+    advice): (a) memo-persisted per-iteration frames whose lineage is
+    rooted at an earlier checkpoint stay recomputable for the whole
+    run, and (b) the frame returned to the caller — possibly
+    checkpoint-backed — stays valid until the operator is invoked
+    again (that next-call invalidation is the documented contract)."""
+    for key in [k for k in _RETIRED_LATEST if k.startswith(prefix)]:
+        prev = _RETIRED_LATEST.pop(key)
+        try:
+            if not free_checkpoint(prev):
+                prev.unpersist(blocking=True)
+        except Exception:
+            pass  # session may be stopped/replaced; nothing to free
+
+
 def free_checkpoint(df: DataFrame) -> bool:
     """Explicitly unpersist the RDD behind a ``localCheckpoint``-backed
     frame.  ``DataFrame.unpersist()`` is a SILENT NO-OP for checkpointed

@@ -65,7 +65,19 @@ def connected_components(
     # recomputing the fixpoint — deterministic-plan memoization, the
     # bounded version of what round 3's silently-no-op per-iteration
     # unpersist provided by leaking (see functions/partitioning.py)
-    from lab3_spark.functions.partitioning import memo_persist, retire_latest
+    from lab3_spark.functions.partitioning import (
+        memo_persist,
+        retire_latest,
+        retire_prefix,
+    )
+
+    # Free the PREVIOUS run's checkpoint frames at entry (not mid-run):
+    # a checkpoint-backed result returned to a caller stays valid until
+    # the next connected_components call, and this run's memo-persisted
+    # iteration frames keep recomputable lineage throughout (round-4
+    # advice: mid-run single-key retirement freed an RDD other cached
+    # frames were rooted at).
+    retire_prefix("components.ckpt")
 
     und = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     und = memo_persist(
@@ -111,16 +123,14 @@ def connected_components(
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
             # a checkpoint truncates lineage to a fresh LogicalRDD, so
-            # it can never memo-match a later call — register it with
-            # retire_latest under ONE key: the next checkpoint (this
-            # run's or a later run's) frees the previous one the moment
-            # its eager materialization completes, so at most one
-            # checkpoint RDD is ever pinned per session.  (Per-
-            # iteration keys would accumulate one pinned RDD per
-            # CHECKPOINT_EVERY rounds on a slow-converging graph with
-            # zero reuse value — checkpoints never memo-match.)
+            # it can never memo-match a later call — register it under
+            # a PER-ITERATION key and let the NEXT call's entry
+            # retire_prefix free the whole set.  Bound: at most
+            # max_iter/CHECKPOINT_EVERY label-scale checkpoint RDDs
+            # pinned between calls; freeing them mid-run instead would
+            # invalidate cached frames rooted at them (round-4 advice).
             new_labels = retire_latest(
-                "components.ckpt", new_labels.localCheckpoint(eager=True)
+                f"components.ckpt.{it}", new_labels.localCheckpoint(eager=True)
             )
         else:
             # per-iteration memo keys are deliberate: a warm repeat run

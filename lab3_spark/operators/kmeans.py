@@ -576,7 +576,7 @@ def ann_pq_adc(
     # sameResult-matched like the IVF assignment memo).
     from lab3_spark.functions.partitioning import memo_persist
 
-    codes = memo_persist(f"kmeans.pq_codes_m{m}_k{k}_i{n_iter}", codes)
+    codes = memo_persist(f"kmeans.pq_codes_m{m}_k{k}_i{n_iter}_d{dims}", codes)
     # one broadcast table of all (query, code_0..code_{m-1}) distance
     # combinations: m*k rows per query per subspace joined into k^m
     # combos — still metadata-scale (20 queries × 64 combos here)

@@ -51,6 +51,34 @@ _OFF = "_gos_offset"
 _TOT = "_gos_total"
 
 
+def _ranged_frame(
+    df: DataFrame, order_cols: Sequence[str], memo_key: str
+) -> DataFrame:
+    """The shared scaffolding of every global-order operator: ONE
+    ranged shuffle + within-partition sort complete the total order,
+    then (pid, local row index) decompose from
+    ``monotonically_increasing_id`` over the sorted iterator — no
+    window, no second Exchange, ever touches the big side.
+
+    The result is memo-persisted (it feeds both the per-partition
+    metadata aggregate and the final broadcast join, and must not be
+    recomputed — the range partitioner would re-sample); at most one
+    ranged frame stays cached per ``memo_key`` per session."""
+    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.sources.text import ROW_IDX_BITS
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    mid = F.monotonically_increasing_id()
+    d = (
+        df.repartitionByRange(par, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
+        .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
+    )
+    return memo_persist(memo_key, d)
+
+
 def with_global_row_number(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -66,32 +94,7 @@ def with_global_row_number(
     ``order_cols`` must be a total order (append a unique key as the
     last column) — equal keys across a range boundary would otherwise
     make ranks partition-placement-dependent."""
-    from lab3_spark.sources.text import ROW_IDX_BITS
-
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
-
-    # One shuffle: sampling-based range partitioner => partition ids are
-    # globally ordered and key ranges are disjoint; the within-partition
-    # sort completes the total order.  monotonically_increasing_id is
-    # then evaluated over the SORTED iterator, so (pid, local index)
-    # decompose from it with no window and no further exchange.
-    mid = F.monotonically_increasing_id()
-    d = (
-        df.repartitionByRange(par, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
-        .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
-    )
-    # The ranged shuffle output feeds both the counts aggregate and the
-    # final join — persist so it is not recomputed (and the partitioner
-    # is not re-sampled) for the second branch.  memo_persist bounds
-    # CacheManager growth across repeated catalog runs: at most one
-    # ranged frame stays cached per session.
-    from lab3_spark.functions.partitioning import memo_persist
-
-    d = memo_persist(memo_key, d)
+    d = _ranged_frame(df, order_cols, memo_key)
 
     counts = d.groupBy(_PID).agg(F.count("*").alias("_n"))
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -121,26 +124,14 @@ def with_global_running_sum(
     ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``, which
     Spark plans as a single-partition window (the 100 TB stall).
 
-    Same three-step shape as :func:`with_global_row_number`: ONE ranged
-    shuffle orders the data; per-PARTITION value sums (metadata scale —
-    one row per partition) cumulate through a tiny window and broadcast
-    back as offsets; the within-partition running sum is an ordinary
+    Same three-step shape as :func:`with_global_row_number` (shared
+    scaffolding: :func:`_ranged_frame`): ONE ranged shuffle orders the
+    data; per-PARTITION value sums (metadata scale — one row per
+    partition) cumulate through a tiny window and broadcast back as
+    offsets; the within-partition running sum is an ordinary
     partitioned window.  ``order_cols`` must be a total order (append a
     unique key)."""
-    from lab3_spark.functions.partitioning import memo_persist
-    from lab3_spark.sources.text import ROW_IDX_BITS
-
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
-    mid = F.monotonically_increasing_id()
-    d = (
-        df.repartitionByRange(par, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
-        .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
-    )
-    d = memo_persist(memo_key, d)
+    d = _ranged_frame(df, order_cols, memo_key)
 
     sums = d.groupBy(_PID).agg(F.sum(value_col).alias("_v"))
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

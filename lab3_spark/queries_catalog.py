@@ -44,6 +44,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_stream_dir(sf_dir: str, table: str) -> str:
+    """One symlink staging dir per (sf_dir, table), shared by every
+    file-source streaming gate and removed at interpreter exit.
+
+    The parquet file-stream source requires a DIRECTORY; the driver's
+    testdata is a single read-only file, so we stage it behind a
+    symlink.  Caching per (sf_dir, table) + atexit cleanup keeps
+    repeated verify/bench runs from accumulating temp dirs (the
+    round-4 leak: one mkdtemp per gate invocation, never removed)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (sf_dir, table)
+    d = _STAGE_CACHE.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.join(d, f"{table}.parquet"),
+    )
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    _STAGE_CACHE[key] = d
+    return d
+
+
+def _scratch_dir(prefix: str) -> str:
+    """A fresh mkdtemp registered for atexit removal — for streaming
+    gates that WRITE state (stores, checkpoints) and need isolation
+    per invocation but must still not leak across runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # §1 Parity surface: the reference's three text pipelines (SURVEY.md §3)
 # run over the `documents` table (doc_id BIGINT, text, lang, source, n_chars).
@@ -1437,15 +1480,11 @@ def q_streaming_tumbling(spark, sf_dir):
     as the final complete-mode table.  Oracle = the batch SQL: with
     all data available, streaming complete mode must equal batch."""
     import os as _os
-    import tempfile as _tf
 
     from lab3_spark.streaming.windowed import streaming_tumbling_counts
 
     path = _os.path.join(sf_dir, "events.parquet")
-    # the parquet file-stream source requires a DIRECTORY; stage the
-    # (read-only) file behind a symlink in a temp dir
-    stage = _tf.mkdtemp(prefix="stream_events_")
-    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    stage = _staged_stream_dir(sf_dir, "events")
     ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
@@ -1497,13 +1536,11 @@ def q_streaming_sliding(spark, sf_dir):
     sliding oracle — the events_sliding_10m semantics carried into a
     stream with bounded state."""
     import os as _os
-    import tempfile as _tf
 
     from lab3_spark.streaming.windowed import streaming_sliding_counts
 
     path = _os.path.join(sf_dir, "events.parquet")
-    stage = _tf.mkdtemp(prefix="stream_events_slide_")
-    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    stage = _staged_stream_dir(sf_dir, "events")
     ensure_nanos_as_long(spark)
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
@@ -1559,7 +1596,6 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     min doc_id within the EARLIEST batch where the fingerprint
     appeared — which the oracle states directly in SQL."""
     import os as _os
-    import tempfile as _tf
     import time as _time
 
     from lab3_spark.streaming.incremental_dedup import (
@@ -1568,7 +1604,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = _tf.mkdtemp(prefix="stream_incdedup_")
+    root = _scratch_dir("stream_incdedup_")
     flat = _os.path.join(root, "incoming")
     _os.makedirs(flat)
     now = _time.time()
@@ -2382,13 +2418,11 @@ def q_streaming_stateful(spark, sf_dir):
     session except each user's last — which the oracle expresses with
     the lag+running-sum formulation."""
     import os as _os
-    import tempfile as _tf
 
     from lab3_spark.streaming.stateful import streaming_sessionize
 
     path = _os.path.join(sf_dir, "events.parquet")
-    stage = _tf.mkdtemp(prefix="stream_sess_")
-    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    stage = _staged_stream_dir(sf_dir, "events")
     ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
@@ -4514,13 +4548,11 @@ def q_streaming_ss_join(spark, sf_dir):
     bounded source the result equals the batch interval join — which
     is exactly what the oracle states."""
     import os as _os
-    import tempfile as _tf
 
     from lab3_spark.streaming.joins import view_purchase_interval_join
 
     path = _os.path.join(sf_dir, "events.parquet")
-    stage = _tf.mkdtemp(prefix="stream_ssj_")
-    _os.symlink(path, _os.path.join(stage, "events.parquet"))
+    stage = _staged_stream_dir(sf_dir, "events")
     ensure_nanos_as_long(spark)  # self-sufficient on the driver's session
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)

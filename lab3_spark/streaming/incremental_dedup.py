@@ -74,11 +74,17 @@ def start_incremental_dedup(
         # breaking the one-doc-per-fingerprint store invariant with no
         # signal.  Missing store = first batch, the only legitimate
         # "no prior" case; any other read error now propagates and
-        # fails the StreamingQuery loudly.
-        import os as _os
-
-        has_prior = _os.path.isdir(store_path) and any(
-            e.startswith("batch_id=") for e in _os.listdir(store_path)
+        # fails the StreamingQuery loudly.  The check goes through
+        # Hadoop's FileSystem API (not os.path) so hdfs:// / s3a://
+        # store paths — anything spark.read.parquet accepts — resolve
+        # the same way the subsequent read will; an os.path check
+        # would be always-False there and silently skip dedup forever.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_prior = fs.exists(hpath) and any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(hpath)
         )
         if has_prior:
             prior = (
