@@ -51,12 +51,15 @@ def persist_latest(key: str, df: DataFrame) -> DataFrame:
     prev = _PERSISTED_LATEST.pop(key, None)
     if prev is not None:
         try:
-            # blocking: the CacheManager entry must be GONE when this
-            # returns, so getPersistentRDDs() counts are deterministic
-            # (non-blocking left entries visible under load and made
-            # the boundedness test flaky); the freed frame is metadata
-            # -scale, so the synchronous wait is negligible
-            prev.unpersist(blocking=True)
+            # non-blocking: round 5's drift attribution measured the
+            # synchronous executor-sync of blocking=True at ~0.1-0.2 s
+            # PER CALL on the rank-machinery queries — a fixed tax on
+            # every hot-path invocation to make a diagnostics counter
+            # deterministic.  Async release frees the entry within
+            # milliseconds; tests that count getPersistentRDDs() poll
+            # until the count settles (tests/test_cache_bounded.py)
+            # instead of taxing production calls.
+            prev.unpersist(blocking=False)
         except Exception:
             pass  # session may be stopped/replaced; nothing to free
     _PERSISTED_LATEST[key] = df

@@ -60,11 +60,21 @@ def _ranged_frame(
     ``monotonically_increasing_id`` over the sorted iterator — no
     window, no second Exchange, ever touches the big side.
 
-    The result is memo-persisted (it feeds both the per-partition
-    metadata aggregate and the final broadcast join, and must not be
-    recomputed — the range partitioner would re-sample); at most one
-    ranged frame stays cached per ``memo_key`` per session."""
-    from lab3_spark.functions.partitioning import memo_persist
+    The result is persisted WITHIN the call (it feeds both the
+    per-partition metadata aggregate and the final broadcast join, and
+    must not be recomputed — the range partitioner would re-sample),
+    via the bounded ``persist_latest`` registry: at most one ranged
+    frame stays cached per ``memo_key`` per session.
+
+    Deliberately NOT ``memo_persist``: round 5's drift attribution
+    measured cross-run cache reuse of the ranged frame as a net LOSS
+    at bench scale (~+0.2-0.3 s/run on order_total_deciles /
+    doc_length_distribution vs recomputing — the InMemoryTableScan
+    read path costs more than the small re-shuffle it saves, while the
+    memo's own bookkeeping is negligible).  The within-call persist is
+    the part that matters at every scale; recomputing one ranged
+    shuffle per invocation is the honest price of a fresh query."""
+    from lab3_spark.functions.partitioning import persist_latest
     from lab3_spark.sources.text import ROW_IDX_BITS
 
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -76,7 +86,7 @@ def _ranged_frame(
         .withColumn(_PID, F.shiftrightunsigned(mid, ROW_IDX_BITS))
         .withColumn(_RIDX, mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1)))
     )
-    return memo_persist(memo_key, d)
+    return persist_latest(memo_key, d)
 
 
 def with_global_row_number(
