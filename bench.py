@@ -184,8 +184,17 @@ def main() -> None:
         if max(ts) > 2 * best + 0.5:
             extra = run_once(name)
             print(f"[pass 3] {name} took: {extra:.3f} seconds", file=sys.stderr)
+            passes[name].append(extra)
             best = min(best, extra)
         timings[name] = best
+
+    # Cold vs warm split for the composite gates (training / iterative
+    # memoization): pass 1 pays quantizer training + fixpoint runs that
+    # memo_persist/trained_centroids serve from cache in a long-lived
+    # driver — the production shape.  cold = pass 1, warm = best later
+    # pass; reported per query so the memo benefit is bench-visible.
+    cold = {n: ts[0] for n, ts in passes.items()}
+    warm = {n: min(ts[1:]) for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -195,6 +204,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "warm": warm,
                 "sf": float(sf),
             }
         )

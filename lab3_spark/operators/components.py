@@ -148,6 +148,25 @@ def connected_components(
     )
 
 
+def _oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge (x, y) low→high under the total
+    order (degree, id): (u, v, dv) with ord(u) < ord(v).  The degree
+    table is node-scale; two equi-joins attach both endpoint degrees.
+    Exposed separately so tests can measure the wedge fan-out bound
+    directly."""
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
+    ed = e.join(dx, "x").join(dy, "y")
+    fwd = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))
+    )
+    return ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, F.col("_dy")).otherwise(F.col("_dx")).alias("dv"),
+    )
+
+
 def triangle_stats(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
 ) -> DataFrame:
@@ -159,14 +178,20 @@ def triangle_stats(
     low-clustering hub pattern flags chained/borderline matches worth
     re-verifying before dropping documents.
 
-    Algorithm: the ordered-triple enumeration — each triangle
-    {x<y<z} is counted exactly once as the edge pair (x,y),(y,z)
-    closed by (x,z).  Two equi-joins on the edge list, one small agg;
-    no node ever sees a cartesian blow-up beyond its own adjacency
-    (the standard distributed triangle-count; degree-ordering the
-    endpoints — here by id, the classic refinement is by degree —
-    bounds the join fan-out).  clustering = 2·tri / (deg·(deg−1)),
-    exact integers into one truncated double — cross-engine stable.
+    Algorithm: DEGREE-ORDERED wedge enumeration (the MPC-standard
+    refinement, round-5 upgrade from the id-ordered triple form).
+    Each undirected edge is oriented low→high by the total order
+    (degree, id); every triangle then has exactly ONE vertex with two
+    out-edges inside it (its minimum under that order), so it is
+    counted exactly once as the wedge (u→v, u→w) closed by the
+    oriented edge v→w.  The wedge join fans out only on OUT-degree,
+    which degree-orientation bounds by O(√m) amortized — a hub with
+    degree h contributes ZERO wedges (all its edges point in), where
+    id-ordering could blow up O(h²) on an unlucky id placement.
+    Pinned by tests/test_components.py: a mid-id hub graph yields a
+    wedge count of 0 vs h²/4 for the id-ordered form, with identical
+    triangle output.  clustering = 2·tri / (deg·(deg−1)), exact
+    integers into one truncated double — cross-engine stable.
     """
     from lab3_spark.functions.partitioning import memo_persist
 
@@ -174,22 +199,27 @@ def triangle_stats(
         "components.triangle_edges",
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y")),
     )
-    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
-    e2 = e.select(F.col("x").alias("b"), F.col("y").alias("c"))
-    e3 = e.select(F.col("x").alias("a"), F.col("y").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    tri_nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
-    )
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    o = memo_persist("components.triangle_oriented", _oriented(e, deg))
+    o1 = o.select("u", "v", F.col("dv").alias("_d1"))
+    o2 = o.select("u", F.col("v").alias("w"), F.col("dv").alias("_d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    tri_nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
     )
     n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
     coeff = F.when(

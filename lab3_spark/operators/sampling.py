@@ -339,11 +339,21 @@ def weighted_sample_docs(
         )
     )
     top = base.orderBy(F.desc("priority"), F.asc("doc_id")).limit(n)
+    # The rank window runs over the post-limit frame — ≤ n rows by
+    # construction, so a single-partition window is the CORRECT plan,
+    # not a scale hazard.  partitionBy on a constant states that
+    # intent to WindowExec (same execution, non-empty partition spec),
+    # silencing the "No Partition Defined" warning every future
+    # reader would otherwise have to re-audit.
     return top.select(
         "doc_id",
         "quality_fp",
         "priority",
         F.row_number()
-        .over(Window.orderBy(F.desc("priority"), F.asc("doc_id")))
+        .over(
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.desc("priority"), F.asc("doc_id")
+            )
+        )
         .alias("rnk"),
     ).orderBy("rnk")

@@ -633,6 +633,7 @@ def sparse_tfidf_pairs(
     text_col: str = "text",
     min_cosine: float = 0.5,
     max_df_frac: float = 0.2,
+    max_df_abs: int = 10_000,
 ) -> DataFrame:
     """(doc_a, doc_b, cos): document-pair cosine similarity over
     SPARSE TF-IDF vectors of 3-gram shingles, via an inverted-index
@@ -646,11 +647,14 @@ def sparse_tfidf_pairs(
     every term and the "sparse" join would be dense).
 
     The scale story is DF PRUNING: a term kept only if
-    2 ≤ df ≤ max_df_frac·N.  df < 2 cannot create a pair; df above
-    the cap creates up to df² pair rows — one ubiquitous shingle
-    turns the inverted-index join quadratic, so the cap is the
-    degenerate-key guard (same role as minhash_candidates'
-    max_bucket).  Everything else is term-keyed equi-joins: the idf
+    2 ≤ df ≤ min(max_df_frac·N, max_df_abs).  df < 2 cannot create a
+    pair; df above the cap creates up to df² pair rows — one
+    ubiquitous shingle turns the inverted-index join quadratic, so the
+    cap is the degenerate-key guard (same role as minhash_candidates'
+    max_bucket).  The ABSOLUTE ceiling (round-5 hardening) is what
+    holds at corpus scale: at 100 TB, 0.2·N is billions — a fraction
+    alone re-admits quadratic terms; 10k² pair rows per term is the
+    actual worst-case bound a cluster absorbs.  Everything else is term-keyed equi-joins: the idf
     table is NOT broadcast — shingle vocab scales with the corpus, so
     tf→idf is a shuffle join on term, exactly co-partitioned with the
     pair join that follows.
@@ -685,6 +689,7 @@ def sparse_tfidf_pairs(
         .where(
             (F.col("df") >= 2)
             & (F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("n_docs")))
+            & (F.col("df") <= F.lit(int(max_df_abs)))
         )
         .select(
             "term",

@@ -38,6 +38,76 @@ def test_triangle_stats_counts_each_once(spark):
     assert sum(r.n_tri for r in rows) == 3 * 4  # 4 triangles × 3 nodes
 
 
+def test_triangle_degree_ordering_kills_hub_fanout(spark):
+    """A hub with degree h placed mid-id range: id-ordering enumerates
+    ~h²/4 wedges at the hub; degree-ordering orients every hub edge
+    INWARD, so the hub contributes zero wedges.  This is the round-5
+    structural guarantee that the O(hub²) blowup cannot occur."""
+    from lab3_spark.operators.components import _oriented
+
+    h = 200
+    hub = h  # mid of 0..2h: half the leaves sort below, half above
+    rows = [(min(i, hub), max(i, hub)) for i in range(2 * h + 1) if i != hub]
+    e = spark.createDataFrame(rows, "x long, y long")
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    o = _oriented(e, deg)
+    # wedge count = sum over nodes of C(out_deg, 2)
+    wedges_deg = (
+        o.groupBy("u")
+        .agg(F.count("*").alias("od"))
+        .select(F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w"))
+        .collect()[0].w
+    )
+    assert wedges_deg == 0  # every hub edge points in; leaves have od=1
+    # id-ordering on the same graph: the hub has h smaller neighbors
+    # (in-edges) and h larger ones (out-edges) => h*h/2... precisely
+    # C(out,2) at the hub with out=h: h*(h-1)/2 wedges
+    id_out = (
+        e.groupBy("x").agg(F.count("*").alias("od"))
+        .select(F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w"))
+        .collect()[0].w
+    )
+    assert id_out >= h * (h - 1) / 2  # the blowup the new form removes
+
+
+def test_triangle_stats_matches_bruteforce_random_graph(spark):
+    """Degree-ordered enumeration must equal a per-node brute force on
+    a random graph (the equivalence pin for the round-5 rewrite)."""
+    import itertools
+    import random
+
+    from lab3_spark.operators.components import triangle_stats
+
+    rnd = random.Random(7)
+    nodes = range(30)
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rnd.random() < 0.2}
+    )
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expect = {
+        n: sum(
+            1
+            for v, w in itertools.combinations(sorted(adj[n]), 2)
+            if w in adj.get(v, ())
+        )
+        for n in adj
+    }
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = {r.node: r for r in triangle_stats(e).collect()}
+    assert {n: r.n_tri for n, r in rows.items()} == expect
+    assert {n: r.degree for n, r in rows.items()} == {
+        n: len(adj[n]) for n in adj
+    }
+
+
 def test_robust_zscore_matches_numpy(spark, sf_dir):
     import numpy as np
 

@@ -216,6 +216,30 @@ def test_sparse_tfidf_df_cap_guards_degenerate_terms(spark):
     assert got == []
 
 
+def test_sparse_tfidf_absolute_df_ceiling(spark):
+    """The round-5 ABSOLUTE df ceiling: at corpus scale a fractional
+    cap alone re-admits quadratic terms (0.2·N is huge when N is),
+    so a term over ``max_df_abs`` is pruned even when it passes the
+    fraction.  Here the shared shingle has df=5 < 0.9·N (passes the
+    fraction) but exceeds max_df_abs=4 — no pairs; raising the
+    ceiling re-admits it."""
+    from lab3_spark.operators.textstats import sparse_tfidf_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common shingle here unique%d tail" % i) for i in range(5)]
+        + [(99, "totally different words altogether now")],
+        "doc_id bigint, text string",
+    )
+    capped = sparse_tfidf_pairs(
+        docs, min_cosine=0.0, max_df_frac=0.9, max_df_abs=4
+    ).collect()
+    assert capped == []
+    uncapped = sparse_tfidf_pairs(
+        docs, min_cosine=0.0, max_df_frac=0.9, max_df_abs=10_000
+    ).collect()
+    assert len(uncapped) == 10  # C(5,2) pairs through the shared shingle
+
+
 def test_dsir_weights_separate_disjoint_vocab(spark):
     """Target (en) and background (de) docs use DISJOINT vocabularies:
     every en doc must get positive log-ratio weight, every de doc

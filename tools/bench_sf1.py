@@ -90,12 +90,18 @@ def replicate(df, id_cols: list[str], k: int = K):
 
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
+    # documents/embeddings/events: REAL fresh-key generation (round-5
+    # fix — ×10 replication made every doc a 10-clique for the
+    # near-dup families and distorted their growth; see tools/gen_sf1)
+    if not os.path.exists(f"{DST}/documents.parquet"):
+        from tools.gen_sf1 import generate
+
+        generate(DST, scale=float(K))
+    # fact tables: replication IS the realistic shape for joins —
+    # each customer simply has K× the orders; dims stay single-copy
     plans = {
-        "documents": ["doc_id"],
-        "embeddings": ["vec_id"],
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey"],
-        "events": ["user_id"],
     }
     for table in ("region", "nation", "customer", "supplier", "part"):
         plans[table] = []
