@@ -130,6 +130,8 @@ HEADLINE = [
     "events_top_type_per_hour",
     "dedup_rate_by_source",
     "events_by_customer_segment",
+    # round 5 additions
+    "benchmark_decontamination",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -984,3 +984,52 @@ def bigram_surprisal(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def benchmark_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_hit_grams, contaminated): training-set documents
+    flagged by word n-gram collision with a benchmark/eval set — the
+    decontamination step every serious LLM training pipeline runs
+    before training (the GPT-3 appendix-C / Llama recipe, public):
+    a training document sharing any length-``n`` token span with an
+    evaluation document leaks test data, so it is flagged (and
+    typically dropped or span-scrubbed).
+
+    Scale shape: the benchmark side is TINY relative to a 100 TB
+    corpus (eval suites are thousands of documents, fixed), so its
+    distinct n-gram set builds once and BROADCASTS; the corpus side
+    is one scan → explode → broadcast-hash semi-join — no shuffle
+    ever touches corpus-scale data, and the gram explode prunes to
+    (doc_id, gram) only.  `contaminated` is an exact-integer 0/1 flag
+    (n_hit_grams > 0) — no float anywhere.
+
+    Reference parity note: no decontamination exists in the reference
+    (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension row.
+    """
+    toks = tokenize(text_col)
+    bench_grams = benchmark.select(
+        F.explode(_word_ngrams(tokenize(text_col), n)).alias("gram")
+    ).distinct()
+    doc_grams = documents.select(
+        "doc_id", F.explode(_word_ngrams(toks, n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    n_hits = F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint")
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hit_grams"),
+            (n_hits > 0).cast("bigint").alias("contaminated"),
+        )
+    )

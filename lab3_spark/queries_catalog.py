@@ -6525,6 +6525,50 @@ def q_events_by_customer_segment(spark, sf_dir):
     )
 
 
+@query(
+    "benchmark_decontamination",
+    """
+    WITH t AS (SELECT doc_id, """
+    + _DUCK_TOKS
+    + """ AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS gs
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 != 0),
+    hits AS (
+      SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_grams
+      FROM train WHERE gram IN (SELECT gram FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+           CAST(coalesce(h.n_hit_grams, 0) > 0 AS BIGINT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/textstats.py): the corpus
+    split into a train side and a deterministic 'eval' side
+    (doc_id % 97 == 0 — standing in for the fixed benchmark suite a
+    production pipeline guards), every train doc flagged by 5-gram
+    collision with any eval doc.  The eval side's distinct gram set
+    BROADCASTS — the corpus scan is one explode + broadcast semi-join,
+    never a corpus-side shuffle — the shape that holds when the corpus
+    is 100 TB and the benchmark is MMLU-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    from lab3_spark.operators.textstats import benchmark_decontaminate
+
+    return benchmark_decontaminate(train, bench).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6563,6 +6607,7 @@ _DRIVER_PRIORITY = [
     "dedup_rate_by_source",
     "events_by_customer_segment",
     # -- new round-5 gates (inserted here as they land) ------------------
+    "benchmark_decontamination",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

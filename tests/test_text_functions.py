@@ -258,3 +258,47 @@ def test_dsir_weights_separate_disjoint_vocab(spark):
         assert got[i] > 0, (i, got[i])
     for i in range(4, 8):
         assert got[i] < 0, (i, got[i])
+
+
+def test_benchmark_decontaminate_planted_overlap(spark):
+    """A train doc sharing an exact 5-gram with the benchmark is
+    flagged; disjoint docs and sub-n overlaps are not."""
+    from lab3_spark.operators.textstats import benchmark_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then quick brown fox jumps over and more"),
+            (2, "quick brown fox gone"),  # only a 3-gram overlap
+            (3, "totally unrelated words here now"),
+            (4, "too short"),  # < n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in benchmark_decontaminate(train, bench, n=5).collect()
+    }
+    assert rows[1].contaminated == 1 and rows[1].n_hit_grams == 1
+    assert rows[2].contaminated == 0
+    assert rows[3].contaminated == 0
+    assert rows[4].contaminated == 0 and rows[4].n_hit_grams == 0
+    assert len(rows) == 4  # every train doc present, hit or not
+
+
+def test_benchmark_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side never
+    shuffles for the semi-join (the 100 TB decontamination shape)."""
+    from lab3_spark.operators.textstats import benchmark_decontaminate
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = benchmark_decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
