@@ -132,6 +132,8 @@ HEADLINE = [
     "events_by_customer_segment",
     # round 5 additions
     "benchmark_decontamination",
+    "doc_bpe_token_counts",
+    "doc_winnowing_fingerprints",
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -1033,3 +1033,114 @@ def benchmark_decontaminate(
             (n_hits > 0).cast("bigint").alias("contaminated"),
         )
     )
+
+
+# BPE-ish pre-tokenizer: contractions, letter runs, digit runs,
+# punctuation runs (whitespace dropped) — the GPT-2 pre-tokenization
+# shape (public), ASCII-restricted so Java regex and RE2 agree
+# byte-for-byte.  Alternation order matters (contractions before
+# letter runs); both engines use leftmost-first alternation.
+BPE_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def bpe_token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe): token
+    counting under a BPE-ish pre-tokenizer regex vs naive whitespace
+    split — the budget signal a training pipeline uses to price
+    documents in tokens rather than characters (context windows,
+    token budgets, $/token costs are all in BPE-ish units; whitespace
+    counts underestimate code/punctuation-heavy text).
+
+    Pure per-doc expressions at scan speed — two regexp_extract_all +
+    sizes, no shuffle at all (the Gopher-rules cost shape).
+    chars_per_bpe is one float division truncated at 4 decimals."""
+    lowered = F.lower(F.col(text_col))
+    bpe = F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_ws = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, F.size(ws)
+    ).otherwise(F.lit(0))
+    n_bpe = F.size(bpe)
+    cpb = F.when(
+        n_bpe > 0,
+        F.floor(F.length(text_col).cast("double") / n_bpe * 10_000) / 10_000,
+    ).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        cpb.alias("chars_per_bpe"),
+    )
+
+
+WINNOW_K = 3  # k-gram length (tokens) per hash
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp): the document's WINNOWING fingerprint set — the
+    rolling-hash selection scheme of Schleimer/Wilkerson/Aiken 2003
+    (MOSS, public): hash every k-gram of tokens, slide a w-hash
+    window, keep each window's MINIMUM, emit the distinct survivors.
+    Guarantees any shared token run of length ≥ w + k − 1 produces at
+    least one shared fingerprint, while storing ~2/(w+1) of the
+    hashes — the sublinear sketch for substring-level duplicate and
+    plagiarism detection (the positional companion to MinHash's
+    set-level sketch).
+
+    Shape: k-gram hashes EXPLODE to (doc_id, idx, h) rows — each hash
+    computed exactly once — and the rolling window is a PARTITIONED
+    window frame (per-doc partitions, ROWS CURRENT..w−1 FOLLOWING):
+    scan-scale, no unpartitioned window anywhere.  (The tempting
+    all-in-row form — a `transform` over window starts slicing a
+    `transform`-built hash array — re-evaluates the whole hash array
+    per window because Catalyst expressions are trees, an O(m²·md5)
+    blowup measured in minutes at sf0.1; the explode form is the
+    linear one.)  Hashes are the engine's portable 60-bit md5 fold,
+    so the DuckDB oracle recomputes the exact integers.  Docs shorter
+    than k tokens emit nothing; docs with fewer than w hashes emit
+    the single global minimum (the standard short-document
+    degeneration).
+    """
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import md5_long
+
+    toks = tokenize(text_col)
+    m = F.size(toks) - (WINNOW_K - 1)  # number of k-grams
+    grams = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("idx", "gram"),
+    ).select("doc_id", "idx", md5_long("gram").alias("h"))
+    per_doc = Window.partitionBy("doc_id")
+    fwd = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    g = grams.select(
+        "doc_id",
+        "idx",
+        F.count("*").over(per_doc).alias("_m"),
+        F.min("h").over(fwd).alias("winmin"),
+    )
+    # full windows exist at idx ∈ [0, m−w]; short docs (m < w) emit
+    # their global min from the one frame starting at idx 0
+    fps = g.where(
+        (F.col("idx") <= F.col("_m") - WINNOW_W)
+        | ((F.col("_m") < WINNOW_W) & (F.col("idx") == 0))
+    )
+    return (
+        fps.select("doc_id", F.col("winmin").cast("bigint").alias("fp"))
+        .distinct()
+    )

@@ -6569,6 +6569,76 @@ def q_benchmark_decontamination(spark, sf_dir):
     return benchmark_decontaminate(train, bench).orderBy("doc_id")
 
 
+@query(
+    "doc_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) > 0
+                THEN len(regexp_extract_all(trim(text), '\\S+'))
+                ELSE 0 END AS n_ws_tokens,
+           len(regexp_extract_all(lower(text),
+               $$'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\\s']+$$))
+             AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(lower(text),
+               $$'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\\s']+$$)) > 0
+                THEN floor(CAST(len(text) AS DOUBLE)
+                     / len(regexp_extract_all(lower(text),
+                       $$'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\\s']+$$))
+                     * 10000) / 10000
+                ELSE 0.0 END AS chars_per_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting (operators/textstats.py): documents
+    priced in pre-tokenizer tokens (contractions / letter runs /
+    digit runs / punctuation runs — the GPT-2 pre-tokenization shape)
+    vs naive whitespace counts.  Pure per-doc expressions, zero
+    shuffles; the ASCII-restricted regex evaluates byte-identically
+    under Java regex and RE2, so the oracle shares the pattern."""
+    from lab3_spark.operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> {_H2L.format(h="md5(array_to_string(toks[i:i+2], ' '))[1:15]")})
+               AS hs
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                             i -> list_min(hs[i:i+3])))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+    FROM w ORDER BY doc_id, fp
+    """,
+)
+def q_doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (operators/textstats.py):
+    the MOSS selection scheme — token 3-gram hashes, 4-hash window
+    minima, distinct survivors — any shared run of ≥ 6 tokens shares
+    a fingerprint while only ~2/(w+1) of hashes are kept.  All in-row
+    array expressions over the portable 60-bit md5 fold; the oracle
+    recomputes the exact integers."""
+    from lab3_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "fp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6608,6 +6678,8 @@ _DRIVER_PRIORITY = [
     "events_by_customer_segment",
     # -- new round-5 gates (inserted here as they land) ------------------
     "benchmark_decontamination",
+    "doc_bpe_token_counts",
+    "doc_winnowing_fingerprints",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

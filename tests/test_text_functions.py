@@ -302,3 +302,62 @@ def test_benchmark_decontaminate_broadcasts_bench_side(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_token_counts_handcomputed(spark):
+    from lab3_spark.operators.textstats import bpe_token_counts
+
+    rows = [
+        (1, "don't stop"),  # don + 't + stop = 3 bpe; 2 ws
+        (2, "x2go!!"),  # x + 2 + go + !! = 4 bpe; 1 ws
+        (3, ""),  # empty: 0 / 0
+        (4, "   "),  # whitespace-only
+        (5, "we've 42 apples, ok?"),  # we+'ve+42+apples+,+ok+? = 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in bpe_token_counts(df).collect()}
+    assert (got[1].n_ws_tokens, got[1].n_bpe_tokens) == (2, 3)
+    assert (got[2].n_ws_tokens, got[2].n_bpe_tokens) == (1, 4)
+    assert (got[3].n_ws_tokens, got[3].n_bpe_tokens) == (0, 0)
+    assert got[3].chars_per_bpe == 0.0
+    assert (got[4].n_ws_tokens, got[4].n_bpe_tokens) == (0, 0)
+    assert (got[5].n_ws_tokens, got[5].n_bpe_tokens) == (4, 7)
+    assert got[1].chars_per_bpe == 3.3333  # 10 chars / 3 tokens truncated
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a ≥ w+k−1 = 6-token run MUST share at least
+    one fingerprint (the winnowing theorem); docs with disjoint
+    vocabularies share none."""
+    from lab3_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"prefix words here {shared} and a tail"),
+        (2, f"{shared} totally different continuation text"),
+        (3, "unrelated vocabulary entirely disjoint from others"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps: dict[int, set] = {}
+    for r in winnowing_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps.get(3, set()))
+    assert not (fps[2] & fps.get(3, set()))
+
+
+def test_winnowing_short_docs(spark):
+    """< k tokens → no fingerprints; k ≤ tokens < k+w−1 → exactly the
+    single global-min fingerprint."""
+    from lab3_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    got: dict[int, list] = {}
+    for r in winnowing_fingerprints(df).collect():
+        got.setdefault(r.doc_id, []).append(r.fp)
+    assert 1 not in got  # 2 tokens < k=3: no 3-gram exists
+    assert len(got[2]) == 1  # one 3-gram, below window: global min
+    assert len(got[3]) == 1  # two 3-grams, still < w=4 hashes
