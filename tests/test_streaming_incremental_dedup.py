@@ -94,3 +94,25 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
         for r in accepted_store(spark, store).collect()
     )
     assert after == before
+
+
+def test_store_path_with_uri_scheme(spark, tmp_path):
+    """The prior-store existence check goes through Hadoop's
+    FileSystem API, so a ``file://``-scheme store path (any URI
+    spark.read.parquet accepts) must dedup across batches exactly
+    like a bare local path — the round-4 advice failure mode was
+    os.path.isdir returning False forever on scheme'd paths,
+    silently accepting every duplicate."""
+    src, _ = _three_file_stream(spark, tmp_path)
+    store = f"file://{tmp_path}/store_uri"
+    q = start_incremental_dedup(src, store, str(tmp_path / "ckpt_uri"))
+    q.awaitTermination(120)
+
+    got = accepted_store(spark, store).collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps))  # cross-batch dups rejected
+    # 4 distinct texts among 8 docs → exactly 4 accepted
+    assert len(got) == 4
+    # doc 7 (cross-batch dup of doc 4) must NOT be present — the
+    # scheme'd-path failure mode would have accepted it
+    assert 7 not in {r["doc_id"] for r in got}
