@@ -91,3 +91,25 @@ def test_end_to_end_matches_expression_form(spark, sf_dir):
     expr_p = word_count(docs, "text", mode="parity").collect()
     arrow_p = word_count_arrow(docs, "text", mode="parity").collect()
     assert arrow_p == expr_p
+
+
+from hypothesis import given, settings, strategies as st
+
+_ascii_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+        max_size=200,
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ascii_texts)
+def test_kernel_matches_regex_spec_property(texts):
+    """Property pin: on ARBITRARY printable-ASCII input the Arrow
+    byte-level kernel equals the [a-z][a-z']* regex spec (hypothesis
+    sweeps apostrophe runs, digit boundaries, whitespace shapes,
+    empty rows — the hand-enumerated CASES' long tail)."""
+    assert _counts(texts) == _ref_counts(texts)
