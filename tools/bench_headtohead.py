@@ -1,4 +1,4 @@
-"""Interleaved head-to-head: engine word count vs the reference binary.
+"""Interleaved head-to-head: engine pipelines vs the reference binaries.
 
 Round-4 verdict: the 430 MB word-count ratio moved 2.0x (r3) -> 2.2x
 (r4), over the 2x bar, with no plan change — suspected host CPU-steal
@@ -17,6 +17,7 @@ warm session, same corpus file.
 Usage:
   python tools/bench_headtohead.py [--corpus /tmp/d512.txt] [--n 5]
                                    [--mode expr|arrow|both]
+                                   [--workload wordcount|top50|invert]
 
 Prints per-iteration times and the min-of-N summary with the ratio
 vs the reference's TOTAL (its stricter number: map-reduce + read +
@@ -39,8 +40,16 @@ REF_SRC = "/root/reference/phoenixLab"
 REF_BUILD = "/tmp/phoenix_parity_build"
 
 
-def ensure_ref_build() -> str:
-    exe = os.path.join(REF_BUILD, "wordCount", "wordCount")
+_REF_EXE = {
+    "wordcount": ("wordCount", "wordCount"),
+    "top50": ("top50", "top50"),
+    "invert": ("invert", "invert"),
+}
+
+
+def ensure_ref_build(workload: str = "wordcount") -> str:
+    sub, name = _REF_EXE[workload]
+    exe = os.path.join(REF_BUILD, sub, name)
     if os.path.exists(exe):
         return exe
     if os.path.exists(REF_BUILD):
@@ -67,13 +76,13 @@ def ensure_corpus(path: str) -> str:
     return path
 
 
-def time_ref(exe: str, corpus: str) -> float:
+def time_ref(exe: str, corpus: str, extra: list[str] | None = None) -> float:
     """The reference's TOTAL wall time (its own printed library timer
     covers only the MR phase; the bar compares program totals)."""
     env = dict(os.environ, MR_NUMTHREADS="32")
     t0 = time.time()
     subprocess.run(
-        [exe, corpus], env=env, check=True,
+        [exe, corpus] + (extra or []), env=env, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     return time.time() - t0
@@ -84,41 +93,62 @@ def main() -> int:
     ap.add_argument("--corpus", default="/tmp/d512.txt")
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--mode", default="expr", choices=["expr", "arrow", "both"])
+    ap.add_argument(
+        "--workload",
+        default="wordcount",
+        choices=["wordcount", "top50", "invert"],
+    )
     args = ap.parse_args()
 
-    exe = ensure_ref_build()
+    exe = ensure_ref_build(args.workload)
     corpus = ensure_corpus(args.corpus)
     mb = os.path.getsize(corpus) / 1e6
+    ref_extra = ["50"] if args.workload == "top50" else None
 
     from lab3_spark.session import get_spark
 
     spark = get_spark("headtohead")
 
     def run_engine(mode: str) -> float:
-        # plain text scan (word count needs no line numbers)
-        lines = spark.read.text(corpus).withColumnRenamed("value", "text")
-        if mode == "arrow":
+        if args.workload == "invert":
+            # invert needs line numbers (sources/text.py numbering path);
+            # postings keyed by line_no like the reference's occurrence
+            # lists (invert.cpp:101-105)
+            from lab3_spark.operators.inverted_index import inverted_index
+            from lab3_spark.sources.text import read_text_lines
+
+            out = inverted_index(
+                read_text_lines(spark, corpus), id_col="line_no"
+            )
+        elif args.workload == "top50":
+            from lab3_spark.operators.topk import top_k_words
+
+            lines = spark.read.text(corpus).withColumnRenamed("value", "text")
+            out = top_k_words(lines, 50)
+        elif mode == "arrow":
             from lab3_spark.operators.wordcount import word_count_arrow
 
-            wc = word_count_arrow(lines, "text")
+            lines = spark.read.text(corpus).withColumnRenamed("value", "text")
+            out = word_count_arrow(lines, "text")
         else:
             from lab3_spark.operators.wordcount import word_count
 
-            wc = word_count(lines, "text")
+            lines = spark.read.text(corpus).withColumnRenamed("value", "text")
+            out = word_count(lines, "text")
         t0 = time.time()
-        wc.write.format("noop").mode("overwrite").save()
+        out.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     engine_modes = ["expr", "arrow"] if args.mode == "both" else [args.mode]
     # warmup both sides once (JIT/codegen/page cache) before timing
-    time_ref(exe, corpus)
+    time_ref(exe, corpus, ref_extra)
     for m in engine_modes:
         run_engine(m)
 
     ref_ts: list[float] = []
     eng_ts: dict[str, list[float]] = {m: [] for m in engine_modes}
     for i in range(args.n):
-        r = time_ref(exe, corpus)
+        r = time_ref(exe, corpus, ref_extra)
         ref_ts.append(r)
         line = f"iter {i}: ref {r:.2f}s"
         for m in engine_modes:
