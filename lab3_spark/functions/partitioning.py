@@ -132,6 +132,55 @@ def retire_latest(key: str, df: DataFrame) -> DataFrame:
     return df
 
 
+_RESULT_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def memo_result(key: str, input_df: DataFrame, build) -> DataFrame:
+    """Input-keyed RESULT memo for driver-looped iterative operators.
+
+    `memo_persist` can only serve frames whose PLAN recurs — but an
+    iterative fixpoint (connected components, PageRank, Lloyd) does
+    its work driver-side DURING construction (per-iteration count()
+    jobs), so by the time the output plan exists the cost is already
+    paid.  This memo keys on the INPUT plan instead: if ``input_df``
+    is `sameResult`-equal to the previous call's input under ``key``,
+    the previous RESULT frame is returned and the loop never runs —
+    the long-lived-driver warm path for composite gates.  One entry
+    per key (bounded); a different input replaces it.
+
+    The cached result may be checkpoint-backed; it stays valid
+    because replacement happens only when a new result supersedes it
+    (and `retire_prefix` frees the old checkpoints in the same
+    build).  Same single-driver assumption as the other registries."""
+    prev = _RESULT_MEMO.get(key)
+    if prev is not None:
+        try:
+            if (
+                prev[0]._jdf.queryExecution()
+                .analyzed()
+                .sameResult(input_df._jdf.queryExecution().analyzed())
+            ):
+                return prev[1]
+        except Exception:
+            pass  # stale/stopped session — fall through to rebuild
+    result = build()
+    _RESULT_MEMO[key] = (input_df, result)
+    return result
+
+
+def memo_result_invalidate(prefix: str) -> None:
+    """Drop every result-memo entry whose key starts with ``prefix``.
+
+    An operator family that frees shared backing state when it
+    rebuilds (components: retire_prefix over checkpoints, replaced
+    iteration persists) must invalidate ALL its result entries at
+    rebuild time — a sibling entry under a different parameter key
+    could otherwise outlive the checkpoints its lineage is rooted at
+    and raise on recompute."""
+    for k in [k for k in _RESULT_MEMO if k.startswith(prefix)]:
+        _RESULT_MEMO.pop(k, None)
+
+
 def retire_prefix(prefix: str) -> None:
     """Free EVERY retired frame whose key starts with ``prefix`` — the
     function-entry form of :func:`retire_latest` for operators that pin

@@ -44,7 +44,27 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
 
     ``edges`` is a directed (src, dst) list; a symmetrized graph (every
     node has out-degree ≥ 1) has no dangling-mass problem by
-    construction."""
+    construction.
+
+    Warm path: the loop materializes a checkpoint PER ITERATION during
+    construction, so only an INPUT-keyed result memo can skip it — a
+    repeat call over the same edge frame returns the previous ranks
+    checkpoint without running a single job (the components.py
+    pattern).  A rebuild retires the old ranks checkpoint, so all
+    cached entries are invalidated first."""
+    from lab3_spark.functions.partitioning import (
+        memo_result,
+        memo_result_invalidate,
+    )
+
+    def build() -> DataFrame:
+        memo_result_invalidate("pagerank.result.")
+        return _pr_iterations(edges, n_iter)
+
+    return memo_result(f"pagerank.result.n{n_iter}", edges, build)
+
+
+def _pr_iterations(edges: DataFrame, n_iter: int) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # degree rides with the edge list from the start: one narrow join
