@@ -232,7 +232,32 @@ def minhash_candidates(
     guard: a bucket of B near-identical docs still yields B²/2 pairs,
     so buckets larger than the cap are dropped (at 100 TB such buckets
     are handled separately — usually by exact-dedup first, which
-    collapses identical docs before LSH runs)."""
+    collapses identical docs before LSH runs).
+
+    Warm path: result-memoized on the input frame when ``shingles``
+    is not caller-supplied — six gates (lsh, jaccard, containment,
+    clusters, representatives, agreement) call this; the ~0.5 s of
+    per-call signature-expression construction is pure overhead after
+    the first."""
+    if shingles is None:
+        from lab3_spark.functions.partitioning import memo_result
+
+        return memo_result(
+            f"dedup.minhash_cand.{text_col}.b{max_bucket}",
+            documents,
+            lambda: _minhash_candidates_build(
+                documents, text_col, max_bucket, None
+            ),
+        )
+    return _minhash_candidates_build(documents, text_col, max_bucket, shingles)
+
+
+def _minhash_candidates_build(
+    documents: DataFrame,
+    text_col: str,
+    max_bucket: int | None,
+    shingles: DataFrame | None,
+) -> DataFrame:
     sig = minhash_signatures(documents, text_col, shingles=shingles)
     bands = sig.select(
         "doc_id",
@@ -453,7 +478,27 @@ def simhash_near_pairs(
     without the persist the whole tokenize→md5→bit-sum scan runs
     TWICE.  The persisted frame is 16 bytes/doc — at 100 TB corpus
     scale the signature table is ~GBs, exactly what you'd checkpoint
-    between dedup stages anyway."""
+    between dedup stages anyway.
+
+    Result-memoized on the input frame (several gates call this; the
+    Arrow-kernel + chunk-expression construction is the warm cost)."""
+    from lab3_spark.functions.partitioning import memo_result
+
+    return memo_result(
+        f"dedup.simhash_pairs.{text_col}.h{max_hamming}.b{max_bucket}",
+        documents,
+        lambda: _simhash_near_pairs_build(
+            documents, text_col, max_hamming, max_bucket
+        ),
+    )
+
+
+def _simhash_near_pairs_build(
+    documents: DataFrame,
+    text_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> DataFrame:
     from lab3_spark.functions.partitioning import memo_persist
 
     sig = memo_persist(
