@@ -150,3 +150,33 @@ def test_memo_persist_hits_same_plan_replaces_different(spark):
     assert m3.count() == 50
     m3.unpersist()
     del _PERSISTED_LATEST["test.memo"]
+
+
+def test_memo_result_hit_and_invalidate(spark):
+    """memo_result returns the SAME frame for a sameResult-equal
+    input without re-running the build, rebuilds on a different
+    input, and drops entries on prefix invalidation."""
+    from lab3_spark.functions.partitioning import (
+        memo_result,
+        memo_result_invalidate,
+    )
+
+    calls = {"n": 0}
+
+    def build(df):
+        def _b():
+            calls["n"] += 1
+            return df.selectExpr("id * 2 AS twice")
+        return _b
+
+    a = spark.range(10)
+    r1 = memo_result("test.memo_result.x", a, build(a))
+    r2 = memo_result("test.memo_result.x", spark.range(10), build(a))
+    assert calls["n"] == 1  # second call memo-hit on an equal plan
+    assert r2 is r1
+    b = spark.range(20)  # different input -> rebuild
+    memo_result("test.memo_result.x", b, build(b))
+    assert calls["n"] == 2
+    memo_result_invalidate("test.memo_result.")
+    memo_result("test.memo_result.x", b, build(b))
+    assert calls["n"] == 3  # invalidation forced the rebuild
