@@ -19,3 +19,34 @@ from tools.oracle_lint import lint_oracles
 def test_no_hugeint_or_decimal_oracle_columns():
     problems = lint_oracles("/root/testdata/sf0.001")
     assert problems == [], "\n".join(problems)
+
+
+def test_driver_window_leads_with_rowless_queries():
+    """Round-5 curation contract: the driver checks the FIRST 50
+    queries; the 15 oracled queries with no green CORRECTNESS row
+    after round 4 must occupy the leading slots so cumulative
+    coverage reaches 150/150."""
+    import __spark_entry__ as entrymod
+
+    order = list(entrymod.queries())
+    rowless = {
+        "grouped_minmax_normalize",
+        "orc_roundtrip_events",
+        "events_value_histogram",
+        "streaming_sliding_10m",
+        "orders_priority_unpivot",
+        "orders_scd_upsert",
+        "per_source_token_budget",
+        "dedup_cluster_representatives",
+        "weighted_sample_docs",
+        "multimodal_byte_chunks",
+        "dedup_method_agreement",
+        "doc_bigram_surprisal",
+        "events_top_type_per_hour",
+        "dedup_rate_by_source",
+        "events_by_customer_segment",
+    }
+    assert set(order[:15]) == rowless
+    # every pinned name must exist (typo guard is import-time, but the
+    # window size contract lives here)
+    assert len(set(order[:50])) == 50
