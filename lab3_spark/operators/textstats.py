@@ -1090,53 +1090,56 @@ def winnowing_fingerprints(
     plagiarism detection (the positional companion to MinHash's
     set-level sketch).
 
-    Shape: k-gram hashes EXPLODE to (doc_id, idx, h) rows — each hash
-    computed exactly once — and the rolling window is a PARTITIONED
-    window frame (per-doc partitions, ROWS CURRENT..w−1 FOLLOWING):
-    scan-scale, no unpartitioned window anywhere.  (The tempting
-    all-in-row form — a `transform` over window starts slicing a
-    `transform`-built hash array — re-evaluates the whole hash array
-    per window because Catalyst expressions are trees, an O(m²·md5)
-    blowup measured in minutes at sf0.1; the explode form is the
-    linear one.)  Hashes are the engine's portable 60-bit md5 fold,
-    so the DuckDB oracle recomputes the exact integers.  Docs shorter
-    than k tokens emit nothing; docs with fewer than w hashes emit
-    the single global minimum (the standard short-document
-    degeneration).
+    Shape: TOKENS explode to (doc_id, idx, w) rows and the k-gram is
+    assembled by ``lead()`` over the per-doc window — fully codegen'd
+    string concat, no higher-order functions — then the rolling
+    minimum is a second frame (ROWS CURRENT..w−1 FOLLOWING) over the
+    SAME partitioning, so both windows share one Exchange+Sort.
+    Measured ladder at sf0.1: the all-in-row `transform` slicing a
+    `transform`-built hash array re-evaluates the array per window
+    (Catalyst expressions are trees) — O(m²·md5), minutes; exploding
+    PRE-BUILT gram strings from a `transform` is linear but pays the
+    interpreted-HOF toll (~3.2 s); the lead() form is 0.72 s — the
+    HOFs, not the hashes, were the cost.  Hashes are the engine's
+    portable 60-bit md5 fold, so the DuckDB oracle recomputes the
+    exact integers.  Docs shorter than k tokens emit nothing; docs
+    with fewer than w hashes emit the single global minimum (the
+    standard short-document degeneration).
     """
     from pyspark.sql.window import Window
 
     from lab3_spark.functions.text import md5_long
 
     toks = tokenize(text_col)
-    m = F.size(toks) - (WINNOW_K - 1)  # number of k-grams
-    grams = documents.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                m >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), m),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("idx", "gram"),
-    ).select("doc_id", "idx", md5_long("gram").alias("h"))
+    g = documents.select("doc_id", F.posexplode(toks).alias("idx", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("idx")
     per_doc = Window.partitionBy("doc_id")
+    lead_cols = [F.lead("w", j).over(wdoc) for j in range(1, WINNOW_K)]
+    gr = g.select(
+        "doc_id",
+        "idx",
+        F.concat_ws(" ", "w", *lead_cols).alias("gram"),
+        F.count("*").over(per_doc).alias("_n"),
+    )
+    gr = gr.where(F.col("idx") <= F.col("_n") - WINNOW_K).select(
+        "doc_id",
+        "idx",
+        md5_long("gram").alias("h"),
+        (F.col("_n") - (WINNOW_K - 1)).alias("_m"),  # k-gram count
+    )
     fwd = (
         Window.partitionBy("doc_id")
         .orderBy("idx")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    g = grams.select(
-        "doc_id",
-        "idx",
-        F.count("*").over(per_doc).alias("_m"),
-        F.min("h").over(fwd).alias("winmin"),
+    gg = gr.select(
+        "doc_id", "idx", "_m", F.min("h").over(fwd).alias("winmin")
     )
-    # full windows exist at idx ∈ [0, m−w]; short docs (m < w) emit
-    # their global min from the one frame starting at idx 0
-    fps = g.where(
+    # full windows exist at the first m−w+1 gram rows; short docs
+    # (m < w) emit their global min from the one frame starting at
+    # the first gram (the surviving idx values are consecutive, so
+    # the ROWS frame spans exactly the next w−1 gram rows)
+    fps = gg.where(
         (F.col("idx") <= F.col("_m") - WINNOW_W)
         | ((F.col("_m") < WINNOW_W) & (F.col("idx") == 0))
     )
