@@ -134,6 +134,8 @@ HEADLINE = [
     "benchmark_decontamination",
     "doc_bpe_token_counts",
     "doc_winnowing_fingerprints",
+    # streaming_curated_ingest excluded like the other StreamingQuery
+    # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and
     # pysource_synthetic_docs measure Python-worker setup, not dataflow
 ]

@@ -1570,6 +1570,62 @@ def q_streaming_sliding(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
+    """Write ``docs`` as ``n_batches`` single-file parquets split by
+    doc_id % n, mtimes pinned ascending so FileStreamSource (ordered
+    by modification time) drains them in batch order.  Returns the
+    incoming directory path."""
+    import os as _os
+    import time as _time
+
+    flat = _os.path.join(root, "incoming")
+    _os.makedirs(flat)
+    now = _time.time()
+    for b in range(n_batches):
+        part_dir = _os.path.join(root, f"part{b}")
+        docs.where(F.col("doc_id") % n_batches == b).coalesce(1).write.parquet(
+            part_dir
+        )
+        (pf,) = [f for f in _os.listdir(part_dir) if f.endswith(".parquet")]
+        dst = _os.path.join(flat, f"{b:02d}.parquet")
+        _os.rename(_os.path.join(part_dir, pf), dst)
+        _os.utime(dst, (now + b * 10, now + b * 10))
+    return flat
+
+
+def _run_incremental_ingest(spark, sf_dir, prefix: str, pre_filter=None):
+    """Shared driver for the incremental-ingest gates: stage 3
+    mtime-ordered micro-batches, drain through the foreachBatch
+    fingerprint-store dedup, return the accepted store."""
+    import os as _os
+
+    from lab3_spark.streaming.incremental_dedup import (
+        accepted_store,
+        start_incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _scratch_dir(prefix)
+    flat = _mtime_ordered_doc_batches(docs, root)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_dedup(
+        src, store, _os.path.join(root, "ckpt"), pre_filter=pre_filter
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental ingest availableNow run timed out")
+    return (
+        accepted_store(spark, store)
+        .select("doc_id", "fp", F.col("batch_id").cast("bigint").alias("batch_id"))
+        .orderBy("fp")
+    )
+
+
 @query(
     "streaming_incremental_dedup",
     f"""
@@ -1595,44 +1651,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     accepted store must hold exactly one doc per fingerprint — the
     min doc_id within the EARLIEST batch where the fingerprint
     appeared — which the oracle states directly in SQL."""
-    import os as _os
-    import time as _time
-
-    from lab3_spark.streaming.incremental_dedup import (
-        accepted_store,
-        start_incremental_dedup,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = _scratch_dir("stream_incdedup_")
-    flat = _os.path.join(root, "incoming")
-    _os.makedirs(flat)
-    now = _time.time()
-    for b in range(3):
-        part_dir = _os.path.join(root, f"part{b}")
-        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(part_dir)
-        (pf,) = [
-            f for f in _os.listdir(part_dir) if f.endswith(".parquet")
-        ]
-        dst = _os.path.join(flat, f"{b:02d}.parquet")
-        _os.rename(_os.path.join(part_dir, pf), dst)
-        # FileStreamSource orders by modification time: pin arrival order
-        _os.utime(dst, (now + b * 10, now + b * 10))
-    src = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-    )
-    store = _os.path.join(root, "store")
-    q = start_incremental_dedup(src, store, _os.path.join(root, "ckpt"))
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("incremental dedup availableNow run timed out")
-    return (
-        accepted_store(spark, store)
-        .select("doc_id", "fp", F.col("batch_id").cast("bigint").alias("batch_id"))
-        .orderBy("fp")
-    )
+    return _run_incremental_ingest(spark, sf_dir, "stream_incdedup_")
 
 
 @query(
@@ -6526,6 +6545,48 @@ def q_events_by_customer_segment(spark, sf_dir):
 
 
 @query(
+    "streaming_curated_ingest",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    gp AS (SELECT doc_id FROM gf WHERE {_DUCK_GOPHER_PASS}),
+    fps AS (
+      SELECT d.doc_id, d.doc_id % 3 AS b,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents d JOIN gp USING (doc_id)
+    ),
+    first_b AS (SELECT fp, min(b) AS batch_id FROM fps GROUP BY fp)
+    SELECT min(f.doc_id) AS doc_id, f.fp AS fp,
+           CAST(fb.batch_id AS BIGINT) AS batch_id
+    FROM fps f JOIN first_b fb ON f.fp = fb.fp AND f.b = fb.batch_id
+    GROUP BY f.fp, fb.batch_id
+    ORDER BY f.fp
+    """,
+)
+def q_streaming_curated_ingest(spark, sf_dir):
+    """The streaming CURATION capstone: quality gate + dedup at
+    ingest time, as a real StreamingQuery.  Each micro-batch is
+    Gopher-rule filtered (textstats.gopher_quality — rejects never
+    reach the store or cost an anti-join probe) BEFORE the
+    fingerprint-store dedup; the accepted store must hold exactly one
+    PASSING doc per fingerprint, min doc_id within the earliest batch
+    where that fingerprint passed.  The oracle states the whole
+    accept predicate in SQL over the batch table — streaming with all
+    data available must equal it."""
+
+    def keep_quality(batch):
+        from lab3_spark.operators.textstats import gopher_quality
+
+        passing = (
+            gopher_quality(batch).where("gopher_pass").select("doc_id")
+        )
+        return batch.join(passing, "doc_id")
+
+    return _run_incremental_ingest(
+        spark, sf_dir, "stream_curated_", pre_filter=keep_quality
+    )
+
+
+@query(
     "benchmark_decontamination",
     """
     WITH t AS (SELECT doc_id, """
@@ -6680,6 +6741,7 @@ _DRIVER_PRIORITY = [
     "benchmark_decontamination",
     "doc_bpe_token_counts",
     "doc_winnowing_fingerprints",
+    "streaming_curated_ingest",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -56,13 +56,24 @@ def start_incremental_dedup(
     store_path: str,
     checkpoint: str,
     text_col: str = "text",
+    pre_filter=None,
 ):
     """Start the incremental-dedup StreamingQuery (availableNow
     trigger: drains the source then stops — the test/replay-friendly
-    mode; a production ingest would use a processing-time trigger)."""
+    mode; a production ingest would use a processing-time trigger).
+
+    ``pre_filter`` (optional ``DataFrame -> DataFrame``) runs on each
+    micro-batch BEFORE fingerprinting — the curation hook: a quality
+    gate (Gopher rules, lang-id, PII policy) drops rejects at ingest
+    so they never reach the store or cost an anti-join probe.  It
+    must be a pure filter/projection preserving doc_id + text
+    semantics; replays re-apply it deterministically, keeping the
+    idempotence contract."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
         batch = (
             _fingerprints(batch_df, text_col)
             .groupBy("fp")
