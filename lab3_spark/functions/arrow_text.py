@@ -56,6 +56,9 @@ def token_counts_table(arr: pa.Array) -> pa.Table:
     ``[a-z][a-z']*`` spec without a regex engine.  UTF-8 continuation
     bytes are ≥ 0x80, never in ``[a-z']``, so multi-byte characters
     are separators, byte-for-byte like the reference's scanner."""
+    if len(arr) == 0:
+        return _OUT_SCHEMA.empty_table()  # zero-length slices may carry
+        # null buffers — nothing to scan either way
     if arr.null_count:
         import pyarrow.compute as pc
 
