@@ -668,7 +668,30 @@ def sparse_tfidf_pairs(
 
     Reference parity note: no similarity join exists in the reference
     (Phoenix++, include/map_reduce.h) — SURVEY §2.9 extension row.
+
+    Result-memoized on the input frame (the memo_result rung): warm
+    cost was plan construction + the pair join re-planning, not new
+    physical work.
     """
+    from lab3_spark.functions.partitioning import memo_result
+
+    return memo_result(
+        f"textstats.tfidf_pairs.{text_col}.c{min_cosine}"
+        f".f{max_df_frac}.a{max_df_abs}",
+        documents,
+        lambda: _sparse_tfidf_pairs_build(
+            documents, text_col, min_cosine, max_df_frac, max_df_abs
+        ),
+    )
+
+
+def _sparse_tfidf_pairs_build(
+    documents: DataFrame,
+    text_col: str,
+    min_cosine: float,
+    max_df_frac: float,
+    max_df_abs: int,
+) -> DataFrame:
     toks = tokenize(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
