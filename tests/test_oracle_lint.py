@@ -50,3 +50,16 @@ def test_driver_window_leads_with_rowless_queries():
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must be a registered query — a
+    rename that orphans a headline name should fail here, not in the
+    driver's bench run."""
+    import bench
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == [], missing
