@@ -159,9 +159,25 @@ def kmeans_fixed(
     (LSH shares the floor(x·1e6) transform) gets silently substituted
     into THEIR plans by the cache manager, which round 3 measured as a
     cross-query plan-pollution bug.  Callers looping many more
-    iterations can persist `embeddings` themselves."""
+    iterations can persist `embeddings` themselves.
+
+    Warm path: behind the input-keyed result memo (the Lloyd jobs run
+    during construction — driver collects between iterations — so
+    only memo_result can skip a repeat training)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    from lab3_spark.functions.partitioning import memo_result
+
+    return memo_result(
+        f"kmeans.fixed.k{k}.i{n_iter}",
+        embeddings,
+        lambda: _kmeans_fixed_build(embeddings, k, n_iter),
+    )
+
+
+def _kmeans_fixed_build(
+    embeddings: DataFrame, k: int, n_iter: int
+) -> DataFrame:
     init = (
         spread(embeddings)
         .where(F.col("vec_id") < k)
