@@ -3753,16 +3753,22 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _duck_pq_subspace_ctes(k: int, n_iter: int, lo: int, hi: int, p: str) -> str:
+def _duck_pq_subspace_ctes(
+    k: int, n_iter: int, lo: int, hi: int, p: str, src: str = "px"
+) -> str:
     """Per-SUBSPACE Lloyd chain for the PQ oracle: the same unrolled
     recursion as `_duck_kmeans_ctes` but over px rows with
     ``lo <= pos < hi`` and CTE names prefixed ``{p}`` so two subspaces
     coexist in one WITH clause.  Positions stay global (no rebase):
     only matching pos pairs enter distances/updates, so the centroid
-    VALUES are identical to the Spark side's rebased slice."""
+    VALUES are identical to the Spark side's rebased slice.
+
+    ``src`` names the (vec_id, pos, val) CTE to train over — "px" for
+    raw fixed-point vectors; an IVF-PQ oracle points it at a residual
+    CTE (vector minus its coarse-cell centroid) instead."""
     ctes = [
         f"""
-    px{p} AS (SELECT vec_id, pos, val FROM px
+    px{p} AS (SELECT vec_id, pos, val FROM {src}
               WHERE pos >= {lo} AND pos < {hi}),
     c{p}0 AS (SELECT vec_id AS cl, pos, val AS c FROM px{p}
               WHERE vec_id < {k})"""
