@@ -134,6 +134,8 @@ HEADLINE = [
     "benchmark_decontamination",
     "doc_bpe_token_counts",
     "doc_winnowing_fingerprints",
+    "ann_ivf_pq_top5",
+    "ann_ivfpq_residual_top5",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

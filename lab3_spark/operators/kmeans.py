@@ -89,14 +89,23 @@ def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(F.array(*structs))["cl"]
 
 
-def _iter_partials(embeddings: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+def _iter_partials(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    prescaled: bool = False,
+) -> DataFrame:
     """One Lloyd iteration as a single ``mapInArrow`` pass: per-batch
     assignment (exact int64 distances, argmin ties → lowest cl) fused
     with per-batch (cluster, pos) partial sums — each Arrow batch
     contributes at most k×d rows to the update shuffle regardless of
     batch size.  Bit-identical to the expression fold (`_assign_expr`):
     numpy int64 arithmetic == JVM bigint arithmetic, the same
-    equivalence tests/test_similarity_impls.py pins for LSH."""
+    equivalence tests/test_similarity_impls.py pins for LSH.
+
+    ``prescaled``: the embedding column already holds fixed-point
+    bigints (e.g. IVF-PQ residuals) — skip the floor(x·1e6); the
+    float64 round-trip through Arrow is exact (|values| ≤ ~4e6 ≪
+    2^53)."""
     import numpy as np
     import pyarrow as pa
 
@@ -110,7 +119,10 @@ def _iter_partials(embeddings: DataFrame, cents: list[tuple[int, list[int]]]) ->
             n = x.shape[0]
             if n == 0:
                 continue
-            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            if prescaled:
+                xi = x.astype(np.int64)
+            else:
+                xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
             d2 = np.empty((n, k), dtype=np.int64)
             for j in range(k):
                 diff = xi - cmat[j]
@@ -143,7 +155,10 @@ def _iter_partials(embeddings: DataFrame, cents: list[tuple[int, list[int]]]) ->
 
 
 def kmeans_fixed(
-    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+    prescaled: bool = False,
 ) -> DataFrame:
     """(cluster_id, pos, c, n_members): centroids after `n_iter` Lloyd
     iterations, one row per (cluster, dimension position), plus the
@@ -169,19 +184,22 @@ def kmeans_fixed(
     from lab3_spark.functions.partitioning import memo_result
 
     return memo_result(
-        f"kmeans.fixed.k{k}.i{n_iter}",
+        f"kmeans.fixed.k{k}.i{n_iter}" + (".pre" if prescaled else ""),
         embeddings,
-        lambda: _kmeans_fixed_build(embeddings, k, n_iter),
+        lambda: _kmeans_fixed_build(embeddings, k, n_iter, prescaled),
     )
 
 
 def _kmeans_fixed_build(
-    embeddings: DataFrame, k: int, n_iter: int
+    embeddings: DataFrame, k: int, n_iter: int, prescaled: bool = False
 ) -> DataFrame:
+    xi0 = (
+        F.col("embedding") if prescaled else fixed_point(F.col("embedding"))
+    )
     init = (
         spread(embeddings)
         .where(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cl"), fixed_point(F.col("embedding")).alias("xi"))
+        .select(F.col("vec_id").alias("cl"), xi0.alias("xi"))
     )
     cents = sorted((int(r["cl"]), list(r["xi"])) for r in init.collect())
     if not cents:
@@ -190,7 +208,7 @@ def _kmeans_fixed_build(
     out: DataFrame | None = None
     for it in range(n_iter):
         upd = (
-            _iter_partials(embeddings, cents)
+            _iter_partials(embeddings, cents, prescaled)
             .groupBy("cl", "pos")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select(
@@ -231,12 +249,16 @@ def assign_expr_frame(
 
 
 def _assign_arrow(
-    embeddings: DataFrame, cents: list[tuple[int, list[int]]]
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    prescaled: bool = False,
 ) -> DataFrame:
     """(vec_id, embedding, cl): batch argmin assignment — same int64
     arithmetic as `_assign_expr` (equality pinned in tests), one numpy
     pass per Arrow batch with the embedding column passed through
-    zero-copy."""
+    zero-copy.  ``prescaled``: embedding is already fixed-point bigint
+    (residual frames) — no floor, and the passthrough column keeps its
+    bigint element type."""
     import numpy as np
     import pyarrow as pa
 
@@ -250,7 +272,10 @@ def _assign_arrow(
             x = _flat_matrix(emb, dims)
             if x.shape[0] == 0:
                 continue
-            xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
+            if prescaled:
+                xi = x.astype(np.int64)
+            else:
+                xi = np.floor(x * float(FIXED_SCALE)).astype(np.int64)
             d2 = np.empty((x.shape[0], k), dtype=np.int64)
             for j in range(k):
                 diff = xi - cmat[j]
@@ -261,10 +286,11 @@ def _assign_arrow(
                 names=["vec_id", "embedding", "cl"],
             )
 
+    etype = "array<bigint>" if prescaled else "array<float>"
     return (
         spread(embeddings)
         .select("vec_id", "embedding")
-        .mapInArrow(batches, "vec_id bigint, embedding array<float>, cl bigint")
+        .mapInArrow(batches, f"vec_id bigint, embedding {etype}, cl bigint")
     )
 
 
@@ -272,7 +298,10 @@ _CENTROID_MEMO: list[tuple[DataFrame, int, int, list]] = []
 
 
 def trained_centroids(
-    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITERS
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+    prescaled: bool = False,
 ) -> list[tuple[int, list[int]]]:
     """Train and collect the final centroids as (cl, components).
 
@@ -283,7 +312,7 @@ def trained_centroids(
     jobs each.  Same sameResult predicate as
     functions.partitioning.memo_persist."""
     for f, kk, nn, cents in _CENTROID_MEMO:
-        if kk == k and nn == n_iter:
+        if kk == (k, prescaled) and nn == n_iter:
             try:
                 if (
                     f._jdf.queryExecution()
@@ -294,10 +323,10 @@ def trained_centroids(
             except Exception:
                 pass  # stale session — retrain
     bycl: dict[int, dict[int, int]] = {}
-    for r in kmeans_fixed(embeddings, k, n_iter).collect():
+    for r in kmeans_fixed(embeddings, k, n_iter, prescaled).collect():
         bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
     cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
-    _CENTROID_MEMO.append((embeddings, k, n_iter, cents))
+    _CENTROID_MEMO.append((embeddings, (k, prescaled), n_iter, cents))
     del _CENTROID_MEMO[:-4]
     return cents
 
@@ -569,15 +598,19 @@ def ann_pq_adc(
     )
 
 
-def _pq_adc_build(
+def _pq_codes_and_tables(
     embeddings: DataFrame,
     n_queries: int,
-    topk: int,
     m: int,
     k: int,
     n_iter: int,
     dims: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, dts): the PQ INDEX — one m-code bigint row per corpus
+    vector (memo-shared across every PQ consumer per session) — and
+    the per-query subspace distance tables (metadata-scale,
+    broadcastable).  Factored out of the flat ADC so IVF-PQ reuses
+    the identical codebooks/codes."""
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     w = dims // m
@@ -608,14 +641,310 @@ def _pq_adc_build(
             )
         )
         dts = dt if dts is None else dts.join(dt, "query_id")
-    # the m-way joined code table is the PQ INDEX — one bigint row per
-    # corpus vector.  Three catalog gates (adc / recall / rerank, the
-    # latter two building the ADC shortlist internally) need the same
-    # codes; memo_persist shares one encode pass per session (bounded,
-    # sameResult-matched like the IVF assignment memo).
     from lab3_spark.functions.partitioning import memo_persist
 
     codes = memo_persist(f"kmeans.pq_codes_m{m}_k{k}_i{n_iter}_d{dims}", codes)
+    return codes, dts
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    m: int = 2,
+    pq_k: int = DEFAULT_K,
+    pq_iter: int = 2,
+    coarse_k: int = DEFAULT_K,
+    coarse_iter: int = DEFAULT_ITERS,
+    dims: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, adist, rnk): the IVF-PQ COMPOSITE — the
+    production ANN index shape (FAISS IVFPQ, Jégou et al. 2011,
+    public): a trained coarse quantizer partitions the corpus into
+    cells, each query probes only its ``nprobe`` nearest cells, and
+    ranking inside the candidate set is PQ asymmetric distance over
+    the compressed codes — never a full-corpus distance pass AND
+    never raw vectors at query time.
+
+    Composition of the engine's own certified parts: coarse cells =
+    `kmeans_assign` (trained Lloyd, memoized), probes =
+    `_nearest_cells_expr` (the multi-probe expression
+    `ann_ivf_probe2` gates), codes/tables = `_pq_codes_and_tables`
+    (the exact frames `ann_pq_adc` ranks with — one shared encode
+    pass per session).  This variant quantizes RAW vectors (IVF as a
+    candidate restriction); the residual-quantized refinement is the
+    documented next step.
+
+    Scale shape: cells and codes are one narrow bigint row per corpus
+    vector; the probe join touches nprobe/k of the corpus per query;
+    the ADC join is candidate-rows ⋈ broadcast distance tables — all
+    equi-joins, zero per-pair vector folds, index memory is m codes +
+    one cell id per vector.  ALL-INTEGER like the PQ family, so the
+    composed DuckDB oracle matches bit-for-bit."""
+    from lab3_spark.functions.partitioning import memo_result
+
+    key = (
+        f"kmeans.ivf_pq.q{n_queries}.t{topk}.m{m}.pk{pq_k}.pi{pq_iter}"
+        f".ck{coarse_k}.ci{coarse_iter}.d{dims}.p{nprobe}"
+    )
+    return memo_result(
+        key,
+        embeddings,
+        lambda: _ivf_pq_build(
+            embeddings, n_queries, topk, m, pq_k, pq_iter,
+            coarse_k, coarse_iter, dims, nprobe,
+        ),
+    )
+
+
+def _ivf_pq_build(
+    embeddings: DataFrame,
+    n_queries: int,
+    topk: int,
+    m: int,
+    pq_k: int,
+    pq_iter: int,
+    coarse_k: int,
+    coarse_iter: int,
+    dims: int,
+    nprobe: int,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cells = kmeans_assign(embeddings, coarse_k, coarse_iter).select(
+        "vec_id", "cl"
+    )
+    cents = trained_centroids(embeddings, coarse_k, coarse_iter)
+    probes = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            fixed_point(F.col("embedding")).alias("xi"),
+        )
+        .select(
+            "query_id",
+            F.explode(_nearest_cells_expr(cents, nprobe)).alias("cl"),
+        )
+    )
+    cand = (
+        probes.join(cells, "cl")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes, dts = _pq_codes_and_tables(
+        embeddings, n_queries, m, pq_k, pq_iter, dims
+    )
+    pairs = cand.join(codes, "vec_id").join(
+        F.broadcast(dts),
+        ["query_id"] + [f"code_{s}" for s in range(m)],
+    )
+    adist = sum(F.col(f"dist_{s}") for s in range(m))
+    ranked = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adist.cast("bigint").alias("adist"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.asc("adist"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rnk") <= topk).orderBy("query_id", "rnk")
+
+
+def _cent_lookup_expr(cents: list[tuple[int, list[int]]]) -> Column:
+    """array<bigint> centroid for the cell id in column ``cl`` — a
+    literal map (k×d ints, metadata-scale) so the residual subtraction
+    is a pure broadcast expression, no join."""
+    keys = F.array(*[F.lit(int(cl)).cast("bigint") for cl, _ in cents])
+    vals = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+            for _, arr in cents
+        ]
+    )
+    return F.element_at(F.map_from_arrays(keys, vals), F.col("cl"))
+
+
+def ann_ivf_pq_residual(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    m: int = 2,
+    pq_k: int = DEFAULT_K,
+    pq_iter: int = 2,
+    coarse_k: int = DEFAULT_K,
+    coarse_iter: int = DEFAULT_ITERS,
+    dims: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, adist, rnk): RESIDUAL-quantized IVF-PQ —
+    the full FAISS IVFPQ shape (Jégou et al. 2011 §IV, public): the PQ
+    codebooks are trained on RESIDUALS (vector minus its coarse-cell
+    centroid), which concentrates the quantizer's codewords on the
+    within-cell distribution instead of the global one — the standard
+    accuracy refinement over `ann_ivf_pq`'s raw-vector variant.
+
+    Query time is the asymmetric part: the query's residual is
+    computed PER PROBED CELL (q − c_cell), so the subspace distance
+    tables are keyed (query, cell, code) — still metadata-scale
+    (n_queries × nprobe × m × k rows) and broadcast.  Each corpus
+    vector is stored once, in its own cell, as m codes over its own
+    residual; candidates therefore join their stored cell's table
+    entry — exactly FAISS's per-list ADC.
+
+    All-integer end to end: residuals are exact bigint differences of
+    fixed-point values, Lloyd on residuals runs the same prescaled
+    int64 arithmetic (``prescaled=True`` threads through
+    `trained_centroids`/`_assign_arrow`), so the chained DuckDB oracle
+    (coarse CTEs → residual CTE → per-subspace Lloyd CTEs over it)
+    matches bit-for-bit.
+
+    Scale shape: identical to `ann_ivf_pq` — narrow bigint code rows,
+    probe equi-join touches nprobe/k of the corpus, ADC is a broadcast
+    table join; the only addition is one scan-speed residual
+    projection (zip_with against a k×d literal map) before training/
+    encoding."""
+    from lab3_spark.functions.partitioning import memo_result
+
+    key = (
+        f"kmeans.ivf_pq_res.q{n_queries}.t{topk}.m{m}.pk{pq_k}.pi{pq_iter}"
+        f".ck{coarse_k}.ci{coarse_iter}.d{dims}.p{nprobe}"
+    )
+    return memo_result(
+        key,
+        embeddings,
+        lambda: _ivf_pq_residual_build(
+            embeddings, n_queries, topk, m, pq_k, pq_iter,
+            coarse_k, coarse_iter, dims, nprobe,
+        ),
+    )
+
+
+def _ivf_pq_residual_build(
+    embeddings: DataFrame,
+    n_queries: int,
+    topk: int,
+    m: int,
+    pq_k: int,
+    pq_iter: int,
+    coarse_k: int,
+    coarse_iter: int,
+    dims: int,
+    nprobe: int,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import memo_persist
+
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    w = dims // m
+    cents = trained_centroids(embeddings, coarse_k, coarse_iter)
+    lookup = _cent_lookup_expr(cents)
+    # residual frame: one narrow (vec_id, cl, rxi) projection over the
+    # assigned corpus — exact bigint xi − centroid, scan-speed
+    rx = memo_persist(
+        f"kmeans.ivfpq_residuals_k{coarse_k}_i{coarse_iter}",
+        kmeans_assign(embeddings, coarse_k, coarse_iter).select(
+            "vec_id",
+            "cl",
+            F.zip_with(
+                fixed_point(F.col("embedding")), lookup, lambda a, b: a - b
+            ).alias("rxi"),
+        ),
+    )
+    # per-probed-cell query residuals: (query_id, cl, rxi) — the
+    # asymmetric side, nprobe rows per query
+    probes = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            fixed_point(F.col("embedding")).alias("xi"),
+        )
+        .select(
+            "query_id",
+            "xi",
+            F.explode(_nearest_cells_expr(cents, nprobe)).alias("cl"),
+        )
+        .select(
+            "query_id",
+            "cl",
+            F.zip_with(F.col("xi"), lookup, lambda a, b: a - b).alias("rxi"),
+        )
+    )
+    codes = None
+    dts = None
+    for s in range(m):
+        sub = rx.select(
+            "vec_id", F.slice("rxi", s * w + 1, w).alias("embedding")
+        )
+        scents = trained_centroids(sub, pq_k, pq_iter, prescaled=True)
+        a = _assign_arrow(sub, scents, prescaled=True).select(
+            "vec_id", F.col("cl").alias(f"code_{s}")
+        )
+        codes = a if codes is None else codes.join(a, "vec_id")
+        dt = probes.select(
+            "query_id",
+            "cl",
+            F.slice("rxi", s * w + 1, w).alias("xi"),
+        ).select(
+            "query_id",
+            "cl",
+            F.explode(_dist_table_expr(scents)).alias("dc"),
+        ).select(
+            "query_id",
+            "cl",
+            F.col("dc.code").alias(f"code_{s}"),
+            F.col("dc.dist").alias(f"dist_{s}"),
+        )
+        dts = dt if dts is None else dts.join(dt, ["query_id", "cl"])
+    codes = memo_persist(
+        f"kmeans.ivfpq_res_codes_m{m}_k{pq_k}_i{pq_iter}_d{dims}", codes
+    )
+    # candidates: the probe equi-join (nprobe/k of the corpus per
+    # query), then m-code lookup against the (query, cell)-keyed
+    # broadcast distance tables
+    cand = (
+        probes.select("query_id", "cl")
+        .join(rx.select("vec_id", "cl"), "cl")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    pairs = cand.join(codes, "vec_id").join(
+        F.broadcast(dts),
+        ["query_id", "cl"] + [f"code_{s}" for s in range(m)],
+    )
+    adist = sum(F.col(f"dist_{s}") for s in range(m))
+    ranked = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adist.cast("bigint").alias("adist"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.asc("adist"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rnk") <= topk).orderBy("query_id", "rnk")
+
+
+def _pq_adc_build(
+    embeddings: DataFrame,
+    n_queries: int,
+    topk: int,
+    m: int,
+    k: int,
+    n_iter: int,
+    dims: int,
+) -> DataFrame:
+    codes, dts = _pq_codes_and_tables(
+        embeddings, n_queries, m, k, n_iter, dims
+    )
     # one broadcast table of all (query, code_0..code_{m-1}) distance
     # combinations: m*k rows per query per subspace joined into k^m
     # combos — still metadata-scale (20 queries × 64 combos here)
@@ -641,6 +970,8 @@ def _pq_adc_build(
     # after rnk) — memo one copy per (m,k,i,d,q) so the three PQ gates
     # (adc top-k, recall, rerank shortlist) share a single ADC pass
     # per session instead of re-running the code join + rank each
+    from lab3_spark.functions.partitioning import memo_persist
+
     ranked = memo_persist(
         f"kmeans.pq_ranked_m{m}_k{k}_i{n_iter}_d{dims}_q{n_queries}", ranked
     )

@@ -6706,6 +6706,228 @@ def q_doc_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_pq_top5",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    cd AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    cellm AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM cd) t WHERE rn = 1
+    ),
+    pQ AS (
+      SELECT vec_id AS query_id, cl AS qcl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM cd) t
+      WHERE rn <= 2 AND vec_id < 20
+    ),
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 0, 32, "A")},
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 32, 64, "B")},
+    fA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fA) t WHERE rn = 1
+    ),
+    fB AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gB AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fB) t WHERE rn = 1
+    ),
+    pcodes AS (
+      SELECT a.vec_id, a.cl AS code_0, b.cl AS code_1
+      FROM gA a JOIN gB b ON a.vec_id = b.vec_id
+    ),
+    dtA AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    dtB AS (
+      SELECT px.vec_id AS query_id, c.cl AS code,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      WHERE px.vec_id < 20 GROUP BY 1, 2
+    ),
+    ipairs AS (
+      SELECT p.query_id, n.vec_id AS neighbor_id,
+             CAST(dA.dist + dB.dist AS BIGINT) AS adist
+      FROM pQ p
+      JOIN cellm n ON n.cl = p.qcl
+      JOIN pcodes c ON c.vec_id = n.vec_id
+      JOIN dtA dA ON dA.code = c.code_0 AND dA.query_id = p.query_id
+      JOIN dtB dB ON dB.code = c.code_1 AND dB.query_id = p.query_id
+      WHERE n.vec_id != p.query_id
+    ),
+    iranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ipairs
+    )
+    SELECT query_id, neighbor_id, adist, rnk
+    FROM iranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ — the production ANN composite (kmeans.ann_ivf_pq):
+    trained coarse cells restrict each query to its nprobe=2 nearest
+    cells' members; ranking inside the candidates is PQ asymmetric
+    distance over the shared compressed codes.  All-integer end to
+    end; the oracle composes the same coarse-Lloyd, probe, and
+    per-subspace-Lloyd CTE chains the ivf/pq gates already verify."""
+    from lab3_spark.operators.kmeans import ann_ivf_pq
+
+    return ann_ivf_pq(
+        _t(spark, sf_dir, "embeddings"),
+        pq_k=_KMEANS_K,
+        pq_iter=_PQ_ITERS,
+        coarse_k=_KMEANS_K,
+        coarse_iter=_KMEANS_ITERS,
+        nprobe=2,
+    )
+
+
+@query(
+    "ann_ivfpq_residual_top5",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    cd AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    cellm AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM cd) t WHERE rn = 1
+    ),
+    pQ AS (
+      SELECT vec_id AS query_id, cl AS qcl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM cd) t
+      WHERE rn <= 2 AND vec_id < 20
+    ),
+    rpx AS (
+      SELECT px.vec_id, px.pos, px.val - c.c AS val
+      FROM px
+      JOIN cellm m ON px.vec_id = m.vec_id
+      JOIN c{_KMEANS_ITERS} c ON c.cl = m.cl AND c.pos = px.pos
+    ),
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 0, 32, "A", src="rpx")},
+    {_duck_pq_subspace_ctes(_KMEANS_K, _PQ_ITERS, 32, 64, "B", src="rpx")},
+    fA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxA px JOIN cA{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fA) t WHERE rn = 1
+    ),
+    fB AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM pxB px JOIN cB{_PQ_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    gB AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM fB) t WHERE rn = 1
+    ),
+    pcodes AS (
+      SELECT a.vec_id, a.cl AS code_0, b.cl AS code_1
+      FROM gA a JOIN gB b ON a.vec_id = b.vec_id
+    ),
+    qres AS (
+      SELECT p.query_id, p.qcl AS cl, px.pos, px.val - c.c AS val
+      FROM pQ p
+      JOIN px ON px.vec_id = p.query_id
+      JOIN c{_KMEANS_ITERS} c ON c.cl = p.qcl AND c.pos = px.pos
+    ),
+    dtA AS (
+      SELECT q.query_id, q.cl, c.cl AS code,
+             CAST(sum((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS dist
+      FROM qres q JOIN cA{_PQ_ITERS} c ON q.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    dtB AS (
+      SELECT q.query_id, q.cl, c.cl AS code,
+             CAST(sum((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS dist
+      FROM qres q JOIN cB{_PQ_ITERS} c ON q.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    ipairs AS (
+      SELECT p.query_id, n.vec_id AS neighbor_id,
+             CAST(dA.dist + dB.dist AS BIGINT) AS adist
+      FROM pQ p
+      JOIN cellm n ON n.cl = p.qcl
+      JOIN pcodes c ON c.vec_id = n.vec_id
+      JOIN dtA dA ON dA.query_id = p.query_id AND dA.cl = p.qcl
+                 AND dA.code = c.code_0
+      JOIN dtB dB ON dB.query_id = p.query_id AND dB.cl = p.qcl
+                 AND dB.code = c.code_1
+      WHERE n.vec_id != p.query_id
+    ),
+    iranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ipairs
+    )
+    SELECT query_id, neighbor_id, adist, rnk
+    FROM iranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivfpq_residual(spark, sf_dir):
+    """Residual-quantized IVF-PQ — the full FAISS IVFPQ composite
+    (kmeans.ann_ivf_pq_residual): PQ codebooks trained on residuals
+    (vector − coarse-cell centroid), query distance tables computed
+    per probed cell against the query's own residual.  All-integer;
+    the oracle chains the coarse CTEs into a residual CTE and points
+    the per-subspace Lloyd generator at it (``src="rpx"``)."""
+    from lab3_spark.operators.kmeans import ann_ivf_pq_residual
+
+    return ann_ivf_pq_residual(
+        _t(spark, sf_dir, "embeddings"),
+        pq_k=_KMEANS_K,
+        pq_iter=_PQ_ITERS,
+        coarse_k=_KMEANS_K,
+        coarse_iter=_KMEANS_ITERS,
+        nprobe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -6748,6 +6970,8 @@ _DRIVER_PRIORITY = [
     "doc_bpe_token_counts",
     "doc_winnowing_fingerprints",
     "streaming_curated_ingest",
+    "ann_ivf_pq_top5",
+    "ann_ivfpq_residual_top5",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

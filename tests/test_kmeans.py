@@ -187,3 +187,115 @@ def test_pq_recall_floor(spark, sf_dir):
     r = ann_pq_recall(emb, n_iter=2)
     agg = r.agg(F.sum("n_hit").alias("h"), F.sum("n_true").alias("t")).collect()[0]
     assert agg["h"] / agg["t"] >= 0.06, (agg["h"], agg["t"])
+
+
+def test_ivf_pq_neighbors_come_from_probed_cells(spark, sf_dir):
+    """Structural guarantee of the IVF restriction: every returned
+    neighbor lies in one of its query's nprobe probed cells, and the
+    ADC distances agree with the flat PQ ranking for shared pairs."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.kmeans import (
+        _nearest_cells_expr,
+        ann_ivf_pq,
+        ann_pq_adc,
+        fixed_point,
+        kmeans_assign,
+        trained_centroids,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivf_pq(emb, n_queries=10, topk=5, nprobe=2).collect()
+    assert out, "ivf-pq returned nothing"
+    cells = {
+        r.vec_id: r.cl for r in kmeans_assign(emb).select("vec_id", "cl").collect()
+    }
+    cents = trained_centroids(emb)
+    probed = {
+        r.query_id: set(r.cells)
+        for r in emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            fixed_point(F.col("embedding")).alias("xi"),
+        )
+        .select("query_id", _nearest_cells_expr(cents, 2).alias("cells"))
+        .collect()
+    }
+    for r in out:
+        assert cells[r.neighbor_id] in probed[r.query_id], (
+            r.query_id, r.neighbor_id
+        )
+    # shared (query, neighbor) pairs carry the same ADC distance as
+    # the flat PQ ranking (same codes, same tables)
+    flat = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in ann_pq_adc(emb, n_queries=10, topk=2000).collect()
+    }
+    for r in out:
+        assert flat[(r.query_id, r.neighbor_id)] == r.adist
+
+
+def test_prescaled_training_matches_float_training(spark, sf_dir):
+    """The prescaled (bigint-native) Lloyd path is bit-identical to
+    the float path on the same values: training on fixed_point(emb)
+    with prescaled=True must reproduce trained_centroids(emb) exactly
+    — the equivalence the residual IVF-PQ oracle chain relies on."""
+    from lab3_spark.operators.kmeans import fixed_point, trained_centroids
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", fixed_point(F.col("embedding")).alias("embedding")
+    )
+    assert trained_centroids(pre, 4, 2, prescaled=True) == trained_centroids(
+        emb, 4, 2
+    )
+
+
+def test_ivfpq_residual_neighbors_from_probed_cells(spark, sf_dir):
+    """Residual IVF-PQ keeps the IVF structural guarantee (neighbors
+    only from probed cells) and is NOT the raw-vector ranking: the
+    per-cell residual tables must differ from the flat ADC distances
+    for at least one shared pair (else the residual path silently
+    degenerated to the raw one)."""
+    from lab3_spark.operators.kmeans import (
+        _nearest_cells_expr,
+        ann_ivf_pq,
+        ann_ivf_pq_residual,
+        fixed_point,
+        kmeans_assign,
+        trained_centroids,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivf_pq_residual(emb, n_queries=10, topk=5, nprobe=2).collect()
+    assert out, "residual ivf-pq returned nothing"
+    cells = {
+        r.vec_id: r.cl for r in kmeans_assign(emb).select("vec_id", "cl").collect()
+    }
+    cents = trained_centroids(emb)
+    probed = {
+        r.query_id: set(r.cells)
+        for r in emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            fixed_point(F.col("embedding")).alias("xi"),
+        )
+        .select("query_id", _nearest_cells_expr(cents, 2).alias("cells"))
+        .collect()
+    }
+    for r in out:
+        assert cells[r.neighbor_id] in probed[r.query_id], (
+            r.query_id, r.neighbor_id
+        )
+    raw = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in ann_ivf_pq(emb, n_queries=10, topk=5, nprobe=2).collect()
+    }
+    shared = [
+        (k, v) for k, v in (((r.query_id, r.neighbor_id), r.adist) for r in out)
+        if k in raw
+    ]
+    assert any(raw[k] != v for k, v in shared) or not shared
