@@ -136,6 +136,7 @@ HEADLINE = [
     "doc_winnowing_fingerprints",
     "ann_ivf_pq_top5",
     "ann_ivfpq_residual_top5",
+    "ann_ivfpq_rerank_top5",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

@@ -1091,11 +1091,22 @@ def ann_pq_rerank(
     All-integer end to end (fixed-point subvectors → int64 codes/
     distances → exact int64 L2), so the oracle extends the PQ CTE
     chain mechanically and matches bit-for-bit."""
-    from pyspark.sql.window import Window
-
     cand = ann_pq_adc(
         embeddings, n_queries, shortlist, m, k, n_iter, dims
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, embeddings, n_queries, topk)
+
+
+def _exact_rerank(
+    cand: DataFrame, embeddings: DataFrame, n_queries: int, topk: int
+) -> DataFrame:
+    """Stage-2 exact fixed-point L2 over a (query_id, neighbor_id)
+    shortlist: fetch full vectors for shortlist·Q rows via an equi-join
+    on vec_id, broadcast the Q query vectors, rank by exact int64
+    distance (ties → lowest neighbor id).  The shared tail of every
+    two-stage ANN composite."""
+    from pyspark.sql.window import Window
+
     e = embeddings.select("vec_id", fixed_point(F.col("embedding")).alias("xi"))
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("xi").alias("xq")
@@ -1119,3 +1130,35 @@ def ann_pq_rerank(
         )
     )
     return ranked.where(F.col("rnk") <= topk).orderBy("query_id", "rnk")
+
+
+def ann_ivfpq_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    shortlist: int = 20,
+    m: int = 2,
+    pq_k: int = DEFAULT_K,
+    pq_iter: int = 2,
+    coarse_k: int = DEFAULT_K,
+    coarse_iter: int = DEFAULT_ITERS,
+    dims: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rnk): IVFADC + exact re-ranking —
+    the COMPLETE production ANN pipeline (FAISS IVFPQ + refine, Jégou
+    et al. 2011 §V): residual IVF-PQ shortlists ``shortlist``
+    candidates per query from probed cells' compressed codes, then the
+    exact fixed-point L2 reranks only that shortlist.
+
+    100 TB shape: stage 1 never touches raw vectors (cell ids + m-byte
+    codes, probe equi-join over nprobe/k of the corpus, broadcast
+    distance tables); stage 2 fetches full vectors for shortlist·Q
+    rows only — the expensive exact fold runs on a vanishing fraction.
+    All-integer, so the oracle appends a rerank CTE to the residual
+    chain and matches bit-for-bit."""
+    cand = ann_ivf_pq_residual(
+        embeddings, n_queries, shortlist, m, pq_k, pq_iter,
+        coarse_k, coarse_iter, dims, nprobe,
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, embeddings, n_queries, topk)

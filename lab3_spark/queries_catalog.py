@@ -6810,10 +6810,14 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
-@query(
-    "ann_ivfpq_residual_top5",
-    f"""
-    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+def _duck_ivfpq_residual_ctes() -> str:
+    """The full residual-IVF-PQ oracle chain through ``iranked``:
+    coarse Lloyd → cell/probe assignment → residual CTE (``rpx``) →
+    per-subspace Lloyd over residuals → per-probed-cell query distance
+    tables → candidate ADC ranking.  Shared by the residual gate and
+    its exact-rerank extension."""
+    return f"""
+    {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
     cd AS (
       SELECT px.vec_id, c.cl,
              CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
@@ -6904,7 +6908,13 @@ def q_ann_ivf_pq(spark, sf_dir):
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY adist ASC, neighbor_id ASC) AS rnk
       FROM ipairs
-    )
+    )"""
+
+
+@query(
+    "ann_ivfpq_residual_top5",
+    f"""
+    WITH {_duck_ivfpq_residual_ctes()}
     SELECT query_id, neighbor_id, adist, rnk
     FROM iranked WHERE rnk <= 5 ORDER BY query_id, rnk
     """,
@@ -6920,6 +6930,51 @@ def q_ann_ivfpq_residual(spark, sf_dir):
 
     return ann_ivf_pq_residual(
         _t(spark, sf_dir, "embeddings"),
+        pq_k=_KMEANS_K,
+        pq_iter=_PQ_ITERS,
+        coarse_k=_KMEANS_K,
+        coarse_iter=_KMEANS_ITERS,
+        nprobe=2,
+    )
+
+
+@query(
+    "ann_ivfpq_rerank_top5",
+    f"""
+    WITH {_duck_ivfpq_residual_ctes()},
+    short AS (
+      SELECT query_id, neighbor_id FROM iranked WHERE rnk <= 20
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(sum((qx.val - nx.val) * (qx.val - nx.val)) AS BIGINT)
+               AS dist
+      FROM short s
+      JOIN px qx ON qx.vec_id = s.query_id
+      JOIN px nx ON nx.vec_id = s.neighbor_id AND nx.pos = qx.pos
+      GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rnk
+      FROM ex
+    )
+    SELECT query_id, neighbor_id, dist, rnk
+    FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivfpq_rerank(spark, sf_dir):
+    """IVFADC + exact re-ranking (kmeans.ann_ivfpq_rerank): residual
+    IVF-PQ shortlists 20 candidates per query from probed cells'
+    compressed codes; exact fixed-point L2 reranks the shortlist to
+    top-5.  The oracle appends a rerank CTE to the shared residual
+    chain."""
+    from lab3_spark.operators.kmeans import ann_ivfpq_rerank
+
+    return ann_ivfpq_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        shortlist=20,
         pq_k=_KMEANS_K,
         pq_iter=_PQ_ITERS,
         coarse_k=_KMEANS_K,
@@ -6972,6 +7027,7 @@ _DRIVER_PRIORITY = [
     "streaming_curated_ingest",
     "ann_ivf_pq_top5",
     "ann_ivfpq_residual_top5",
+    "ann_ivfpq_rerank_top5",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -299,3 +299,34 @@ def test_ivfpq_residual_neighbors_from_probed_cells(spark, sf_dir):
         if k in raw
     ]
     assert any(raw[k] != v for k, v in shared) or not shared
+
+
+def test_ivfpq_rerank_exact_distances_within_shortlist(spark, sf_dir):
+    """Stage-2 results come only from the stage-1 shortlist and carry
+    EXACT fixed-point L2 distances (cross-checked against the
+    brute-force frame, which shares no code with _exact_rerank)."""
+    from lab3_spark.operators.kmeans import (
+        ann_bruteforce_l2,
+        ann_ivf_pq_residual,
+        ann_ivfpq_rerank,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivfpq_rerank(
+        emb, n_queries=10, topk=3, shortlist=8, nprobe=2
+    ).collect()
+    assert out, "rerank returned nothing"
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_pq_residual(
+            emb, n_queries=10, topk=8, nprobe=2
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.dist
+        for r in ann_bruteforce_l2(emb, n_queries=10, topk=10**9).collect()
+    }
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in short
+        assert exact[(r.query_id, r.neighbor_id)] == r.dist

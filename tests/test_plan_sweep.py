@@ -36,6 +36,7 @@ SKIP = {
     "ann_pq_rerank",
     "ann_ivf_pq_top5",  # trains coarse + PQ quantizers
     "ann_ivfpq_residual_top5",  # trains coarse + residual PQ quantizers
+    "ann_ivfpq_rerank_top5",  # trains coarse + residual PQ quantizers
     "dedup_semantic",  # trains k-means
     "dedup_clusters",  # driver-looped fixpoint
     "dedup_cluster_representatives",
