@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_ivf_pq_top5",
     "ann_ivfpq_residual_top5",
     "ann_ivfpq_rerank_top5",
+    "cluster_balanced_sample",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

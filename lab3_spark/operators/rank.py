@@ -228,3 +228,45 @@ def with_global_order_stats(
     if cume_dist:
         d = d.withColumn("cume", cume_dist_from_rank(rn, n))
     return drop_rank_internals(d)
+
+
+def top_n_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column | str],
+    n: int,
+    n_salts: int = 32,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Exact smallest-``n`` rows per key without a hot per-key window —
+    the scale-safe form of ``row_number() OVER (PARTITION BY key ORDER
+    BY ...) <= n`` when a key's group can be a large fraction of the
+    corpus (few keys, e.g. quantizer cells; skewed keys).
+
+    Two salted stages: stage 1 ranks within (key, salt) where salt =
+    hash(order tuple) % n_salts — every stage-1 group is ~1/n_salts of
+    its key's rows, so no task sees a whole hot key — and keeps ``n``
+    per group; stage 2 ranks the ≤ n·n_salts survivors per key
+    (bounded metadata scale).  Any global winner survives stage 1:
+    fewer than ``n`` rows order before it globally, hence fewer than
+    ``n`` in its own salt group — so the composition is row-for-row
+    the single-window top-n, and an oracle can stay one plain
+    ``row_number``.
+
+    The salt uses Spark's internal ``hash`` (NOT portable) — it never
+    reaches the output, any spread works.  ``order_cols`` must be a
+    total order per key (append a unique tie-break — the catalog-wide
+    determinism rule); with ties at the cut, stage 1 could drop rows
+    stage 2 would have picked among arbitrarily."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = F.pmod(F.hash(*ocols), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(*keys, "_tnk_salt").orderBy(*ocols)
+    w2 = Window.partitionBy(*keys).orderBy(*ocols)
+    return (
+        df.withColumn("_tnk_salt", salt)
+        .withColumn("_tnk_lrk", F.row_number().over(w1))
+        .where(F.col("_tnk_lrk") <= n)
+        .withColumn(rank_name, F.row_number().over(w2))
+        .where(F.col(rank_name) <= n)
+        .drop("_tnk_salt", "_tnk_lrk")
+    )

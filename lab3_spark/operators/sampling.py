@@ -357,3 +357,38 @@ def weighted_sample_docs(
         )
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_per_cell: int = 10,
+    k: int = 8,
+    n_iter: int = 3,
+    salt: str = "cellbal",
+) -> DataFrame:
+    """(cl, vec_id, rk): EXACTLY ``n_per_cell`` vectors per TRAINED
+    k-means cell, ranked by portable hash (tie → vec_id) — the
+    cluster-diversity subsample: a topic-balanced eval/train subset
+    where strata come from the corpus's own embedding geometry instead
+    of a metadata column (the curation step after SemDeDup prunes
+    within cells).
+
+    Scale shape: with small k each cell is a HUGE fraction of the
+    corpus, so the `stratified_fixed_sample` window would hot-task on
+    every cell; `rank.top_n_per_key`'s salted two-stage ranking bounds
+    every task at ~cell/n_salts rows while staying row-for-row equal
+    to the single-window form (which is what the oracle runs).  The
+    quantizer is the session-memoized `kmeans_assign` — shared with
+    the whole IVF/SemDeDup gate family, no extra training."""
+    from lab3_spark.operators.kmeans import kmeans_assign
+    from lab3_spark.operators.rank import top_n_per_key
+
+    cells = kmeans_assign(embeddings, k, n_iter).select("vec_id", "cl")
+    hv = md5_long(F.col("vec_id").cast("string"), salt=salt)
+    return (
+        top_n_per_key(
+            cells.withColumn("hv", hv), ["cl"], ["hv", "vec_id"], n_per_cell
+        )
+        .select("cl", "vec_id", "rk")
+        .orderBy("cl", "rk")
+    )

@@ -6983,6 +6983,52 @@ def q_ann_ivfpq_rerank(spark, sf_dir):
     )
 
 
+@query(
+    "cluster_balanced_sample",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    cd AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    cellm AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cl) AS rn
+        FROM cd) t WHERE rn = 1
+    ),
+    h AS (
+      SELECT cl, vec_id,
+             {_h2l("substr(md5(concat('cellbal', '|', CAST(vec_id AS VARCHAR))), 1, 15)")}
+               AS hv
+      FROM cellm
+    ),
+    r AS (
+      SELECT cl, vec_id,
+             row_number() OVER (PARTITION BY cl ORDER BY hv, vec_id) AS rk
+      FROM h
+    )
+    SELECT cl, vec_id, rk FROM r WHERE rk <= 10 ORDER BY cl, rk
+    """,
+)
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-diversity subsample (sampling.cluster_balanced_sample):
+    exactly 10 vectors per trained k-means cell, ranked by portable
+    hash — strata from embedding geometry, not metadata; executed as
+    rank.top_n_per_key's salted two-stage top-n (no hot per-cell
+    window), which is row-for-row the oracle's single row_number."""
+    from lab3_spark.operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"),
+        n_per_cell=10,
+        k=_KMEANS_K,
+        n_iter=_KMEANS_ITERS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7028,6 +7074,7 @@ _DRIVER_PRIORITY = [
     "ann_ivf_pq_top5",
     "ann_ivfpq_residual_top5",
     "ann_ivfpq_rerank_top5",
+    "cluster_balanced_sample",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -37,6 +37,7 @@ SKIP = {
     "ann_ivf_pq_top5",  # trains coarse + PQ quantizers
     "ann_ivfpq_residual_top5",  # trains coarse + residual PQ quantizers
     "ann_ivfpq_rerank_top5",  # trains coarse + residual PQ quantizers
+    "cluster_balanced_sample",  # trains the coarse quantizer
     "dedup_semantic",  # trains k-means
     "dedup_clusters",  # driver-looped fixpoint
     "dedup_cluster_representatives",

@@ -84,3 +84,32 @@ def test_no_unpartitioned_window_over_input(docs):
         if "Window [" in line and "], [], [" in line:
             order_spec = line.split("], [], [", 1)[1]
             assert "n_chars" not in order_spec, line
+
+
+def test_top_n_per_key_equals_plain_window(spark):
+    """Salted two-stage top-n is row-for-row the single-window form,
+    on a skewed key distribution (one key holds ~90% of rows) — the
+    exact shape the salting exists for."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.rank import top_n_per_key
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("key"),
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 100003).alias("score"),
+    )
+    got = top_n_per_key(df, ["key"], ["score", "id"], 5).select(
+        "key", "id", "score", "rk"
+    )
+    w = Window.partitionBy("key").orderBy("score", "id")
+    want = (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("key", "id", "score", "rk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
