@@ -7029,6 +7029,62 @@ def q_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+@query(
+    "ann_sq8_top5",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
+      FROM v
+    ),
+    mm AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM px GROUP BY pos
+    ),
+    codes AS (
+      SELECT px.vec_id, px.pos,
+             CASE WHEN mm.mx > mm.mn
+                  THEN ((px.val - mm.mn) * 255) // (mm.mx - mm.mn)
+                  ELSE 0 END AS code
+      FROM px JOIN mm ON px.pos = mm.pos
+    ),
+    rq AS (
+      SELECT c.vec_id, c.pos,
+             mm.mn + (c.code * (mm.mx - mm.mn)) // 255 AS val
+      FROM codes c JOIN mm ON c.pos = mm.pos
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(sum((q.val - n.val) * (q.val - n.val)) AS BIGINT) AS adist
+      FROM px q JOIN rq n ON q.pos = n.pos AND n.vec_id != q.vec_id
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, adist, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_sq8(spark, sf_dir):
+    """Scalar-quantized ANN (similarity.ann_sq8): each dimension
+    8-bit-coded against the corpus's per-dim [min,max]; exact queries
+    rank the integer reconstruction.  The third compression family
+    (scalar vs product vs LSH), all-integer floor divisions on both
+    engines."""
+    from lab3_spark.operators.similarity import ann_sq8
+
+    return ann_sq8(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7075,6 +7131,7 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_residual_top5",
     "ann_ivfpq_rerank_top5",
     "cluster_balanced_sample",
+    "ann_sq8_top5",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
