@@ -139,6 +139,7 @@ HEADLINE = [
     "ann_ivfpq_rerank_top5",
     "cluster_balanced_sample",
     "ann_sq8_top5",
+    "events_cms_heavy_hitters",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

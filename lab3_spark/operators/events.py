@@ -409,3 +409,93 @@ def value_histogram(events: DataFrame, bins: int = 20) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def cms_counters(
+    events: DataFrame, key_col: str = "user_id", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """(r, bucket, cnt): the Count-Min Sketch counter matrix (Cormode
+    & Muthukrishnan 2005, public) — d hash rows × w buckets of summed
+    counts, built in ONE pass: each event contributes d (row, bucket)
+    increments, and the map-side partial aggregation collapses every
+    partition to ≤ d·w rows before the single shuffle.
+
+    This is the second MERGEABLE sketch family next to HLL
+    (`hll_daily_merge`) with the opposite oracle story: the counters
+    are a deterministic md5 construction, so unlike HLL's
+    engine-specific sketch bytes the WHOLE sketch is portable and a
+    SQL oracle rebuilds it bit-for-bit.  Counter matrices over
+    disjoint slices merge by elementwise addition — fixed d·w state
+    per slice regardless of key cardinality, the bounded-memory
+    frequency story for unbounded key spaces at 100 TB."""
+    from lab3_spark.functions.partitioning import spread
+    from lab3_spark.functions.text import md5_long
+
+    keyed = (
+        spread(events)
+        .select(F.col(key_col).cast("string").alias("k"))
+        .select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+        )
+    )
+    bucket = F.pmod(
+        md5_long(
+            F.concat(F.col("r").cast("string"), F.lit("|"), F.col("k")),
+            salt="cms",
+        ),
+        F.lit(w),
+    )
+    return (
+        keyed.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+    topn: int = 20,
+) -> DataFrame:
+    """(user_id, est, rnk): top-``topn`` keys by Count-Min estimated
+    count — est(key) = min over the d rows of that key's bucket
+    counter, the classic overestimate-only guarantee (est ≥ true
+    count, pinned in tests).
+
+    Query side: distinct keys × d lookup rows join the d·w-row
+    counter table (broadcast — the sketch IS metadata-scale), min per
+    key, then a TakeOrderedAndProject top-n; the rank window runs
+    post-limit over ≤ topn rows under a constant partition spec."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import md5_long
+
+    counters = cms_counters(events, key_col, d, w)
+    dk = events.select(key_col).distinct().select(
+        F.col(key_col), F.col(key_col).cast("string").alias("k")
+    )
+    eb = dk.select(
+        key_col,
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    ).select(
+        key_col,
+        "r",
+        F.pmod(
+            md5_long(
+                F.concat(F.col("r").cast("string"), F.lit("|"), F.col("k")),
+                salt="cms",
+            ),
+            F.lit(w),
+        ).alias("bucket"),
+    )
+    est = (
+        eb.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+    top = est.orderBy(F.desc("est"), F.asc(key_col)).limit(topn)
+    w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), F.asc(key_col))
+    return top.withColumn("rnk", F.row_number().over(w0)).orderBy("rnk")

@@ -2283,6 +2283,52 @@ def q_hll_daily_merge(spark, sf_dir):
 
 
 @query(
+    "events_cms_heavy_hitters",
+    f"""
+    WITH rws AS (SELECT r FROM range(4) t(r)),
+    ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    ev AS (
+      SELECT r.r,
+             {_h2l("substr(md5(concat('cms', '|', CAST(r.r AS VARCHAR), '|', ks.k)), 1, 15)")}
+               % 1024 AS bucket
+      FROM ks CROSS JOIN rws r
+    ),
+    counters AS (
+      SELECT r, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2
+    ),
+    dk AS (
+      SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    eb AS (
+      SELECT dk.user_id, r.r,
+             {_h2l("substr(md5(concat('cms', '|', CAST(r.r AS VARCHAR), '|', dk.k)), 1, 15)")}
+               % 1024 AS bucket
+      FROM dk CROSS JOIN rws r
+    ),
+    est AS (
+      SELECT e.user_id, min(c.cnt) AS est
+      FROM eb e JOIN counters c ON c.r = e.r AND c.bucket = e.bucket
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT user_id, est,
+             row_number() OVER (ORDER BY est DESC, user_id ASC) AS rnk
+      FROM est
+    )
+    SELECT user_id, est, rnk FROM top WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def q_events_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min Sketch heavy hitters (events.cms_heavy_hitters):
+    top-20 users by CMS-estimated event count (d=4 × w=1024 counter
+    matrix, min-over-rows estimate).  The second mergeable sketch
+    family — and unlike HLL, FULLY oracled: the counters are a
+    deterministic md5 construction both engines rebuild
+    bit-for-bit."""
+    return EV.cms_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
+@query(
     "supplier_coverage",
     """
     SELECT n.n_name AS n_name,
@@ -7132,6 +7178,7 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_rerank_top5",
     "cluster_balanced_sample",
     "ann_sq8_top5",
+    "events_cms_heavy_hitters",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -35,3 +35,36 @@ def test_hll_union_equals_whole_input_sketch(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
     ).collect()[0]["e"]
     assert merged == whole
+
+
+def test_cms_overestimate_and_mergeability(spark, sf_dir):
+    """CMS guarantees: est >= true count for EVERY key (min over
+    overcounting rows can never undercount), and counter matrices
+    over disjoint slices merge by elementwise addition into exactly
+    the whole-corpus matrix."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.events import cms_counters, cms_heavy_hitters
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    est = cms_heavy_hitters(ev, topn=10**9).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        assert r.est >= exact[r.user_id], (r.user_id, r.est, exact[r.user_id])
+    # mergeability: split the stream on event_id parity, sum matrices
+    lo = cms_counters(ev.where(F.col("event_id") % 2 == 0))
+    hi = cms_counters(ev.where(F.col("event_id") % 2 == 1))
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in lo.unionAll(hi)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.r, r.bucket): r.cnt for r in cms_counters(ev).collect()}
+    assert merged == whole
