@@ -452,24 +452,14 @@ def cms_counters(
     )
 
 
-def cms_heavy_hitters(
-    events: DataFrame,
-    key_col: str = "user_id",
-    d: int = 4,
-    w: int = 1024,
-    topn: int = 20,
+def cms_estimates(
+    events: DataFrame, key_col: str = "user_id", d: int = 4, w: int = 1024
 ) -> DataFrame:
-    """(user_id, est, rnk): top-``topn`` keys by Count-Min estimated
-    count — est(key) = min over the d rows of that key's bucket
-    counter, the classic overestimate-only guarantee (est ≥ true
-    count, pinned in tests).
-
-    Query side: distinct keys × d lookup rows join the d·w-row
-    counter table (broadcast — the sketch IS metadata-scale), min per
-    key, then a TakeOrderedAndProject top-n; the rank window runs
-    post-limit over ≤ topn rows under a constant partition spec."""
-    from pyspark.sql.window import Window
-
+    """(key, est): Count-Min estimated count per DISTINCT key —
+    est(key) = min over the d rows of that key's bucket counter, the
+    classic overestimate-only guarantee (est ≥ true count, pinned in
+    tests).  Distinct keys × d lookup rows join the d·w-row counter
+    table (broadcast — the sketch IS metadata-scale), min per key."""
     from lab3_spark.functions.text import md5_long
 
     counters = cms_counters(events, key_col, d, w)
@@ -491,11 +481,38 @@ def cms_heavy_hitters(
             F.lit(w),
         ).alias("bucket"),
     )
-    est = (
+    return (
         eb.join(F.broadcast(counters), ["r", "bucket"])
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+    topn: int = 20,
+) -> DataFrame:
+    """(user_id, est, rnk): top-``topn`` keys by Count-Min estimated
+    count — `cms_estimates` + a TakeOrderedAndProject top-n; the rank
+    window runs post-limit over ≤ topn rows under a constant
+    partition spec.
+
+    ``topn`` is hard-capped: TakeOrdered allocates an O(topn) buffer
+    PER PARTITION (guava TopKSelector — a huge limit is a guaranteed
+    executor OOM, measured: topn=1e9 killed a 128 GiB JVM).  A full
+    ranking over all keys is a different shape — rank.py's
+    distributed order statistics."""
+    if topn > 100_000:
+        raise ValueError(
+            f"topn {topn} allocates O(topn) per partition in TakeOrdered; "
+            "use rank.with_global_row_number for full rankings"
+        )
+    from pyspark.sql.window import Window
+
+    est = cms_estimates(events, key_col, d, w)
     top = est.orderBy(F.desc("est"), F.asc(key_col)).limit(topn)
     w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), F.asc(key_col))
     return top.withColumn("rnk", F.row_number().over(w0)).orderBy("rnk")

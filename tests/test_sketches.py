@@ -44,7 +44,13 @@ def test_cms_overestimate_and_mergeability(spark, sf_dir):
     the whole-corpus matrix."""
     from pyspark.sql import functions as F
 
-    from lab3_spark.operators.events import cms_counters, cms_heavy_hitters
+    import pytest
+
+    from lab3_spark.operators.events import (
+        cms_counters,
+        cms_estimates,
+        cms_heavy_hitters,
+    )
     from lab3_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -52,10 +58,14 @@ def test_cms_overestimate_and_mergeability(spark, sf_dir):
         r.user_id: r.cnt
         for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
-    est = cms_heavy_hitters(ev, topn=10**9).collect()
+    est = cms_estimates(ev).collect()
     assert len(est) == len(exact)
     for r in est:
         assert r.est >= exact[r.user_id], (r.user_id, r.est, exact[r.user_id])
+    # a huge topn must be refused, not allowed to OOM TakeOrdered
+    with pytest.raises(ValueError):
+        cms_heavy_hitters(ev, topn=10**9)
+    assert cms_heavy_hitters(ev, topn=5).count() == 5
     # mergeability: split the stream on event_id parity, sum matrices
     lo = cms_counters(ev.where(F.col("event_id") % 2 == 0))
     hi = cms_counters(ev.where(F.col("event_id") % 2 == 1))

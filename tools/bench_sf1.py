@@ -67,6 +67,14 @@ QUERIES = [
     "ann_pq_adc_top5",
     "ann_pq_rerank",
     "dedup_containment",
+    # round-5 additions: IVF-PQ family, third compression family,
+    # salted per-cell sampling, CMS, winnowing
+    "ann_ivf_pq_top5",
+    "ann_ivfpq_rerank_top5",
+    "ann_sq8_top5",
+    "cluster_balanced_sample",
+    "events_cms_heavy_hitters",
+    "doc_winnowing_fingerprints",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
