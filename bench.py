@@ -140,6 +140,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "ann_sq8_top5",
     "events_cms_heavy_hitters",
+    "ann_ivfpq_recall",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

@@ -1132,6 +1132,38 @@ def _exact_rerank(
     return ranked.where(F.col("rnk") <= topk).orderBy("query_id", "rnk")
 
 
+def ann_ivfpq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    m: int = 2,
+    pq_k: int = DEFAULT_K,
+    pq_iter: int = 2,
+    coarse_k: int = DEFAULT_K,
+    coarse_iter: int = DEFAULT_ITERS,
+    dims: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@topk of residual IVF-PQ against the exact same-metric
+    L2 brute force — the composite's regression gate: the IVF
+    restriction (only nprobe/k of the corpus is even ranked) and the
+    PQ code quantization BOTH cost recall, and this gate makes the
+    combined trade visible the same way `ann_ivf_recall` /
+    `ann_pq_recall` do for each part alone (a collapse means the
+    probe, residual, or coding path broke)."""
+    ivfpq = ann_ivf_pq_residual(
+        embeddings, n_queries, topk, m, pq_k, pq_iter,
+        coarse_k, coarse_iter, dims, nprobe,
+    )
+    return recall_vs_bruteforce(
+        ivfpq,
+        embeddings,
+        n_queries,
+        topk,
+        baseline=ann_bruteforce_l2(embeddings, n_queries, topk),
+    )
+
+
 def ann_ivfpq_rerank(
     embeddings: DataFrame,
     n_queries: int = 20,

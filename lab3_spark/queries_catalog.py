@@ -6985,6 +6985,62 @@ def q_ann_ivfpq_residual(spark, sf_dir):
 
 
 @query(
+    "ann_ivfpq_recall",
+    f"""
+    WITH {_duck_ivfpq_residual_ctes()},
+    ipq AS (
+      SELECT query_id, neighbor_id FROM iranked WHERE rnk <= 5
+    ),
+    bfpairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(range(1, len(q.xi) + 1),
+                    i -> (q.xi[i] - n.xi[i]) * (q.xi[i] - n.xi[i])),
+                  (a, b) -> a + b) AS BIGINT) AS dist
+      FROM v q, v n
+      WHERE q.vec_id < 20 AND n.vec_id != q.vec_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id ASC) AS rnk
+        FROM bfpairs) t
+      WHERE rnk <= 5
+    ),
+    truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+    hits AS (
+      SELECT b.query_id, count(*) AS n_hit
+      FROM bf b JOIN ipq p
+        ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT t.query_id,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           floor(CAST(coalesce(h.n_hit, 0) AS BIGINT)
+                 / t.n_true * 10000) / 10000 AS recall
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+    """,
+)
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of residual IVF-PQ against the exact-L2 brute force
+    (kmeans.ann_ivfpq_recall) — the composite's regression gate: IVF
+    probing and PQ coding both cost recall; a collapse means the
+    probe, residual, or coding path broke."""
+    from lab3_spark.operators.kmeans import ann_ivfpq_recall
+
+    return ann_ivfpq_recall(
+        _t(spark, sf_dir, "embeddings"),
+        pq_k=_KMEANS_K,
+        pq_iter=_PQ_ITERS,
+        coarse_k=_KMEANS_K,
+        coarse_iter=_KMEANS_ITERS,
+        nprobe=2,
+    )
+
+
+@query(
     "ann_ivfpq_rerank_top5",
     f"""
     WITH {_duck_ivfpq_residual_ctes()},
@@ -7179,6 +7235,7 @@ _DRIVER_PRIORITY = [
     "cluster_balanced_sample",
     "ann_sq8_top5",
     "events_cms_heavy_hitters",
+    "ann_ivfpq_recall",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
