@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_sq8_top5",
     "events_cms_heavy_hitters",
     "ann_ivfpq_recall",
+    "dedup_winnowing",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

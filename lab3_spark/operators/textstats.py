@@ -1166,7 +1166,56 @@ def winnowing_fingerprints(
         (F.col("idx") <= F.col("_m") - WINNOW_W)
         | ((F.col("_m") < WINNOW_W) & (F.col("idx") == 0))
     )
-    return (
+    from lab3_spark.functions.partitioning import memo_persist
+
+    return memo_persist(
+        "textstats.winnow_fps",
         fps.select("doc_id", F.col("winmin").cast("bigint").alias("fp"))
-        .distinct()
+        .distinct(),
+    )
+
+
+def winnowing_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing ≥
+    ``min_shared`` winnowing fingerprints — MOSS-style substring-level
+    near-duplicate CANDIDATES (two docs sharing any ≥ w+k−1-token run
+    share a fingerprint, so co-derivative docs surface without any
+    all-pairs comparison).
+
+    Scale shape: one equi-join on fp — the LSH-candidate pattern
+    (`minhash_candidates`) applied to the positional sketch.
+    ``max_bucket`` drops DEGENERATE fingerprints first (a boilerplate
+    run shared by thousands of docs would contribute O(bucket²)
+    pairs; dropping it costs only candidates that other, rarer shared
+    runs still surface — the same symmetric cap the MinHash/SimHash
+    joins carry).  The fingerprint frame is the memo-persisted scan
+    `doc_winnowing_fingerprints` already materializes — one winnowing
+    pass per session feeds both gates."""
+    fps = winnowing_fingerprints(documents, text_col)
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("fp")
+    )
+    fx = fps.join(ok, "fp")
+    a = fx.alias("a")
+    b = fx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
     )

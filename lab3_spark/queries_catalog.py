@@ -6753,6 +6753,54 @@ def q_doc_winnowing_fingerprints(spark, sf_dir):
 
 
 @query(
+    "dedup_winnowing",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> {_H2L.format(h="md5(array_to_string(toks[i:i+2], ' '))[1:15]")})
+               AS hs
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                             i -> list_min(hs[i:i+3])))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    ),
+    fpd AS (
+      SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+    ),
+    ok AS (
+      SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 50
+    ),
+    fx AS (SELECT f.doc_id, f.fp FROM fpd f JOIN ok USING (fp)),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fx a JOIN fx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pr
+    WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_winnowing(spark, sf_dir):
+    """MOSS-style substring-level near-dup candidates (textstats.
+    winnowing_candidates): pairs sharing ≥ 2 winnowing fingerprints —
+    the LSH-candidate equi-join pattern over the positional sketch,
+    degenerate fingerprints capped at 50 docs; shares the
+    memo-persisted fingerprint scan with `doc_winnowing_fingerprints`."""
+    from lab3_spark.operators.textstats import winnowing_candidates
+
+    return winnowing_candidates(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "ann_ivf_pq_top5",
     f"""
     WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
@@ -7236,6 +7284,7 @@ _DRIVER_PRIORITY = [
     "ann_sq8_top5",
     "events_cms_heavy_hitters",
     "ann_ivfpq_recall",
+    "dedup_winnowing",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -361,3 +361,37 @@ def test_winnowing_short_docs(spark):
     assert 1 not in got  # 2 tokens < k=3: no 3-gram exists
     assert len(got[2]) == 1  # one 3-gram, below window: global min
     assert len(got[3]) == 1  # two 3-grams, still < w=4 hashes
+
+
+def test_winnowing_candidates_surface_coderivatives(spark):
+    """The candidate join surfaces the co-derivative pair (long
+    shared run ⇒ ≥ min_shared shared fingerprints), never pairs
+    disjoint docs, and the degenerate-fingerprint cap drops a
+    boilerplate fingerprint shared by every doc without killing the
+    rare-run pair."""
+    from lab3_spark.operators.textstats import winnowing_candidates
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi"
+    )
+    rows = [
+        (1, f"prefix words here {shared} and a tail"),
+        (2, f"{shared} totally different continuation text"),
+        (3, "unrelated vocabulary entirely disjoint from others"),
+        (4, "more unrelated filler nothing in common whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in winnowing_candidates(df).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)
+    # a boilerplate run in EVERY doc: capped out at max_bucket=3,
+    # so no all-pairs explosion — but the (1,2) rare run survives
+    boiler = "standard legal disclaimer footer text appears everywhere"
+    rows_b = [(i, f"{t} {boiler}") for i, t in rows]
+    df_b = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    got_b = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_candidates(df_b, max_bucket=3).collect()
+    }
+    assert (1, 2) in got_b
