@@ -453,16 +453,26 @@ def cms_counters(
 
 
 def cms_estimates(
-    events: DataFrame, key_col: str = "user_id", d: int = 4, w: int = 1024
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+    counters: DataFrame | None = None,
 ) -> DataFrame:
     """(key, est): Count-Min estimated count per DISTINCT key —
     est(key) = min over the d rows of that key's bucket counter, the
     classic overestimate-only guarantee (est ≥ true count, pinned in
     tests).  Distinct keys × d lookup rows join the d·w-row counter
-    table (broadcast — the sketch IS metadata-scale), min per key."""
+    table (broadcast — the sketch IS metadata-scale), min per key.
+
+    ``counters``: a pre-built (r, bucket, cnt) matrix — e.g. the
+    merged per-batch store from `streaming/cms.py` — so estimates can
+    run against sketch STATE without rescanning the stream that built
+    it; default builds the matrix from ``events`` in-query."""
     from lab3_spark.functions.text import md5_long
 
-    counters = cms_counters(events, key_col, d, w)
+    if counters is None:
+        counters = cms_counters(events, key_col, d, w)
     dk = events.select(key_col).distinct().select(
         F.col(key_col), F.col(key_col).cast("string").alias("k")
     )
@@ -494,6 +504,7 @@ def cms_heavy_hitters(
     d: int = 4,
     w: int = 1024,
     topn: int = 20,
+    counters: DataFrame | None = None,
 ) -> DataFrame:
     """(user_id, est, rnk): top-``topn`` keys by Count-Min estimated
     count — `cms_estimates` + a TakeOrderedAndProject top-n; the rank
@@ -512,7 +523,7 @@ def cms_heavy_hitters(
         )
     from pyspark.sql.window import Window
 
-    est = cms_estimates(events, key_col, d, w)
+    est = cms_estimates(events, key_col, d, w, counters)
     top = est.orderBy(F.desc("est"), F.asc(key_col)).limit(topn)
     w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), F.asc(key_col))
     return top.withColumn("rnk", F.row_number().over(w0)).orderBy("rnk")

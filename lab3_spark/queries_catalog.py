@@ -1570,11 +1570,13 @@ def q_streaming_sliding(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
-    """Write ``docs`` as ``n_batches`` single-file parquets split by
-    doc_id % n, mtimes pinned ascending so FileStreamSource (ordered
-    by modification time) drains them in batch order.  Returns the
-    incoming directory path."""
+def _mtime_ordered_batches(
+    df, root: str, id_col: str, n_batches: int = 3
+) -> str:
+    """Write ``df`` as ``n_batches`` single-file parquets split by
+    ``id_col % n``, mtimes pinned ascending so FileStreamSource
+    (ordered by modification time) drains them in batch order.
+    Returns the incoming directory path."""
     import os as _os
     import time as _time
 
@@ -1583,7 +1585,7 @@ def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
     now = _time.time()
     for b in range(n_batches):
         part_dir = _os.path.join(root, f"part{b}")
-        docs.where(F.col("doc_id") % n_batches == b).coalesce(1).write.parquet(
+        df.where(F.col(id_col) % n_batches == b).coalesce(1).write.parquet(
             part_dir
         )
         (pf,) = [f for f in _os.listdir(part_dir) if f.endswith(".parquet")]
@@ -1591,6 +1593,10 @@ def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
         _os.rename(_os.path.join(part_dir, pf), dst)
         _os.utime(dst, (now + b * 10, now + b * 10))
     return flat
+
+
+def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
+    return _mtime_ordered_batches(docs, root, "doc_id", n_batches)
 
 
 def _run_incremental_ingest(spark, sf_dir, prefix: str, pre_filter=None):
@@ -2282,9 +2288,7 @@ def q_hll_daily_merge(spark, sf_dir):
     return EV.hll_daily_merge(_t(spark, sf_dir, "events"))
 
 
-@query(
-    "events_cms_heavy_hitters",
-    f"""
+_CMS_ORACLE = f"""
     WITH rws AS (SELECT r FROM range(4) t(r)),
     ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
     ev AS (
@@ -2316,8 +2320,10 @@ def q_hll_daily_merge(spark, sf_dir):
       FROM est
     )
     SELECT user_id, est, rnk FROM top WHERE rnk <= 20 ORDER BY rnk
-    """,
-)
+    """
+
+
+@query("events_cms_heavy_hitters", _CMS_ORACLE)
 def q_events_cms_heavy_hitters(spark, sf_dir):
     """Count-Min Sketch heavy hitters (events.cms_heavy_hitters):
     top-20 users by CMS-estimated event count (d=4 × w=1024 counter
@@ -2326,6 +2332,39 @@ def q_events_cms_heavy_hitters(spark, sf_dir):
     deterministic md5 construction both engines rebuild
     bit-for-bit."""
     return EV.cms_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
+@query("streaming_cms_heavy_hitters", _CMS_ORACLE)
+def q_streaming_cms_heavy_hitters(spark, sf_dir):
+    """A REAL incremental sketch-maintenance run (streaming/cms.py):
+    events drain as three mtime-ordered micro-batches through a
+    foreachBatch that writes each batch's d×w counter matrix to its
+    own idempotent store partition; heavy hitters are then computed
+    against the MERGED store.  Because Count-Min merges by
+    elementwise addition, the merged matrix is bit-identical to the
+    one-shot batch matrix — so this gate shares the batch gate's
+    oracle verbatim, the strongest possible statement of
+    streamed == batch."""
+    import os as _os
+
+    from lab3_spark.streaming.cms import merged_counters, start_streaming_cms
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    root = _scratch_dir("stream_cms_")
+    flat = _mtime_ordered_batches(ev, root, "event_id")
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_cms(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_cms availableNow run timed out")
+    return EV.cms_heavy_hitters(
+        _t(spark, sf_dir, "events"), counters=merged_counters(spark, store)
+    )
 
 
 @query(
@@ -7285,6 +7324,7 @@ _DRIVER_PRIORITY = [
     "events_cms_heavy_hitters",
     "ann_ivfpq_recall",
     "dedup_winnowing",
+    "streaming_cms_heavy_hitters",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

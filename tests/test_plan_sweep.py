@@ -23,6 +23,7 @@ SKIP = {
     "streaming_sessionize_stateful",
     "streaming_view_purchase_join",
     "streaming_incremental_dedup",
+    "streaming_cms_heavy_hitters",
     "jsonl_roundtrip_docs",
     "orc_roundtrip_events",
     "bucketed_fact_join",  # builds the bucketed catalog tables

@@ -35,3 +35,55 @@ def test_streaming_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     got = {r["event_id"] for r in spark.table("dedup_stream_test").collect()}
     assert got == {1, 2, 3}
     assert spark.table("dedup_stream_test").count() == 3
+
+
+def test_streaming_cms_store_equals_batch_matrix(spark, sf_dir, tmp_path):
+    """Draining events through the per-batch counter store and summing
+    partitions reproduces the one-shot batch matrix EXACTLY — and a
+    replayed batch (overwrite of its own partition) changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.events import cms_counters
+    from lab3_spark.streaming.cms import merged_counters, start_streaming_cms
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    for b in range(3):
+        ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            str(tmp_path / f"part{b}")
+        )
+        (pf,) = [
+            f
+            for f in os.listdir(tmp_path / f"part{b}")
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"part{b}" / pf, f"{incoming}/{b:02d}.parquet")
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    store = str(tmp_path / "store")
+    q = start_streaming_cms(src, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(600)
+    batches = {
+        f for f in os.listdir(store) if f.startswith("batch_id=")
+    }
+    assert len(batches) == 3, batches
+    merged = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    whole = {(r.r, r.bucket): r.cnt for r in cms_counters(ev).collect()}
+    assert merged == whole
+    # replay batch 0: rewrite its partition from the same data — the
+    # overwrite-own-partition contract keeps the merge unchanged
+    b0 = spark.read.parquet(f"{incoming}/00.parquet")
+    cms_counters(b0).write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    again = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    assert again == whole
