@@ -343,3 +343,27 @@ def test_triangle_stats_equi_joins_only(spark, sf_dir):
     plan = formatted_plan(triangle_stats(cands))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_cms_estimate_join_is_broadcast(spark, sf_dir):
+    """The CMS estimate lookup joins the d·w-row counter matrix as a
+    BROADCAST — the sketch is metadata-scale by construction and must
+    never shuffle the key universe against it."""
+    from lab3_spark.operators.events import cms_estimates
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    plan = formatted_plan(cms_estimates(ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_candidates_equi_join_only(spark, sf_dir):
+    """The winnowing pair surface is a hash equi-join on fp — never a
+    nested-loop/cartesian pair enumeration."""
+    from lab3_spark.operators.textstats import winnowing_candidates
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    plan = formatted_plan(winnowing_candidates(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan

@@ -213,3 +213,35 @@ def test_round3_table_invariants(spark, sf_dir):
                                           F.lit(r"[a-z][a-z']*"), F.lit(0))))
     ).collect()[0][0]
     assert agg["mass"] <= n_tokens
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # score
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),  # n
+)
+def test_top_n_per_key_matches_python_reference(spark, rows, n):
+    """Salted two-stage top-n == sorted-prefix per key, computed
+    independently in Python, under arbitrary key/score multisets
+    (duplicate scores allowed — the unique row id is the tie-break,
+    per the total-order contract)."""
+    from lab3_spark.operators.rank import top_n_per_key
+
+    data = [(k, s, i) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key int, score int, rid int")
+    got = sorted(
+        (r.key, r.score, r.rid, r.rk)
+        for r in top_n_per_key(df, ["key"], ["score", "rid"], n).collect()
+    )
+    want = []
+    for k in {k for k, _, _ in data}:
+        grp = sorted((s, i) for kk, s, i in data if kk == k)[:n]
+        want.extend((k, s, i, rk + 1) for rk, (s, i) in enumerate(grp))
+    assert got == sorted(want)
