@@ -87,3 +87,37 @@ def test_streaming_cms_store_equals_batch_matrix(spark, sf_dir, tmp_path):
         (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
     }
     assert again == whole
+
+
+def test_cms_store_compaction_preserves_merge(spark, sf_dir, tmp_path):
+    """Compacting old batch partitions into one leaves merged_counters
+    bit-identical and bounds the partition count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.events import cms_counters
+    from lab3_spark.streaming.cms import compact_cms_store, merged_counters
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    store = str(tmp_path / "store")
+    for b in range(5):
+        cms_counters(ev.where(F.col("event_id") % 5 == b)).write.parquet(
+            f"{store}/batch_id={b}"
+        )
+    before = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    absorbed = compact_cms_store(spark, store, keep_last=2)
+    assert absorbed == 2  # batches 1,2 folded into 0; 3,4 kept
+    parts = sorted(
+        f for f in os.listdir(store) if f.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=0", "batch_id=3", "batch_id=4"], parts
+    after = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    assert after == before
+    # idempotent once bounded: nothing further to absorb
+    assert compact_cms_store(spark, store, keep_last=2) == 0
