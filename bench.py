@@ -142,6 +142,7 @@ HEADLINE = [
     "events_cms_heavy_hitters",
     "ann_ivfpq_recall",
     "dedup_winnowing",
+    "corpus_shuffle_shards",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

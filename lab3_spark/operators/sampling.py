@@ -392,3 +392,42 @@ def cluster_balanced_sample(
         .select("cl", "vec_id", "rk")
         .orderBy("cl", "rk")
     )
+
+
+def corpus_shuffle_shards(
+    documents: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """(doc_id, rn, shard): deterministic GLOBAL SHUFFLE + sharding —
+    the training-export step: documents are ordered by portable hash
+    (the shuffle: decorrelates any source/crawl/time locality in the
+    ingest order), given a stable global position, and cut into
+    ``n_shards`` contiguous rank ranges (SQL-standard ntile split) so
+    every shard is the same size ±1 and a training job can read shard
+    k as one slice.
+
+    Determinism is the point: re-running the export reproduces the
+    exact same order and shard assignment (resumable exports,
+    byte-identical re-materialization — the same md5 contract as the
+    sampling family).
+
+    Scale shape: rank.with_global_order_stats — ONE ranged shuffle on
+    the hash + broadcast per-partition offsets, never a
+    single-partition window; the ntile is pure arithmetic on
+    (rn, N)."""
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.rank import with_global_order_stats
+
+    hv = md5_long(F.col(id_col).cast("string"), salt=salt)
+    d = with_global_order_stats(
+        spread(documents).select(F.col(id_col), hv.alias("hv")),
+        ["hv", id_col],
+        ntile=n_shards,
+        memo_key="sampling.corpus_shuffle",
+    )
+    return (
+        d.select(id_col, "rn", F.col("ntile").alias("shard"))
+        .orderBy("rn")
+    )

@@ -1035,6 +1035,34 @@ def q_stratified_fixed_n(spark, sf_dir):
 
 
 @query(
+    "corpus_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_h2l("substr(md5(concat('shuffle', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+               AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY hv, doc_id) AS rn,
+           CAST(ntile(8) OVER (ORDER BY hv, doc_id) AS INT) AS shard
+    FROM h ORDER BY rn
+    """,
+)
+def q_corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training export
+    (sampling.corpus_shuffle_shards): portable-hash order decorrelates
+    ingest locality, the distributed global rank gives stable
+    positions, ntile(8) cuts contiguous equal shards — one ranged
+    shuffle + broadcast offsets, never a single-partition window (the
+    oracle's unpartitioned-window form is exactly what rank.py
+    replaces)."""
+    from lab3_spark.operators.sampling import corpus_shuffle_shards
+
+    return corpus_shuffle_shards(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "jsonl_roundtrip_docs",
     """
     SELECT doc_id, text, lang, source, n_chars
@@ -7325,6 +7353,7 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_recall",
     "dedup_winnowing",
     "streaming_cms_heavy_hitters",
+    "corpus_shuffle_shards",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

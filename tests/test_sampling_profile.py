@@ -90,3 +90,24 @@ def test_stratified_fixed_sample_allocation(spark, sf_dir):
     assert sizes == {s: min(n, c) for s, c in full.items()}
     again = stratified_fixed_sample(docs.repartition(13), n_per_stratum=n)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_corpus_shuffle_shards_balanced_and_deterministic(spark, sf_dir):
+    """Contiguous global ranks, shard sizes within ±1, and re-running
+    reproduces the identical assignment (the resumable-export
+    contract)."""
+    from lab3_spark.operators.sampling import corpus_shuffle_shards
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus_shuffle_shards(docs, n_shards=8).collect()
+    assert [r.rn for r in a] == list(range(1, len(a) + 1))
+    sizes = {}
+    for r in a:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert set(sizes) == set(range(1, 9))
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    b = corpus_shuffle_shards(docs, n_shards=8).collect()
+    assert [(r.doc_id, r.rn, r.shard) for r in a] == [
+        (r.doc_id, r.rn, r.shard) for r in b
+    ]
