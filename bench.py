@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_ivfpq_recall",
     "dedup_winnowing",
     "corpus_shuffle_shards",
+    "dedup_lpa_communities",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

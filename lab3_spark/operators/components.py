@@ -260,3 +260,54 @@ def triangle_stats(
         n_tri.alias("n_tri"),
         (F.floor(coeff * 10000) / 10000).alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", n_iter: int = 3
+) -> DataFrame:
+    """(node, label): SYNCHRONOUS label-propagation communities
+    (Raghavan et al. 2007, public) — the community-detection
+    complement to `connected_components`: components give
+    connectivity, LPA converges toward DENSELY-connected groups
+    (label[v] ← the most frequent label among v's neighbors, ties →
+    smallest label).
+
+    Determinism contract: classic LPA is asynchronous and
+    order-dependent; this is the synchronous variant with a TOTAL tie
+    order (max count, then min label), so every engine computes the
+    identical labeling and the oracle unrolls the same iterations as
+    plain CTEs.
+
+    Scale shape: each iteration is one edges⋈labels equi-join + one
+    (node, label) count aggregation + one max_by struct aggregation —
+    shuffle rows bounded by |E|, no driver loop, no collect; the
+    ``n_iter``-deep plan is a linear chain (each label frame feeds
+    exactly the next iteration), exactly like the unrolled oracle.
+    Fixed iteration count rather than convergence detection: LPA label
+    counts can oscillate on bipartite-ish structures, and a fixed
+    synchronous horizon is the standard deterministic cut."""
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionAll(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels, sym["v"] == labels["node"]
+        ).select(sym["u"].alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return labels

@@ -3787,6 +3787,71 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _duck_lpa_iters(n_iter: int) -> str:
+    """Unrolled synchronous label-propagation CTEs l0..l{n} over the
+    symmetric `edges` CTE — max-count/min-label tie rule identical to
+    components.label_propagation."""
+    ctes = ["l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    n{i} AS (
+      SELECT e.a AS node, l.label, count(*) AS cnt
+      FROM edges e JOIN l{i - 1} l ON l.node = e.b
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM n{i}) t
+      WHERE rn = 1
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "dedup_lpa_communities",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    {_duck_lpa_iters(3)}
+    SELECT node AS doc_id, label AS community,
+           count(*) OVER (PARTITION BY label) AS community_size
+    FROM l3 ORDER BY doc_id
+    """,
+)
+def q_dedup_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities over the MinHash-LSH
+    candidate graph (components.label_propagation) — the
+    community-detection complement to `dedup_clusters`' connectivity
+    closure; 3 synchronous iterations, max-count/min-label tie rule,
+    unrolled-CTE oracle.  Pure lazy plan: no driver loop, no
+    collect."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.operators.components import label_propagation
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents"))
+    lab = label_propagation(cands, "doc_a", "doc_b", n_iter=3)
+    return (
+        lab.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("community")
+        )
+        .withColumn(
+            "community_size", F.count("*").over(Window.partitionBy("community"))
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _duck_pagerank_iters(n_iter: int) -> str:
     """Unrolled fixed-point PageRank iteration CTEs r1..r{n} — integer
     arithmetic identical to operators/pagerank.py (`//` == Spark's
@@ -7354,6 +7419,7 @@ _DRIVER_PRIORITY = [
     "dedup_winnowing",
     "streaming_cms_heavy_hitters",
     "corpus_shuffle_shards",
+    "dedup_lpa_communities",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

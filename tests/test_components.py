@@ -48,3 +48,27 @@ def test_shortcut_converges_long_chain_in_log_rounds(spark):
     n = 65
     got = _labels(spark, [(i, i + 1) for i in range(n - 1)], max_iter=14)
     assert got == {i: 0 for i in range(n)}
+
+
+def test_label_propagation_splits_barbell(spark):
+    """Two triangles joined by one bridge edge: connected components
+    merge all six nodes, but 3-iteration synchronous LPA separates
+    the two dense triangles — hand-traced expected labels under the
+    max-count/min-label tie rule."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "a bigint, b bigint",
+    )
+    got = {r.node: r.label for r in label_propagation(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}, got
+    comps = {
+        r.comp for r in connected_components(edges, "a", "b").collect()
+    }
+    assert len(comps) == 1  # the contrast LPA exists for
