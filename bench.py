@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_winnowing",
     "corpus_shuffle_shards",
     "dedup_lpa_communities",
+    "dedup_community_modularity",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

@@ -311,3 +311,65 @@ def label_propagation(
             .select("node", (-F.col("m.nl")).alias("label"))
         )
     return labels
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(community, n_nodes, e_in, d_sum, q_num): per-community
+    modularity contributions for an undirected graph — the standard
+    partition-quality metric (Newman 2004, public):
+    Q = Σ_c (e_c/m − (d_c/2m)²).
+
+    ALL-INTEGER: reported as q_num = 4·m·e_c − d_c², i.e. the
+    contribution scaled by 4m² (m = |E|, e_c = intra-community edges,
+    d_c = community degree sum) — Q = Σ q_num / 4m², so comparisons
+    and regression gates work on exact bigints and the oracle matches
+    bit-for-bit.  Magnitudes: 4·m·e_c ≤ 4m², inside int64 for any
+    graph with < ~1.5e9 edges per community pair — beyond that the
+    metric itself is per-community and m is global metadata.
+
+    Scale shape: degree sums and intra-edge counts are two equi-joins
+    against the (node, label) frame plus bounded aggregations; the
+    single global m is a 1-row aggregate broadcast back (the audited
+    broadcast-scalar crossJoin pattern)."""
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionAll(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    lab = labels.select("node", "label")
+    dsum = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"), F.sum("deg").alias("d_sum"))
+    )
+    la = lab.select(F.col("node").alias("_a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("_b"), F.col("label").alias("lb"))
+    ein = (
+        edges.join(la, F.col(a_col) == F.col("_a"))
+        .join(lb, F.col(b_col) == F.col("_b"))
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    m = edges.agg(F.count("*").alias("m"))
+    return (
+        dsum.join(ein, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            F.col("d_sum").cast("bigint").alias("d_sum"),
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            ).cast("bigint").alias("q_num"),
+        )
+        .orderBy("community")
+    )

@@ -3852,6 +3852,58 @@ def q_dedup_lpa_communities(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_community_modularity",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    {_duck_lpa_iters(3)},
+    deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY 1),
+    dsum AS (
+      SELECT l.label, count(*) AS n_nodes, sum(d.deg) AS d_sum
+      FROM deg d JOIN l3 l ON d.node = l.node
+      GROUP BY 1
+    ),
+    ein AS (
+      SELECT la.label, count(*) AS e_in
+      FROM cand c
+      JOIN l3 la ON c.doc_a = la.node
+      JOIN l3 lb ON c.doc_b = lb.node
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    mm AS (SELECT count(*) AS m FROM cand)
+    SELECT d.label AS community,
+           CAST(d.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+           CAST(d.d_sum AS BIGINT) AS d_sum,
+           CAST(4 * mm.m * coalesce(e.e_in, 0)
+                - d.d_sum * d.d_sum AS BIGINT) AS q_num
+    FROM dsum d LEFT JOIN ein e ON d.label = e.label, mm
+    ORDER BY community
+    """,
+)
+def q_dedup_community_modularity(spark, sf_dir):
+    """Per-community modularity contributions (components.
+    community_modularity) for the LPA partition of the MinHash
+    candidate graph — the partition-quality gate for the graph
+    family, all-integer (q_num = 4·m·e_c − d_c², Q = Σ q_num/4m²)."""
+    from lab3_spark.operators.components import (
+        community_modularity,
+        label_propagation,
+    )
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    cands = minhash_candidates(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return community_modularity(cands, label_propagation(cands))
+
+
 def _duck_pagerank_iters(n_iter: int) -> str:
     """Unrolled fixed-point PageRank iteration CTEs r1..r{n} — integer
     arithmetic identical to operators/pagerank.py (`//` == Spark's
@@ -7420,6 +7472,7 @@ _DRIVER_PRIORITY = [
     "streaming_cms_heavy_hitters",
     "corpus_shuffle_shards",
     "dedup_lpa_communities",
+    "dedup_community_modularity",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

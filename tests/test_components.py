@@ -72,3 +72,30 @@ def test_label_propagation_splits_barbell(spark):
         r.comp for r in connected_components(edges, "a", "b").collect()
     }
     assert len(comps) == 1  # the contrast LPA exists for
+
+
+def test_modularity_barbell_hand_computed(spark):
+    """Barbell graph under the LPA partition {1,2,3}/{4,5,6}: m=7,
+    each community has e_in=3 and degree sum 7 (three triangle
+    degrees 2+2+3 — the bridge endpoints carry degree 3), so
+    q_num = 4·7·3 − 49 = 35 per community and
+    Q = (35+35)/(4·49) = 5/14 ≈ 0.357."""
+    from lab3_spark.operators.components import (
+        community_modularity,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "a bigint, b bigint",
+    )
+    rows = {
+        r.community: r
+        for r in community_modularity(edges, label_propagation(edges)).collect()
+    }
+    assert set(rows) == {1, 3}
+    for c in (1, 3):
+        assert rows[c].n_nodes == 3
+        assert rows[c].e_in == 3
+        assert rows[c].d_sum == 7
+        assert rows[c].q_num == 4 * 7 * 3 - 49

@@ -57,6 +57,7 @@ SKIP = {
 # has been inspected: its BNLJ side is a ≤1-row (or ≤#groups-row)
 # aggregate, metadata scale by construction.
 BNLJ_ALLOWED = {
+    "dedup_community_modularity",  # 1-row |E| aggregate broadcast (scalar m)
     "doc_length_distribution",
     "q11_important_parts",
     "q15_top_supplier",
