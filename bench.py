@@ -145,6 +145,7 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "dedup_lpa_communities",
     "dedup_community_modularity",
+    "ann_ivf_frozen_append",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

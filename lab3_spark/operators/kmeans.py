@@ -358,6 +358,7 @@ def ann_ivf_trained(
     k: int = DEFAULT_K,
     n_iter: int = DEFAULT_ITERS,
     nprobe: int = 1,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """IVF top-k over TRAINED k-means cells: the coarse quantizer is
     kmeans_fixed instead of ann_ivf's `label` stand-in.  Same probe
@@ -372,16 +373,30 @@ def ann_ivf_trained(
     join stays the same equi-join on cell id, and since cells
     partition the corpus no pair can appear twice.  Recall lift is
     gated by `ann_recall_vs_bruteforce` (the nprobe=2 ≥ nprobe=1
-    assertion lives in tests)."""
+    assertion lives in tests).
+
+    ``train_limit``: train the quantizer on ``vec_id < train_limit``
+    ONLY and leave it FROZEN — the production index-append story: new
+    vectors (vec_id ≥ limit) enter the index through one narrow
+    assignment pass against the existing centroids, never a retrain
+    (FAISS ``add`` after ``train``, public); queries see the whole
+    corpus immediately.  Retraining cadence becomes an offline policy
+    decision measured by the recall gates, not an ingest cost."""
     from lab3_spark.functions.partitioning import memo_persist
     from lab3_spark.functions.vectors import dot_product, unit_vector
     from lab3_spark.operators.similarity import _topk_per_query
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    cents = trained_centroids(embeddings, k, n_iter)
+    train = (
+        embeddings
+        if train_limit is None
+        else embeddings.where(F.col("vec_id") < train_limit)
+    )
+    cents = trained_centroids(train, k, n_iter)
     assigned = memo_persist(
-        "ann_ivf_trained_assigned", _assign_arrow(embeddings, cents)
+        f"ann_ivf_trained_assigned_t{train_limit}",
+        _assign_arrow(embeddings, cents),
     )
     corpus = assigned.select(
         "cl", F.col("vec_id").alias("neighbor_id"), unit_vector("embedding").alias("u_n")

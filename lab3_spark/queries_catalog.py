@@ -4031,11 +4031,19 @@ def _duck_pq_subspace_ctes(
     return ",".join(ctes)
 
 
-def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
+def _duck_kmeans_ctes(
+    k: int, n_iter: int, train_limit: int | None = None
+) -> str:
     """Base + unrolled Lloyd-iteration CTEs mirroring operators/kmeans.py:
     v = fixed-point vectors, px = (vec_id, pos, val) exploded, c0 = seed
     centroids (lowest k vec_ids), then d{i}/a{i}/c{i} per iteration —
-    exact bigint distances, floor(sum/count) updates, ties → min cl."""
+    exact bigint distances, floor(sum/count) updates, ties → min cl.
+
+    ``train_limit``: train the quantizer on ``vec_id < train_limit``
+    ONLY (the frozen-index append story — appended vectors are
+    assigned/encoded by downstream CTEs over the full ``px`` but never
+    move the centroids)."""
+    src = "ptx" if train_limit is not None else "px"
     ctes = [
         """
     v AS (
@@ -4047,10 +4055,15 @@ def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
     px AS (
       SELECT vec_id, generate_subscripts(xi, 1) - 1 AS pos, unnest(xi) AS val
       FROM v
-    ),
-    c0 AS (SELECT vec_id AS cl, pos, val AS c FROM px WHERE vec_id < """
-        + str(k)
-        + ")"
+    ),"""
+        + (
+            f"""
+    ptx AS (SELECT * FROM px WHERE vec_id < {train_limit}),"""
+            if train_limit is not None
+            else ""
+        )
+        + f"""
+    c0 AS (SELECT vec_id AS cl, pos, val AS c FROM {src} WHERE vec_id < {k})"""
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
@@ -4058,7 +4071,7 @@ def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
     d{i} AS (
       SELECT px.vec_id, c.cl,
              CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
-      FROM px JOIN c{i - 1} c ON px.pos = c.pos
+      FROM {src} px JOIN c{i - 1} c ON px.pos = c.pos
       GROUP BY px.vec_id, c.cl
     ),
     a{i} AS (
@@ -4073,7 +4086,7 @@ def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
       SELECT a.cl, px.pos,
              CAST(floor(CAST(sum(px.val) AS BIGINT) / count(*)) AS BIGINT) AS c,
              count(*) AS n
-      FROM a{i} a JOIN px ON a.vec_id = px.vec_id
+      FROM a{i} a JOIN {src} px ON a.vec_id = px.vec_id
       GROUP BY a.cl, px.pos
     )"""
         )
@@ -4219,6 +4232,75 @@ def q_ann_ivf_probe2(spark, sf_dir):
         k=_KMEANS_K,
         n_iter=_KMEANS_ITERS,
         nprobe=2,
+    )
+
+
+@query(
+    "ann_ivf_frozen_append",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, train_limit=256)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    pQ AS (
+      SELECT vec_id AS query_id, cl AS qcl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn <= 2 AND vec_id < 20
+    ),
+    {_DUCK_VEC.strip()},
+    q AS (
+      SELECT p.query_id, p.qcl, e.u AS uq
+      FROM pQ p JOIN e ON e.vec_id = p.query_id
+    ),
+    pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='en.u')}) AS cos_raw
+      FROM q
+      JOIN aA n ON n.cl = q.qcl
+      JOIN e en ON en.vec_id = n.vec_id
+      WHERE n.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos_raw * 10000) / 10000 AS cos, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q_ann_ivf_frozen_append(spark, sf_dir):
+    """FROZEN-quantizer index append (kmeans.ann_ivf_trained with
+    train_limit): the coarse quantizer trains on vec_id < 256 only;
+    every later vector enters the index through ONE narrow assignment
+    pass against the frozen centroids (FAISS add-after-train) and is
+    immediately queryable — retraining becomes offline policy, not
+    ingest cost.  The oracle trains its Lloyd chain on the same
+    subset and assigns the full corpus."""
+    from lab3_spark.operators.kmeans import ann_ivf_trained
+
+    return ann_ivf_trained(
+        _t(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        n_iter=_KMEANS_ITERS,
+        nprobe=2,
+        train_limit=256,
     )
 
 
@@ -7473,6 +7555,7 @@ _DRIVER_PRIORITY = [
     "corpus_shuffle_shards",
     "dedup_lpa_communities",
     "dedup_community_modularity",
+    "ann_ivf_frozen_append",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

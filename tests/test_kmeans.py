@@ -343,3 +343,23 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     r = ann_ivfpq_recall(emb)
     agg = r.agg(F.sum("n_hit").alias("h"), F.sum("n_true").alias("t")).collect()[0]
     assert agg["h"] / agg["t"] >= 0.06, (agg["h"], agg["t"])
+
+
+def test_frozen_append_assigns_new_vectors_without_retraining(spark, sf_dir):
+    """The frozen-quantizer index: centroids come from the training
+    subset only (differ from full-corpus training), yet appended
+    vectors (vec_id >= limit) are present in the index and returned
+    as neighbors."""
+    from lab3_spark.operators.kmeans import ann_ivf_trained, trained_centroids
+    from lab3_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    limit = 256
+    frozen = trained_centroids(emb.where(F.col("vec_id") < limit), 8, 3)
+    full = trained_centroids(emb, 8, 3)
+    assert frozen != full, "subset training should move the centroids"
+    out = ann_ivf_trained(emb, nprobe=2, train_limit=limit).collect()
+    assert out
+    assert any(r.neighbor_id >= limit for r in out), (
+        "appended vectors must be queryable"
+    )

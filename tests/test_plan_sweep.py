@@ -39,6 +39,7 @@ SKIP = {
     "ann_ivfpq_residual_top5",  # trains coarse + residual PQ quantizers
     "ann_ivfpq_rerank_top5",  # trains coarse + residual PQ quantizers
     "ann_ivfpq_recall",  # trains coarse + residual PQ quantizers
+    "ann_ivf_frozen_append",  # trains the (subset) coarse quantizer
     "cluster_balanced_sample",  # trains the coarse quantizer
     "ann_sq8_top5",  # collects the d-row min/max quantizer state
     "dedup_semantic",  # trains k-means
