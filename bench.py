@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_lpa_communities",
     "dedup_community_modularity",
     "ann_ivf_frozen_append",
+    "hybrid_retrieval_rrf",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

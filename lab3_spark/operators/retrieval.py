@@ -109,6 +109,20 @@ def duck_bm25_sql(
     terms: tuple[str, ...] = ("dup", "vector", "spark"), k: int = 15
 ) -> str:
     """DuckDB oracle for :func:`bm25_top_docs` — the same op sequence."""
+    return f"""
+    WITH {duck_bm25_ctes(terms, k, name="bm")}
+    SELECT doc_id, score_fp, rnk FROM bm ORDER BY rnk
+    """
+
+
+def duck_bm25_ctes(
+    terms: tuple[str, ...] = ("dup", "vector", "spark"),
+    k: int = 15,
+    name: str = "bm",
+) -> str:
+    """The BM25 chain as a composable CTE block ending in ``{name}``
+    = (doc_id, score_fp, rnk) — shared by the standalone gate and the
+    RRF hybrid."""
     from lab3_spark.oracles import DUCK_TOKEN_REGEX, sql_quote
 
     tf_cols = ", ".join(
@@ -131,8 +145,7 @@ def duck_bm25_sql(
               * {FP}) AS BIGINT) ELSE 0 END"""
         for i in range(len(terms))
     )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS dl, {tf_cols}
       FROM (SELECT doc_id,
@@ -147,10 +160,70 @@ def duck_bm25_sql(
     scored AS (
       SELECT doc_id, ({contribs}) AS score_fp
       FROM base CROSS JOIN stats
+    ),
+    {name} AS (
+      SELECT doc_id, score_fp,
+             CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                  AS INTEGER) AS rnk
+      FROM scored WHERE score_fp > 0
+      ORDER BY score_fp DESC, doc_id ASC LIMIT {k}
+    )"""
+
+
+RRF_K = 60
+RRF_FP = 1_000_000
+
+
+def hybrid_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...] = ("dup", "vector", "spark"),
+    k_each: int = 20,
+    topn: int = 10,
+) -> DataFrame:
+    """(doc_id, rrf, rnk): HYBRID retrieval — BM25 (lexical) and
+    dense cosine ANN rankings fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009, public): rrf(d) = Σ_lists 1/(K + rank_d),
+    K = 60 — the standard production hybrid-search shape (lexical
+    recall for exact terms, dense recall for paraphrase; RRF needs no
+    score calibration because it consumes only RANKS).
+
+    Identity convention: embeddings are document embeddings keyed by
+    doc_id (vec_id ≡ doc_id — the same convention the
+    embedding-cosine dedup family uses); the dense list is the
+    cosine top-k for the corpus query vector vec_id 0.
+
+    Fixed-point: contributions are floor(1e6/(K+rank)) — exact in
+    both engines (numerator constant, divisor ≤ K + k_each ≤ 80, so
+    the double quotient is either exactly integral or ≥ 1/80 from
+    the floor boundary).  Both input rankings are the engine's own
+    audited gates; fusion itself is one full-outer join of two ≤
+    k_each-row lists — metadata-scale regardless of corpus size."""
+    from lab3_spark.operators.similarity import ann_bruteforce
+
+    bm = bm25_top_docs(documents, terms, k=k_each).select(
+        "doc_id", F.col("rnk").alias("r_bm")
     )
-    SELECT doc_id, score_fp,
-           CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
-                AS INTEGER) AS rnk
-    FROM scored WHERE score_fp > 0
-    ORDER BY score_fp DESC, doc_id ASC LIMIT {k}
-    """
+    dn = (
+        ann_bruteforce(embeddings, n_queries=1, k=k_each)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("r_dn"))
+    )
+    contrib = lambda r: F.when(  # noqa: E731
+        r.isNotNull(), F.floor(F.lit(RRF_FP) / (F.lit(RRF_K) + r))
+    ).otherwise(F.lit(0)).cast("bigint")
+    fused = (
+        bm.join(dn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (contrib(F.col("r_bm")) + contrib(F.col("r_dn"))).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(topn)
+    )
+    return fused.select(
+        "doc_id",
+        "rrf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .alias("rnk"),
+    ).orderBy("rnk")

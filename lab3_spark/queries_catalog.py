@@ -5768,7 +5768,55 @@ def q_q21_sole_latest_supplier(spark, sf_dir):
 # §2.9 extension: ranked retrieval (BM25) — round 4
 # ---------------------------------------------------------------------------
 
-from lab3_spark.operators.retrieval import bm25_top_docs, duck_bm25_sql  # noqa: E402
+from lab3_spark.operators.retrieval import (  # noqa: E402
+    bm25_top_docs,
+    duck_bm25_ctes,
+    duck_bm25_sql,
+)
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH {duck_bm25_ctes(k=20, name="bm")},
+    {_DUCK_VEC},
+    dq AS (SELECT u AS uq FROM e WHERE vec_id = 0),
+    dpairs AS (
+      SELECT n.vec_id AS doc_id,
+             ({_DUCK_DOT.format(a='uq', b='n.u')}) AS cos_raw
+      FROM dq, e n WHERE n.vec_id != 0
+    ),
+    dn AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_raw DESC, doc_id ASC) AS rnk
+      FROM dpairs ORDER BY cos_raw DESC, doc_id ASC LIMIT 20
+    ),
+    f AS (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             CAST(coalesce(1000000 // (60 + b.rnk), 0)
+                + coalesce(1000000 // (60 + d.rnk), 0) AS BIGINT) AS rrf
+      FROM bm b FULL OUTER JOIN dn d ON b.doc_id = d.doc_id
+    ),
+    top AS (
+      SELECT doc_id, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                  AS INTEGER) AS rnk
+      FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    )
+    SELECT doc_id, rrf, rnk FROM top ORDER BY rnk
+    """,
+)
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (retrieval.hybrid_rrf): BM25 top-20 and cosine-ANN top-20 (query
+    vector 0; vec_id ≡ doc_id, the embedding-dedup convention)
+    combined as Σ floor(1e6/(60+rank)) — rank-only fusion needs no
+    score calibration; the fusion join runs over two ≤20-row lists."""
+    from lab3_spark.operators.retrieval import hybrid_rrf
+
+    return hybrid_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
 
 
 @query("bm25_top_docs", duck_bm25_sql())
@@ -7556,6 +7604,7 @@ _DRIVER_PRIORITY = [
     "dedup_lpa_communities",
     "dedup_community_modularity",
     "ann_ivf_frozen_append",
+    "hybrid_retrieval_rrf",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

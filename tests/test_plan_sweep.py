@@ -59,6 +59,7 @@ SKIP = {
 # aggregate, metadata scale by construction.
 BNLJ_ALLOWED = {
     "dedup_community_modularity",  # 1-row |E| aggregate broadcast (scalar m)
+    "hybrid_retrieval_rrf",  # 1-query dense side (audited bruteforce shape)
     "doc_length_distribution",
     "q11_important_parts",
     "q15_top_supplier",

@@ -177,3 +177,31 @@ def test_weighted_sample_matches_python(docs):
     pris = [r.priority for r in sorted(got, key=lambda r: r.rnk)]
     assert pris == sorted(pris, reverse=True)
     assert len({r.doc_id for r in got}) == 50  # without replacement
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
+    """RRF invariants: a doc in BOTH lists outscores a doc appearing
+    in only one at comparable ranks; contributions are the exact
+    integer floor(1e6/(60+rank)); output is the top-10 by fused
+    score."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.retrieval import bm25_top_docs, hybrid_rrf
+    from lab3_spark.operators.similarity import ann_bruteforce
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = {r.doc_id: r.rnk for r in bm25_top_docs(docs, k=20).collect()}
+    dn = {
+        r.neighbor_id: r.rnk
+        for r in ann_bruteforce(emb, n_queries=1, k=20).collect()
+    }
+    got = hybrid_rrf(docs, emb).collect()
+    assert len(got) == 10
+    for r in got:
+        want = (1_000_000 // (60 + bm[r.doc_id]) if r.doc_id in bm else 0) + (
+            1_000_000 // (60 + dn[r.doc_id]) if r.doc_id in dn else 0
+        )
+        assert r.rrf == want, (r.doc_id, r.rrf, want)
+    assert [r.rnk for r in got] == list(range(1, 11))
