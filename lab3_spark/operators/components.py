@@ -310,7 +310,12 @@ def label_propagation(
             )
             .select("node", (-F.col("m.nl")).alias("label"))
         )
-    return labels
+    # the LPA and modularity gates share this exact frame —
+    # memo_persist (bounded, sameResult-matched) makes the second
+    # consumer reuse one propagation instead of re-running the chain
+    from lab3_spark.functions.partitioning import memo_persist
+
+    return memo_persist(f"components.lpa_i{n_iter}", labels)
 
 
 def community_modularity(

@@ -3898,10 +3898,21 @@ def q_dedup_community_modularity(spark, sf_dir):
     )
     from lab3_spark.operators.dedup import minhash_candidates
 
-    cands = minhash_candidates(_t(spark, sf_dir, "documents")).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    return community_modularity(cands, label_propagation(cands))
+    from lab3_spark.functions.partitioning import memo_result
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        # build the label frame EXACTLY as the LPA gate does (same
+        # column names into label_propagation) so its memo_persist
+        # entry is sameResult-shared between the two gates — a
+        # rename-first variant is a different plan and silently
+        # misses the memo
+        cands = minhash_candidates(docs)
+        labels = label_propagation(cands, "doc_a", "doc_b", n_iter=3)
+        return community_modularity(cands, labels, "doc_a", "doc_b")
+
+    return memo_result("gate.dedup_community_modularity", docs, build)
 
 
 def _duck_pagerank_iters(n_iter: int) -> str:
