@@ -147,6 +147,7 @@ HEADLINE = [
     "dedup_community_modularity",
     "ann_ivf_frozen_append",
     "hybrid_retrieval_rrf",
+    "ppr_seed_proximity",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

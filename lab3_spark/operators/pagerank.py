@@ -121,3 +121,82 @@ def _pr_iterations(edges: DataFrame, n_iter: int) -> DataFrame:
     # the final checkpoint outlives this call (the caller reads it);
     # the NEXT call retires it
     return retire_latest("pagerank.ranks", ranks)
+
+
+def ppr_fixed_point(
+    edges: DataFrame, n_iter: int = 5, n_seeds: int = 3
+) -> DataFrame:
+    """(node, rank_fp): PERSONALIZED PageRank — restart mass goes to a
+    SEED SET instead of uniformly (TrustRank / topic-sensitive
+    PageRank, Gyöngyi et al. 2004 / Haveliwala 2002, public): ranks
+    measure proximity to the seeds, the curation primitive for
+    propagating trust from vetted documents (or suspicion from known
+    spam) through the near-duplicate graph.
+
+    Seeds are the ``n_seeds`` smallest node ids (deterministic,
+    scale-free); each seed carries restart mass RANK_SCALE (a constant
+    factor vs the normalized 1/|S| convention — rankings identical,
+    arithmetic stays all-bigint).  r0 = RANK_SCALE on seeds, 0
+    elsewhere; each iteration adds BASE_FP restart only on seeds.
+    Same per-iteration shape and bounded checkpointing as
+    `pagerank_fixed_point`; the oracle unrolls identical CTEs with a
+    CASE base term."""
+    from lab3_spark.functions.partitioning import (
+        free_checkpoint,
+        memo_persist,
+        memo_result,
+        memo_result_invalidate,
+        retire_latest,
+    )
+
+    def build() -> DataFrame:
+        memo_result_invalidate("pagerank.ppr_result.")
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        edeg = memo_persist(
+            "pagerank.ppr_edeg", edges.join(deg, "src").select("src", "dst", "deg")
+        )
+        seeds = nodes.orderBy("node").limit(n_seeds).select(
+            "node", F.lit(1).alias("is_seed")
+        )
+        nflag = memo_persist(
+            "pagerank.ppr_nodes",
+            nodes.join(F.broadcast(seeds), "node", "left").select(
+                "node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+            ),
+        )
+        base = (F.col("is_seed") * F.lit(BASE_FP)).cast("bigint")
+        ranks = nflag.select(
+            "node",
+            (F.col("is_seed") * F.lit(RANK_SCALE)).cast("bigint").alias("rank_fp"),
+        )
+        prev_ckpt = None
+        for _ in range(n_iter):
+            summed = (
+                edeg.join(ranks, edeg.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nflag.join(summed, "node", "left").select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({DAMPING_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {DAMPING_DEN}"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+        return retire_latest("pagerank.ppr_ranks", ranks)
+
+    return memo_result(f"pagerank.ppr_result.n{n_iter}.s{n_seeds}", edges, build)

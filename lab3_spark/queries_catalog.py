@@ -3944,6 +3944,86 @@ def _duck_pagerank_iters(n_iter: int) -> str:
     return ",".join(ctes)
 
 
+def _duck_ppr_iters(n_iter: int) -> str:
+    """Unrolled PERSONALIZED-PageRank CTEs: identical arithmetic to
+    `_duck_pagerank_iters` except the restart term is gated on
+    ``pr_nodes.is_seed`` (TrustRank shape)."""
+    from lab3_spark.operators.pagerank import (
+        BASE_FP,
+        DAMPING_DEN,
+        DAMPING_NUM,
+    )
+
+    ctes = []
+    for k in range(1, n_iter + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"""
+    r{k} AS (
+      SELECT n.node,
+             CAST(n.is_seed * {BASE_FP}
+                  + ({DAMPING_NUM} * COALESCE(s.s, 0))
+                  // {DAMPING_DEN} AS BIGINT) AS rank_fp
+      FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_fp // e.deg) AS s
+        FROM pr_edeg e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "ppr_seed_proximity",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    pr_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_edeg AS (
+      SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d
+      ON e.src = d.src
+    ),
+    pr_nodes0 AS (SELECT DISTINCT src AS node FROM pr_edges),
+    seeds AS (SELECT node FROM pr_nodes0 ORDER BY node LIMIT 3),
+    pr_nodes AS (
+      SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM pr_nodes0 n LEFT JOIN seeds s ON n.node = s.node
+    ),
+    r0 AS (
+      SELECT node, CAST(is_seed * {10**12} AS BIGINT) AS rank_fp
+      FROM pr_nodes
+    ),
+    {_duck_ppr_iters(5)}
+    SELECT node AS doc_id, rank_fp
+    FROM r5 WHERE rank_fp > 0
+    ORDER BY rank_fp DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_ppr_seed_proximity(spark, sf_dir):
+    """Personalized PageRank / TrustRank (pagerank.ppr_fixed_point):
+    restart mass only on the three smallest-id seed documents, so
+    ranks measure PROXIMITY TO THE SEEDS through the near-duplicate
+    graph — the trust/suspicion-propagation curation primitive.
+    All-bigint; the oracle unrolls the same 5 iterations with a
+    seed-gated restart term."""
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.pagerank import ppr_fixed_point, symmetrize
+
+    edges = symmetrize(minhash_candidates(_t(spark, sf_dir, "documents")))
+    return (
+        ppr_fixed_point(edges, n_iter=5, n_seeds=3)
+        .where(F.col("rank_fp") > 0)
+        .orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "rank_fp")
+    )
+
+
 _PAGERANK_ITERS = 5
 
 
@@ -7616,6 +7696,7 @@ _DRIVER_PRIORITY = [
     "dedup_community_modularity",
     "ann_ivf_frozen_append",
     "hybrid_retrieval_rrf",
+    "ppr_seed_proximity",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

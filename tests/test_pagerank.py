@@ -55,3 +55,25 @@ def test_uniform_on_regular_graph(spark):
     assert len(set(got)) == 1
     # uniform start is the fixpoint of a regular graph (up to div floor)
     assert abs(got[0] - RANK_SCALE) <= DAMPING_DEN
+
+
+def test_ppr_mass_stays_in_seed_component(spark):
+    """Restart mass goes only to the 3 smallest-id seeds, so nodes in
+    a component disjoint from the seeds end with rank exactly 0,
+    while every seed-component node is positive."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.pagerank import ppr_fixed_point, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r.node: r.rank_fp
+        for r in ppr_fixed_point(symmetrize(pairs), n_iter=5, n_seeds=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 10, 11}
+    for n in (1, 2, 3):
+        assert got[n] > 0, (n, got)
+    for n in (10, 11):
+        assert got[n] == 0, (n, got)

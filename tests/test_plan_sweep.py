@@ -44,6 +44,7 @@ SKIP = {
     "ann_sq8_top5",  # collects the d-row min/max quantizer state
     "dedup_semantic",  # trains k-means
     "dedup_clusters",  # driver-looped fixpoint
+    "ppr_seed_proximity",  # driver-looped fixpoint (per-iteration checkpoints)
     "dedup_cluster_representatives",
     "pagerank_candidates",
     "udtf_token_positions",  # registers UDTF
