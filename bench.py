@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_ivf_frozen_append",
     "hybrid_retrieval_rrf",
     "ppr_seed_proximity",
+    "dataset_card",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

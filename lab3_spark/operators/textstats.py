@@ -1219,3 +1219,44 @@ def winnowing_candidates(
         .where(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(metric, value): the corpus-level DATASET CARD — the statistics
+    block a curation pipeline publishes with a training corpus
+    (document/token counts, exact-duplicate rate, source/language
+    breadth, mean length; the dataset-report practice of public corpus
+    releases): one scan builds per-doc facts, one 1-row aggregate
+    derives every metric, and a stack unpivots it to a long
+    (metric, value) frame — driver-hashable, all-bigint (rates as
+    exact parts-per-million via integer division).
+
+    Scale shape: the scan is per-row expressions at scan speed; the
+    aggregate's distinct counts are the only shuffles (three keyed
+    exchanges over narrow columns); the stack runs on ONE row."""
+    toks = tokenize(text_col)
+    base = spread(documents).select(
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.col("lang"),
+        F.col("source"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )
+    agg = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("tot"),
+        F.countDistinct("fp").cast("bigint").alias("nfp"),
+        F.countDistinct("source").cast("bigint").alias("nsrc"),
+        F.countDistinct("lang").cast("bigint").alias("nlang"),
+    )
+    return agg.selectExpr(
+        """stack(8,
+            'dup_rate_ppm', ((n_docs - nfp) * 1000000) div n_docs,
+            'distinct_fingerprints', nfp,
+            'exact_dup_docs', n_docs - nfp,
+            'mean_doc_tokens_ppm', (tot * 1000000) div n_docs,
+            'n_docs', n_docs,
+            'n_langs', nlang,
+            'n_sources', nsrc,
+            'total_tokens', tot
+        ) as (metric, value)"""
+    ).orderBy("metric")

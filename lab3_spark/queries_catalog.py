@@ -1063,6 +1063,48 @@ def q_corpus_shuffle_shards(spark, sf_dir):
 
 
 @query(
+    "dataset_card",
+    f"""
+    WITH base AS (
+      SELECT CAST(len(toks) AS BIGINT) AS n_toks, lang, source,
+             md5(array_to_string(toks, ' ')) AS fp
+      FROM (SELECT lang, source,
+                   regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+            FROM documents)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tot,
+             CAST(count(DISTINCT fp) AS BIGINT) AS nfp,
+             CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
+             CAST(count(DISTINCT lang) AS BIGINT) AS nlang
+      FROM base
+    )
+    SELECT metric, value FROM (
+      SELECT 'dup_rate_ppm' AS metric,
+             ((n_docs - nfp) * 1000000) // n_docs AS value FROM s
+      UNION ALL SELECT 'distinct_fingerprints', nfp FROM s
+      UNION ALL SELECT 'exact_dup_docs', n_docs - nfp FROM s
+      UNION ALL SELECT 'mean_doc_tokens_ppm', (tot * 1000000) // n_docs FROM s
+      UNION ALL SELECT 'n_docs', n_docs FROM s
+      UNION ALL SELECT 'n_langs', nlang FROM s
+      UNION ALL SELECT 'n_sources', nsrc FROM s
+      UNION ALL SELECT 'total_tokens', tot FROM s
+    ) ORDER BY metric
+    """,
+)
+def q_dataset_card(spark, sf_dir):
+    """Corpus-level dataset card (textstats.dataset_card): the
+    statistics block a curation pipeline publishes with a corpus —
+    doc/token counts, exact-dup rate (ppm, exact integer division),
+    source/language breadth, mean length.  One scan, one 1-row
+    aggregate, a stack to long form."""
+    from lab3_spark.operators.textstats import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "jsonl_roundtrip_docs",
     """
     SELECT doc_id, text, lang, source, n_chars
@@ -7697,6 +7739,7 @@ _DRIVER_PRIORITY = [
     "ann_ivf_frozen_append",
     "hybrid_retrieval_rrf",
     "ppr_seed_proximity",
+    "dataset_card",
     # -- re-confirmations (fill to 50; new r5 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -395,3 +395,26 @@ def test_winnowing_candidates_surface_coderivatives(spark):
         for r in winnowing_candidates(df_b, max_bucket=3).collect()
     }
     assert (1, 2) in got_b
+
+
+def test_dataset_card_metrics_hand_checked(spark):
+    """Every card metric recomputed by hand on a 4-doc corpus with one
+    exact duplicate pair, two sources and two langs."""
+    from lab3_spark.operators.textstats import dataset_card
+
+    rows = [
+        (1, "alpha beta gamma", "en", "web"),
+        (2, "Alpha  beta, GAMMA!", "en", "web"),   # dup of 1 after norm
+        (3, "delta epsilon", "fr", "book"),
+        (4, "zeta", "en", "book"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    got = {r.metric: r.value for r in dataset_card(df).collect()}
+    assert got["n_docs"] == 4
+    assert got["total_tokens"] == 3 + 3 + 2 + 1
+    assert got["distinct_fingerprints"] == 3
+    assert got["exact_dup_docs"] == 1
+    assert got["dup_rate_ppm"] == (1 * 1_000_000) // 4
+    assert got["mean_doc_tokens_ppm"] == (9 * 1_000_000) // 4
+    assert got["n_sources"] == 2
+    assert got["n_langs"] == 2
