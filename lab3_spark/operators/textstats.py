@@ -1234,12 +1234,22 @@ def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: the scan is per-row expressions at scan speed; the
     aggregate's distinct counts are the only shuffles (three keyed
     exchanges over narrow columns); the stack runs on ONE row."""
+    from lab3_spark.functions.text import md5_long
+
     toks = tokenize(text_col)
     base = spread(documents).select(
+        F.col("doc_id"),
         F.size(toks).cast("bigint").alias("n_toks"),
         F.col("lang"),
         F.col("source"),
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )
+    # order-insensitive, overflow-free corpus manifest: XOR of
+    # per-(doc, content) hashes — two corpora checksum-equal iff the
+    # (doc_id, fingerprint) multiset matches, the reproducible-export
+    # version stamp
+    h = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("fp"))
     )
     agg = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1247,9 +1257,11 @@ def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("fp").cast("bigint").alias("nfp"),
         F.countDistinct("source").cast("bigint").alias("nsrc"),
         F.countDistinct("lang").cast("bigint").alias("nlang"),
+        F.bit_xor(h).cast("bigint").alias("cksum"),
     )
     return agg.selectExpr(
-        """stack(8,
+        """stack(9,
+            'content_checksum_xor', cksum,
             'dup_rate_ppm', ((n_docs - nfp) * 1000000) div n_docs,
             'distinct_fingerprints', nfp,
             'exact_dup_docs', n_docs - nfp,

@@ -1066,9 +1066,9 @@ def q_corpus_shuffle_shards(spark, sf_dir):
     "dataset_card",
     f"""
     WITH base AS (
-      SELECT CAST(len(toks) AS BIGINT) AS n_toks, lang, source,
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, lang, source,
              md5(array_to_string(toks, ' ')) AS fp
-      FROM (SELECT lang, source,
+      FROM (SELECT doc_id, lang, source,
                    regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
             FROM documents)
     ),
@@ -1077,12 +1077,15 @@ def q_corpus_shuffle_shards(spark, sf_dir):
              CAST(sum(n_toks) AS BIGINT) AS tot,
              CAST(count(DISTINCT fp) AS BIGINT) AS nfp,
              CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
-             CAST(count(DISTINCT lang) AS BIGINT) AS nlang
+             CAST(count(DISTINCT lang) AS BIGINT) AS nlang,
+             CAST(bit_xor({_h2l("substr(md5(concat(CAST(doc_id AS VARCHAR), '|', fp)), 1, 15)")})
+                  AS BIGINT) AS cksum
       FROM base
     )
     SELECT metric, value FROM (
-      SELECT 'dup_rate_ppm' AS metric,
-             ((n_docs - nfp) * 1000000) // n_docs AS value FROM s
+      SELECT 'content_checksum_xor' AS metric, cksum AS value FROM s
+      UNION ALL SELECT 'dup_rate_ppm',
+             ((n_docs - nfp) * 1000000) // n_docs FROM s
       UNION ALL SELECT 'distinct_fingerprints', nfp FROM s
       UNION ALL SELECT 'exact_dup_docs', n_docs - nfp FROM s
       UNION ALL SELECT 'mean_doc_tokens_ppm', (tot * 1000000) // n_docs FROM s

@@ -418,3 +418,15 @@ def test_dataset_card_metrics_hand_checked(spark):
     assert got["mean_doc_tokens_ppm"] == (9 * 1_000_000) // 4
     assert got["n_sources"] == 2
     assert got["n_langs"] == 2
+    # manifest checksum recomputed independently: XOR of
+    # fold(md5(doc_id|md5(norm_tokens))[0:15]) over all docs
+    import hashlib
+
+    norm = {1: "alpha beta gamma", 2: "alpha beta gamma",
+            3: "delta epsilon", 4: "zeta"}
+    want = 0
+    for d, t in norm.items():
+        fp = hashlib.md5(t.encode()).hexdigest()
+        h = int(hashlib.md5(f"{d}|{fp}".encode()).hexdigest()[:15], 16)
+        want ^= h
+    assert got["content_checksum_xor"] == want
