@@ -184,29 +184,49 @@ def main() -> None:
     # steal (the same query varies 4s↔100s across runs); the min is
     # the reproducible dataflow cost (the reference's self-timing
     # likewise measures the compute phase, not program setup).
-    def run_once(name: str) -> float:
+    from lab3_spark.functions.partitioning import memo_result_hit_count
+
+    def run_once(name: str) -> tuple[float, bool]:
+        h0 = memo_result_hit_count()
         t0 = time.time()
         # noop sink: full computation of every column, zero driver
         # transfer (count() would let Catalyst prune projections)
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        # a memo_result hit means this pass skipped the computation
+        # entirely (whole-result memo) — its time is cache-read, not
+        # dataflow, and must not become the headline number
+        return dt, memo_result_hit_count() > h0
 
     passes: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    memoed: dict[str, list[bool]] = {n: [] for n in HEADLINE}
     for rnd in (1, 2):
         for name in HEADLINE:
-            dt = run_once(name)
+            dt, hit = run_once(name)
             passes[name].append(dt)
+            memoed[name].append(hit)
             print(f"[pass {rnd}] {name} took: {dt:.3f} seconds", file=sys.stderr)
     timings: dict[str, float] = {}
+    memo_served: list[str] = []
     for name, ts in passes.items():
-        best = min(ts)
+        # headline = min over NON-memo-served passes only: for
+        # result-memoized gates that is the cold pass (training +
+        # fixpoint paid), so the headline measures computation even
+        # though warm passes are served from memo
+        honest = [t for t, hit in zip(ts, memoed[name]) if not hit]
+        if len(honest) < len(ts):
+            memo_served.append(name)
+        best = min(honest) if honest else min(ts)
         # wildly disagreeing passes = the host stole CPU mid-run;
-        # take one tie-breaker measurement
-        if max(ts) > 2 * best + 0.5:
-            extra = run_once(name)
+        # take one tie-breaker measurement (memo-served extras are
+        # excluded the same way)
+        if len(honest) > 1 and max(honest) > 2 * best + 0.5:
+            extra, hit = run_once(name)
             print(f"[pass 3] {name} took: {extra:.3f} seconds", file=sys.stderr)
             passes[name].append(extra)
-            best = min(best, extra)
+            memoed[name].append(hit)
+            if not hit:
+                best = min(best, extra)
         timings[name] = best
 
     # Cold vs warm split for the composite gates (training / iterative
@@ -214,6 +234,8 @@ def main() -> None:
     # memo_persist/trained_centroids serve from cache in a long-lived
     # driver — the production shape.  cold = pass 1, warm = best later
     # pass; reported per query so the memo benefit is bench-visible.
+    # For queries in memo_served the warm number is a whole-result
+    # memo read; their HEADLINE entry is the cold (computed) time.
     cold = {n: ts[0] for n, ts in passes.items()}
     warm = {n: min(ts[1:]) for n, ts in passes.items()}
 
@@ -227,6 +249,7 @@ def main() -> None:
                 "queries": timings,
                 "cold": cold,
                 "warm": warm,
+                "memo_served": sorted(memo_served),
                 "sf": float(sf),
             }
         )

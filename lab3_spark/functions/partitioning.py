@@ -134,6 +134,16 @@ def retire_latest(key: str, df: DataFrame) -> DataFrame:
 
 _RESULT_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
 
+# monotone count of memo_result cache hits — bench.py samples it
+# around each run to tell "re-computed" from "served from memo" (a
+# memo-served pass measures cache-read time, not the computation, and
+# must not be the headline number)
+_RESULT_MEMO_HITS = 0
+
+
+def memo_result_hit_count() -> int:
+    return _RESULT_MEMO_HITS
+
 
 def memo_result(key: str, input_df: DataFrame, build) -> DataFrame:
     """Input-keyed RESULT memo for driver-looped iterative operators.
@@ -160,6 +170,8 @@ def memo_result(key: str, input_df: DataFrame, build) -> DataFrame:
                 .analyzed()
                 .sameResult(input_df._jdf.queryExecution().analyzed())
             ):
+                global _RESULT_MEMO_HITS
+                _RESULT_MEMO_HITS += 1
                 return prev[1]
         except Exception:
             pass  # stale/stopped session — fall through to rebuild

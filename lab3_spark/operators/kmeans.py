@@ -294,7 +294,8 @@ def _assign_arrow(
     )
 
 
-_CENTROID_MEMO: list[tuple[DataFrame, int, int, list]] = []
+# entries: (input frame, (k, prescaled), n_iter, centroids)
+_CENTROID_MEMO: list[tuple[DataFrame, tuple[int, bool], int, list]] = []
 
 
 def trained_centroids(
@@ -311,8 +312,8 @@ def trained_centroids(
     need the same quantizer — retraining per query re-ran ~15 Spark
     jobs each.  Same sameResult predicate as
     functions.partitioning.memo_persist."""
-    for f, kk, nn, cents in _CENTROID_MEMO:
-        if kk == (k, prescaled) and nn == n_iter:
+    for f, key, nn, cents in _CENTROID_MEMO:
+        if key == (k, prescaled) and nn == n_iter:
             try:
                 if (
                     f._jdf.queryExecution()

@@ -1244,10 +1244,14 @@ def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("source"),
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
     )
-    # order-insensitive, overflow-free corpus manifest: XOR of
-    # per-(doc, content) hashes — two corpora checksum-equal iff the
-    # (doc_id, fingerprint) multiset matches, the reproducible-export
-    # version stamp
+    # order-insensitive corpus manifest: modular SUM of per-(doc,
+    # content) hashes (mod 2^61-1; each hash < 2^60, summed in decimal
+    # so no bigint overflow).  A sum — unlike XOR — is multiset-
+    # faithful to multiplicity (an even number of copies of the same
+    # hash does not cancel to zero).  Checksum equality is strong
+    # EVIDENCE of (doc_id, fingerprint)-multiset equality, not proof:
+    # hash collisions remain possible, so it is a necessary check for
+    # a reproducible export, not a sufficient one.
     h = md5_long(
         F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("fp"))
     )
@@ -1257,11 +1261,15 @@ def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("fp").cast("bigint").alias("nfp"),
         F.countDistinct("source").cast("bigint").alias("nsrc"),
         F.countDistinct("lang").cast("bigint").alias("nlang"),
-        F.bit_xor(h).cast("bigint").alias("cksum"),
+        (
+            F.sum(h.cast("decimal(28,0)")) % F.lit(2305843009213693951)
+        )
+        .cast("bigint")
+        .alias("cksum"),
     )
     return agg.selectExpr(
         """stack(9,
-            'content_checksum_xor', cksum,
+            'content_checksum_modsum', cksum,
             'dup_rate_ppm', ((n_docs - nfp) * 1000000) div n_docs,
             'distinct_fingerprints', nfp,
             'exact_dup_docs', n_docs - nfp,

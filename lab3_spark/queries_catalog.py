@@ -1078,12 +1078,12 @@ def q_corpus_shuffle_shards(spark, sf_dir):
              CAST(count(DISTINCT fp) AS BIGINT) AS nfp,
              CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
              CAST(count(DISTINCT lang) AS BIGINT) AS nlang,
-             CAST(bit_xor({_h2l("substr(md5(concat(CAST(doc_id AS VARCHAR), '|', fp)), 1, 15)")})
-                  AS BIGINT) AS cksum
+             CAST(sum({_h2l("substr(md5(concat(CAST(doc_id AS VARCHAR), '|', fp)), 1, 15)")})
+                  % 2305843009213693951 AS BIGINT) AS cksum
       FROM base
     )
     SELECT metric, value FROM (
-      SELECT 'content_checksum_xor' AS metric, cksum AS value FROM s
+      SELECT 'content_checksum_modsum' AS metric, cksum AS value FROM s
       UNION ALL SELECT 'dup_rate_ppm',
              ((n_docs - nfp) * 1000000) // n_docs FROM s
       UNION ALL SELECT 'distinct_fingerprints', nfp FROM s

@@ -66,6 +66,12 @@ def compact_cms_store(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # a crash between the scratch write and the swap below may leave a
+    # stale scratch dir; it holds counts already present in the live
+    # partitions, so it must never survive into a later merge
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().startswith("_compacting_"):
+            fs.delete(st.getPath(), True)
     ids = sorted(
         int(m.group(1))
         for st in fs.listStatus(hpath)
@@ -82,10 +88,13 @@ def compact_cms_store(
         .agg(F.sum("cnt").alias("cnt"))
         .select("r", "bucket", "cnt")
     )
-    # write to a scratch partition first, then swap: the merged plan
-    # READS the target partition, so overwriting it in place would
-    # read-truncate its own input
-    tmp = f"{store_path}/batch_id={target}.compacting"
+    # write to a scratch dir first, then swap: the merged plan READS
+    # the target partition, so overwriting it in place would
+    # read-truncate its own input.  The scratch name is _-prefixed so
+    # the `batch_id=*` glob in merged_counters can never see it — a
+    # crash mid-swap must not leave a dir whose counts double-count
+    # with the partitions they were folded from
+    tmp = f"{store_path}/_compacting_{target}"
     merged.write.mode("overwrite").parquet(tmp)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={target}"), True)
     fs.rename(

@@ -121,3 +121,52 @@ def test_cms_store_compaction_preserves_merge(spark, sf_dir, tmp_path):
     assert after == before
     # idempotent once bounded: nothing further to absorb
     assert compact_cms_store(spark, store, keep_last=2) == 0
+
+
+def test_cms_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the scratch write and the swap must not corrupt
+    the store: the _-prefixed scratch dir is invisible to
+    merged_counters' `batch_id=*` glob, and the next compaction run
+    deletes it before merging (no double-count, ever)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.events import cms_counters
+    from lab3_spark.streaming.cms import compact_cms_store, merged_counters
+    from lab3_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    store = str(tmp_path / "store")
+    for b in range(4):
+        cms_counters(ev.where(F.col("event_id") % 4 == b)).write.parquet(
+            f"{store}/batch_id={b}"
+        )
+    before = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    # simulate the crash: the scratch dir exists (already holding the
+    # folded counts of batches 0+1) but the swap never happened
+    folded = (
+        spark.read.option("basePath", store)
+        .parquet(f"{store}/batch_id=0", f"{store}/batch_id=1")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("r", "bucket", "cnt")
+    )
+    folded.write.parquet(f"{store}/_compacting_0")
+    # reader never sees the scratch counts
+    mid = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    assert mid == before
+    # the next compaction cleans the stale scratch and merges correctly
+    absorbed = compact_cms_store(spark, store, keep_last=2)
+    assert absorbed == 1  # batch 1 folded into 0; 2,3 kept
+    assert not any(
+        f.startswith("_compacting_") for f in os.listdir(store)
+    )
+    after = {
+        (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
+    }
+    assert after == before

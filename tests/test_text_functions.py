@@ -418,8 +418,8 @@ def test_dataset_card_metrics_hand_checked(spark):
     assert got["mean_doc_tokens_ppm"] == (9 * 1_000_000) // 4
     assert got["n_sources"] == 2
     assert got["n_langs"] == 2
-    # manifest checksum recomputed independently: XOR of
-    # fold(md5(doc_id|md5(norm_tokens))[0:15]) over all docs
+    # manifest checksum recomputed independently: modular sum of
+    # md5(doc_id|md5(norm_tokens))[0:15] over all docs, mod 2^61-1
     import hashlib
 
     norm = {1: "alpha beta gamma", 2: "alpha beta gamma",
@@ -428,5 +428,28 @@ def test_dataset_card_metrics_hand_checked(spark):
     for d, t in norm.items():
         fp = hashlib.md5(t.encode()).hexdigest()
         h = int(hashlib.md5(f"{d}|{fp}".encode()).hexdigest()[:15], 16)
-        want ^= h
-    assert got["content_checksum_xor"] == want
+        want = (want + h) % (2**61 - 1)
+    assert got["content_checksum_modsum"] == want
+
+
+def test_dataset_card_checksum_multiplicity_faithful(spark):
+    """The modular-sum manifest distinguishes duplicate MULTIPLICITY —
+    the failure mode of an XOR fold, where an even number of copies of
+    the same (doc_id, content) hash cancels to zero."""
+    from lab3_spark.operators.textstats import dataset_card
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    one = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web")], schema
+    )
+    # same (doc_id, content) row twice: XOR would cancel to 0; the sum
+    # doubles instead
+    two = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web"), (1, "alpha beta", "en", "web")],
+        schema,
+    )
+    c1 = {r.metric: r.value for r in dataset_card(one).collect()}
+    c2 = {r.metric: r.value for r in dataset_card(two).collect()}
+    k = "content_checksum_modsum"
+    assert c2[k] != 0
+    assert c2[k] == (2 * c1[k]) % (2**61 - 1)
