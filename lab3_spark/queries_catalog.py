@@ -7690,60 +7690,32 @@ def q_ann_sq8(spark, sf_dir):
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
 # registration order above is build-chronological.  ``_DRIVER_PRIORITY``
-# pins the window deliberately; round 5's curation goal (per the round-4
-# verdict) is CUMULATIVE 150/150 driver coverage:
+# pins the window deliberately.  After round 5 every oracled query has a
+# green driver CORRECTNESS row (cumulative 170/170); round 6's curation:
 #
-#   1-15   the 15 oracled queries with no green driver CORRECTNESS row
-#          after round 4 (14 never windowed — the r4 window held 50 and
-#          these were slots 51+ — plus ``grouped_minmax_normalize``,
-#          whose r4 row was a driver-canon crash on an array column;
-#          reshaped to long form this round).
-#   16+    new round-5 gates as they land, then re-confirmations: the
-#          §2 parity core, queries whose implementation changed this
-#          round, and one representative per family so every SURVEY §2
-#          family keeps a recent green row.
+#   1      ``dataset_card`` — its checksum metric changed this round
+#          (bit_xor → modular sum, per ADVICE) so the standing green row
+#          no longer describes the current code; re-confirm first.
+#   2-4    the 3 rows-only sketch gates (``events_approx_dau``,
+#          ``events_hll_daily_merge``, ``events_value_percentiles_
+#          approx``) — never windowed; rows-only by design (sketch
+#          internals are engine-specific), but a driver row makes the
+#          weaker check visible instead of absent.
+#   5+     new round-6 gates as they land, then re-confirmations: the
+#          §2 parity core and one representative per family so every
+#          SURVEY §2 family keeps a recent green row.
 #
 # Everything else follows in original order (driver may check more than
 # 50 someday; nothing is dropped — only reordered).
 _DRIVER_PRIORITY = [
-    # -- no green driver row after r1-r4 (15) ----------------------------
-    "grouped_minmax_normalize",  # r4 row was canon-crash; reshaped long
-    "orc_roundtrip_events",
-    "events_value_histogram",
-    "streaming_sliding_10m",
-    "orders_priority_unpivot",
-    "orders_scd_upsert",
-    "per_source_token_budget",
-    "dedup_cluster_representatives",
-    "weighted_sample_docs",
-    "multimodal_byte_chunks",
-    "dedup_method_agreement",
-    "doc_bigram_surprisal",
-    "events_top_type_per_hour",
-    "dedup_rate_by_source",
-    "events_by_customer_segment",
-    # -- new round-5 gates (inserted here as they land) ------------------
-    "benchmark_decontamination",
-    "doc_bpe_token_counts",
-    "doc_winnowing_fingerprints",
-    "streaming_curated_ingest",
-    "ann_ivf_pq_top5",
-    "ann_ivfpq_residual_top5",
-    "ann_ivfpq_rerank_top5",
-    "cluster_balanced_sample",
-    "ann_sq8_top5",
-    "events_cms_heavy_hitters",
-    "ann_ivfpq_recall",
-    "dedup_winnowing",
-    "streaming_cms_heavy_hitters",
-    "corpus_shuffle_shards",
-    "dedup_lpa_communities",
-    "dedup_community_modularity",
-    "ann_ivf_frozen_append",
-    "hybrid_retrieval_rrf",
-    "ppr_seed_proximity",
-    "dataset_card",
-    # -- re-confirmations (fill to 50; new r5 gates get inserted above
+    # -- changed this round ----------------------------------------------
+    "dataset_card",  # checksum metric reshaped (ADVICE r5)
+    # -- rows-only sketch gates, never windowed --------------------------
+    "events_approx_dau",
+    "events_hll_daily_merge",
+    "events_value_percentiles_approx",
+    # -- new round-6 gates (inserted here as they land) ------------------
+    # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
     "word_count_parity",
@@ -7757,7 +7729,7 @@ _DRIVER_PRIORITY = [
     "dedup_survivors",
     "dedup_semantic",
     "dedup_containment",
-    "dedup_graph_triangles",  # re-confirm after degree-ordering change
+    "dedup_graph_triangles",
     "kmeans_centroids",
     "ann_ivf_trained",
     "ann_ivf_probe2",
@@ -7765,9 +7737,13 @@ _DRIVER_PRIORITY = [
     "ann_pq_adc_top5",
     "ann_pq_recall",
     "ann_pq_rerank",
+    "ann_ivfpq_residual_top5",
+    "ann_ivfpq_rerank_top5",
+    "ann_sq8_top5",
     "ann_lsh_buckets",
     "sparse_tfidf_pairs",
     "bm25_top_docs",
+    "hybrid_retrieval_rrf",
     "doc_unigram_logprob",
     "doc_ppl_buckets",
     "doc_dsir_weights",
@@ -7775,13 +7751,16 @@ _DRIVER_PRIORITY = [
     "token_budget_select",
     "source_mixing_weights",
     "robust_quality_zscore",
+    "benchmark_decontamination",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing",
+    "dedup_lpa_communities",
     "events_sessionize",
     "events_sliding_10m",
     "orders_rolling_7d_revenue",
     "streaming_sessionize_stateful",
-    "streaming_view_purchase_join",
     "streaming_incremental_dedup",
-    "streaming_tumbling_5min",
+    "streaming_curated_ingest",
     "multimodal_features",
     "mapreduce_facade_wordcount",
     "events_asof_join",
@@ -7789,7 +7768,7 @@ _DRIVER_PRIORITY = [
     "order_total_deciles",
     "cross_source_contamination",
     "doc_gopher_quality",
-    "doc_length_distribution",
+    "events_cms_heavy_hitters",
 ]
 
 
