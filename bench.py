@@ -149,6 +149,8 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "ppr_seed_proximity",
     "dataset_card",
+    # round 6 additions
+    "events_kmv_daily_users",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

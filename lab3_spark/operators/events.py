@@ -527,3 +527,89 @@ def cms_heavy_hitters(
     top = est.orderBy(F.desc("est"), F.asc(key_col)).limit(topn)
     w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), F.asc(key_col))
     return top.withColumn("rnk", F.row_number().over(w0)).orderBy("rnk")
+
+
+# KMV hash domain: 52 bits (13 hex chars of md5) so the estimator's
+# (k-1)·DOMAIN numerator stays inside a signed 64-bit int for any
+# k ≤ 2048 — no 128-bit arithmetic, identical integer division in both
+# engines.  The narrower domain costs ~n²/2^53 hash collisions (≈ 100
+# colliding pairs at n = 10^9 distinct keys — a 0.1 ppm shrink, far
+# below the sketch's own ±1/sqrt(k) error).
+KMV_HEX_CHARS = 13
+KMV_DOMAIN = 1 << (4 * KMV_HEX_CHARS)
+
+
+def kmv_synopsis(
+    keyed: DataFrame, group_col: str, hash_col: str, k: int
+) -> DataFrame:
+    """The k smallest DISTINCT hash values per group — the KMV
+    (k-minimum-values / theta sketch bottom-k) synopsis of Bar-Yossef
+    et al. 2002.  Unlike HLL the synopsis is a deterministic function
+    of the key set, so estimates are fully oracle-checkable; like HLL
+    it is MERGEABLE: the union's k smallest hashes all sit inside each
+    constituent's k smallest, so union-of-synopses → k smallest
+    re-select is exactly the synopsis of the union.
+
+    Per-group top-k goes through `rank.top_n_per_key` (salted two-stage
+    ranking) — a group can be a large corpus fraction and must not pin
+    a single window task."""
+    from lab3_spark.operators.rank import top_n_per_key
+
+    return top_n_per_key(
+        keyed.select(group_col, hash_col).distinct(),
+        [group_col],
+        [hash_col],
+        k,
+    ).select(group_col, hash_col)
+
+
+def kmv_daily_users(events: DataFrame, k: int = 64) -> DataFrame:
+    """(day, est_users, est_users_total): per-day distinct-user
+    estimates from KMV synopses plus the merged all-days total — the
+    fully-ORACLED mergeable distinct sketch (third sketch family next
+    to HLL, which is rows-only, and CMS).
+
+    Scale shape: one distinct + salted top-k per day builds the per-day
+    synopsis (≤ k rows/day — stored state, like the HLL sketch table);
+    the all-time total re-selects the k smallest over the ≤ days·k
+    union WITHOUT rescanning events.  The per-day synopsis frame is
+    memo-persisted so daily estimates and the merged total share one
+    events scan."""
+    from lab3_spark.functions.partitioning import memo_persist, spread
+    from lab3_spark.functions.text import hex_to_long
+
+    hv = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+            1,
+            KMV_HEX_CHARS,
+        )
+    )
+    day_hv = spread(events).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), hv.alias("hv")
+    )
+    syn = memo_persist(
+        f"events.kmv_daily.{k}", kmv_synopsis(day_hv, "day", "hv", k)
+    )
+    num = f"CAST({(k - 1) * KMV_DOMAIN} AS BIGINT)"
+    est = F.when(F.col("ns") < k, F.col("ns")).otherwise(
+        F.expr(f"{num} div hk")
+    )
+    daily = syn.groupBy("day").agg(
+        F.count("*").alias("ns"), F.max("hv").alias("hk")
+    )
+    # merged total: k smallest of the distinct union of per-day
+    # synopses (same user hashes identically on every day)
+    merged = (
+        syn.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.count("*").alias("ns"), F.max("hv").alias("hk"))
+        .select(est.cast("bigint").alias("est_users_total"))
+    )
+    return (
+        daily.select("day", est.cast("bigint").alias("est_users"))
+        .crossJoin(F.broadcast(merged))
+        .orderBy("day")
+    )

@@ -7685,6 +7685,50 @@ def q_ann_sq8(spark, sf_dir):
     return ann_sq8(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "events_kmv_daily_users",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+             {_h2l("substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 13)")} AS hv
+      FROM events
+    ),
+    syn AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM hv
+      ) WHERE rn <= 64
+    ),
+    daily AS (
+      SELECT day, count(*) AS ns, max(hv) AS hk FROM syn GROUP BY day
+    ),
+    gsyn AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM syn) ORDER BY hv LIMIT 64
+    ),
+    gtot AS (
+      SELECT CAST(CASE WHEN count(*) < 64 THEN count(*)
+                  ELSE {63 * (1 << 52)} // max(hv) END AS BIGINT) AS est_users_total
+      FROM gsyn
+    )
+    SELECT day,
+           CAST(CASE WHEN ns < 64 THEN ns
+                ELSE {63 * (1 << 52)} // hk END AS BIGINT) AS est_users,
+           (SELECT est_users_total FROM gtot) AS est_users_total
+    FROM daily ORDER BY day
+    """,
+)
+def q_kmv_daily_users(spark, sf_dir):
+    """KMV / bottom-k distinct sketch (events.kmv_daily_users): per-day
+    distinct-user estimates plus the merged all-days total from k=64
+    minimum md5 values — the fully-ORACLED mergeable distinct sketch
+    (HLL's sketch bytes are engine-specific; a KMV synopsis is a
+    deterministic function of the key set, so DuckDB rebuilds it
+    bit-for-bit).  Merge = re-select k smallest over the union of
+    per-day synopses — no event rescan."""
+    return EV.kmv_daily_users(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7715,6 +7759,7 @@ _DRIVER_PRIORITY = [
     "events_hll_daily_merge",
     "events_value_percentiles_approx",
     # -- new round-6 gates (inserted here as they land) ------------------
+    "events_kmv_daily_users",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

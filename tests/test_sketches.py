@@ -78,3 +78,65 @@ def test_cms_overestimate_and_mergeability(spark, sf_dir):
     }
     whole = {(r.r, r.bucket): r.cnt for r in cms_counters(ev).collect()}
     assert merged == whole
+
+
+def test_kmv_estimates_track_exact(spark, sf_dir):
+    """KMV daily estimates within the k=64 sketch's ±1/sqrt(k) band of
+    exact distinct counts; groups under k distinct are EXACT."""
+    from lab3_spark.operators.events import kmv_daily_users
+
+    ev = load_table(spark, sf_dir, "events")
+    got = kmv_daily_users(ev, k=64).collect()
+    exact = {
+        r["day"]: r["dau"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert len(got) == len(exact)
+    for r in got:
+        e = exact[r["day"]]
+        if e < 64:
+            assert r["est_users"] == e, (r["day"], r["est_users"], e)
+        else:
+            # 3 standard errors at k=64 ≈ 37.5%
+            assert abs(r["est_users"] - e) <= 0.375 * e, (r["day"], r["est_users"], e)
+    total_exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    t = got[0]["est_users_total"]
+    if total_exact < 64:
+        assert t == total_exact
+    else:
+        assert abs(t - total_exact) <= 0.375 * total_exact
+
+
+def test_kmv_merge_equals_whole_input_synopsis(spark, sf_dir):
+    """Union-of-per-day-synopses re-selected to k smallest equals the
+    synopsis built over the whole input in one shot — the mergeability
+    contract, checked on the actual hash values (not just estimates)."""
+    from lab3_spark.functions.text import hex_to_long
+    from lab3_spark.operators.events import kmv_synopsis
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    hv = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+            1,
+            13,
+        )
+    )
+    day_hv = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), hv.alias("hv")
+    )
+    per_day = kmv_synopsis(day_hv, "day", "hv", k)
+    merged = sorted(
+        r["hv"]
+        for r in per_day.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    whole = sorted(
+        r["hv"]
+        for r in kmv_synopsis(
+            day_hv.select(F.lit("all").alias("g"), "hv"), "g", "hv", k
+        ).collect()
+    )
+    assert merged == whole
