@@ -688,3 +688,147 @@ def containment_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Bloom parameters: BITS_PER_WORD = 63 keeps every set bit below the
+# sign bit, so shiftleft/bit_or/bit-test arithmetic is identical on
+# signed 64-bit ints in Spark and DuckDB (no 1<<63 sign surprises).
+BLOOM_BITS_PER_WORD = 63
+
+
+def bloom_filter_words(
+    reference: DataFrame,
+    text_col: str = "text",
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """(word, bits): a Bloom filter over the reference corpus's content
+    fingerprints, as m_words 63-bit words built by one hash shuffle +
+    bit_or aggregation.
+
+    The filter is a deterministic md5 construction (like the CMS
+    counter matrix, operators/events.py cms_counters) — portable,
+    mergeable (filters over disjoint corpus slices OR together), and
+    fully oracle-checkable, unlike a native engine bloom whose layout
+    is private.  Size: m_words·63 bits total regardless of corpus
+    size; at 100 TB the filter over yesterday's corpus is built once
+    (one scan, map-side-combined bit_or, ≤ m_words rows out per task)
+    and BROADCAST — the incoming batch never shuffle-joins the full
+    history just to ask "have we seen this content before?"."""
+    fp = F.md5(F.concat_ws(" ", tokenize(text_col)))
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    probes = (
+        spread(reference)
+        .select(fp.alias("fp"))
+        .distinct()
+        .select(
+            "fp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+        )
+        .select(
+            F.pmod(
+                md5_long(
+                    F.concat(F.col("h").cast("string"), F.lit("|"), F.col("fp")),
+                    salt="bloom",
+                ),
+                F.lit(m_bits),
+            ).alias("pos")
+        )
+    )
+    return (
+        probes.select(
+            F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
+            # shiftleft via expr: the pyspark wrapper takes only a
+            # Python-int shift amount
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_prefilter_dedup(
+    reference: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """(doc_id, bloom_pass, is_dup, false_positive): incremental batch
+    dedup of ``incoming`` against ``reference`` with a broadcast Bloom
+    prefilter — the cross-snapshot dedup shape (today's crawl vs the
+    accumulated corpus) where shuffling the full history per batch is
+    the thing to avoid.
+
+    Three stages, each with the scale role stated:
+    1. PREFILTER: probe the broadcast m_words-row filter — the
+       incoming batch's only shuffle is its own (doc grouping of
+       n_hashes probe rows, map-side-combined min).  No false
+       negatives by construction (every reference fp set all its
+       bits), so bloom_pass=0 docs are PROVEN new and skip stage 2.
+    2. VERIFY: only bloom survivors' fingerprints (a vanishing
+       fraction at a sane m/n ratio) are checked exactly — the
+       reference corpus is scanned once with the survivor set
+       broadcast as a semi-join filter; the full-history fp shuffle
+       join never happens.
+    3. CLASSIFY: bloom_pass & !verified = false_positive — the
+       filter's measurable error, reported per doc so the gate (and
+       the oracle) pins the exact false-positive set, not just a
+       rate."""
+    fp = F.md5(F.concat_ws(" ", tokenize(text_col)))
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    bloom = bloom_filter_words(reference, text_col, m_words, n_hashes)
+    inc = spread(incoming).select("doc_id", fp.alias("fp"))
+    pos = F.pmod(
+        md5_long(
+            F.concat(F.col("h").cast("string"), F.lit("|"), F.col("fp")),
+            salt="bloom",
+        ),
+        F.lit(m_bits),
+    )
+    probes = (
+        inc.select(
+            "doc_id",
+            "fp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+        )
+        .select("doc_id", "fp", pos.alias("pos"))
+        .select(
+            "doc_id",
+            "fp",
+            F.expr(f"pos div {BLOOM_BITS_PER_WORD}").alias("word"),
+            (F.col("pos") % BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+    )
+    hit = F.expr(
+        "CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) % 2 AS INT)"
+    )
+    per_doc = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select("doc_id", "fp", hit.alias("hit"))
+        .groupBy("doc_id", "fp")
+        .agg((F.min("hit") == 1).cast("int").alias("bloom_pass"))
+    )
+    survivors = per_doc.where(F.col("bloom_pass") == 1).select("fp").distinct()
+    ref_fps = spread(reference).select(fp.alias("fp"))
+    verified = (
+        ref_fps.join(F.broadcast(survivors), "fp", "leftsemi")
+        .distinct()
+        .withColumn("verified", F.lit(1))
+    )
+    return (
+        per_doc.join(F.broadcast(verified), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_pass",
+            F.coalesce("verified", F.lit(0)).alias("is_dup"),
+            (
+                (F.col("bloom_pass") == 1) & F.coalesce("verified", F.lit(0)).eqNullSafe(0)
+            )
+            .cast("int")
+            .alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -7729,6 +7729,66 @@ def q_kmv_daily_users(spark, sf_dir):
     return EV.kmv_daily_users(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "dedup_bloom_prefilter",
+    f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    refd AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 4 != 0),
+    inc AS (SELECT doc_id, fp FROM fps WHERE doc_id % 4 = 0),
+    bpos AS (
+      SELECT ({_h2l("substr(md5(concat('bloom', '|', CAST(t.h AS VARCHAR), '|', fp)), 1, 15)")})
+               % {1024 * 63} AS pos
+      FROM refd CROSS JOIN range(4) AS t(h)
+    ),
+    bloom AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, fp, pos // 63 AS word, CAST(pos % 63 AS INT) AS bit
+      FROM (
+        SELECT doc_id, fp,
+               ({_h2l("substr(md5(concat('bloom', '|', CAST(t.h AS VARCHAR), '|', fp)), 1, 15)")})
+                 % {1024 * 63} AS pos
+        FROM inc CROSS JOIN range(4) AS t(h)
+      )
+    ),
+    perdoc AS (
+      SELECT p.doc_id, p.fp,
+             CAST(min((COALESCE(b.bits, 0) >> p.bit) % 2) = 1 AS INT) AS bloom_pass
+      FROM probes p LEFT JOIN bloom b ON p.word = b.word
+      GROUP BY p.doc_id, p.fp
+    )
+    SELECT d.doc_id, d.bloom_pass,
+           CAST(d.bloom_pass = 1 AND r.fp IS NOT NULL AS INT) AS is_dup,
+           CAST(d.bloom_pass = 1 AND r.fp IS NULL AS INT) AS false_positive
+    FROM perdoc d LEFT JOIN refd r ON d.fp = r.fp
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_bloom_prefilter(spark, sf_dir):
+    """Broadcast-Bloom incremental dedup (dedup.bloom_prefilter_dedup):
+    the incoming quarter of the corpus (doc_id % 4 = 0) checked against
+    the reference three quarters through a 1024-word deterministic
+    Bloom filter — prefilter (no false negatives), exact verify on
+    survivors only, per-doc false-positive classification.  The
+    full-history fp shuffle join never happens: the filter and the
+    survivor set broadcast."""
+    from lab3_spark.operators.dedup import bloom_prefilter_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_prefilter_dedup(
+        docs.where(F.col("doc_id") % 4 != 0),
+        docs.where(F.col("doc_id") % 4 == 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7760,6 +7820,7 @@ _DRIVER_PRIORITY = [
     "events_value_percentiles_approx",
     # -- new round-6 gates (inserted here as they land) ------------------
     "events_kmv_daily_users",
+    "dedup_bloom_prefilter",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -244,3 +244,74 @@ def test_simhash_bucket_cap_mixed_case_complete(spark, sf_dir):
             for r in simhash_near_pairs(docs, max_bucket=cap).collect()
         }
         assert got == expected, cap
+
+
+def test_bloom_prefilter_no_false_negatives_and_classification(spark):
+    """Every incoming doc whose content exists in the reference MUST
+    pass the bloom (no false negatives — the filter's one guarantee)
+    and be classified is_dup; provably-new docs (bloom_pass=0) are
+    never dups; false_positive = pass & !dup exactly."""
+    from lab3_spark.operators.dedup import bloom_prefilter_dedup
+
+    ref_rows = [(i, f"reference document number {i} alpha beta") for i in range(1, 40)]
+    inc_rows = (
+        # true dups: same content as ref docs 1..5 (different ids)
+        [(100 + i, f"reference document number {i} alpha beta") for i in range(1, 6)]
+        # new content
+        + [(200 + i, f"fresh unseen content item {i} gamma delta") for i in range(10)]
+    )
+    schema = "doc_id bigint, text string"
+    ref = spark.createDataFrame(ref_rows, schema)
+    inc = spark.createDataFrame(inc_rows, schema)
+    got = {r.doc_id: r for r in bloom_prefilter_dedup(ref, inc).collect()}
+    assert len(got) == len(inc_rows)
+    for i in range(1, 6):
+        r = got[100 + i]
+        assert r.bloom_pass == 1 and r.is_dup == 1 and r.false_positive == 0, r
+    for i in range(10):
+        r = got[200 + i]
+        assert r.is_dup == 0, r
+        assert r.false_positive == (1 if r.bloom_pass == 1 else 0), r
+
+
+def test_bloom_filter_words_mergeable(spark):
+    """Filters over disjoint corpus slices OR together into the whole-
+    corpus filter — per-slice build then merge must equal one-shot."""
+    from lab3_spark.operators.dedup import bloom_filter_words
+
+    rows = [(i, f"slice test document {i} unique words {i * 7}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    whole = {
+        r.word: r.bits for r in bloom_filter_words(docs).collect()
+    }
+    a = bloom_filter_words(docs.where(F.col("doc_id") % 2 == 0))
+    b = bloom_filter_words(docs.where(F.col("doc_id") % 2 == 1))
+    merged = {
+        r.word: r.bits
+        for r in a.unionByName(b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_bloom_prefilter_plan_broadcasts(spark, sf_dir):
+    """The probe join and the survivor verify are broadcast joins —
+    the incoming batch and the reference never shuffle-join on fp."""
+    from lab3_spark.operators.dedup import bloom_prefilter_dedup
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        bloom_prefilter_dedup(
+            docs.where(F.col("doc_id") % 4 != 0),
+            docs.where(F.col("doc_id") % 4 == 0),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: the only joins are broadcast
+    assert "SortMergeJoin" not in plan, plan
