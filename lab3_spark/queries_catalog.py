@@ -7789,6 +7789,44 @@ def q_dedup_bloom_prefilter(spark, sf_dir):
     )
 
 
+@query(
+    "events_attribution_window",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+      SELECT p.purchase_id, count(*) AS n_views, min(v.ts) AS first_view
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.ts <= p.ts
+       AND v.ts > p.ts - INTERVAL 30 MINUTE
+      GROUP BY p.purchase_id
+    )
+    SELECT p.purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           COALESCE(m.n_views, 0) AS n_views,
+           strftime(m.first_view, '%Y-%m-%d %H:%M:%S') AS first_view_ts
+    FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id
+    ORDER BY p.purchase_id
+    """,
+)
+def q_events_attribution_window(spark, sf_dir):
+    """Interval/range join (asof.range_join_binned): every purchase
+    joined to the same user's views in the preceding 30 minutes,
+    executed as an equi-join on (user, time bin) with a 2-bin left
+    explosion — the bucketed range-join strategy; the oracle states
+    the same semantics as the naive inequality join.  Unattributed
+    purchases keep a row (n_views 0)."""
+    from lab3_spark.operators.asof import attribution_window_join
+
+    return attribution_window_join(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7821,6 +7859,7 @@ _DRIVER_PRIORITY = [
     # -- new round-6 gates (inserted here as they land) ------------------
     "events_kmv_daily_users",
     "dedup_bloom_prefilter",
+    "events_attribution_window",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
