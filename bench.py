@@ -153,6 +153,7 @@ HEADLINE = [
     "events_kmv_daily_users",
     "dedup_bloom_prefilter",
     "events_attribution_window",
+    "dedup_reassemble",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

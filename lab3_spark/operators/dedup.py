@@ -832,3 +832,68 @@ def bloom_prefilter_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_reassemble(
+    documents: DataFrame, chunk_tokens: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, new_fp): corpus-wide chunk-level
+    dedup WITH document reconstruction — the C4-style operation where
+    duplicated spans are removed from every document except their
+    first occurrence and the surviving spans are re-joined in order
+    (new_fp = md5 of the reassembled text; empty survivors hash '').
+
+    `repeated_chunks` reports where duplication is; this operator
+    EDITS the corpus: the canonical copy keeps its text, later copies
+    shrink.  First occurrence is the global (doc_id, chunk_id) minimum
+    per chunk fingerprint — deterministic under any execution order.
+
+    Scale: chunk explode at scan speed; first-occurrence selection is
+    ONE aggregation shuffle on the chunk fingerprint + an equi-join of
+    the chunk stream against the (fp → argmin) table on the same key
+    (no per-fp window — a degenerate chunk repeated millions of times
+    would pin a window task; the groupBy min pre-aggregates map-side
+    so the hot fp arrives at the reducer as one row per upstream
+    partition).  Reassembly is a per-doc aggregation: array_sort over
+    the kept chunks of ONE document (bounded by doc length)."""
+    from lab3_spark.operators.sampling import chunk_documents_unordered
+
+    ch = chunk_documents_unordered(
+        documents, chunk_tokens, text_col
+    ).select("doc_id", "chunk_id", "chunk_text", F.md5("chunk_text").alias("cfp"))
+    firsts = ch.groupBy("cfp").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("first")
+    )
+    kept = (
+        ch.join(firsts, "cfp")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("chunk_id") == F.col("first.chunk_id"))
+        )
+        .select("doc_id", "chunk_id", "chunk_text")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+            )
+        ).alias("new_fp"),
+    )
+    per_doc = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("new_fp", F.md5(F.lit(""))).alias("new_fp"),
+        )
+        .orderBy("doc_id")
+    )

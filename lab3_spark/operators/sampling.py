@@ -139,6 +139,21 @@ def chunk_documents(
     output rows ≈ corpus tokens / chunk_tokens.  Empty documents yield
     no chunks.  The last chunk keeps the remainder (n_chunk_tokens ≤
     chunk_tokens)."""
+    return chunk_documents_unordered(
+        documents, chunk_tokens, text_col, id_col
+    ).orderBy(id_col, "chunk_id")
+
+
+def chunk_documents_unordered(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`chunk_documents` without the presentation sort — the
+    composition form for consumers that immediately aggregate or join
+    (dedup.dedup_reassemble): a global sort feeding a shuffle is a
+    wasted range exchange."""
     toks = tokenize(text_col)
     c = F.lit(chunk_tokens)
     n_chunks = F.ceil(F.size("toks") / c)
@@ -162,7 +177,6 @@ def chunk_documents(
         .where(F.size("toks") > 0)
         .select(id_col, chunk.alias("ch"))
         .select(id_col, "ch.chunk_id", "ch.n_chunk_tokens", "ch.chunk_text")
-        .orderBy(id_col, "chunk_id")
     )
 
 

@@ -7827,6 +7827,55 @@ def q_events_attribution_window(spark, sf_dir):
     return attribution_window_join(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "dedup_reassemble",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS chunk_id
+      FROM t WHERE len(toks) > 0
+    ),
+    cf AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ')
+               AS chunk_text,
+             md5(array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' '))
+               AS cfp
+      FROM ch
+    ),
+    kept AS (
+      SELECT doc_id, chunk_id, chunk_text FROM (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (PARTITION BY cfp ORDER BY doc_id, chunk_id) AS rn
+        FROM cf
+      ) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS new_fp
+      FROM kept GROUP BY doc_id
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_chunks FROM cf GROUP BY doc_id)
+    SELECT p.doc_id, p.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.new_fp, md5('')) AS new_fp
+    FROM per_doc p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q_dedup_reassemble(spark, sf_dir):
+    """C4-style chunk dedup with reconstruction (dedup.dedup_
+    reassemble): every 16-token chunk keeps only its global first
+    occurrence (min (doc_id, chunk_id)); documents are reassembled
+    from surviving chunks in order and re-fingerprinted.  One chunk-fp
+    aggregation shuffle + same-key join (no per-fp window — degenerate
+    chunks pre-aggregate map-side), one per-doc rebuild aggregation."""
+    from lab3_spark.operators.dedup import dedup_reassemble
+
+    return dedup_reassemble(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7860,6 +7909,7 @@ _DRIVER_PRIORITY = [
     "events_kmv_daily_users",
     "dedup_bloom_prefilter",
     "events_attribution_window",
+    "dedup_reassemble",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

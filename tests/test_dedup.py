@@ -315,3 +315,31 @@ def test_bloom_prefilter_plan_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere: the only joins are broadcast
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_reassemble_hand_checked(spark):
+    """First occurrence keeps its text; an exact copy loses all chunks;
+    a doc sharing only its head chunk keeps its tail."""
+    import hashlib
+
+    from lab3_spark.operators.dedup import dedup_reassemble
+
+    # letter-only words: the tokenizer spec is [a-z][a-z']* (digits
+    # never appear in tokens)
+    c = ["alpha", "bravo", "charlie", "delta"]    # chunk A
+    d = ["echo", "foxtrot", "golf", "hotel"]      # chunk B
+    e = ["india", "juliet", "kilo", "lima"]       # chunk C
+    docA = " ".join(c + d)                        # chunks A, B
+    docB = docA                                   # exact copy → empty
+    docC = " ".join(c + e)                        # shares A, keeps C
+    docs = spark.createDataFrame(
+        [(1, docA), (2, docB), (3, docC)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in dedup_reassemble(docs, chunk_tokens=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1].n_chunks == 2 and got[1].n_kept == 2
+    assert got[1].new_fp == md5(docA)
+    assert got[2].n_chunks == 2 and got[2].n_kept == 0
+    assert got[2].new_fp == md5("")
+    assert got[3].n_chunks == 2 and got[3].n_kept == 1
+    assert got[3].new_fp == md5(" ".join(e))
