@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "events_attribution_window",
     "dedup_reassemble",
+    "phrase_search_docs",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

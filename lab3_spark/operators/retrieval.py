@@ -227,3 +227,61 @@ def hybrid_rrf(
         .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+def phrase_search(
+    documents: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_occurrences, first_pos): documents containing the
+    exact token ``phrase``, via positional-posting intersection — the
+    inverted-index phrase query (`invert.cpp:91-105` builds word →
+    line-number postings; this is the same structure one level deeper:
+    word → (doc, position), reference-parity extension SURVEY §2.9).
+
+    The classic formulation self-joins k posting lists on
+    (doc, pos − slot); here all k slots resolve in ONE equi-join + ONE
+    aggregation: tokens matching any phrase term join a broadcast
+    (slot, term) table, each match votes for anchor position
+    pos − slot, and an anchor with all k distinct slots is a phrase
+    occurrence.  Scale: the posting stream is filtered to the phrase's
+    terms at scan time (predicate on the exploded token — a vanishing
+    fraction of the corpus for selective phrases), then one shuffle on
+    (doc, anchor).  Repeated words in the phrase are handled by the
+    DISTINCT-slot count (a token equal to two slots votes twice)."""
+    terms = [t for t in phrase.lower().split() if t]
+    k = len(terms)
+    if k == 0:
+        raise ValueError("empty phrase")
+    spark = documents.sparkSession
+    slots = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(terms)), "slot int, tok string"
+        )
+    )
+    postings = (
+        spread(documents)
+        .select("doc_id", F.posexplode(tokenize(text_col)).alias("pos", "tok"))
+        .where(F.col("tok").isin(terms))
+    )
+    anchors = (
+        postings.join(slots, "tok")
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("slot")).cast("bigint").alias("start"),
+        )
+        .where(F.col("start") >= 0)
+        # per (anchor, slot) at most one vote exists (pos = start+slot
+        # is unique), so plain count(*) == distinct-slot count and
+        # stays map-side combinable
+        .groupBy("doc_id", "start")
+        .agg(F.count("*").alias("n_slots"))
+        .where(F.col("n_slots") == k)
+    )
+    return (
+        anchors.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("start").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

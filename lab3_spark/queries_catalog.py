@@ -7876,6 +7876,41 @@ def q_dedup_reassemble(spark, sf_dir):
     return dedup_reassemble(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "phrase_search_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+      FROM t
+    ),
+    s(slot, tok) AS (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')),
+    a AS (
+      SELECT doc_id, p.pos - s.slot AS start
+      FROM p JOIN s ON p.tok = s.tok
+      WHERE p.pos - s.slot >= 0
+    ),
+    m AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) AS c FROM a GROUP BY 1, 2
+      ) WHERE c = 3
+    )
+    SELECT doc_id, count(*) AS n_occurrences, min(start) AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase query (retrieval.phrase_search): documents
+    containing the exact token sequence 'slow hash batch' — posting
+    intersection by anchor voting (one broadcast slot join + one
+    (doc, anchor) aggregation instead of a k-way self-join).  The
+    positional index is invert.cpp's word→line structure one level
+    deeper (word→(doc, pos)); SURVEY §2.9 extension."""
+    from lab3_spark.operators.retrieval import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "slow hash batch")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7910,6 +7945,7 @@ _DRIVER_PRIORITY = [
     "dedup_bloom_prefilter",
     "events_attribution_window",
     "dedup_reassemble",
+    "phrase_search_docs",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

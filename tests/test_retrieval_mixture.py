@@ -205,3 +205,39 @@ def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
         )
         assert r.rrf == want, (r.doc_id, r.rrf, want)
     assert [r.rnk for r in got] == list(range(1, 11))
+
+
+def test_phrase_search_hand_checked(spark):
+    """Occurrence counting, first position, adjacency (scattered terms
+    do not match), and repeated-word phrases."""
+    from lab3_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta gamma"),   # 2 occurrences
+            (2, "alpha gamma beta"),                     # scattered, no match
+            (3, "x alpha beta gamma y"),                 # 1, offset 1
+            (4, "beta gamma alpha"),                     # rotated, no match
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(docs, "alpha beta gamma").collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 1)}
+
+    # repeated word in the phrase: "go go stop"
+    docs2 = spark.createDataFrame(
+        [
+            (1, "go go stop"),          # match at 0
+            (2, "go stop go"),          # no match
+            (3, "go go go stop"),       # match at 1 only
+        ],
+        "doc_id bigint, text string",
+    )
+    got2 = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(docs2, "go go stop").collect()
+    }
+    assert got2 == {1: (1, 0), 3: (1, 1)}
