@@ -155,6 +155,9 @@ HEADLINE = [
     "events_attribution_window",
     "dedup_reassemble",
     "phrase_search_docs",
+    "events_ohlc_hourly",
+    "events_cms_verified_hh",
+    "corpus_snapshot_diff",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

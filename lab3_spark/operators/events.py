@@ -613,3 +613,87 @@ def kmv_daily_users(events: DataFrame, k: int = 64) -> DataFrame:
         .crossJoin(F.broadcast(merged))
         .orderBy("day")
     )
+
+
+def ohlc_downsample(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """(event_type, bucket, open, high, low, close, n_events): per-type
+    time-bucket downsampling of `value` to open/high/low/close — the
+    hypertable continuous-aggregate shape (TimescaleDB time_bucket +
+    first/last, OHLC candles): a 100 TB raw series becomes a
+    bounded-size summary without losing the envelope.
+
+    open/close are min_by/max_by over (ts, event_id) — the total order
+    makes simultaneous events deterministic in both engines.  ONE
+    map-side-combinable aggregation (min_by/max_by/min/max all
+    combine); no window, no self-join."""
+    key = F.struct("ts", "event_id")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.window("ts", width).alias("w")
+        )
+        .agg(
+            F.round(F.min_by("value", key), MONEY).alias("open"),
+            F.round(F.max("value"), MONEY).alias("high"),
+            F.round(F.min("value"), MONEY).alias("low"),
+            F.round(F.max_by("value", key), MONEY).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def cms_verified_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    pct_of_mean: int = 110,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(user_id, cnt): keys whose EXACT count is ≥ pct_of_mean% of the
+    mean count per key — found via the sketch-shortlist-then-verify
+    production pattern, and provably equal to the naive full
+    aggregation:
+
+    1. The CMS estimate is overestimate-only, so every true heavy
+       hitter clears the threshold in the sketch too — the shortlist
+       (est ≥ T) has NO false negatives, the same one-sided guarantee
+       the Bloom prefilter gives dedup.
+    2. Exact counts run only over events of shortlisted keys (the
+       shortlist broadcasts; at a sane sketch width it is a vanishing
+       fraction of the key space), and the final filter (cnt ≥ T)
+       removes the sketch's false positives.
+
+    The oracle is the NAIVE full group-by-having — equality proves the
+    sketch path loses nothing.  Cost: one d·w-bounded sketch pass +
+    one filtered aggregation, vs a full shuffle of all keys."""
+    thr_row = events.agg(
+        F.count("*").alias("tot"),
+        F.countDistinct(key_col).alias("nu"),
+    ).select(
+        F.expr(f"(tot * {pct_of_mean}) div (100 * nu)").alias("thr")
+    )
+    est = cms_estimates(events, key_col, d, w)
+    shortlist = (
+        est.crossJoin(F.broadcast(thr_row))
+        .where(F.col("est") >= F.col("thr"))
+        .select(key_col)
+    )
+    return (
+        events.join(F.broadcast(shortlist), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(thr_row))
+        .where(F.col("cnt") >= F.col("thr"))
+        .select(key_col, "cnt")
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+    )

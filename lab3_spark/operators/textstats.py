@@ -1280,3 +1280,54 @@ def dataset_card(documents: DataFrame, text_col: str = "text") -> DataFrame:
             'total_tokens', tot
         ) as (metric, value)"""
     ).orderBy("metric")
+
+
+def corpus_snapshot_diff(
+    old: DataFrame, new: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(status, n_fps, docs_old, docs_new): content-level diff of two
+    corpus snapshots by normalized-content fingerprint — the release
+    note next to `dataset_card`'s manifest: how much of the new
+    snapshot is genuinely new content ('added'), how much content was
+    dropped ('removed'), and how much carries over ('common'), with
+    doc multiplicities on both sides.
+
+    One fingerprint aggregation per side, then a full outer join on
+    the fp — the metadata-scale frames (distinct fingerprints), never
+    the corpora, meet in the join.  status is derived per fp and
+    reduced to three rows."""
+    from lab3_spark.functions.partitioning import spread
+    from lab3_spark.functions.text import tokenize
+
+    def fps(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.md5(F.concat_ws(" ", tokenize(text_col))).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.count("*").alias("n"))
+        )
+
+    o = fps(old).withColumnRenamed("n", "n_old")
+    n = fps(new).withColumnRenamed("n", "n_new")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return (
+        o.join(n, "fp", "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum("n_old").alias("docs_old"),
+            F.sum("n_new").alias("docs_new"),
+        )
+        .orderBy("status")
+    )

@@ -7911,6 +7911,91 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_t(spark, sf_dir, "documents"), "slow hash batch")
 
 
+@query(
+    "events_ohlc_hourly",
+    """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket,
+           round(first(value ORDER BY ts, event_id), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(last(value ORDER BY ts, event_id), 2) AS close,
+           count(*) AS n_events
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+)
+def q_events_ohlc(spark, sf_dir):
+    """OHLC time-bucket downsampling (events.ohlc_downsample): the
+    hypertable continuous-aggregate candle — open/close via
+    min_by/max_by over the (ts, event_id) total order, one map-side-
+    combinable aggregation, no window."""
+    return EV.ohlc_downsample(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_cms_verified_hh",
+    """
+    WITH s AS (
+      SELECT count(*) AS tot, count(DISTINCT user_id) AS nu FROM events
+    )
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY user_id
+    HAVING count(*) >= (SELECT (tot * 110) // (100 * nu) FROM s)
+    ORDER BY cnt DESC, user_id
+    """,
+)
+def q_cms_verified_hh(spark, sf_dir):
+    """Sketch-shortlist + exact-verify heavy hitters
+    (events.cms_verified_heavy_hitters): the CMS overestimate-only
+    guarantee makes the shortlist false-negative-free, exact counts
+    run only on shortlisted keys, and the result provably equals the
+    NAIVE full group-by-having the oracle states."""
+    return EV.cms_verified_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "corpus_snapshot_diff",
+    f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}), ' ')) AS fp
+      FROM documents
+    ),
+    o AS (SELECT fp, count(*) AS n_old FROM fps WHERE doc_id % 3 != 0 GROUP BY fp),
+    n AS (SELECT fp, count(*) AS n_new FROM fps WHERE doc_id % 3 = 0 GROUP BY fp),
+    j AS (
+      SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  ELSE 'common' END AS status,
+             COALESCE(o.n_old, 0) AS n_old,
+             COALESCE(n.n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.fp = n.fp
+    )
+    SELECT status, count(*) AS n_fps,
+           CAST(sum(n_old) AS BIGINT) AS docs_old,
+           CAST(sum(n_new) AS BIGINT) AS docs_new
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Content-level snapshot diff (textstats.corpus_snapshot_diff):
+    added / removed / common content between the two-thirds 'old'
+    snapshot and the one-third 'new' snapshot, counted by normalized
+    fingerprint with per-side doc multiplicities — the release-note
+    companion to dataset_card.  Only the distinct-fp frames meet in
+    the full outer join."""
+    from lab3_spark.operators.textstats import corpus_snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_snapshot_diff(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -7946,6 +8031,9 @@ _DRIVER_PRIORITY = [
     "events_attribution_window",
     "dedup_reassemble",
     "phrase_search_docs",
+    "events_ohlc_hourly",
+    "events_cms_verified_hh",
+    "corpus_snapshot_diff",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -21,32 +21,33 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_rowless_queries():
-    """Round-5 curation contract: the driver checks the FIRST 50
-    queries; the 15 oracled queries with no green CORRECTNESS row
-    after round 4 must occupy the leading slots so cumulative
-    coverage reaches 150/150."""
+def test_driver_window_leads_with_round6_priorities():
+    """Round-6 curation contract: after round 5 every oracled query is
+    cumulatively driver-green, so the window leads with (1) the gate
+    whose output changed this round (dataset_card checksum reshape),
+    (2) the three never-windowed rows-only sketch gates, (3) the new
+    round-6 gates — everything needing a FIRST or FRESH driver row
+    sits inside the 50-slot window."""
     import __spark_entry__ as entrymod
 
     order = list(entrymod.queries())
-    rowless = {
-        "grouped_minmax_normalize",
-        "orc_roundtrip_events",
-        "events_value_histogram",
-        "streaming_sliding_10m",
-        "orders_priority_unpivot",
-        "orders_scd_upsert",
-        "per_source_token_budget",
-        "dedup_cluster_representatives",
-        "weighted_sample_docs",
-        "multimodal_byte_chunks",
-        "dedup_method_agreement",
-        "doc_bigram_surprisal",
-        "events_top_type_per_hour",
-        "dedup_rate_by_source",
-        "events_by_customer_segment",
+    assert order[0] == "dataset_card"
+    assert set(order[1:4]) == {
+        "events_approx_dau",
+        "events_hll_daily_merge",
+        "events_value_percentiles_approx",
     }
-    assert set(order[:15]) == rowless
+    new_r6 = {
+        "events_kmv_daily_users",
+        "dedup_bloom_prefilter",
+        "events_attribution_window",
+        "dedup_reassemble",
+        "phrase_search_docs",
+        "events_ohlc_hourly",
+        "events_cms_verified_hh",
+        "corpus_snapshot_diff",
+    }
+    assert new_r6 <= set(order[4 : 4 + len(new_r6)])
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

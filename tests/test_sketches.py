@@ -140,3 +140,53 @@ def test_kmv_merge_equals_whole_input_synopsis(spark, sf_dir):
         ).collect()
     )
     assert merged == whole
+
+
+def test_cms_verified_hh_equals_naive(spark, sf_dir):
+    """Sketch-shortlist + exact-verify returns EXACTLY the naive
+    full-aggregation answer (the overestimate-only shortlist has no
+    false negatives; the exact pass removes its false positives)."""
+    from lab3_spark.operators.events import cms_verified_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    got = [(r.user_id, r.cnt) for r in cms_verified_heavy_hitters(ev).collect()]
+    stats = ev.agg(
+        F.count("*").alias("tot"), F.countDistinct("user_id").alias("nu")
+    ).collect()[0]
+    thr = (stats.tot * 110) // (100 * stats.nu)
+    naive = sorted(
+        (
+            (r.user_id, r.cnt)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= thr)
+            .collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_ohlc_open_close_deterministic(spark):
+    """open/close pick by the (ts, event_id) total order — equal
+    timestamps resolve by event_id, identically in any engine."""
+    from lab3_spark.operators.events import ohlc_downsample
+
+    rows = [
+        # (event_id, ts, value) — two events share the opening ts
+        (2, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-01 10:00:00", 3.0),   # lower event_id → open
+        (3, "2024-01-01 10:30:00", 9.0),
+        (5, "2024-01-01 10:59:59", 1.0),   # higher event_id → close
+        (4, "2024-01-01 10:59:59", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, value double"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+        "value",
+    )
+    (r,) = ohlc_downsample(ev).collect()
+    assert (r.open, r.high, r.low, r.close, r.n_events) == (3.0, 9.0, 1.0, 1.0, 5)
