@@ -158,6 +158,9 @@ HEADLINE = [
     "events_ohlc_hourly",
     "events_cms_verified_hh",
     "corpus_snapshot_diff",
+    "corpus_train_val_test",
+    "pipeline_forget_docs",
+    "dedup_threshold_curve",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

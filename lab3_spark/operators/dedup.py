@@ -897,3 +897,58 @@ def dedup_reassemble(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_threshold_curve(
+    documents: DataFrame,
+    thresholds_pct: tuple[int, ...] = (20, 30, 40, 50, 60, 70, 80, 90),
+    text_col: str = "text",
+) -> DataFrame:
+    """(threshold_pct, n_pairs, n_docs): near-dup volume as a function
+    of the Jaccard cut — the sensitivity sweep run before committing a
+    corpus to one threshold (too low merges topical docs, too high
+    misses templated boilerplate; the knee of this curve is the
+    evidence).
+
+    Zero extra joins over `ngram_jaccard_pairs`: each verified pair
+    emits the thresholds it clears via an in-row array filter +
+    explode (≤ |thresholds| rows per pair), then two small
+    aggregations; the 8-row threshold spine left-joins back so
+    pair-free thresholds report 0.  The comparison is jaccard ≥
+    t/100.0 with the division done in IEEE double by BOTH engines —
+    identical verdicts on the boundary."""
+    pairs = ngram_jaccard_pairs(documents, text_col=text_col)
+    arr = F.array(*[F.lit(int(t)) for t in thresholds_pct])
+    cleared = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.filter(
+                arr, lambda t: F.col("jaccard") >= t.cast("double") / 100.0
+            )
+        ).alias("threshold_pct"),
+    )
+    n_pairs = cleared.groupBy("threshold_pct").agg(
+        F.count("*").alias("n_pairs")
+    )
+    n_docs = (
+        cleared.select(
+            "threshold_pct",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("threshold_pct")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    spine = documents.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds_pct], "threshold_pct int"
+    )
+    return (
+        spine.join(n_pairs, "threshold_pct", "left")
+        .join(n_docs, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -1331,3 +1331,54 @@ def corpus_snapshot_diff(
         )
         .orderBy("status")
     )
+
+
+def forget_propagation(
+    documents: DataFrame, forget_ids: DataFrame, chunk_tokens: int = 32
+) -> DataFrame:
+    """(artifact, n_before, n_after, n_deleted): right-to-be-forgotten
+    delete propagation across a corpus AND its derived artifacts — the
+    compliance op every stored pipeline needs: removing a document
+    must also remove its chunks and retire fingerprints no other
+    document holds.
+
+    ``forget_ids`` is broadcast (deletion lists are human-scale vs a
+    100 TB corpus); every propagation is a broadcast ANTI-join — no
+    derived table is ever shuffled to honor a deletion.  The
+    fingerprint row shows the subtlety the naive per-table delete
+    misses: a fingerprint survives if ANY remaining doc carries it,
+    so its delta is computed on the post-anti-join DISTINCT set, not
+    by subtracting the deleted docs' fingerprints."""
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.sampling import chunk_documents_unordered
+
+    fid = F.broadcast(forget_ids.select("doc_id"))
+    survivors = documents.join(fid, "doc_id", "left_anti")
+
+    def row(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        b = before.agg(F.count("*").alias("n_before"))
+        a = after.agg(F.count("*").alias("n_after"))
+        return b.crossJoin(a).select(
+            F.lit(name).alias("artifact"),
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+        )
+
+    fp = F.md5(F.concat_ws(" ", tokenize("text")))
+    docs_row = row("documents", documents, survivors)
+    chunks_row = row(
+        "chunks",
+        chunk_documents_unordered(documents, chunk_tokens),
+        chunk_documents_unordered(documents, chunk_tokens).join(
+            fid, "doc_id", "left_anti"
+        ),
+    )
+    fp_row = row(
+        "fingerprints",
+        documents.select(fp.alias("fp")).distinct(),
+        survivors.select(fp.alias("fp")).distinct(),
+    )
+    return docs_row.unionByName(chunks_row).unionByName(fp_row).orderBy(
+        "artifact"
+    )

@@ -7996,6 +7996,136 @@ def q_corpus_snapshot_diff(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_train_val_test",
+    f"""
+    WITH b AS (
+      SELECT source,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}))
+                  AS BIGINT) AS n_toks
+      FROM (
+        SELECT source, text,
+               ({_h2l("substr(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")})
+                 % 100 AS h
+        FROM documents
+      )
+    )
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM b GROUP BY source, split ORDER BY source, split
+    """,
+)
+def q_corpus_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 hash split with per-source accounting
+    (sampling.train_val_test_split): split membership is a pure
+    function of doc_id (portable md5 bucket), stable across runs and
+    engines — the eval-contamination guard."""
+    from lab3_spark.operators.sampling import train_val_test_split
+
+    return train_val_test_split(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_forget_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT)))
+        FROM t WHERE len(toks) > 0
+      )
+    ),
+    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t)
+    SELECT * FROM (
+      SELECT 'chunks' AS artifact,
+             (SELECT count(*) FROM ch) AS n_before,
+             (SELECT count(*) FROM ch WHERE doc_id % 97 != 0) AS n_after,
+             (SELECT count(*) FROM ch)
+               - (SELECT count(*) FROM ch WHERE doc_id % 97 != 0) AS n_deleted
+      UNION ALL
+      SELECT 'documents',
+             (SELECT count(*) FROM documents),
+             (SELECT count(*) FROM documents WHERE doc_id % 97 != 0),
+             (SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+      UNION ALL
+      SELECT 'fingerprints',
+             (SELECT count(DISTINCT fp) FROM fps),
+             (SELECT count(DISTINCT fp) FROM fps WHERE doc_id % 97 != 0),
+             (SELECT count(DISTINCT fp) FROM fps)
+               - (SELECT count(DISTINCT fp) FROM fps WHERE doc_id % 97 != 0)
+    ) ORDER BY artifact
+    """,
+)
+def q_pipeline_forget_docs(spark, sf_dir):
+    """Right-to-be-forgotten propagation (textstats.forget_
+    propagation): the deletion list (doc_id % 97 = 0) removed from the
+    corpus and its derived artifacts by broadcast anti-joins; the
+    fingerprint row counts survivors on the post-delete DISTINCT set
+    (a fp lives while ANY remaining doc carries it)."""
+    from lab3_spark.operators.textstats import forget_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    return forget_propagation(
+        docs, docs.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    )
+
+
+@query(
+    "dedup_threshold_curve",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b,
+             floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000
+               AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000 >= 0.2
+    ),
+    thr(t) AS (VALUES (20), (30), (40), (50), (60), (70), (80), (90)),
+    cl AS (
+      SELECT thr.t, jac.doc_a, jac.doc_b
+      FROM jac, thr WHERE jac.jaccard >= thr.t / 100.0
+    ),
+    p AS (SELECT t, count(*) AS n_pairs FROM cl GROUP BY t),
+    d AS (
+      SELECT t, count(DISTINCT dd) AS n_docs FROM (
+        SELECT t, doc_a AS dd FROM cl UNION ALL SELECT t, doc_b FROM cl
+      ) GROUP BY t
+    )
+    SELECT thr.t AS threshold_pct,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_docs, 0) AS n_docs
+    FROM thr LEFT JOIN p ON p.t = thr.t LEFT JOIN d ON d.t = thr.t
+    ORDER BY threshold_pct
+    """,
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Jaccard-threshold sensitivity sweep (dedup.dedup_threshold_
+    curve): pair and affected-doc volume per cut, from ONE run of the
+    LSH-candidate + exact-verify pipeline — each pair emits the
+    thresholds it clears via in-row array filter; the 8-row spine
+    reports zeros.  The curve's knee is the evidence for the
+    production threshold choice."""
+    from lab3_spark.operators.dedup import dedup_threshold_curve
+
+    return dedup_threshold_curve(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8034,6 +8164,9 @@ _DRIVER_PRIORITY = [
     "events_ohlc_hourly",
     "events_cms_verified_hh",
     "corpus_snapshot_diff",
+    "corpus_train_val_test",
+    "pipeline_forget_docs",
+    "dedup_threshold_curve",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

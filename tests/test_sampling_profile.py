@@ -111,3 +111,66 @@ def test_corpus_shuffle_shards_balanced_and_deterministic(spark, sf_dir):
     assert [(r.doc_id, r.rn, r.shard) for r in a] == [
         (r.doc_id, r.rn, r.shard) for r in b
     ]
+
+
+def test_train_val_test_split_partitions_and_deterministic(spark, sf_dir):
+    """Every doc lands in exactly one split; counts are stable across
+    runs; global proportions are near 80/10/10."""
+    from lab3_spark.operators.sampling import train_val_test_split
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = train_val_test_split(docs).collect()
+    again = train_val_test_split(docs).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    n = docs.count()
+    by_split = {}
+    for r in got:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert sum(by_split.values()) == n
+    assert 0.7 * n <= by_split["train"] <= 0.9 * n
+    assert by_split["val"] < by_split["train"]
+    assert by_split["test"] < by_split["train"]
+
+
+def test_forget_propagation_fingerprint_survival(spark):
+    """A fingerprint survives while ANY remaining doc carries it —
+    deleting one copy of duplicated content must not retire the fp."""
+    from lab3_spark.operators.textstats import forget_propagation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared duplicated content alpha"),
+            (2, "shared duplicated content alpha"),  # same fp as 1
+            (3, "unique content beta"),
+            (4, "doomed unique content gamma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    forget = spark.createDataFrame([(2,), (4,)], "doc_id bigint")
+    got = {r.artifact: r for r in forget_propagation(docs, forget).collect()}
+    d = got["documents"]
+    assert (d.n_before, d.n_after, d.n_deleted) == (4, 2, 2)
+    f = got["fingerprints"]
+    # 3 distinct fps before; doc 2's fp survives via doc 1, doc 4's
+    # fp is retired → 2 after, 1 deleted
+    assert (f.n_before, f.n_after, f.n_deleted) == (3, 2, 1)
+    c = got["chunks"]
+    assert c.n_before == 4 and c.n_after == 2
+
+
+def test_dedup_threshold_curve_monotone(spark, sf_dir):
+    """Raising the cut can only shrink the pair and doc counts; the
+    20% row equals the full verified-pair set."""
+    from lab3_spark.operators.dedup import (
+        dedup_threshold_curve,
+        ngram_jaccard_pairs,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup_threshold_curve(docs).collect()
+    assert [r.threshold_pct for r in rows] == [20, 30, 40, 50, 60, 70, 80, 90]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs and a.n_docs >= b.n_docs
+    assert rows[0].n_pairs == ngram_jaccard_pairs(docs).count()
