@@ -8126,6 +8126,53 @@ def q_dedup_threshold_curve(spark, sf_dir):
     return dedup_threshold_curve(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "streaming_kmv_distinct",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT
+             {_h2l("substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 13)")} AS hv
+      FROM events
+    ),
+    g AS (SELECT hv FROM hv ORDER BY hv LIMIT 64)
+    SELECT CAST(CASE WHEN count(*) < 64 THEN count(*)
+                ELSE {63 * (1 << 52)} // max(hv) END AS BIGINT)
+             AS est_users_total
+    FROM g
+    """,
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """A REAL incremental KMV-synopsis maintenance run
+    (streaming/kmv.py): events drain as mtime-ordered micro-batches
+    through a foreachBatch writing each batch's ≤ k-row bottom-k
+    synopsis to its own idempotent store partition; the all-time
+    distinct estimate is then computed from the MERGED store.  KMV
+    merges by union-then-re-select-k-smallest, so the merged estimate
+    is bit-identical to the one-shot batch estimate — the oracle
+    states the one-shot form directly."""
+    import os as _os
+
+    from lab3_spark.streaming.kmv import (
+        merged_estimate_frame,
+        start_streaming_kmv,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    root = _scratch_dir("stream_kmv_")
+    flat = _mtime_ordered_batches(ev, root, "event_id")
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_kmv(src, store, _os.path.join(root, "ckpt"), k=64)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_kmv availableNow run timed out")
+    return merged_estimate_frame(spark, store, 64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8167,6 +8214,7 @@ _DRIVER_PRIORITY = [
     "corpus_train_val_test",
     "pipeline_forget_docs",
     "dedup_threshold_curve",
+    "streaming_kmv_distinct",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -170,3 +170,66 @@ def test_cms_compaction_crash_recovery(spark, sf_dir, tmp_path):
         (r.r, r.bucket): r.cnt for r in merged_counters(spark, store).collect()
     }
     assert after == before
+
+
+def test_streaming_kmv_store_equals_batch_estimate(spark, sf_dir, tmp_path):
+    """Draining events through the per-batch KMV synopsis store and
+    merging reproduces the one-shot batch estimate EXACTLY; replaying
+    a batch changes nothing; compaction preserves the estimate and
+    bounds the store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.events import kmv_daily_users
+    from lab3_spark.streaming.kmv import (
+        compact_kmv_store,
+        merged_estimate,
+        start_streaming_kmv,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    for b in range(4):
+        ev.where(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
+            str(tmp_path / f"part{b}")
+        )
+        (pf,) = [
+            f for f in os.listdir(tmp_path / f"part{b}") if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"part{b}" / pf, f"{incoming}/{b:02d}.parquet")
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    store = str(tmp_path / "store")
+    q = start_streaming_kmv(src, store, str(tmp_path / "ckpt"), k=k)
+    assert q.awaitTermination(600)
+    # one-shot batch estimate over the whole input: the all-days total
+    # from the batch operator (single-day data would also work; the
+    # total is the merged estimate over everything)
+    ev_ts = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    whole = kmv_daily_users(ev_ts, k=k).collect()[0]["est_users_total"]
+    assert merged_estimate(spark, store, k) == whole
+    # replay batch 0 from the same data — idempotent
+    b0 = spark.read.parquet(f"{incoming}/00.parquet")
+    from lab3_spark.streaming.kmv import _hv
+    from lab3_spark.operators.events import kmv_synopsis
+
+    kmv_synopsis(
+        b0.select(F.lit("all").alias("g"), _hv("user_id").alias("hv")),
+        "g",
+        "hv",
+        k,
+    ).select("hv").write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    assert merged_estimate(spark, store, k) == whole
+    # compaction: estimate unchanged, partitions bounded
+    absorbed = compact_kmv_store(spark, store, k, keep_last=2)
+    assert absorbed == 1
+    parts = sorted(f for f in os.listdir(store) if f.startswith("batch_id="))
+    assert parts == ["batch_id=0", "batch_id=2", "batch_id=3"], parts
+    assert merged_estimate(spark, store, k) == whole
