@@ -196,18 +196,28 @@ def main() -> None:
     # steal (the same query varies 4s↔100s across runs); the min is
     # the reproducible dataflow cost (the reference's self-timing
     # likewise measures the compute phase, not program setup).
-    from lab3_spark.functions.partitioning import memo_result_hit_count
+    from lab3_spark.functions.partitioning import (
+        memo_result_hit_count,
+        memo_result_invalidate,
+    )
 
     def run_once(name: str) -> tuple[float, bool]:
+        # Whole-RESULT memos (memo_result) are cleared before every
+        # timed run: a memo-served pass returns the cached frame
+        # without re-running the fixpoint/plan construction, so its
+        # time is cache-read, not dataflow (ADVICE r5).  Plan-level
+        # memo_persist and trained_centroids stay warm — pass 2+ then
+        # measures real dataflow with training cached, the long-lived-
+        # driver production shape, and stays comparable round-over-
+        # round.  The hit counter below is the guard that the clearing
+        # actually worked.
+        memo_result_invalidate("")
         h0 = memo_result_hit_count()
         t0 = time.time()
         # noop sink: full computation of every column, zero driver
         # transfer (count() would let Catalyst prune projections)
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.time() - t0, 3)
-        # a memo_result hit means this pass skipped the computation
-        # entirely (whole-result memo) — its time is cache-read, not
-        # dataflow, and must not become the headline number
         return dt, memo_result_hit_count() > h0
 
     passes: dict[str, list[float]] = {n: [] for n in HEADLINE}
