@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_train_val_test",
     "pipeline_forget_docs",
     "dedup_threshold_curve",
+    "multimodal_phash_near_dup",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

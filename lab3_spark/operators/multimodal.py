@@ -214,3 +214,80 @@ def byte_chunks(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
         .select("doc_id", "ch.chunk_idx", "ch.n_bytes", "ch.chunk_md5")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+PHASH_CHUNKS = 16
+PHASH_HEX = 3  # 12-bit chunk values: 4096 buckets per position
+
+
+def phash_chunks(media: DataFrame, n_chunks: int = PHASH_CHUNKS) -> DataFrame:
+    """(doc_id, idx, cv): positional block hash of the binary content —
+    the Block Mean Value / blockhash family (Yang et al. 2006, public):
+    the payload is cut into n_chunks positional slices and each slice
+    contributes one 12-bit value.  Computed in Arrow-batched
+    mapInPandas over the BYTES (the multimodal plumbing — a real
+    decoder would hash downsampled pixel blocks; the byte-slice stand-
+    in keeps the full pipeline SQL-oracle-able because the payload is
+    the utf-8 text).
+
+    Positional block hashes are robust to SUBSTITUTIONS (a changed
+    region flips only its own chunks) but not to INSERTIONS that shift
+    every later byte — exactly the image analogy, where the pixel grid
+    is fixed-size and a recrop shifts everything."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, cvs = [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(c)
+                n = len(b)
+                for i in range(n_chunks):
+                    sl = b[(i * n) // n_chunks : ((i + 1) * n) // n_chunks]
+                    h = hashlib.md5(f"{i}|".encode() + sl).hexdigest()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    cvs.append(int(h[:PHASH_HEX], 16))
+            yield pd.DataFrame({"doc_id": ids, "idx": idxs, "cv": cvs})
+
+    return media.mapInPandas(batches, "doc_id bigint, idx int, cv bigint")
+
+
+def phash_near_dups(
+    documents: DataFrame,
+    min_equal_chunks: int = 13,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, n_equal_chunks): media pairs agreeing on ≥
+    min_equal_chunks of the 16 positional block-hash chunks — the
+    image near-dup operator of the dedup family, same scale shape as
+    SimHash chunk blocking: the (idx, cv) equi-self-join IS the
+    pigeonhole (hamming ≤ 16−min_equal ⇒ enough equal chunks to meet
+    in ≥1 bucket), and because each position matches at most once the
+    join's per-pair row count IS the equal-chunk count — candidate
+    generation and verification in one join + one aggregation.
+
+    ``max_bucket`` drops degenerate (idx, cv) buckets (identical
+    boilerplate media at corpus scale), mirroring
+    `dedup.minhash_candidates`."""
+    ch = phash_chunks(attach_media(documents))
+    if max_bucket is not None:
+        sizes = ch.groupBy("idx", "cv").agg(F.count("*").alias("_n"))
+        ch = ch.join(
+            sizes.where(F.col("_n") <= max_bucket).drop("_n"), ["idx", "cv"]
+        )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_equal_chunks"))
+        .where(F.col("n_equal_chunks") >= min_equal_chunks)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -8173,6 +8173,44 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     return merged_estimate_frame(spark, store, 64)
 
 
+@query(
+    "multimodal_phash_near_dup",
+    f"""
+    WITH n AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    ch AS (
+      SELECT doc_id, i,
+             {_h2l("substr(md5(concat(CAST(i AS VARCHAR), '|', substr(text, (i * n) // 16 + 1, ((i + 1) * n) // 16 - (i * n) // 16))), 1, 3)")}
+               AS cv
+      FROM n CROSS JOIN range(16) AS t(i)
+    ),
+    sizes AS (SELECT i, cv, count(*) AS c FROM ch GROUP BY i, cv),
+    chc AS (
+      SELECT ch.doc_id, ch.i, ch.cv
+      FROM ch JOIN sizes ON ch.i = sizes.i AND ch.cv = sizes.cv
+      WHERE sizes.c <= 64
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_equal_chunks
+    FROM chc a JOIN chc b
+      ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 13
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Positional block-hash media near-dup (multimodal.phash_near_
+    dups): 16 byte-slice chunks hashed in Arrow-batched mapInPandas
+    over the binary payload; the (idx, cv) equi-self-join is both the
+    pigeonhole blocking AND the verification (per-pair row count =
+    equal-chunk count); degenerate buckets capped at 64 like
+    minhash_candidates.  The oracle recomputes the identical slices
+    in SQL (ASCII payload: byte offsets == character offsets)."""
+    from lab3_spark.operators.multimodal import phash_near_dups
+
+    return phash_near_dups(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8215,6 +8253,7 @@ _DRIVER_PRIORITY = [
     "pipeline_forget_docs",
     "dedup_threshold_curve",
     "streaming_kmv_distinct",
+    "multimodal_phash_near_dup",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

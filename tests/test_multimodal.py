@@ -86,3 +86,27 @@ def test_byte_chunks_reassemble(spark, sf_dir):
                 doc_id,
                 c.chunk_idx,
             )
+
+
+def test_phash_near_dup_semantics(spark):
+    """Exact byte copy → all 16 chunks equal; a same-length
+    substitution flips only its own chunks (≥13 survive → near-dup);
+    an insertion shifts every later byte (documented miss — the
+    fixed-grid image analogy)."""
+    from lab3_spark.operators.multimodal import phash_near_dups
+
+    base = "".join(f"word{i:03d} " for i in range(64))  # 512 ascii bytes
+    sub = base.replace("word010", "WORDXXX")            # same length
+    ins = base.replace("word010 ", "word010 extra ")    # shifts tail
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, sub), (4, ins)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_equal_chunks
+        for r in phash_near_dups(docs).collect()
+    }
+    assert got[(1, 2)] == 16                      # exact copy
+    assert (1, 3) in got and got[(1, 3)] >= 13    # substitution caught
+    assert got[(2, 3)] == got[(1, 3)]
+    assert (1, 4) not in got                      # insertion shifts all
