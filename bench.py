@@ -158,7 +158,6 @@ HEADLINE = [
     "events_ohlc_hourly",
     "events_cms_verified_hh",
     "corpus_snapshot_diff",
-    "corpus_train_val_test",
     "pipeline_forget_docs",
     "dedup_threshold_curve",
     "multimodal_phash_near_dup",

@@ -446,44 +446,3 @@ def corpus_shuffle_shards(
         .orderBy("rn")
     )
 
-
-def train_val_test_split(
-    documents: DataFrame,
-    pct_train: int = 80,
-    pct_val: int = 10,
-    text_col: str = "text",
-) -> DataFrame:
-    """(source, split, n_docs, n_tokens): deterministic hash split of
-    the corpus into train/val/test with per-source accounting — the
-    final partitioning step of a curation pipeline, and the audit
-    table that proves the proportions landed per source.
-
-    The split is a pure function of doc_id (portable md5 bucket in
-    [0, 100)), so it is stable under re-runs, re-partitioning, and
-    engine choice — the property that keeps eval sets uncontaminated
-    across pipeline versions.  One scan, one (source, split)
-    aggregation."""
-    from lab3_spark.functions.text import md5_long, tokenize
-
-    bucket = F.pmod(
-        md5_long(F.col("doc_id").cast("string"), salt="split"), F.lit(100)
-    )
-    split = (
-        F.when(bucket < pct_train, "train")
-        .when(bucket < pct_train + pct_val, "val")
-        .otherwise("test")
-    )
-    return (
-        spread(documents)
-        .select(
-            "source",
-            split.alias("split"),
-            F.size(tokenize(text_col)).cast("bigint").alias("n_toks"),
-        )
-        .groupBy("source", "split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_toks").alias("n_tokens"),
-        )
-        .orderBy("source", "split")
-    )

@@ -7997,38 +7997,6 @@ def q_corpus_snapshot_diff(spark, sf_dir):
 
 
 @query(
-    "corpus_train_val_test",
-    f"""
-    WITH b AS (
-      SELECT source,
-             CASE WHEN h < 80 THEN 'train'
-                  WHEN h < 90 THEN 'val'
-                  ELSE 'test' END AS split,
-             CAST(len(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}))
-                  AS BIGINT) AS n_toks
-      FROM (
-        SELECT source, text,
-               ({_h2l("substr(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")})
-                 % 100 AS h
-        FROM documents
-      )
-    )
-    SELECT source, split, count(*) AS n_docs,
-           CAST(sum(n_toks) AS BIGINT) AS n_tokens
-    FROM b GROUP BY source, split ORDER BY source, split
-    """,
-)
-def q_corpus_train_val_test(spark, sf_dir):
-    """Deterministic 80/10/10 hash split with per-source accounting
-    (sampling.train_val_test_split): split membership is a pure
-    function of doc_id (portable md5 bucket), stable across runs and
-    engines — the eval-contamination guard."""
-    from lab3_spark.operators.sampling import train_val_test_split
-
-    return train_val_test_split(_t(spark, sf_dir, "documents"))
-
-
-@query(
     "pipeline_forget_docs",
     f"""
     WITH t AS (
@@ -8249,7 +8217,6 @@ _DRIVER_PRIORITY = [
     "events_ohlc_hourly",
     "events_cms_verified_hh",
     "corpus_snapshot_diff",
-    "corpus_train_val_test",
     "pipeline_forget_docs",
     "dedup_threshold_curve",
     "streaming_kmv_distinct",

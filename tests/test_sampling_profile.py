@@ -113,26 +113,6 @@ def test_corpus_shuffle_shards_balanced_and_deterministic(spark, sf_dir):
     ]
 
 
-def test_train_val_test_split_partitions_and_deterministic(spark, sf_dir):
-    """Every doc lands in exactly one split; counts are stable across
-    runs; global proportions are near 80/10/10."""
-    from lab3_spark.operators.sampling import train_val_test_split
-    from lab3_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    got = train_val_test_split(docs).collect()
-    again = train_val_test_split(docs).collect()
-    assert [tuple(r) for r in got] == [tuple(r) for r in again]
-    n = docs.count()
-    by_split = {}
-    for r in got:
-        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
-    assert sum(by_split.values()) == n
-    assert 0.7 * n <= by_split["train"] <= 0.9 * n
-    assert by_split["val"] < by_split["train"]
-    assert by_split["test"] < by_split["train"]
-
-
 def test_forget_propagation_fingerprint_survival(spark):
     """A fingerprint survives while ANY remaining doc carries it —
     deleting one copy of duplicated content must not retire the fp."""
