@@ -258,8 +258,20 @@ def phrase_search(
             list(enumerate(terms)), "slot int, tok string"
         )
     )
+    # Document prefilter BEFORE tokenize/posexplode: a doc can contain
+    # the phrase only if every term appears as a substring of the
+    # lowered text (token presence ⇒ substring presence, so this is a
+    # strict superset — never drops a match).  contains() is a cheap
+    # scan-local byte scan that prunes the overwhelming majority of a
+    # selective phrase's non-candidates before the expensive
+    # tokenize → explode; at 100 TB this is the difference between
+    # exploding the corpus and exploding the candidate sliver.
+    lowered = F.lower(F.col(text_col))
+    prefilter = F.lit(True)
+    for t in sorted(set(terms)):
+        prefilter = prefilter & lowered.contains(t)
     postings = (
-        spread(documents)
+        spread(documents.where(prefilter))
         .select("doc_id", F.posexplode(tokenize(text_col)).alias("pos", "tok"))
         .where(F.col("tok").isin(terms))
     )
