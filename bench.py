@@ -161,6 +161,8 @@ HEADLINE = [
     "pipeline_forget_docs",
     "dedup_threshold_curve",
     "multimodal_phash_near_dup",
+    "events_type_islands",
+    "events_cohort_retention",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

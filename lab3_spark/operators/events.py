@@ -697,3 +697,78 @@ def cms_verified_heavy_hitters(
         .select(key_col, "cnt")
         .orderBy(F.desc("cnt"), F.asc(key_col))
     )
+
+
+def type_islands(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, island_id, n_events, island_start,
+    island_end): maximal runs of CONSECUTIVE same-type events per user
+    — the gaps-and-islands pattern (run-length encoding of an ordered
+    stream), the building block for "state stayed X from t1 to t2"
+    questions that sessionize-by-gap cannot answer.
+
+    Classic two-window formulation: a lag() flags type changes, a
+    running sum of flags numbers the islands, one aggregation collapses
+    them — ONE shuffle on user_id, all windows share the partition.
+    Ties in ts are ordered by event_id (total order → identical
+    islands in any engine)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = (
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type"))
+    ).cast("int")
+    islands = events.withColumn("chg", change).withColumn(
+        "island_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "island_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "island_end"
+            ),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "island_id",
+            "n_events",
+            "island_start",
+            "island_end",
+        )
+        .orderBy("user_id", "island_id")
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, age_weeks, n_users): the classic cohort-retention
+    matrix in long form — users grouped by the week of their FIRST
+    event, counted in every later week they were active, keyed by age
+    in weeks.
+
+    Two aggregations: per-user first-event week (one shuffle on
+    user_id), then distinct (user, active-week) pairs joined to their
+    cohort — the join key is user_id, co-partitioned with the first
+    aggregation.  Weeks are epoch-day // 7 deltas (integer, engine-
+    neutral, no ISO-week ambiguity)."""
+    wk = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")) / 7).cast(
+        "bigint"
+    )  # Monday-aligned epoch weeks
+    user_weeks = events.select("user_id", wk.alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort", (F.col("week") - F.col("cohort")).alias("age_weeks")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort").alias("cohort_week"), "age_weeks", "n_users"
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -328,7 +328,12 @@ def trained_centroids(
         bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
     cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
     _CENTROID_MEMO.append((embeddings, (k, prescaled), n_iter, cents))
-    del _CENTROID_MEMO[:-4]
+    # bound 12, not 4: one pass over the ANN family needs the coarse
+    # quantizer + 2 flat-PQ subspace codebooks + 2 residual-PQ
+    # subspace codebooks (+ prescaled variants) — a 4-entry registry
+    # evicts mid-family and silently retrains every gate.  Each entry
+    # is k×d ints (~4 KB): 12 entries is still driver-noise.
+    del _CENTROID_MEMO[:-12]
     return cents
 
 

@@ -8179,6 +8179,63 @@ def q_multimodal_phash(spark, sf_dir):
     return phash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "events_type_islands",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS island_id
+      FROM flagged
+    )
+    SELECT user_id, event_type, island_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS island_end
+    FROM isl GROUP BY user_id, event_type, island_id
+    ORDER BY user_id, island_id
+    """,
+)
+def q_events_type_islands(spark, sf_dir):
+    """Gaps-and-islands (events.type_islands): maximal consecutive
+    same-type runs per user via lag-flag + running sum — run-length
+    encoding of the ordered stream; one shuffle, all windows share the
+    user partition; (ts, event_id) total order makes islands engine-
+    identical."""
+    return EV.type_islands(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week
+      FROM events
+    ),
+    c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+    SELECT c.cohort AS cohort_week, uw.week - c.cohort AS age_weeks,
+           count(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN c ON uw.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, age_weeks
+    """,
+)
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix in long form (events.cohort_retention):
+    users bucketed by first-event epoch week (Monday-aligned integer
+    week arithmetic — no ISO-week ambiguity), counted per age week.
+    Two co-partitioned aggregations on user_id."""
+    return EV.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8221,6 +8278,8 @@ _DRIVER_PRIORITY = [
     "dedup_threshold_curve",
     "streaming_kmv_distinct",
     "multimodal_phash_near_dup",
+    "events_type_islands",
+    "events_cohort_retention",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
