@@ -163,6 +163,8 @@ HEADLINE = [
     "multimodal_phash_near_dup",
     "events_type_islands",
     "events_cohort_retention",
+    "source_token_entropy",
+    "mixture_apportionment",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

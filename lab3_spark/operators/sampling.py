@@ -446,3 +446,63 @@ def corpus_shuffle_shards(
         .orderBy("rn")
     )
 
+
+
+def mixture_apportionment(
+    documents: DataFrame, budget: int = 100_000, text_col: str = "text"
+) -> DataFrame:
+    """(source, n_tokens, weight_fp, n_draws): turn the α=0.5
+    temperature mixture (`source_mixing_weights`) into EXACT integer
+    draw counts for a fixed budget via largest-remainder (Hamilton)
+    apportionment — Σ n_draws == budget exactly, the property
+    float-rounding per source cannot give.
+
+    All integer once the per-source sqrt is fixed-pointed (the
+    source_mixing_weights contract): floor shares = (budget·w_fp) div
+    Z, the deficit (≤ #sources) goes to the largest remainders
+    (ties → source name).  The remainder rank runs over #sources rows
+    under a constant partition — metadata scale by construction, not
+    a data window."""
+    from pyspark.sql.window import Window
+
+    per = (
+        spread(documents)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokenize(text_col)).cast("bigint")).alias("n_tokens")
+        )
+        .withColumn(
+            "weight_fp",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000)
+            .cast("bigint"),
+        )
+    )
+    z = per.agg(F.sum("weight_fp").alias("z"))
+    num = F.col("weight_fp") * budget
+    shares = per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        "weight_fp",
+        F.expr(f"(weight_fp * {budget}) div z").alias("base"),
+        F.expr(f"(weight_fp * {budget}) % z").alias("rem"),
+    )
+    deficit = shares.agg(
+        (F.lit(budget) - F.sum("base")).alias("deficit")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    return (
+        shares.crossJoin(F.broadcast(deficit))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "source",
+            "n_tokens",
+            "weight_fp",
+            (
+                F.col("base")
+                + (F.col("rn") <= F.col("deficit")).cast("bigint")
+            ).alias("n_draws"),
+        )
+        .orderBy("source")
+    )

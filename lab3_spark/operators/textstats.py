@@ -1382,3 +1382,51 @@ def forget_propagation(
     return docs_row.unionByName(chunks_row).unionByName(fp_row).orderBy(
         "artifact"
     )
+
+
+def source_token_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_tokens, n_types, entropy_fp): Shannon entropy of
+    each source's token distribution (bits, fixed-point ·1e6) — the
+    corpus-diversity diagnostic next to `source_mixing_weights`: a
+    low-entropy source is templated/boilerplate mass that mixing
+    weights alone won't reveal.
+
+    H(s) = Σ_t (cnt/N_s)·log2(N_s/cnt), computed the
+    `unigram_surprisal` way: the ONLY float arithmetic is one log2
+    expression per DISTINCT (source, term), immediately fixed-pointed;
+    the per-source total is an exact bigint Σ cnt·s_fp and one integer
+    division — order-free, so the oracle matches bit-for-bit.
+
+    Scale: one (source, term) hash agg over token occurrences
+    (map-side combined), per-source totals broadcast back onto the
+    vocab-sized frame, one final per-source agg.  The corpus itself
+    shuffles once, combine-compressed."""
+    tt = (
+        spread(documents)
+        .select("source", F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = tt.groupBy("source").agg(
+        F.sum("cnt").alias("n_s"), F.count("*").alias("n_types")
+    )
+    s_fp = (
+        F.floor(
+            F.log(F.col("n_s").cast("double") / F.col("cnt"))
+            / F.log(F.lit(2.0))
+            * SURPRISAL_SCALE
+        )
+    ).cast("bigint")
+    return (
+        tt.join(F.broadcast(totals), "source")
+        .select("source", "n_s", "n_types", (F.col("cnt") * s_fp).alias("c_fp"))
+        .groupBy("source", "n_s", "n_types")
+        .agg(F.sum("c_fp").alias("tot_fp"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            F.expr("tot_fp div n_s").alias("entropy_fp"),
+        )
+        .orderBy("source")
+    )

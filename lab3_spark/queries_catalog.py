@@ -8236,6 +8236,85 @@ def q_events_cohort_retention(spark, sf_dir):
     return EV.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "source_token_entropy",
+    f"""
+    WITH tt AS (
+      SELECT source, tok AS term, count(*) AS cnt
+      FROM (SELECT source,
+                   unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s,
+             count(*) AS n_types
+      FROM tt GROUP BY source
+    ),
+    sf AS (
+      SELECT tt.source, tot.n_s, tot.n_types,
+             cnt * CAST(floor(ln(CAST(n_s AS DOUBLE) / cnt) / ln(2) * 1000000)
+                        AS BIGINT) AS c_fp
+      FROM tt JOIN tot ON tt.source = tot.source
+    )
+    SELECT source, n_s AS n_tokens, n_types,
+           CAST(sum(c_fp) // n_s AS BIGINT) AS entropy_fp
+    FROM sf GROUP BY source, n_s, n_types ORDER BY source
+    """,
+)
+def q_source_token_entropy(spark, sf_dir):
+    """Per-source token-distribution Shannon entropy (textstats.
+    source_token_entropy): the corpus-diversity diagnostic — one log2
+    per DISTINCT (source, term) immediately fixed-pointed, exact
+    bigint accumulation (the unigram_surprisal contract)."""
+    from lab3_spark.operators.textstats import source_token_entropy
+
+    return source_token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_apportionment",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wp AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_fp
+      FROM per
+    ),
+    z AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS z FROM wp),
+    s AS (
+      SELECT source, n_tokens, weight_fp,
+             (weight_fp * 100000) // z.z AS base,
+             (weight_fp * 100000) % z.z AS rem
+      FROM wp, z
+    ),
+    d AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS deficit FROM s),
+    r AS (
+      SELECT s.*, row_number() OVER (ORDER BY rem DESC, source) AS rn FROM s
+    )
+    SELECT source, n_tokens, weight_fp,
+           CAST(base + CASE WHEN rn <= (SELECT deficit FROM d)
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_draws
+    FROM r ORDER BY source
+    """,
+)
+def q_mixture_apportionment(spark, sf_dir):
+    """Largest-remainder apportionment of a 100k-draw budget over the
+    α=0.5 source mixture (sampling.mixture_apportionment): exact
+    integer draw counts, Σ n_draws == budget by construction — the
+    step that turns mixing WEIGHTS into an executable sampling plan.
+    The remainder rank runs over #sources rows (metadata scale)."""
+    from lab3_spark.operators.sampling import mixture_apportionment
+
+    return mixture_apportionment(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8280,6 +8359,8 @@ _DRIVER_PRIORITY = [
     "multimodal_phash_near_dup",
     "events_type_islands",
     "events_cohort_retention",
+    "source_token_entropy",
+    "mixture_apportionment",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

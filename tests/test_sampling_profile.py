@@ -154,3 +154,42 @@ def test_dedup_threshold_curve_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.n_pairs >= b.n_pairs and a.n_docs >= b.n_docs
     assert rows[0].n_pairs == ngram_jaccard_pairs(docs).count()
+
+
+def test_mixture_apportionment_sums_to_budget(spark, sf_dir):
+    """Σ n_draws == budget EXACTLY; every source gets base or base+1;
+    larger-token sources never get fewer draws (α-monotone)."""
+    from lab3_spark.operators.sampling import mixture_apportionment
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = mixture_apportionment(docs, budget=12_345).collect()
+    assert sum(r.n_draws for r in rows) == 12_345
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    for a, b in zip(by_tokens, by_tokens[1:]):
+        assert a.n_draws <= b.n_draws + 1  # base shares are monotone;
+        # the +1 remainder can land on either side of a near-tie
+
+
+def test_source_token_entropy_hand_checked(spark):
+    """Uniform distribution → log2(n_types) bits; single-token source
+    → 0; fixed-point floor semantics."""
+    import math
+
+    from lab3_spark.operators.textstats import source_token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta", "en", "uniform"),
+            (2, "same same same same", "en", "constant"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {r.source: r for r in source_token_entropy(docs).collect()}
+    u = got["uniform"]
+    assert (u.n_tokens, u.n_types) == (4, 4)
+    # every term: cnt=1, s_fp = floor(log2(4)*1e6) = 2_000_000;
+    # entropy = (4 * 2e6) div 4
+    assert u.entropy_fp == 2_000_000
+    c = got["constant"]
+    assert (c.n_tokens, c.n_types, c.entropy_fp) == (4, 1, 0)
