@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "dedup_community_modularity",  # 1-row |E| aggregate broadcast (scalar m)
     "events_kmv_daily_users",  # 1-row merged-total synopsis broadcast
     "events_cms_verified_hh",  # 1-row threshold aggregate broadcast
+    "pipeline_forget_docs",  # 1-row before/after count aggregates
+    "mixture_apportionment",  # 1-row normalizer + deficit aggregates
     "hybrid_retrieval_rrf",  # 1-query dense side (audited bruteforce shape)
     "doc_length_distribution",
     "q11_important_parts",
