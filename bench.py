@@ -165,6 +165,7 @@ HEADLINE = [
     "events_cohort_retention",
     "source_token_entropy",
     "mixture_apportionment",
+    "dedup_ppjoin_exact",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

@@ -952,3 +952,99 @@ def dedup_threshold_curve(
         )
         .orderBy("threshold_pct")
     )
+
+
+def ppjoin_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_inter, jaccard): ALL pairs with
+    shingle-set Jaccard ≥ t (= t_num/t_den), found by prefix filtering
+    (Bayardo et al. 2007 "Scaling Up All Pairs", public) — the EXACT
+    counterpart to MinHash-LSH: where LSH trades recall for speed
+    probabilistically, prefix filtering is complete BY THEOREM, so
+    this operator is the ground-truth near-dup join (and the recall
+    yardstick for the LSH family).
+
+    Completeness argument (one-sided prefix, unconditional): order
+    shingles by a global total order (ascending document frequency,
+    rarest first — the order that makes prefixes selective).  For a
+    doc x with n shingles, index only its first L = n − ceil(t·n) + 1.
+    If J(x,y) ≥ t then |x∩y| ≥ t·max(n_x,n_y) ≥ t·n_x, while x's
+    suffix holds only ceil(t·n_x) − 1 < t·n_x elements — so x's
+    PREFIX contains an intersection element, and probing the prefix
+    table against y's FULL shingle set finds the pair.  No false
+    negatives, ever; the exact Jaccard filter removes false
+    candidates with integer arithmetic (inter·t_den ≥ union·t_num).
+
+    Scale shape: df ranking is one vocab-sized aggregation; the
+    prefix explode drops a (1−t) fraction of every doc's index
+    entries; candidates come from an equi-join of prefix-vs-full on
+    the shingle (the inverted index — never all-pairs); the size
+    filter (min·t_den ≥ max·t_num) prunes before verification; exact
+    intersection counts ride the same shingle join as
+    `ngram_jaccard_pairs`.  Ascending-df order means the hottest
+    shingles sit in the FEWEST prefixes — the degenerate-bucket
+    pressure LSH handles with max_bucket is structurally reduced
+    here (and the verify step bounds damage to real candidates)."""
+    from lab3_spark.functions.partitioning import memo_persist
+
+    sh = memo_persist(
+        f"dedup.ppjoin_shingles.{text_col}",
+        _doc_shingles(documents, text_col),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    # L = n - ceil(t*n) + 1, all-integer ceil
+    L = F.col("n") - F.expr(
+        f"(n * {t_num} + {t_den} - 1) div {t_den}"
+    ) + 1
+    prefix = ranked.where(F.col("rn") <= L).select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("n_a")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    full = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.least("n_a", "n_b") * t_den
+            >= F.greatest("n_a", "n_b") * t_num
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.where(F.col("n_inter") * t_den >= union * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            trunc(F.col("n_inter") / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -8315,6 +8315,59 @@ def q_mixture_apportionment(spark, sf_dir):
     return mixture_apportionment(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_ppjoin_exact",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY dfq.df, sh.shingle) AS rn,
+             count(*) OVER (PARTITION BY sh.doc_id) AS n
+      FROM sh JOIN dfq ON sh.shingle = dfq.shingle
+    ),
+    prefix AS (
+      SELECT doc_id AS doc_a, shingle, n AS n_a
+      FROM ranked WHERE rn <= n - (n * 1 + 1) // 2 + 1
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    fullsh AS (
+      SELECT sh.doc_id AS doc_b, sh.shingle, sizes.n_sh AS n_b
+      FROM sh JOIN sizes ON sh.doc_id = sizes.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_a, f.doc_b, p.n_a, f.n_b
+      FROM prefix p JOIN fullsh f ON p.shingle = f.shingle
+      WHERE p.doc_a < f.doc_b
+        AND least(p.n_a, f.n_b) * 2 >= greatest(p.n_a, f.n_b) * 1
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_a, n_b, n_inter,
+           floor((n_inter / (n_a + n_b - n_inter)) * 10000) / 10000 AS jaccard
+    FROM inter
+    WHERE n_inter * 2 >= (n_a + n_b - n_inter) * 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ppjoin(spark, sf_dir):
+    """Exact set-similarity join via prefix filtering (dedup.ppjoin_
+    pairs, Bayardo et al. All-Pairs): EVERY shingle-set pair with
+    Jaccard ≥ 0.5, complete by theorem (no false negatives — the
+    ground-truth counterpart to the probabilistic MinHash-LSH
+    family).  Ascending-df prefix order, integer size and Jaccard
+    filters, prefix-vs-full inverted-index join."""
+    from lab3_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8361,6 +8414,7 @@ _DRIVER_PRIORITY = [
     "events_cohort_retention",
     "source_token_entropy",
     "mixture_apportionment",
+    "dedup_ppjoin_exact",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

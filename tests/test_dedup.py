@@ -343,3 +343,40 @@ def test_dedup_reassemble_hand_checked(spark):
     assert got[2].new_fp == md5("")
     assert got[3].n_chunks == 2 and got[3].n_kept == 1
     assert got[3].new_fp == md5(" ".join(e))
+
+
+def test_ppjoin_complete_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must find EVERY pair with Jaccard >= 0.5 —
+    compared against the brute-force all-pairs join on real testdata
+    (the completeness theorem, checked not argued)."""
+    from lab3_spark.operators.dedup import _doc_shingles, ppjoin_pairs
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+        for r in ppjoin_pairs(docs).collect()
+    }
+    sh = _doc_shingles(docs, "text")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    brute = {}
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+        .collect()
+    )
+    for r in inter:
+        na, nb = sizes[r.doc_a], sizes[r.doc_b]
+        u = na + nb - r.ni
+        if 2 * r.ni >= u:
+            brute[(r.doc_a, r.doc_b)] = r.ni
+    assert set(got) == set(brute), (
+        set(brute) - set(got),  # missed pairs = broken theorem
+        set(got) - set(brute),  # phantom pairs = broken verify
+    )
+    for k, ni in brute.items():
+        assert got[k][0] == ni
