@@ -252,14 +252,17 @@ def minhash_candidates(
     return _minhash_candidates_build(documents, text_col, max_bucket, shingles)
 
 
-def _minhash_candidates_build(
+def minhash_band_keys(
     documents: DataFrame,
-    text_col: str,
-    max_bucket: int | None,
-    shingles: DataFrame | None,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
+    """(doc_id, band, band_key): each doc's LSH band bucket keys —
+    the unit of blocking shared by batch candidate generation
+    (`minhash_candidates`) and the streaming near-dup flagging store
+    (`streaming/lsh_flag.py`)."""
     sig = minhash_signatures(documents, text_col, shingles=shingles)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
         "sig",
@@ -272,6 +275,15 @@ def _minhash_candidates_build(
             )
         ).alias("band_key"),
     )
+
+
+def _minhash_candidates_build(
+    documents: DataFrame,
+    text_col: str,
+    max_bucket: int | None,
+    shingles: DataFrame | None,
+) -> DataFrame:
+    bands = minhash_band_keys(documents, text_col, shingles)
     if max_bucket is not None:
         sizes = bands.groupBy("band", "band_key").agg(
             F.count("*").alias("_bucket_n")

@@ -8368,6 +8368,57 @@ def q_dedup_ppjoin(spark, sf_dir):
     return ppjoin_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "streaming_lsh_flagging",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    arr AS (
+      SELECT doc_id, b, band_key, doc_id % 3 AS batch FROM bands
+    ),
+    rnk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY b, band_key
+                                ORDER BY batch, doc_id) AS rn
+      FROM arr
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS flagged
+    FROM rnk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_streaming_lsh_flagging(spark, sf_dir):
+    """Streaming NEAR-dup flagging (streaming/lsh_flag.py): documents
+    drain as three mtime-ordered micro-batches; each batch appends its
+    MinHash band-bucket keys to an idempotent per-batch store; a doc
+    is flagged iff any bucket holds an earlier arrival
+    ((batch, doc_id) order).  First-arrival flagging is a pure
+    function of (bucket, arrival order), so the oracle restates it
+    directly over the batch assignment (doc_id % 3)."""
+    import os as _os
+
+    from lab3_spark.streaming.lsh_flag import (
+        flagged_docs,
+        start_streaming_lsh_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _scratch_dir("stream_lsh_")
+    flat = _mtime_ordered_doc_batches(docs, root)
+    src = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_lsh_flags(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_lsh availableNow run timed out")
+    return flagged_docs(spark, store)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8415,6 +8466,7 @@ _DRIVER_PRIORITY = [
     "source_token_entropy",
     "mixture_apportionment",
     "dedup_ppjoin_exact",
+    "streaming_lsh_flagging",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -233,3 +233,65 @@ def test_streaming_kmv_store_equals_batch_estimate(spark, sf_dir, tmp_path):
     parts = sorted(f for f in os.listdir(store) if f.startswith("batch_id="))
     assert parts == ["batch_id=0", "batch_id=2", "batch_id=3"], parts
     assert merged_estimate(spark, store, k) == whole
+
+
+def test_streaming_lsh_flags_near_dups_at_ingest(spark, tmp_path):
+    """The later arrival of a near-dup pair is flagged; the first
+    arrival and unique docs are not; flags equal the batch-computed
+    first-arrival relation over the same band keys."""
+    import os
+
+    from lab3_spark.operators.dedup import minhash_band_keys
+    from lab3_spark.streaming.lsh_flag import (
+        flagged_docs,
+        start_streaming_lsh_flags,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single morning"
+    )
+    rows = [
+        (0, base),                          # batch 0 — first arrival
+        (3, base),                          # batch 0, later id → flagged
+        (1, base.replace("warm", "cold")),  # batch 1 near dup → flagged
+        (4, "completely different content about spark query engines"),
+        (2, "another unrelated body of text entirely its own words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    now = __import__("time").time()
+    for b in range(3):
+        part = tmp_path / f"part{b}"
+        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(str(part))
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = f"{incoming}/{b:02d}.parquet"
+        os.rename(part / pf, dst)
+        os.utime(dst, (now + b * 10, now + b * 10))
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    store = str(tmp_path / "store")
+    q = start_streaming_lsh_flags(src, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(600)
+    got = {r.doc_id: r.flagged for r in flagged_docs(spark, store).collect()}
+    assert got[0] == 0          # first arrival of the dup cluster
+    assert got[3] == 1          # same batch, later doc_id
+    assert got[1] == 1          # later batch near dup
+    assert got[4] == 0 and got[2] == 0
+    # store keys == batch-side band keys for the same docs
+    stored = {
+        (r.doc_id, r.band, r.band_key)
+        for r in spark.read.option("basePath", store)
+        .parquet(f"{store}/batch_id=*")
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    batch_side = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_band_keys(docs).collect()
+    }
+    assert stored == batch_side
