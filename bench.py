@@ -166,6 +166,7 @@ HEADLINE = [
     "source_token_entropy",
     "mixture_apportionment",
     "dedup_ppjoin_exact",
+    "events_seasonal_anomalies",
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and

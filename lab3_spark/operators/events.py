@@ -772,3 +772,46 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def seasonal_hourly_anomalies(events: DataFrame, z: int = 2) -> DataFrame:
+    """(event_type, bucket, n_events, hod, is_anomaly): hourly counts
+    judged against the type's SAME-HOUR-OF-DAY baseline — the seasonal
+    upgrade of `daily_count_anomalies`: a 3 a.m. lull is only an
+    anomaly compared to other 3 a.m. hours, not the daily mean.
+
+    Same exact-integer verdict as the daily form ((x·n − S)² >
+    z²·(n·Q − S²) over the (type, hour-of-day) population — all
+    bigint, order-free, bit-identical across engines).  Two
+    aggregations: hourly counts (one shuffle), then per-(type, hod)
+    stats joined back broadcast (24·|types| rows)."""
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("hod", F.hour("bucket").cast("int"))
+    )
+    stats = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    d = F.col("n_events") * F.col("n_obs") - F.col("s")
+    lhs = d * d
+    rhs = F.lit(z * z) * (
+        F.col("n_obs") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        hourly.join(F.broadcast(stats), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+            "hod",
+            (lhs > rhs).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -8419,6 +8419,41 @@ def q_streaming_lsh_flagging(spark, sf_dir):
     return flagged_docs(spark, store)
 
 
+@query(
+    "events_seasonal_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             count(*) AS n_events,
+             CAST(extract(hour FROM time_bucket(INTERVAL '1 hour', ts)) AS INT)
+               AS hod
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) AS BIGINT) AS q
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type,
+           strftime(h.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           h.n_events, h.hod,
+           CAST((h.n_events * st.n_obs - st.s) * (h.n_events * st.n_obs - st.s)
+                > 4 * (st.n_obs * st.q - st.s * st.s) AS INT) AS is_anomaly
+    FROM hourly h JOIN stats st
+      ON h.event_type = st.event_type AND h.hod = st.hod
+    ORDER BY h.event_type, bucket
+    """,
+)
+def q_events_seasonal_anomalies(spark, sf_dir):
+    """Seasonal (hour-of-day-baselined) anomaly detection
+    (events.seasonal_hourly_anomalies): the exact-integer z-test of
+    daily_count_anomalies computed against same-hour populations —
+    |x−μ| > zσ decided as (x·n−S)² > z²(n·Q−S²), all bigint."""
+    return EV.seasonal_hourly_anomalies(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8467,6 +8502,7 @@ _DRIVER_PRIORITY = [
     "mixture_apportionment",
     "dedup_ppjoin_exact",
     "streaming_lsh_flagging",
+    "events_seasonal_anomalies",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
