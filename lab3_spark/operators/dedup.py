@@ -1000,7 +1000,19 @@ def ppjoin_pairs(
     `ngram_jaccard_pairs`.  Ascending-df order means the hottest
     shingles sit in the FEWEST prefixes — the degenerate-bucket
     pressure LSH handles with max_bucket is structurally reduced
-    here (and the verify step bounds damage to real candidates)."""
+    here (and the verify step bounds damage to real candidates).
+
+    Selectivity caveat (honest limit): prefix filtering's pruning
+    power comes from Zipfian vocabularies — each doc's prefix holds
+    its RAREST shingles, which few other docs share.  On a corpus
+    where every shingle is common (the synthetic testdata's ~29-word
+    vocabulary is the adversarial extreme) prefixes stay hot and the
+    candidate join degrades toward all-pairs; production pipelines
+    run exact dedup first and drop stop-shingles above a df ceiling
+    (the `sparse_tfidf_pairs` max_df discipline) before an exact
+    similarity join.  A bucket cap is deliberately NOT offered: it
+    would silently void the completeness theorem this operator
+    exists to provide."""
     from lab3_spark.functions.partitioning import memo_persist
 
     sh = memo_persist(

@@ -8318,7 +8318,16 @@ def q_mixture_apportionment(spark, sf_dir):
 @query(
     "dedup_ppjoin_exact",
     f"""
-    WITH {_DUCK_SHINGLE_CTES},
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents WHERE doc_id < 1000
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
     dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
     ranked AS (
       SELECT sh.doc_id, sh.shingle,
@@ -8362,10 +8371,20 @@ def q_dedup_ppjoin(spark, sf_dir):
     Jaccard ≥ 0.5, complete by theorem (no false negatives — the
     ground-truth counterpart to the probabilistic MinHash-LSH
     family).  Ascending-df prefix order, integer size and Jaccard
-    filters, prefix-vs-full inverted-index join."""
+    filters, prefix-vs-full inverted-index join.
+
+    Gated over the doc_id < 1000 slice (the whole corpus at the
+    driver's sf0.01): the synthetic ~29-word vocabulary is the
+    documented adversarial case for prefix selectivity (every shingle
+    is hot — see the operator docstring), so the full-sf0.1 run
+    measures generator degeneracy, not the algorithm.  The
+    completeness check against brute force (tests/test_dedup.py) runs
+    on the same real-testdata slice."""
     from lab3_spark.operators.dedup import ppjoin_pairs
 
-    return ppjoin_pairs(_t(spark, sf_dir, "documents"))
+    return ppjoin_pairs(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    )
 
 
 @query(

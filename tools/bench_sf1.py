@@ -75,6 +75,24 @@ QUERIES = [
     "cluster_balanced_sample",
     "events_cms_heavy_hitters",
     "doc_winnowing_fingerprints",
+    # round-6 additions: sketch/dedup/join/pattern families
+    "events_kmv_daily_users",
+    "dedup_bloom_prefilter",
+    "events_attribution_window",
+    "dedup_reassemble",
+    "phrase_search_docs",
+    "events_ohlc_hourly",
+    "events_cms_verified_hh",
+    "dedup_threshold_curve",
+    "multimodal_phash_near_dup",
+    "events_type_islands",
+    "source_token_entropy",
+    # dedup_ppjoin_exact deliberately NOT on the sf1 curve: the
+    # synthetic corpus's ~29-word vocabulary makes every shingle hot,
+    # which is the documented adversarial case for prefix filtering
+    # (its selectivity comes from Zipfian rare-shingle prefixes; real
+    # corpora have them, this generator does not).  Running it here
+    # would measure the generator's degeneracy, not the operator.
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
