@@ -714,13 +714,21 @@ def type_islands(events: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    change = (
-        F.lag("event_type", 1).over(w).isNull()
-        | (F.lag("event_type", 1).over(w) != F.col("event_type"))
-    ).cast("int")
-    islands = events.withColumn("chg", change).withColumn(
-        "island_id",
-        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # hoist the lag to one projected column: two .over(w) references
+    # would be two window expressions in WindowExec
+    islands = (
+        events.withColumn("_prev", F.lag("event_type", 1).over(w))
+        .withColumn(
+            "chg",
+            (
+                F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("event_type"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     )
     return (
         islands.groupBy("user_id", "island_id", "event_type")

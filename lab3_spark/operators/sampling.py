@@ -478,7 +478,6 @@ def mixture_apportionment(
         )
     )
     z = per.agg(F.sum("weight_fp").alias("z"))
-    num = F.col("weight_fp") * budget
     shares = per.crossJoin(F.broadcast(z)).select(
         "source",
         "n_tokens",

@@ -1367,12 +1367,9 @@ def forget_propagation(
 
     fp = F.md5(F.concat_ws(" ", tokenize("text")))
     docs_row = row("documents", documents, survivors)
+    chunks = chunk_documents_unordered(documents, chunk_tokens)
     chunks_row = row(
-        "chunks",
-        chunk_documents_unordered(documents, chunk_tokens),
-        chunk_documents_unordered(documents, chunk_tokens).join(
-            fid, "doc_id", "left_anti"
-        ),
+        "chunks", chunks, chunks.join(fid, "doc_id", "left_anti")
     )
     fp_row = row(
         "fingerprints",
