@@ -823,3 +823,42 @@ def seasonal_hourly_anomalies(events: DataFrame, z: int = 2) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """(event_type, next_type, n_trans, prob_fp): first-order Markov
+    transition matrix of the per-user event stream in long form —
+    "what do users do after X", the next-action / navigation-analysis
+    primitive.
+
+    One lead() over the per-user (ts, event_id) total order (the
+    type_islands partition shape — ONE shuffle on user_id), then one
+    combinable aggregation on the (type, next_type) pair.  Row-
+    conditional probabilities are bigint fixed-point (cnt·10^6 div
+    row-total, truncating) so the matrix is bit-identical across
+    engines; the row-total side is ≤|types| rows — broadcast by
+    construction."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.withColumn(
+        "next_type", F.lead("event_type", 1).over(w)
+    ).where(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_trans").alias("_tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_trans",
+            F.expr(f"CAST(n_trans * {10**6} DIV _tot AS BIGINT)").alias(
+                "prob_fp"
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )

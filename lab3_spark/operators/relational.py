@@ -298,3 +298,224 @@ def parties_per_nation(
         .agg(F.count("*").alias("n_parties"))
         .orderBy("n_name", "role")
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-data-capture apply (round 6)
+# ---------------------------------------------------------------------------
+
+def _cents() -> F.Column:
+    """o_totalprice as integer cents: floor(x·100 + 0.5) on the same
+    IEEE double in every engine — exact, boundary-free."""
+    return F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+
+def cdc_change_log(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC change log derived from orders — the input
+    shape of a Debezium/Delta change feed: every key gets an INSERT at
+    seq 1, keys %3==0 an UPDATE (+50.00) at seq 2, keys %7==0 a DELETE
+    tombstone at seq 3.  Prices are integer cents (floor(x*100+0.5) on
+    the same IEEE double in every engine) so the applied snapshot is
+    all-bigint."""
+    base = orders.select(
+        "o_orderkey",
+        _cents().alias("price_cents"),
+        "o_orderstatus",
+    )
+    inserts = base.select(
+        "o_orderkey",
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("I").alias("op"),
+        "price_cents",
+        "o_orderstatus",
+    )
+    updates = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("price_cents") + 5000).alias("price_cents"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    deletes = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(3).cast("bigint").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(0).cast("bigint").alias("price_cents"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def cdc_apply(changes: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """(key, last_op, price_cents, o_orderstatus, n_changes): last-
+    writer-wins CDC apply — materialize the current snapshot from an
+    ordered change log, dropping keys whose latest change is a DELETE
+    tombstone.
+
+    ONE combinable aggregation (max_by on seq, no window, no sort): at
+    100 TB this is a single hash shuffle on the key and the map-side
+    combiner collapses each key's change run before the wire — the
+    same shape a lakehouse MERGE materialization compiles to.  seq is
+    unique per key by feed contract, so max_by is deterministic."""
+    last = F.max_by(
+        F.struct("op", "price_cents", "o_orderstatus"), "seq"
+    ).alias("_last")
+    return (
+        changes.groupBy(key)
+        .agg(last, F.count("*").alias("n_changes"))
+        .where(F.col("_last.op") != "D")
+        .select(
+            key,
+            F.col("_last.op").alias("last_op"),
+            F.col("_last.price_cents").alias("price_cents"),
+            F.col("_last.o_orderstatus").alias("o_orderstatus"),
+            "n_changes",
+        )
+        .orderBy(key)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (round 6)
+# ---------------------------------------------------------------------------
+
+
+def brand_pair_lift(
+    lineitem: DataFrame, part: DataFrame, min_pairs: int = 5
+) -> DataFrame:
+    """(brand_a, brand_b, pair_cnt, support_fp, confidence_fp,
+    lift_fp): frequent brand PAIRS across order baskets with the
+    classic association metrics, all bigint fixed-point (×10^6,
+    truncating div — bit-identical across engines).
+
+    Baskets are distinct (order, brand) sets; the pair enumeration is
+    a SELF-EQUI-JOIN ON THE ORDER KEY with brand_a < brand_b — fan-out
+    per order is C(b,2) where b = distinct brands in the basket,
+    bounded by lines-per-order (~7 in TPC-H shapes), so the join output
+    is a small constant multiple of lineitem and NEVER all-pairs over
+    brands.  Marginal counts and the basket total are broadcast
+    (|brands| rows, 1 row); the one unavoidable shuffle is the
+    distinct on (order, brand)."""
+    baskets = (
+        lineitem.join(
+            F.broadcast(part),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select(
+        F.countDistinct("l_orderkey").alias("_nb")
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count("*").alias("_cnt"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pairs)
+    )
+    ma = marg.select(
+        F.col("p_brand").alias("brand_a"), F.col("_cnt").alias("_ca")
+    )
+    mb = marg.select(
+        F.col("p_brand").alias("brand_b"), F.col("_cnt").alias("_cb")
+    )
+    M = 10**6
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.expr(f"CAST(pair_cnt * {M} DIV _nb AS BIGINT)").alias(
+                "support_fp"
+            ),
+            F.expr(f"CAST(pair_cnt * {M} DIV _ca AS BIGINT)").alias(
+                "confidence_fp"
+            ),
+            F.expr(
+                f"CAST(pair_cnt * _nb * {M} DIV (_ca * _cb) AS BIGINT)"
+            ).alias("lift_fp"),
+        )
+        .orderBy(F.desc("pair_cnt"), "brand_a", "brand_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped ordinary least squares (round 6)
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue_ols(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(n_name, n_months, slope_fp, intercept_fp): per-nation OLS fit
+    of monthly revenue (cents) against the month index — the trend
+    extraction behind "is this segment growing", computed EXACTLY.
+
+    Normal-equations form over integer sums: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) with x = months since 1992-01 and y = monthly cents;
+    every sum is bigint, the single division is sign-extracted
+    truncating DIV (both engines truncate toward zero), so the fit is
+    bit-identical with no float summation-order hazard.  Plan shape:
+    orders ⋈ customer shuffles on custkey (bucket-ready), nation is
+    broadcast, then ONE aggregation per (nation, month) and ONE per
+    nation — the regression itself adds no extra pass over the fact
+    table."""
+    monthly = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(_cents()).alias("y"))
+    )
+    M = 10**6
+    stats = monthly.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        stats.withColumn("_num", num)
+        .withColumn("_den", den)
+        # den == 0 iff a nation has a single observed month — no line
+        # to fit; drop rather than divide by zero (both engines agree)
+        .where(F.col("_den") > 0)
+        .withColumn(
+            "slope_fp",
+            F.signum("_num").cast("bigint")
+            * F.expr(f"CAST(abs(_num) * {M} DIV _den AS BIGINT)"),
+        )
+        .withColumn("_inum", F.col("sy") * M - F.col("slope_fp") * F.col("sx"))
+        .withColumn(
+            "intercept_fp",
+            F.signum("_inum").cast("bigint")
+            * F.expr("CAST(abs(_inum) DIV n_months AS BIGINT)"),
+        )
+        .select("n_name", "n_months", "slope_fp", "intercept_fp")
+        .orderBy("n_name")
+    )

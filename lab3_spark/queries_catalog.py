@@ -8473,6 +8473,180 @@ def q_events_seasonal_anomalies(spark, sf_dir):
     return EV.seasonal_hourly_anomalies(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_transition_matrix",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, count(*) AS n_trans
+      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(n_trans) AS BIGINT) AS tot
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.next_type, c.n_trans,
+           CAST(c.n_trans * 1000000 // t.tot AS BIGINT) AS prob_fp
+    FROM c JOIN t ON c.event_type = t.event_type
+    ORDER BY c.event_type, c.next_type
+    """,
+)
+def q_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix (events.transition_matrix):
+    lead() over the per-user (ts, event_id) total order, one combinable
+    pair aggregation; conditional probabilities bigint fixed-point
+    (×10^6, truncating DIV — both engines truncate toward zero)."""
+    return EV.transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders
+    ),
+    log AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 5000, 'U'
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, 'X'
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY seq DESC) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_changes
+      FROM log
+    )
+    SELECT o_orderkey, op AS last_op, price_cents, o_orderstatus,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op != 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_cdc_apply(spark, sf_dir):
+    """CDC / change-feed snapshot materialization (relational.
+    cdc_apply over relational.cdc_change_log): last-writer-wins per
+    key with DELETE tombstones dropped — ONE combinable max_by
+    aggregation, no window.  The oracle materializes the same
+    deterministic change log and picks the max-seq row per key via
+    row_number (seq unique per key ⇒ identical choice)."""
+    log = REL.cdc_change_log(_t(spark, sf_dir, "orders"))
+    return REL.cdc_apply(log)
+
+
+@query(
+    "frequent_brand_pairs",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nbk FROM baskets
+    ),
+    marg AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+      FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_cnt,
+           CAST(p.pair_cnt * 1000000 // nb.nbk AS BIGINT) AS support_fp,
+           CAST(p.pair_cnt * 1000000 // ma.cnt AS BIGINT) AS confidence_fp,
+           CAST(p.pair_cnt * nb.nbk * 1000000 // (ma.cnt * mb.cnt) AS BIGINT)
+             AS lift_fp
+    FROM pairs p
+    JOIN marg ma ON p.brand_a = ma.p_brand
+    JOIN marg mb ON p.brand_b = mb.p_brand
+    CROSS JOIN nb
+    ORDER BY pair_cnt DESC, brand_a, brand_b
+    """,
+)
+def q_frequent_brand_pairs(spark, sf_dir):
+    """Market-basket association rules (relational.brand_pair_lift):
+    support/confidence/lift over order-basket brand pairs, bigint
+    fixed-point.  Pair enumeration is a self-EQUI-join on the order
+    key (per-order fan-out C(b,2), b ≈ lines per order — never
+    all-pairs over the brand vocabulary); marginals and the basket
+    total ride broadcast."""
+    return REL.brand_pair_lift(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "nation_revenue_ols",
+    """
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST((year(o.o_orderdate) - 1992) * 12
+                  + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY 1
+    ),
+    fit AS (
+      SELECT n_name, n_months, sx, sy,
+             n_months * sxy - sx * sy AS num,
+             n_months * sxx - sx * sx AS den
+      FROM stats
+      WHERE n_months * sxx - sx * sx > 0
+    ),
+    sl AS (
+      SELECT n_name, n_months, sx, sy,
+             CAST(sign(num) AS BIGINT)
+               * CAST(abs(num) * 1000000 // den AS BIGINT) AS slope_fp
+      FROM fit
+    )
+    SELECT n_name, n_months, slope_fp,
+           CAST(sign(inum) AS BIGINT)
+             * CAST(abs(inum) // n_months AS BIGINT) AS intercept_fp
+    FROM (SELECT *, sy * 1000000 - slope_fp * sx AS inum FROM sl)
+    ORDER BY n_name
+    """,
+)
+def q_nation_revenue_ols(spark, sf_dir):
+    """Per-nation OLS revenue trend (relational.nation_revenue_ols):
+    normal-equations slope/intercept over integer (month-index,
+    monthly-cents) points — every sum bigint, the one division
+    sign-extracted truncating DIV, so the fit is bit-identical with
+    no float summation-order hazard."""
+    return REL.nation_revenue_ols(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8522,6 +8696,10 @@ _DRIVER_PRIORITY = [
     "dedup_ppjoin_exact",
     "streaming_lsh_flagging",
     "events_seasonal_anomalies",
+    "events_transition_matrix",
+    "orders_cdc_apply",
+    "frequent_brand_pairs",
+    "nation_revenue_ols",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

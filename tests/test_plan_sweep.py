@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "events_cms_verified_hh",  # 1-row threshold aggregate broadcast
     "pipeline_forget_docs",  # 1-row before/after count aggregates
     "mixture_apportionment",  # 1-row normalizer + deficit aggregates
+    "frequent_brand_pairs",  # 1-row basket-count aggregate broadcast
     "hybrid_retrieval_rrf",  # 1-query dense side (audited bruteforce shape)
     "doc_length_distribution",
     "q11_important_parts",
