@@ -378,3 +378,48 @@ def community_modularity(
         )
         .orderBy("community")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    n_seeds: int = 3,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(node, hops): multi-source breadth-first hop distance from the
+    ``n_seeds`` smallest node ids through the undirected graph, capped
+    at ``max_depth`` — "how far is every document from the vetted
+    set", the hop-bounded companion to PPR's continuous proximity.
+
+    Frontier iteration: each depth is one equi-join of the edge list
+    with the PREVIOUS frontier plus one anti-join against the settled
+    set — per-round shuffle is O(frontier edges), never all nodes, and
+    the depth cap bounds the rounds.  Lineage truncated per round
+    (eager localCheckpoint + free-prev, the pagerank.py discipline)."""
+    from lab3_spark.functions.partitioning import free_checkpoint
+
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    dist = (
+        nodes.orderBy("node")
+        .limit(n_seeds)
+        .select("node", F.lit(0).cast("bigint").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt = dist
+    for d in range(1, max_depth + 1):
+        frontier = dist.where(F.col("hops") == d - 1).select("node")
+        nxt = (
+            und.join(frontier, und.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).cast("bigint").alias("hops"))
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        free_checkpoint(prev_ckpt)
+        prev_ckpt = dist
+    return dist.orderBy("hops", "node")

@@ -1072,3 +1072,86 @@ def ppjoin_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): Sorted-Neighborhood-Method dedup
+    (Hernández & Stolfo 1995, public) — sort the corpus on a cheap
+    blocking key (here the 16-char lowercase text prefix), compare each
+    record only with its ``window-1`` successors in that order, then
+    verify candidates with EXACT shingle Jaccard.
+
+    The third candidate-generation strategy next to MinHash-LSH
+    (probabilistic) and PPJoin (prefix-filter exact): SNM trades recall
+    for a FIXED comparison budget — exactly (w−1)·N pairs regardless
+    of key skew, the property that made it the classic pre-LSH linkage
+    method.  Scale shape: the global sort order comes from
+    rank.with_global_row_number (ranged shuffle + broadcast offsets —
+    no single-partition window); neighbor pairing is an equi-join of
+    the rank frame with itself on rn+offset; the verify reuses the
+    memo-persisted shingle frame shared with the LSH family."""
+    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.functions.rounding import trunc
+    from lab3_spark.operators.rank import with_global_row_number
+
+    ranked = with_global_row_number(
+        documents.select(
+            "doc_id",
+            F.substring(F.lower(F.col(text_col)), 1, 16).alias("_snm_key"),
+        ),
+        ["_snm_key", "doc_id"],
+        out_col="rn",
+        memo_key="dedup.snm.rank",
+    ).select("doc_id", "rn")
+    lhs = ranked.select(
+        F.col("doc_id").alias("_id_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + (window - 1))
+        ).alias("_rn_b"),
+    )
+    rhs = ranked.select(
+        F.col("doc_id").alias("_id_b"), F.col("rn").alias("_rn_b")
+    )
+    cands = (
+        lhs.join(rhs, "_rn_b")
+        .select(
+            F.least("_id_a", "_id_b").alias("doc_a"),
+            F.greatest("_id_a", "_id_b").alias("doc_b"),
+        )
+        # (w−1) offsets from DISTINCT ranks can never repeat a pair,
+        # but normalize anyway so the contract is self-evident
+        .distinct()
+    )
+    sh = memo_persist(
+        "dedup.ngram_jaccard.shingles", _doc_shingles(documents, text_col)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b_"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -200,3 +200,73 @@ def ppr_fixed_point(
         return retire_latest("pagerank.ppr_ranks", ranks)
 
     return memo_result(f"pagerank.ppr_result.n{n_iter}.s{n_seeds}", edges, build)
+
+
+# 10^6 (not the rank family's 10^12): raw = Σ scores over in-edges ≤
+# SCALE·max_degree, and the renormalization multiplies raw·SCALE again
+# — SCALE²·degree must stay under 2^63, so 10^6 holds to degree ~9e6.
+HITS_SCALE = 10**6
+
+
+def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
+    """(role, node, score_fp): HITS hubs & authorities (Kleinberg 1999,
+    public) over a DIRECTED edge list after ``n_iter`` mutual-
+    reinforcement rounds — auth(v) = Σ hub(u) over u→v, hub(u) =
+    Σ auth(v) over u→v, each side renormalized so its max is
+    HITS_SCALE.  Max-normalization (instead of the textbook L2) keeps
+    every value a bigint and the truncating DIV identical across
+    engines; rankings are unchanged (positive scale factor).
+
+    Per round: two keyed equi-joins of the edge list with the current
+    score table and two combinable aggregations, plus a 1-row max
+    broadcast for the normalizer — no all-pairs, no driver data.  The
+    top-k per role is a TakeOrderedAndProject heap."""
+    src_nodes = edges.select(F.col("src").alias("node")).distinct()
+    hubs = src_nodes.select(
+        "node", F.lit(HITS_SCALE).cast("bigint").alias("score")
+    )
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("score").alias("_raw"))
+        )
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_raw.agg(F.max("_raw").alias("_m"))))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST(_raw * {HITS_SCALE} DIV _m AS BIGINT)").alias(
+                    "score"
+                ),
+            )
+        )
+        h_raw = (
+            edges.join(auths, edges.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum("score").alias("_raw"))
+        )
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_raw.agg(F.max("_raw").alias("_m"))))
+            .select(
+                F.col("src").alias("node"),
+                F.expr(f"CAST(_raw * {HITS_SCALE} DIV _m AS BIGINT)").alias(
+                    "score"
+                ),
+            )
+        )
+    top_h = (
+        hubs.orderBy(F.desc("score"), F.asc("node"))
+        .limit(k)
+        .select(F.lit("hub").alias("role"), "node", F.col("score").alias("score_fp"))
+    )
+    top_a = (
+        auths.orderBy(F.desc("score"), F.asc("node"))
+        .limit(k)
+        .select(
+            F.lit("authority").alias("role"),
+            "node",
+            F.col("score").alias("score_fp"),
+        )
+    )
+    return top_h.unionAll(top_a).orderBy("role", F.desc("score_fp"), "node")

@@ -1427,3 +1427,67 @@ def source_token_entropy(documents: DataFrame, text_col: str = "text") -> DataFr
         )
         .orderBy("source")
     )
+
+
+def textrank_cooccurrence_edges(
+    documents: DataFrame, text_col: str = "text", max_dist: int = 2
+) -> DataFrame:
+    """(w_a, w_b): distinct undirected co-occurrence edges between
+    non-stop words within ``max_dist`` token positions anywhere in the
+    corpus — the TextRank graph (Mihalcea & Tarau 2004, public).
+
+    Positions come from one posexplode of the tokenizer array; the
+    pair enumeration is a self-EQUI-join on (doc, pos+offset) — per
+    token at most ``max_dist`` partners, so the edge stream is a
+    bounded multiple of the token stream, never vocabulary².  The
+    distinct collapses corpus-wide repeats (unweighted graph — the
+    simplest published TextRank variant)."""
+    toks = spread(documents).select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    lhs = toks.select(
+        "doc_id",
+        F.col("w").alias("_wa"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + max_dist)
+        ).alias("pos"),
+    )
+    rhs = toks.select("doc_id", "pos", F.col("w").alias("_wb"))
+    stop = F.array(*[F.lit(s) for s in STOP_WORDS])
+    return (
+        lhs.join(rhs, ["doc_id", "pos"])
+        .where(
+            (F.col("_wa") != F.col("_wb"))
+            & ~F.array_contains(stop, F.col("_wa"))
+            & ~F.array_contains(stop, F.col("_wb"))
+        )
+        .select(
+            F.least("_wa", "_wb").alias("w_a"),
+            F.greatest("_wa", "_wb").alias("w_b"),
+        )
+        .distinct()
+    )
+
+
+def textrank_keywords(
+    documents: DataFrame, text_col: str = "text", n_iter: int = 5, k: int = 20
+) -> DataFrame:
+    """(word, rank_fp): corpus-level TextRank keyword extraction —
+    fixed-point PageRank (operators/pagerank.py, all-bigint) over the
+    word co-occurrence graph, top-k by rank.  Reuses the iterative
+    engine verbatim: words are just string-typed nodes; the oracle
+    unrolls the identical iterations over the identical edge CTEs."""
+    from lab3_spark.operators.pagerank import (
+        pagerank_fixed_point,
+        symmetrize,
+    )
+
+    edges = textrank_cooccurrence_edges(documents, text_col)
+    ranks = pagerank_fixed_point(
+        symmetrize(edges, "w_a", "w_b"), n_iter=n_iter
+    )
+    return (
+        ranks.orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(k)
+        .select(F.col("node").alias("word"), "rank_fp")
+    )

@@ -8647,6 +8647,234 @@ def q_nation_revenue_ols(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    ordered AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substr(lower(text), 1, 16),
+                                doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM ordered a JOIN ordered b ON b.rn - a.rn BETWEEN 1 AND 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000
+             AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000) / 10000
+          >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-Neighborhood-Method dedup (dedup.sorted_neighborhood_
+    pairs): the FIXED-comparison-budget candidate strategy next to
+    MinHash-LSH and PPJoin — global sort on a cheap blocking key via
+    the rank machinery (no single-partition window), neighbor pairing
+    by rank equi-join, exact-Jaccard verify on the shared shingle
+    frame."""
+    from lab3_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _duck_bfs_iters(max_depth: int) -> str:
+    """Unrolled multi-source BFS CTEs d1..d{max_depth}: frontier =
+    previous depth's nodes; settled-set membership via NOT EXISTS."""
+    ctes = []
+    for k in range(1, max_depth + 1):
+        prev = f"d{k - 1}"
+        ctes.append(
+            f"""
+    d{k} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT f.node, CAST({k} AS BIGINT) AS hops FROM (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN {prev} p ON e.src = p.node AND p.hops = {k - 1}
+      ) f
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s WHERE s.node = f.node)
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "dedup_bfs_hops",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    n0 AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS (SELECT node FROM n0 ORDER BY node LIMIT 3),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),
+    {_duck_bfs_iters(3)}
+    SELECT node, hops FROM d3 ORDER BY hops, node
+    """,
+)
+def q_dedup_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance (components.bfs_hops) from the 3
+    smallest-id documents through the MinHash candidate graph, depth
+    ≤3 — the hop-bounded companion to ppr_seed_proximity.  Per depth:
+    one frontier equi-join + one anti-join; oracle unrolls the same
+    frontier algebra."""
+    from lab3_spark.operators.components import bfs_hops
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    return bfs_hops(minhash_candidates(_t(spark, sf_dir, "documents")))
+
+
+def _duck_hits_iters(n_iter: int) -> str:
+    """Unrolled HITS CTEs a1/h1..a{n}/h{n}: integer arithmetic
+    identical to pagerank.hits_scores (max-normalized bigint)."""
+    from lab3_spark.operators.pagerank import HITS_SCALE
+
+    ctes = []
+    for k in range(1, n_iter + 1):
+        prev_h = f"h{k - 1}"
+        ctes.append(
+            f"""
+    a{k}r AS (
+      SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS raw
+      FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY 1
+    ),
+    a{k} AS (
+      SELECT node, CAST(raw * {HITS_SCALE}
+                        // (SELECT max(raw) FROM a{k}r) AS BIGINT) AS score
+      FROM a{k}r
+    ),
+    h{k}r AS (
+      SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS raw
+      FROM e JOIN a{k} a ON e.dst = a.node GROUP BY 1
+    ),
+    h{k} AS (
+      SELECT node, CAST(raw * {HITS_SCALE}
+                        // (SELECT max(raw) FROM h{k}r) AS BIGINT) AS score
+      FROM h{k}r
+    )"""
+        )
+    return ",".join(ctes)
+
+
+from lab3_spark.operators.pagerank import HITS_SCALE as _HITS_SCALE  # noqa: E402
+
+
+@query(
+    "supplier_hits_scores",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT src AS node,
+             CAST({_HITS_SCALE} AS BIGINT) AS score
+      FROM e
+    ),
+    {_duck_hits_iters(2)}
+    SELECT * FROM (
+      SELECT 'hub' AS role, node, score AS score_fp
+      FROM h2 ORDER BY score DESC, node LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'authority' AS role, node, score AS score_fp
+      FROM a2 ORDER BY score DESC, node LIMIT 10
+    )
+    ORDER BY role, score_fp DESC, node
+    """,
+)
+def q_supplier_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (pagerank.hits_scores) on the directed
+    supplier→customer fulfillment graph (distinct pairs from
+    lineitem ⋈ orders): hub suppliers serve well-connected customers,
+    authority customers are served by broad suppliers.  Max-normalized
+    all-bigint mutual reinforcement, 2 rounds, oracle unrolled."""
+    from lab3_spark.operators.pagerank import hits_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return hits_scores(edges, n_iter=2, k=10)
+
+
+@query(
+    "textrank_keywords",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS t
+      FROM documents
+    ),
+    prs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> [t[i], t[i+1]])) AS pr
+      FROM tk WHERE len(t) >= 2
+      UNION ALL
+      SELECT unnest(list_transform(range(1, len(t) - 1),
+                    i -> [t[i], t[i+2]])) AS pr
+      FROM tk WHERE len(t) >= 3
+    ),
+    we AS (
+      SELECT DISTINCT least(pr[1], pr[2]) AS w_a,
+                      greatest(pr[1], pr[2]) AS w_b
+      FROM prs
+      WHERE pr[1] != pr[2]
+        AND pr[1] NOT IN ({OR.STOP_WORDS_IN_LIST})
+        AND pr[2] NOT IN ({OR.STOP_WORDS_IN_LIST})
+    ),
+    pr_edges AS (
+      SELECT w_a AS src, w_b AS dst FROM we
+      UNION ALL
+      SELECT w_b AS src, w_a AS dst FROM we
+    ),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_edeg AS (
+      SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d
+      ON e.src = d.src
+    ),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM pr_nodes
+    ),
+    {_duck_pagerank_iters(5)}
+    SELECT node AS word, rank_fp FROM r5
+    ORDER BY rank_fp DESC, word LIMIT 20
+    """,
+)
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (textstats.textrank_keywords):
+    PageRank over the non-stop-word co-occurrence graph (positions
+    within ±2, distinct pairs) — the iterative fixed-point engine
+    reused verbatim on string nodes; edge enumeration is a
+    (doc, pos+offset) self-equi-join, bounded per token."""
+    from lab3_spark.operators.textstats import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8700,6 +8928,10 @@ _DRIVER_PRIORITY = [
     "orders_cdc_apply",
     "frequent_brand_pairs",
     "nation_revenue_ols",
+    "dedup_sorted_neighborhood",
+    "dedup_bfs_hops",
+    "supplier_hits_scores",
+    "textrank_keywords",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "pipeline_forget_docs",  # 1-row before/after count aggregates
     "mixture_apportionment",  # 1-row normalizer + deficit aggregates
     "frequent_brand_pairs",  # 1-row basket-count aggregate broadcast
+    "supplier_hits_scores",  # 1-row max-normalizer broadcasts (per round)
     "hybrid_retrieval_rrf",  # 1-query dense side (audited bruteforce shape)
     "doc_length_distribution",
     "q11_important_parts",
