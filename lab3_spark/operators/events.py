@@ -862,3 +862,43 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+def ewma_values(events: DataFrame, span: int = 8) -> DataFrame:
+    """(event_id, user_id, bucket, value, ewma): exponentially-weighted
+    moving average (α = 1/2) of `value` over each user's last ``span``
+    events — the classic smoothing primitive, in its TRUNCATED-window
+    form so it is a plain window expression instead of an unbounded
+    recursion.
+
+    The fold acc ← acc/2 + x/2 runs left-to-right over the frame's
+    collect_list (ordered by the window ORDER BY — deterministic), then
+    normalizes by (1 − 2^{-n}); the identical left fold in the oracle's
+    list_reduce performs the same IEEE sequence, so doubles match
+    bit-for-bit.  One shuffle on user_id; the frame is ROWS-bounded
+    (≤ span), never a running unbounded state."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    return (
+        events.withColumn("_vals", vals)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "value",
+            trunc(
+                F.expr(
+                    "aggregate(_vals, 0D, (acc, x) -> acc / 2 + x / 2)"
+                )
+                / (F.lit(1.0) - F.pow(F.lit(0.5), F.size("_vals"))),
+                4,
+            ).alias("ewma"),
+        )
+        .orderBy("user_id", "bucket", "event_id")
+    )

@@ -115,3 +115,37 @@ def quality_report(
 
     parts = [o_checks, li_checks, c_checks, d_checks, *fk_checks]
     return reduce(DataFrame.unionAll, parts).orderBy("check_name")
+
+
+def k_anonymity_report(
+    documents: DataFrame, k: int = 5, bucket_chars: int = 100
+) -> DataFrame:
+    """(lang, source, size_bucket, class_size, is_suppressed):
+    k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket) — every equivalence class with its size and whether
+    a k-anonymous release would have to suppress it (class_size < k).
+    The privacy-side companion to doc_redact_pii: redaction hides
+    direct identifiers, k-anonymity measures re-identification risk
+    from the INDIRECT ones.
+
+    One combinable aggregation on the quasi-identifier key — scan
+    speed at any scale; the class table is |langs|·|sources|·|buckets|
+    rows, metadata-sized."""
+    return (
+        documents.groupBy(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars DIV {bucket_chars} AS BIGINT)").alias(
+                "size_bucket"
+            ),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "class_size",
+            (F.col("class_size") < k).cast("int").alias("is_suppressed"),
+        )
+        .orderBy("lang", "source", "size_bucket")
+    )

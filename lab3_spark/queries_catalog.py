@@ -8875,6 +8875,80 @@ def q_textrank_keywords(spark, sf_dir):
     return textrank_keywords(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "k_anonymity_report",
+    """
+    SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+           count(*) AS class_size,
+           CAST(count(*) < 5 AS INT) AS is_suppressed
+    FROM documents
+    GROUP BY 1, 2, 3
+    ORDER BY lang, source, size_bucket
+    """,
+)
+def q_k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (quality.k_anonymity_report): equivalence
+    classes of the quasi-identifier tuple (lang, source, length
+    bucket) with suppression flags — the re-identification-risk
+    companion to doc_redact_pii.  One combinable aggregation."""
+    from lab3_spark.operators.quality import k_anonymity_report
+
+    return k_anonymity_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_ewma",
+    """
+    WITH v AS (
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS bucket, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events
+    )
+    SELECT event_id, user_id, bucket, value,
+           floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                             (acc, x) -> acc / 2 + x / 2)
+                 / (1 - power(0.5, len(vals))) * 10000) / 10000 AS ewma
+    FROM v ORDER BY user_id, bucket, event_id
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    """Truncated EWMA (events.ewma_values): α=1/2 smoothing over each
+    user's last 8 events as a ROWS-bounded window fold — the identical
+    left fold (acc/2 + x/2 from 0) runs in both engines, so the IEEE
+    doubles match exactly.  The oracle prepends the 0-seed because
+    DuckDB's list_reduce uses the first element as the accumulator."""
+    return EV.ewma_values(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "compaction_bins",
+    """
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS bin_start
+      FROM documents
+    )
+    SELECT source, CAST(bin_start // 4000 AS BIGINT) AS bin_id,
+           count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_bytes
+    FROM s GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+)
+def q_compaction_bins(spark, sf_dir):
+    """Small-file compaction planner (sources/layout.compaction_plan):
+    first-fit-by-order bin assignment from a per-source running sum —
+    the FilePartition/maxPartitionBytes packing arithmetic, oracled.
+    Runs over the file LISTING (metadata scale), which is why a plain
+    partitioned window is appropriate here."""
+    from lab3_spark.sources.layout import compaction_plan
+
+    return compaction_plan(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -8932,6 +9006,9 @@ _DRIVER_PRIORITY = [
     "dedup_bfs_hops",
     "supplier_hits_scores",
     "textrank_keywords",
+    "k_anonymity_report",
+    "events_ewma",
+    "compaction_bins",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -99,3 +99,44 @@ def materialize_partitioned_events(
         )
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "n_chars",
+    target_bytes: int = 4000,
+) -> DataFrame:
+    """(source, bin_id, n_files, total_bytes): small-file compaction
+    planner — assign each file (here: document, standing in for a file
+    listing) to an output bin by WHERE ITS BYTES START in the
+    per-source running total, bin = floor(start / target).  This is
+    the same first-fit-by-order packing Spark's own scan planner uses
+    for FilePartitions (maxPartitionBytes), expressed as one window
+    running sum; bins overshoot the target by at most one file, and
+    ordering by (doc_id) makes the plan deterministic.
+
+    The per-source window runs over the FILE LISTING — metadata scale
+    (one row per file, not per byte), which is why a plain partitioned
+    running sum is the right tool here while data-sized global order
+    goes through operators/rank.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum(size_col).over(w) - F.col(size_col)
+    return (
+        files.withColumn("_start", start)
+        .withColumn(
+            "bin_id", F.expr(f"CAST(_start DIV {target_bytes} AS BIGINT)")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(size_col).cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("source", "bin_id")
+    )
