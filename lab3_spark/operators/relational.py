@@ -464,9 +464,11 @@ def nation_revenue_ols(
 
     Normal-equations form over integer sums: slope = (nΣxy − ΣxΣy) /
     (nΣx² − (Σx)²) with x = months since 1992-01 and y = monthly cents;
-    every sum is bigint, the single division is sign-extracted
-    truncating DIV (both engines truncate toward zero), so the fit is
-    bit-identical with no float summation-order hazard.  Plan shape:
+    every SUM is exact bigint (no float summation-order hazard); only
+    the final per-group ratio is one deterministic double divide +
+    floor (identical IEEE sequence in both engines at any magnitude —
+    num·10^6 in int64 overflows once monthly revenue passes ~10^12
+    cents).  Plan shape:
     orders ⋈ customer shuffles on custkey (bucket-ready), nation is
     broadcast, then ONE aggregation per (nation, month) and ONE per
     nation — the regression itself adds no extra pass over the fact
@@ -499,6 +501,11 @@ def nation_revenue_ols(
     )
     num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # the SUMS stay exact bigint (shuffle-order-free); only the final
+    # per-group ratio runs in double — num·10^6 would overflow int64
+    # once monthly revenue crosses ~10^12 cents (observed at sf0.1),
+    # while bigint→double conversion + one divide + floor is the same
+    # deterministic IEEE sequence in both engines at ANY magnitude
     return (
         stats.withColumn("_num", num)
         .withColumn("_den", den)
@@ -507,14 +514,22 @@ def nation_revenue_ols(
         .where(F.col("_den") > 0)
         .withColumn(
             "slope_fp",
-            F.signum("_num").cast("bigint")
-            * F.expr(f"CAST(abs(_num) * {M} DIV _den AS BIGINT)"),
+            F.floor(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double")
+                * F.lit(float(M))
+            ).cast("bigint"),
         )
-        .withColumn("_inum", F.col("sy") * M - F.col("slope_fp") * F.col("sx"))
         .withColumn(
             "intercept_fp",
-            F.signum("_inum").cast("bigint")
-            * F.expr("CAST(abs(_inum) DIV n_months AS BIGINT)"),
+            F.floor(
+                (
+                    F.col("sy").cast("double") * F.lit(float(M))
+                    - F.col("slope_fp").cast("double")
+                    * F.col("sx").cast("double")
+                )
+                / F.col("n_months").cast("double")
+            ).cast("bigint"),
         )
         .select("n_name", "n_months", "slope_fp", "intercept_fp")
         .orderBy("n_name")

@@ -8623,23 +8623,23 @@ def q_frequent_brand_pairs(spark, sf_dir):
     ),
     sl AS (
       SELECT n_name, n_months, sx, sy,
-             CAST(sign(num) AS BIGINT)
-               * CAST(abs(num) * 1000000 // den AS BIGINT) AS slope_fp
+             CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS slope_fp
       FROM fit
     )
     SELECT n_name, n_months, slope_fp,
-           CAST(sign(inum) AS BIGINT)
-             * CAST(abs(inum) // n_months AS BIGINT) AS intercept_fp
-    FROM (SELECT *, sy * 1000000 - slope_fp * sx AS inum FROM sl)
+           CAST(floor((CAST(sy AS DOUBLE) * 1000000.0
+                       - CAST(slope_fp AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / CAST(n_months AS DOUBLE)) AS BIGINT) AS intercept_fp
+    FROM sl
     ORDER BY n_name
     """,
 )
 def q_nation_revenue_ols(spark, sf_dir):
     """Per-nation OLS revenue trend (relational.nation_revenue_ols):
     normal-equations slope/intercept over integer (month-index,
-    monthly-cents) points — every sum bigint, the one division
-    sign-extracted truncating DIV, so the fit is bit-identical with
-    no float summation-order hazard."""
+    monthly-cents) points — exact bigint sums; the final ratio is one
+    deterministic double divide + floor (overflow-free at any SF)."""
     return REL.nation_revenue_ols(
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"),

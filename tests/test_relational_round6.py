@@ -154,8 +154,8 @@ def test_nation_revenue_ols_exact_line(spark):
 
 
 def test_nation_revenue_ols_negative_slope_sign(spark):
-    """Declining revenue yields a NEGATIVE slope with the truncating
-    sign-extracted division (both engines truncate toward zero)."""
+    """Declining revenue yields a NEGATIVE slope; the double
+    divide + floor is exact on these planted integer points."""
     from lab3_spark.operators.relational import nation_revenue_ols
 
     orders = spark.createDataFrame(
