@@ -902,3 +902,59 @@ def ewma_values(events: DataFrame, span: int = 8) -> DataFrame:
         )
         .orderBy("user_id", "bucket", "event_id")
     )
+
+
+def funnel_within(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_minutes: int = 30,
+) -> DataFrame:
+    """(step, n_users): TIME-CONSTRAINED ordered funnel — users whose
+    steps occur in sequence with the WHOLE chain inside
+    ``within_minutes`` of step 1 (the windowFunnel semantics: plain
+    `funnel` accepts a conversion years later; this one doesn't).
+
+    Anchor at each user's FIRST step-1 event, then each later step is
+    one co-partitioned equi-join on user_id + a min aggregation over
+    the time-bounded candidates — never an inequality join of events
+    against events: the time predicates are per-row filters AFTER the
+    user-key join, so every shuffle is a plain hash exchange on
+    user_id and the per-user fan-out is that user's own events."""
+    s0, s1, s2 = steps
+    iv = F.expr(f"INTERVAL {within_minutes} MINUTES")
+    e = events.select("user_id", "ts", "event_type")
+    m0 = (
+        e.where(F.col("event_type") == s0)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    m1 = (
+        e.where(F.col("event_type") == s1)
+        .join(m0, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + iv))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    m2 = (
+        e.where(F.col("event_type") == s2)
+        .join(m1, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        m0.agg(F.count("*").alias("n_users")).select(
+            F.lit(s0).alias("step"), "n_users"
+        )
+        .unionAll(
+            m1.agg(F.count("*").alias("n_users")).select(
+                F.lit(f"{s0}>{s1}").alias("step"), "n_users"
+            )
+        )
+        .unionAll(
+            m2.agg(F.count("*").alias("n_users")).select(
+                F.lit(f"{s0}>{s1}>{s2}").alias("step"), "n_users"
+            )
+        )
+        .orderBy("step")
+    )

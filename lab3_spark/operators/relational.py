@@ -534,3 +534,43 @@ def nation_revenue_ols(
         .select("n_name", "n_months", "slope_fp", "intercept_fp")
         .orderBy("n_name")
     )
+
+
+def price_time_skyline(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, day, price_cents): the 2-D Pareto frontier of
+    (earlier date, higher price) — orders not dominated by any
+    strictly-earlier-day order of greater-or-equal price.
+
+    The scale trick is DOMAIN-RESOLUTION PRE-AGGREGATION: dominance
+    here only depends on the per-DAY max price, so one combinable
+    aggregation collapses the fact table to ~|days| rows, the
+    strictly-earlier prefix max runs as a window over THAT metadata-
+    sized table (bounded rows — not a window over data; the WindowExec
+    "no partition" note is deliberate and safe here), and the frontier
+    test rejoins broadcast.  A naive skyline is an all-pairs dominance
+    anti-join; this form is two scans and a broadcast."""
+    from pyspark.sql.window import Window
+
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("_day"),
+        _cents().alias("price_cents"),
+    )
+    daily = o.groupBy("_day").agg(F.max("price_cents").alias("_dmax"))
+    w = Window.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pfx = daily.select(
+        "_day",
+        F.coalesce(F.max("_dmax").over(w), F.lit(-1)).alias("_prev_max"),
+    )
+    return (
+        o.join(F.broadcast(pfx), "_day")
+        .where(F.col("price_cents") > F.col("_prev_max"))
+        .select(
+            "o_orderkey",
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "price_cents",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -8949,6 +8949,141 @@ def q_compaction_bins(spark, sf_dir):
     return compaction_plan(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "events_funnel_within",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id, s0.t1, min(e.ts) AS t2
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t1
+        AND e.ts <= s0.t1 + INTERVAL 30 MINUTE
+      GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t2
+        AND e.ts <= s1.t1 + INTERVAL 30 MINUTE
+      GROUP BY 1
+    )
+    SELECT 'view' AS step, count(*) AS n_users FROM s0
+    UNION ALL
+    SELECT 'view>click', count(*) FROM s1
+    UNION ALL
+    SELECT 'view>click>purchase', count(*) FROM s2
+    ORDER BY step
+    """,
+)
+def q_events_funnel_within(spark, sf_dir):
+    """Time-constrained ordered funnel (events.funnel_within): the
+    windowFunnel semantics — the whole view→click→purchase chain must
+    land within 30 minutes of the user's FIRST view.  Every step is a
+    co-partitioned equi-join on user_id with per-row time filters —
+    no event-vs-event inequality join anywhere."""
+    return EV.funnel_within(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_price_skyline",
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    daily AS (SELECT d, max(price_cents) AS dmax FROM o GROUP BY 1),
+    pfx AS (
+      SELECT d, coalesce(max(dmax) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS prev_max
+      FROM daily
+    )
+    SELECT o.o_orderkey, strftime(o.d, '%Y-%m-%d') AS day, o.price_cents
+    FROM o JOIN pfx ON o.d = pfx.d
+    WHERE o.price_cents > pfx.prev_max
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_orders_price_skyline(spark, sf_dir):
+    """2-D Pareto frontier (relational.price_time_skyline): orders not
+    dominated by any strictly-earlier-day order of ≥ price.  Dominance
+    only depends on per-day maxima, so the fact table collapses to
+    |days| rows first, the prefix max runs over that metadata-sized
+    frame, and the frontier test rejoins broadcast — no all-pairs
+    dominance anti-join."""
+    return REL.price_time_skyline(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "streaming_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders
+    ),
+    log AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 5000, 'U'
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, 'X'
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY seq DESC) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_changes
+      FROM log
+    )
+    SELECT o_orderkey, op AS last_op, price_cents, o_orderstatus,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op != 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def q_streaming_cdc_apply(spark, sf_dir):
+    """A REAL incremental snapshot-maintenance run (streaming/cdc.py):
+    the deterministic change log split into 3 seq-ordered micro-
+    batches (inserts, updates, deletes — mtime-pinned arrival), each
+    batch merging into a new snapshot version via foreachBatch.  The
+    final version must equal the ONE-SHOT batch apply over the whole
+    log — the oracle IS orders_cdc_apply's.  (Feed contract: seq
+    monotone with batch order; a delete is final for its key, so
+    incremental n_changes bookkeeping matches the one-shot count.)"""
+    import os as _os
+
+    from lab3_spark.streaming.cdc import latest_snapshot, start_cdc_apply
+
+    log = REL.cdc_change_log(_t(spark, sf_dir, "orders")).withColumn(
+        "_b", F.col("seq") - 1
+    )
+    root = _scratch_dir("stream_cdc_")
+    flat = _mtime_ordered_batches(log, root, "_b")
+    src = (
+        spark.readStream.schema(
+            "o_orderkey bigint, seq bigint, op string, "
+            "price_cents bigint, o_orderstatus string, _b bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_cdc_apply(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("cdc apply availableNow run timed out")
+    return latest_snapshot(spark, store).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9009,6 +9144,9 @@ _DRIVER_PRIORITY = [
     "k_anonymity_report",
     "events_ewma",
     "compaction_bins",
+    "events_funnel_within",
+    "orders_price_skyline",
+    "streaming_cdc_apply",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
