@@ -167,6 +167,20 @@ HEADLINE = [
     "mixture_apportionment",
     "dedup_ppjoin_exact",
     "events_seasonal_anomalies",
+    "events_transition_matrix",
+    "orders_cdc_apply",
+    "frequent_brand_pairs",
+    "nation_revenue_ols",
+    "dedup_sorted_neighborhood",
+    "dedup_bfs_hops",
+    "supplier_hits_scores",
+    "textrank_keywords",
+    "k_anonymity_report",
+    "events_ewma",
+    "compaction_bins",
+    "events_funnel_within",
+    "orders_price_skyline",
+    # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
     # excluded like the streaming queries: udtf_token_positions and
