@@ -180,6 +180,8 @@ HEADLINE = [
     "compaction_bins",
     "events_funnel_within",
     "orders_price_skyline",
+    "events_kmv_value_quantiles",
+    "events_top_paths",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -958,3 +958,74 @@ def funnel_within(
         )
         .orderBy("step")
     )
+
+
+def kmv_value_quantiles(
+    events: DataFrame, k: int = 64, qs: tuple[int, ...] = (50, 90)
+) -> DataFrame:
+    """(day, n_sample, p50_est, p90_est): MERGEABLE quantile synopsis —
+    per-day bottom-k sample of events by a portable hash of event_id,
+    quantiles read positionally off each sample, plus an 'ALL' row
+    whose sample is re-selected from the UNION of the daily synopses.
+
+    The quantile companion to kmv_daily_users, same theorem: the
+    union's k smallest hashes all sit inside each constituent's k
+    smallest, so merged-synopsis quantiles are bit-equal to a one-shot
+    global bottom-k — cross-day/cross-partition quantile estimation
+    without rescanning history, fully oracle-checkable (unlike
+    approx_percentile's engine-specific sketch).  Bottom-k per group
+    goes through the salted `rank.top_n_per_key` (no hot per-key
+    window); each sample is ≤ k rows, so the collect_list is
+    bounded."""
+    from lab3_spark.operators.rank import top_n_per_key
+
+    keyed = events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+        "value",
+    )
+    syn = top_n_per_key(keyed, ["day"], ["hk"], k).select(
+        "day", "hk", "value"
+    )
+    merged = top_n_per_key(
+        syn.withColumn("day", F.lit("ALL")), ["day"], ["hk"], k
+    ).select("day", "hk", "value")
+    both = syn.unionByName(merged)
+    ag = both.groupBy("day").agg(
+        F.count("*").alias("n_sample"),
+        F.array_sort(F.collect_list("value")).alias("_vs"),
+    )
+    picks = [
+        F.expr(
+            f"element_at(_vs, CAST((n_sample - 1) * {q} DIV 100 AS INT) + 1)"
+        ).alias(f"p{q}_est")
+        for q in qs
+    ]
+    return ag.select("day", "n_sample", *picks).orderBy("day")
+
+
+def top_event_paths(events: DataFrame, k: int = 10) -> DataFrame:
+    """(path, n_paths): the k most frequent 3-step event-type
+    sequences ('a>b>c') across users — the sequential-pattern upgrade
+    of the first-order transition matrix.
+
+    Two leads over the per-user (ts, event_id) total order (one
+    shuffle, one WindowExec pass), a combinable path count, and a
+    TakeOrderedAndProject top-k heap."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.withColumn("_n1", F.lead("event_type", 1).over(w))
+        .withColumn("_n2", F.lead("event_type", 2).over(w))
+        .where(F.col("_n1").isNotNull() & F.col("_n2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "_n1", "_n2").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(k)
+    )

@@ -9084,6 +9084,77 @@ def q_streaming_cdc_apply(spark, sf_dir):
     return latest_snapshot(spark, store).orderBy("o_orderkey")
 
 
+@query(
+    "events_kmv_value_quantiles",
+    """
+    WITH keyed AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             md5(CAST(event_id AS VARCHAR)) AS hk, value
+      FROM events
+    ),
+    syn AS (
+      SELECT day, hk, value FROM (
+        SELECT day, hk, value,
+               row_number() OVER (PARTITION BY day ORDER BY hk) AS rn
+        FROM keyed
+      ) WHERE rn <= 64
+    ),
+    mrg AS (
+      SELECT 'ALL' AS day, hk, value FROM (
+        SELECT hk, value, row_number() OVER (ORDER BY hk) AS rn FROM syn
+      ) WHERE rn <= 64
+    ),
+    uni AS (
+      SELECT day, hk, value FROM syn
+      UNION ALL SELECT day, hk, value FROM mrg
+    ),
+    ag AS (
+      SELECT day, count(*) AS n_sample, list(value ORDER BY value) AS vs
+      FROM uni GROUP BY 1
+    )
+    SELECT day, n_sample,
+           vs[CAST((n_sample - 1) * 50 // 100 AS BIGINT) + 1] AS p50_est,
+           vs[CAST((n_sample - 1) * 90 // 100 AS BIGINT) + 1] AS p90_est
+    FROM ag ORDER BY day
+    """,
+)
+def q_events_kmv_value_quantiles(spark, sf_dir):
+    """Mergeable bottom-k quantile synopsis (events.kmv_value_
+    quantiles): per-day hash-sampled quantile estimates plus an 'ALL'
+    row re-selected from the union of daily synopses — merged ==
+    one-shot by the KMV theorem, fully oracled (the deterministic
+    counterpart to approx_percentile's engine-specific sketch).
+    The 'ALL' merge window runs over ≤ |days|·k synopsis rows —
+    metadata scale, not data (the WindowExec "no partition" note is
+    deliberate there)."""
+    return EV.kmv_value_quantiles(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS n1,
+             lead(event_type, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat(event_type, '>', n1, '>', n2) AS path,
+           count(*) AS n_paths
+    FROM seq WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path ASC LIMIT 10
+    """,
+)
+def q_events_top_paths(spark, sf_dir):
+    """Top 3-step event sequences (events.top_event_paths): two leads
+    over the per-user total order share one WindowExec pass, then a
+    combinable path count and a TakeOrderedAndProject heap — the
+    sequential-pattern upgrade of events_transition_matrix."""
+    return EV.top_event_paths(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9147,6 +9218,8 @@ _DRIVER_PRIORITY = [
     "events_funnel_within",
     "orders_price_skyline",
     "streaming_cdc_apply",
+    "events_kmv_value_quantiles",
+    "events_top_paths",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
