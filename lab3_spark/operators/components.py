@@ -399,8 +399,14 @@ def bfs_hops(
     (eager localCheckpoint + free-prev, the pagerank.py discipline)."""
     from lab3_spark.functions.partitioning import free_checkpoint
 
-    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    from lab3_spark.functions.partitioning import persist_latest
+
+    # persisted: probed once per depth round plus the node/seed scan
+    und = persist_latest(
+        "components.bfs.und",
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        ),
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
     dist = (

@@ -840,12 +840,20 @@ def transition_matrix(events: DataFrame) -> DataFrame:
     construction."""
     from pyspark.sql.window import Window
 
+    from lab3_spark.functions.partitioning import persist_latest
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = events.withColumn(
         "next_type", F.lead("event_type", 1).over(w)
     ).where(F.col("next_type").isNotNull())
-    counts = nxt.groupBy("event_type", "next_type").agg(
-        F.count("*").alias("n_trans")
+    # persisted: the counts frame feeds BOTH the row totals and the
+    # final join, and alias differences defeat exchange reuse — without
+    # this the lead-window pass over events runs twice
+    counts = persist_latest(
+        "events.transition.counts",
+        nxt.groupBy("event_type", "next_type").agg(
+            F.count("*").alias("n_trans")
+        ),
     )
     totals = counts.groupBy("event_type").agg(
         F.sum("n_trans").alias("_tot")
@@ -979,13 +987,20 @@ def kmv_value_quantiles(
     bounded."""
     from lab3_spark.operators.rank import top_n_per_key
 
+    from lab3_spark.functions.partitioning import persist_latest
+
     keyed = events.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         F.md5(F.col("event_id").cast("string")).alias("hk"),
         "value",
     )
-    syn = top_n_per_key(keyed, ["day"], ["hk"], k).select(
-        "day", "hk", "value"
+    # persisted: the per-day synopses feed both the merge re-select and
+    # the union — ≤ |days|·k rows, but recomputing would rescan events
+    syn = persist_latest(
+        "events.kmv_quantiles.syn",
+        top_n_per_key(keyed, ["day"], ["hk"], k).select(
+            "day", "hk", "value"
+        ),
     )
     merged = top_n_per_key(
         syn.withColumn("day", F.lit("ALL")), ["day"], ["hk"], k

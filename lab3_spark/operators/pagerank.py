@@ -221,6 +221,10 @@ def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
     score table and two combinable aggregations, plus a 1-row max
     broadcast for the normalizer — no all-pairs, no driver data.  The
     top-k per role is a TakeOrderedAndProject heap."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    # persisted: the edge list is probed 2× per round
+    edges = persist_latest("pagerank.hits.edges", edges)
     src_nodes = edges.select(F.col("src").alias("node")).distinct()
     hubs = src_nodes.select(
         "node", F.lit(HITS_SCALE).cast("bigint").alias("score")

@@ -396,13 +396,19 @@ def brand_pair_lift(
     brands.  Marginal counts and the basket total are broadcast
     (|brands| rows, 1 row); the one unavoidable shuffle is the
     distinct on (order, brand)."""
-    baskets = (
+    from lab3_spark.functions.partitioning import persist_latest
+
+    # persisted: four consumers (total, marginals, both join sides) —
+    # their alias differences defeat exchange reuse, so an unpersisted
+    # baskets frame would re-run the join+distinct per consumer
+    baskets = persist_latest(
+        "relational.brand_pairs.baskets",
         lineitem.join(
             F.broadcast(part),
             lineitem.l_partkey == part.p_partkey,
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
     )
     n_baskets = baskets.select(
         F.countDistinct("l_orderkey").alias("_nb")

@@ -87,6 +87,20 @@ QUERIES = [
     "multimodal_phash_near_dup",
     "events_type_islands",
     "source_token_entropy",
+    # round-6 second wave
+    "events_transition_matrix",
+    "orders_cdc_apply",
+    "frequent_brand_pairs",
+    "nation_revenue_ols",
+    "dedup_sorted_neighborhood",
+    "dedup_bfs_hops",
+    "supplier_hits_scores",
+    "textrank_keywords",
+    "events_ewma",
+    "events_funnel_within",
+    "orders_price_skyline",
+    "events_kmv_value_quantiles",
+    "events_top_paths",
     # dedup_ppjoin_exact deliberately NOT on the sf1 curve: the
     # synthetic corpus's ~29-word vocabulary makes every shingle hot,
     # which is the documented adversarial case for prefix filtering
