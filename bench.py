@@ -182,6 +182,9 @@ HEADLINE = [
     "orders_price_skyline",
     "events_kmv_value_quantiles",
     "events_top_paths",
+    "events_kmv_rolling_users",
+    "events_ab_ztest",
+    "customer_rfm_segments",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -1044,3 +1044,117 @@ def top_event_paths(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(k)
     )
+
+
+def kmv_rolling_users(
+    events: DataFrame, k: int = 64, window_days: int = 7
+) -> DataFrame:
+    """(day, est_users_7d): rolling ``window_days``-day distinct-user
+    ESTIMATES by merging the per-day KMV synopses — the sketch-algebra
+    answer to "7-day actives" that a windowed COUNT(DISTINCT) cannot
+    give without rescanning a week of raw events per day.
+
+    Each day's ≤ k-row synopsis contributes to the windows ENDING on
+    day..day+window_days−1 (the binned-range-join trick applied to
+    sketch state): explode is window_days×synopsis rows — metadata
+    scale — then per-target bottom-k re-select + the standard KMV
+    estimator.  Correct by the same mergeability theorem as the daily
+    gate; the synopsis frame is memo-shared with kmv_daily_users
+    (same key, same plan)."""
+    from lab3_spark.functions.partitioning import memo_persist, spread
+    from lab3_spark.functions.text import hex_to_long
+    from lab3_spark.operators.rank import top_n_per_key
+
+    hv = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+            1,
+            KMV_HEX_CHARS,
+        )
+    )
+    day_hv = spread(events).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), hv.alias("hv")
+    )
+    syn = memo_persist(
+        f"events.kmv_daily.{k}", kmv_synopsis(day_hv, "day", "hv", k)
+    )
+    observed = syn.select("day").distinct()
+    contrib = (
+        syn.select(
+            "hv",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("_off"),
+            F.to_date("day").alias("_d"),
+        )
+        .select(
+            F.date_format(F.expr("date_add(_d, _off)"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "hv",
+        )
+        .join(observed, "day", "left_semi")
+        .distinct()
+    )
+    wsyn = top_n_per_key(contrib, ["day"], ["hv"], k)
+    wagg = wsyn.groupBy("day").agg(
+        F.count("*").alias("ns"), F.max("hv").alias("hk")
+    )
+    num = f"CAST({(k - 1) * KMV_DOMAIN} AS BIGINT)"
+    est = F.when(F.col("ns") < k, F.col("ns")).otherwise(
+        F.expr(f"{num} div hk")
+    )
+    return wagg.select(
+        "day", est.cast("bigint").alias("est_users_7d")
+    ).orderBy("day")
+
+
+def ab_conversion_ztest(
+    events: DataFrame, conv_type: str = "purchase", z: int = 2
+) -> DataFrame:
+    """(n_a, c_a, n_b, c_b, z2, significant): two-proportion z-test on
+    conversion (did the user ever emit ``conv_type``) between variants
+    assigned by user_id parity — the experimentation-analytics
+    primitive.
+
+    All counts exact bigint (two distinct aggregations on user_id);
+    z² = D²·T / (N·C·(T−C)) with D = c_a·n_b − c_b·n_a, N = n_a·n_b,
+    C = c_a+c_b, T = n_a+n_b, evaluated as ONE deterministic double
+    expression (identical op order in the oracle — the OLS overflow
+    lesson applied up front).  Degenerate C∈{0,T} → z²=0."""
+    from lab3_spark.functions.rounding import trunc
+
+    users = events.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("_v")
+    )
+    conv = (
+        events.where(F.col("event_type") == conv_type)
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    flags = users.join(conv, "user_id", "left").select(
+        "_v", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    wide = flags.agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_c")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_c")).otherwise(0)).alias("c_b"),
+    )
+    d = F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+    n = F.col("n_a") * F.col("n_b")
+    c = F.col("c_a") + F.col("c_b")
+    t = F.col("n_a") + F.col("n_b")
+    z2 = (
+        d.cast("double") * d.cast("double") * t.cast("double")
+    ) / (n.cast("double") * c.cast("double") * (t.cast("double") - c.cast("double")))
+    z2_safe = F.when((c > 0) & (c < t), trunc(z2, 4)).otherwise(F.lit(0.0))
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        z2_safe.alias("z2"),
+        (z2_safe > z * z).cast("int").alias("significant"),
+    )

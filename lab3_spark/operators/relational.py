@@ -580,3 +580,54 @@ def price_time_skyline(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def customer_rfm_segments(orders: DataFrame, q: int = 5) -> DataFrame:
+    """(r_score, f_score, m_score, n_customers): RFM segmentation —
+    customers quintiled independently on Recency (latest order date),
+    Frequency (order count) and Monetary (total cents), 1 = best,
+    then counted per (r,f,m) cell (≤ q³ rows).
+
+    The three quintile assignments are three passes of the DISTRIBUTED
+    global-rank operator (operators/rank.py — range shuffle + broadcast
+    offsets; an unpartitioned ntile window would single-task the whole
+    customer table), each over a (sort_key, custkey) total order so
+    the massive frequency ties resolve identically in both engines;
+    distinct memo keys keep the three ranged frames from evicting each
+    other mid-plan."""
+    from lab3_spark.operators.rank import with_global_order_stats
+
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+        F.count("*").alias("_freq"),
+        F.sum(_cents()).alias("_mon"),
+    ).select(
+        "o_custkey",
+        (-F.datediff("_last", F.lit("1970-01-01").cast("date"))).alias(
+            "_rec_sort"
+        ),
+        (-F.col("_freq")).alias("_freq_sort"),
+        (-F.col("_mon")).alias("_mon_sort"),
+    )
+
+    def score(sort_col: str, out: str, key: str) -> DataFrame:
+        return (
+            with_global_order_stats(
+                base.select("o_custkey", sort_col),
+                [sort_col, "o_custkey"],
+                ntile=q,
+                memo_key=key,
+            )
+            .select("o_custkey", F.col("ntile").alias(out))
+        )
+
+    r = score("_rec_sort", "r_score", "rank.rfm_r")
+    f = score("_freq_sort", "f_score", "rank.rfm_f")
+    m = score("_mon_sort", "m_score", "rank.rfm_m")
+    return (
+        r.join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -9155,6 +9155,136 @@ def q_events_top_paths(spark, sf_dir):
     return EV.top_event_paths(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_kmv_rolling_users",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+             {_h2l("substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 13)")} AS hv
+      FROM events
+    ),
+    syn AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM hv
+      ) WHERE rn <= 64
+    ),
+    tgt AS (
+      SELECT DISTINCT
+             strftime(CAST(s.day AS DATE) + o.off * INTERVAL 1 DAY,
+                      '%Y-%m-%d') AS day,
+             s.hv
+      FROM syn s, (SELECT unnest(range(0, 7)) AS off) o
+    ),
+    tu AS (
+      SELECT day, hv FROM tgt WHERE day IN (SELECT day FROM syn)
+    ),
+    wsyn AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM tu
+      ) WHERE rn <= 64
+    ),
+    wagg AS (
+      SELECT day, count(*) AS ns, max(hv) AS hk FROM wsyn GROUP BY day
+    )
+    SELECT day,
+           CAST(CASE WHEN ns < 64 THEN ns
+                ELSE {63 * (1 << 52)} // hk END AS BIGINT) AS est_users_7d
+    FROM wagg ORDER BY day
+    """,
+)
+def q_events_kmv_rolling_users(spark, sf_dir):
+    """Rolling 7-day distinct-user estimates by KMV synopsis merging
+    (events.kmv_rolling_users): each day's ≤64-row synopsis explodes
+    into the 7 windows it closes (the binned-range-join trick on
+    SKETCH STATE, not raw events), then per-target bottom-k re-select
+    — a windowed COUNT(DISTINCT) would rescan a week of events per
+    day; this reads ≤ 7·k·|days| synopsis rows total."""
+    return EV.kmv_rolling_users(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_ab_ztest",
+    """
+    WITH users AS (
+      SELECT DISTINCT user_id, user_id % 2 AS v FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    flags AS (
+      SELECT u.v, CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS cf
+      FROM users u LEFT JOIN conv c ON u.user_id = c.user_id
+    ),
+    wide AS (
+      SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN v = 0 THEN cf ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN v = 1 THEN cf ELSE 0 END) AS BIGINT) AS c_b
+      FROM flags
+    ),
+    stat AS (
+      SELECT *,
+             CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               floor((CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+                      * CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+                      * CAST(n_a + n_b AS DOUBLE))
+                     / (CAST(n_a * n_b AS DOUBLE)
+                        * CAST(c_a + c_b AS DOUBLE)
+                        * (CAST(n_a + n_b AS DOUBLE)
+                           - CAST(c_a + c_b AS DOUBLE)))
+                     * 10000) / 10000
+             ELSE 0.0 END AS z2
+      FROM wide
+    )
+    SELECT n_a, c_a, n_b, c_b, z2,
+           CAST(z2 > 4 AS INT) AS significant
+    FROM stat
+    """,
+)
+def q_events_ab_ztest(spark, sf_dir):
+    """Two-proportion conversion z-test (events.ab_conversion_ztest):
+    variants by user_id parity, conversion = any 'purchase'.  Exact
+    bigint counts; z² = D²·T/(N·C·(T−C)) as one deterministic double
+    expression, identical op order in both engines."""
+    return EV.ab_conversion_ztest(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+             count(*) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM orders GROUP BY 1
+    ),
+    sc AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY -datediff('day', DATE '1970-01-01',
+                                              last_d), o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY -freq, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY -mon, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_customers
+    FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation (relational.customer_rfm_segments): three
+    independent quintile assignments via the DISTRIBUTED global-rank
+    operator (range shuffle + broadcast offsets — never an
+    unpartitioned ntile window over the customer table), total-ordered
+    by (metric, custkey) so the massive frequency ties resolve
+    identically; output is the ≤125-cell segment census."""
+    return REL.customer_rfm_segments(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9220,6 +9350,9 @@ _DRIVER_PRIORITY = [
     "streaming_cdc_apply",
     "events_kmv_value_quantiles",
     "events_top_paths",
+    "events_kmv_rolling_users",
+    "events_ab_ztest",
+    "customer_rfm_segments",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
