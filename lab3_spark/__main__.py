@@ -12,6 +12,7 @@ Engine commands:
     python -m lab3_spark list                        # catalog queries
     python -m lab3_spark run <query> [--sf-dir DIR] [--limit N]
     python -m lab3_spark explain <query> [--sf-dir DIR]   # physical plan
+    python -m lab3_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
 """
 
 from __future__ import annotations
@@ -42,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("explain")
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp = sub.add_parser("sql")
+    sp.add_argument("statement")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
 
@@ -70,6 +75,22 @@ def main(argv: list[str] | None = None) -> int:
         df = QUERIES[args.query](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
         print(f"{args.query} took: {time.time() - t0:.3f} seconds")
+        return 0
+
+    if args.cmd == "sql":
+        # ad-hoc ANSI SQL over the same tables every catalog query
+        # reads — Catalyst plans it like any DataFrame pipeline, so
+        # pushdown/broadcast/AQE apply identically
+        from lab3_spark.sources.tables import TABLES, load_table
+
+        for t in TABLES:
+            try:
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            except Exception:
+                pass  # a missing table only matters if the SQL uses it
+        df = spark.sql(args.statement)
+        df.show(args.limit, truncate=False)
+        print(f"sql took: {time.time() - t0:.3f} seconds")
         return 0
 
     if args.cmd == "explain":

@@ -225,3 +225,21 @@ def test_json_source_permissive_corrupt_records(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         strict.collect()
+
+
+def test_cli_sql_subcommand(spark, sf_dir, capsys):
+    """`python -m lab3_spark sql` registers the testdata views and
+    runs arbitrary ANSI SQL through the same session machinery."""
+    from lab3_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM documents",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sql took:" in out and "| n " in out.replace("|n  ", "| n ")
