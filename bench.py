@@ -185,6 +185,8 @@ HEADLINE = [
     "events_kmv_rolling_users",
     "events_ab_ztest",
     "customer_rfm_segments",
+    "doc_lang_confusion",
+    "events_weekly_churn",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

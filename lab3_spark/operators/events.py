@@ -1158,3 +1158,51 @@ def ab_conversion_ztest(
         z2_safe.alias("z2"),
         (z2_safe > z * z).cast("int").alias("significant"),
     )
+
+
+def weekly_churn(events: DataFrame) -> DataFrame:
+    """(week, n_active, n_churned, churn_fp): week-over-week churn —
+    users active in week w with no activity in w+1, over Monday-
+    aligned integer epoch weeks (the cohort_retention arithmetic).
+    Only weeks whose successor was observed are emitted (the last
+    week's churn is undefined, not zero).
+
+    Distinct (user, week) once; churn is ONE anti-join of that frame
+    against itself shifted a week — co-partitioned on user_id, no
+    window, no per-user state."""
+    wk = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")
+        )
+        / 7
+    ).cast("bigint")
+    from lab3_spark.functions.partitioning import persist_latest
+
+    uw = persist_latest(
+        "events.weekly_churn.uw",
+        events.select("user_id", wk.alias("week")).distinct(),
+    )
+    weeks = uw.select("week").distinct()
+    eligible = weeks.join(
+        weeks.select((F.col("week") - 1).alias("week")), "week", "left_semi"
+    )
+    shifted = uw.select("user_id", (F.col("week") - 1).alias("week"))
+    churned = uw.join(shifted, ["user_id", "week"], "left_anti")
+    act = uw.groupBy("week").agg(F.count("*").alias("n_active"))
+    chn = churned.groupBy("week").agg(F.count("*").alias("n_churned"))
+    return (
+        act.join(chn, "week", "left")
+        .join(F.broadcast(eligible), "week", "left_semi")
+        .select(
+            "week",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias(
+                "n_churned"
+            ),
+        )
+        .withColumn(
+            "churn_fp",
+            F.expr(f"CAST(n_churned * {10**6} DIV n_active AS BIGINT)"),
+        )
+        .orderBy("week")
+    )

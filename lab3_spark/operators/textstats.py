@@ -1491,3 +1491,36 @@ def textrank_keywords(
         .limit(k)
         .select(F.col("node").alias("word"), "rank_fp")
     )
+
+
+def lang_confusion_matrix(documents: DataFrame) -> DataFrame:
+    """(lang, pred_lang, n_docs, share_fp): confusion matrix of the
+    stop-word-ratio language detector against the labeled lang column
+    — the evaluation harness every classifier-shaped curation rule
+    needs (share_fp = row-conditional rate, bigint fixed-point).
+
+    One corpus scan (the lang_id expressions), one combinable pair
+    count; per-label totals ride back broadcast.  The pair-count frame
+    is persisted — it feeds both the totals and the final join, and
+    alias differences defeat exchange reuse."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    cm = persist_latest(
+        "textstats.lang_confusion.cm",
+        lang_id(documents)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs")),
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr(f"CAST(n_docs * {10**6} DIV _tot AS BIGINT)").alias(
+                "share_fp"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -9285,6 +9285,79 @@ def q_customer_rfm_segments(spark, sf_dir):
     return REL.customer_rfm_segments(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "doc_lang_confusion",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct({_DUCK_TOKS}) AS dtoks FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN (CASE WHEN len(dtoks) > 0 THEN
+               len(list_intersect(dtoks, {_DUCK_STOP_ARR})) / len(dtoks)
+               ELSE 0.0 END) >= 0.15 THEN 'en' ELSE 'other' END AS pred_lang
+      FROM t
+    ),
+    cm AS (
+      SELECT lang, pred_lang, count(*) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS t FROM cm GROUP BY 1)
+    SELECT cm.lang, cm.pred_lang, cm.n_docs,
+           CAST(cm.n_docs * 1000000 // tot.t AS BIGINT) AS share_fp
+    FROM cm JOIN tot ON cm.lang = tot.lang
+    ORDER BY cm.lang, cm.pred_lang
+    """,
+)
+def q_doc_lang_confusion(spark, sf_dir):
+    """Language-detector confusion matrix (textstats.lang_confusion_
+    matrix): the stop-word-ratio classifier's predictions crossed with
+    the labeled lang column, with row-conditional rates fixed-point —
+    the evaluation harness for classifier-shaped curation rules."""
+    return TS.lang_confusion_matrix(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_weekly_churn",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week
+      FROM events
+    ),
+    wks AS (SELECT DISTINCT week FROM uw),
+    eligible AS (
+      SELECT w.week FROM wks w WHERE EXISTS (
+        SELECT 1 FROM wks n WHERE n.week = w.week + 1)
+    ),
+    churned AS (
+      SELECT a.week, count(*) AS n_churned
+      FROM uw a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM uw b
+        WHERE b.user_id = a.user_id AND b.week = a.week + 1)
+      GROUP BY 1
+    ),
+    act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1)
+    SELECT a.week, a.n_active,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(coalesce(c.n_churned, 0) * 1000000 // a.n_active AS BIGINT)
+             AS churn_fp
+    FROM act a
+    LEFT JOIN churned c ON a.week = c.week
+    JOIN eligible e ON a.week = e.week
+    ORDER BY a.week
+    """,
+)
+def q_events_weekly_churn(spark, sf_dir):
+    """Week-over-week churn (events.weekly_churn): distinct (user,
+    week) once, churn = ONE co-partitioned anti-join against the
+    week-shifted self; weeks without an observed successor are
+    excluded (undefined, not zero).  Monday-aligned integer epoch
+    weeks — no ISO-week ambiguity."""
+    return EV.weekly_churn(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9353,6 +9426,8 @@ _DRIVER_PRIORITY = [
     "events_kmv_rolling_users",
     "events_ab_ztest",
     "customer_rfm_segments",
+    "doc_lang_confusion",
+    "events_weekly_churn",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

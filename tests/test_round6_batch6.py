@@ -97,3 +97,48 @@ def test_rfm_segments_hand_checked(spark):
     assert cells.get((1, 1, 1), 0) >= 1
     # customer 2 is worst on every dimension → (2,2,2)
     assert cells.get((2, 2, 2), 0) >= 1
+
+
+def test_weekly_churn_hand_checked(spark):
+    """Week 0: users {1,2}; week 1: {2,3} — user 1 churned (50%).
+    Week 1 has no successor → excluded.  Week 3 is isolated (no week
+    4) → excluded too, even though its users all 'churned'."""
+    from lab3_spark.operators.events import weekly_churn
+
+    rows = [
+        (1, 1, "1970-01-05 10:00:00", "view"),   # week 0
+        (2, 2, "1970-01-06 10:00:00", "view"),   # week 0
+        (3, 2, "1970-01-12 10:00:00", "view"),   # week 1
+        (4, 3, "1970-01-13 10:00:00", "view"),   # week 1
+        (5, 9, "1970-01-26 10:00:00", "view"),   # week 3 (isolated)
+    ]
+    got = {
+        r.week: (r.n_active, r.n_churned, r.churn_fp)
+        for r in weekly_churn(_ev(spark, rows)).collect()
+    }
+    assert got == {0: (2, 1, 500_000)}
+
+
+def test_lang_confusion_shares_sum_per_row(spark):
+    """Per-label shares are row-conditional: each label's truncated
+    shares sum to ≤ 1e6 and every document is counted once."""
+    from lab3_spark.operators.textstats import lang_confusion_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is was he for it", "en"),
+            (2, "xyzzy plugh foobar", "en"),
+            (3, "le la les et un une", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = lang_confusion_matrix(docs).collect()
+    assert sum(r.n_docs for r in rows) == 3
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += r.share_fp
+    assert all(v <= 1_000_000 for v in by_lang.values())
+    cm = {(r.lang, r.pred_lang): r.n_docs for r in rows}
+    assert cm[("en", "en")] == 1 and cm[("en", "other")] == 1
+    assert cm[("fr", "other")] == 1
