@@ -130,3 +130,65 @@ def test_streaming_cdc_versions_match_batch_apply(spark, tmp_path):
 
     v0 = {r.o_orderkey: r.last_op for r in snapshot(spark, store, 0).collect()}
     assert set(v0.values()) == {"I"} and len(v0) == 49
+
+
+def test_streaming_cdc_replay_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint replays every batch against the SAME
+    store: each replayed batch re-reads version N-1 (never its own
+    output) and overwrites version N, so the final snapshot is
+    unchanged — the exactly-once contract under at-least-once
+    delivery."""
+    import shutil
+
+    from lab3_spark.operators.relational import cdc_change_log
+    from lab3_spark.streaming.cdc import latest_snapshot, start_cdc_apply
+
+    orders = spark.createDataFrame(
+        [(k, float(k), "O") for k in range(1, 30)],
+        "o_orderkey bigint, o_totalprice double, o_orderstatus string",
+    )
+    log = cdc_change_log(orders)
+    flat = str(tmp_path / "incoming")
+    os.makedirs(flat)
+    now = time.time()
+    for b, seq in enumerate([1, 2, 3]):
+        part = str(tmp_path / f"part{b}")
+        log.where(F.col("seq") == seq).coalesce(1).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(flat, f"{b:02d}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (now + b * 10, now + b * 10))
+
+    def drain(ckpt: str):
+        src = (
+            spark.readStream.schema(
+                "o_orderkey bigint, seq bigint, op string, "
+                "price_cents bigint, o_orderstatus string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        q = start_cdc_apply(src, str(tmp_path / "store"), ckpt)
+        assert q.awaitTermination(300)
+
+    drain(str(tmp_path / "ckpt1"))
+    first = sorted(
+        map(tuple, latest_snapshot(spark, str(tmp_path / "store")).collect())
+    )
+    shutil.rmtree(str(tmp_path / "ckpt1"))  # lose progress → full replay
+    drain(str(tmp_path / "ckpt2"))
+    replayed = sorted(
+        map(tuple, latest_snapshot(spark, str(tmp_path / "store")).collect())
+    )
+    assert replayed == first
+
+
+def test_cdc_apply_plan_is_window_free(spark, sf_dir):
+    """The batch CDC apply claims ONE combinable aggregation, no
+    window — pin it: the physical plan must contain no WindowExec (the
+    oracle's row_number formulation is the oracle's business)."""
+    from lab3_spark.plans.explain import formatted_plan
+    from lab3_spark.queries_catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["orders_cdc_apply"](spark, sf_dir))
+    assert "Window" not in plan
