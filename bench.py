@@ -187,6 +187,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "doc_lang_confusion",
     "events_weekly_churn",
+    "ship_latency_percentiles",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -631,3 +631,57 @@ def customer_rfm_segments(orders: DataFrame, q: int = 5) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def ship_latency_percentiles(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """(o_orderpriority, n_lineitems, p50_days, p95_days): EXACT
+    order-to-ship latency percentiles per priority — the SLA question
+    ("p95 days to ship for urgent orders") answered with the
+    positional rule, not an engine-native interpolating percentile
+    whose semantics differ across engines.
+
+    The rank pass is a priority-PARTITIONED window (5 groups spread
+    the fact table; never a global window) over the total order
+    (days, orderkey, linenumber); both percentiles come from ONE pass
+    via conditional aggregation on the two picked positions — the
+    robust_quality_zscore machinery applied to a fact-fact join."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import persist_latest
+
+    lat = persist_latest(
+        "relational.ship_latency.lat",
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+                "days"
+            ),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    ranked = lat.withColumn("_rn", F.row_number().over(w))
+    counts = lat.groupBy("o_orderpriority").agg(F.count("*").alias("_n"))
+    i50 = F.expr("CAST((_n - 1) * 50 DIV 100 AS BIGINT) + 1")
+    i95 = F.expr("CAST((_n - 1) * 95 DIV 100 AS BIGINT) + 1")
+    return (
+        ranked.join(F.broadcast(counts), "o_orderpriority")
+        .where((F.col("_rn") == i50) | (F.col("_rn") == i95))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("_n").alias("n_lineitems"),
+            F.max(F.when(F.col("_rn") == i50, F.col("days"))).alias(
+                "p50_days"
+            ),
+            F.max(F.when(F.col("_rn") == i95, F.col("days"))).alias(
+                "p95_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

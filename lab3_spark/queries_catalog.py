@@ -9358,6 +9358,46 @@ def q_events_weekly_churn(spark, sf_dir):
     return EV.weekly_churn(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY days, l_orderkey, l_linenumber) AS rn
+      FROM lat
+    ),
+    counts AS (
+      SELECT o_orderpriority, count(*) AS n FROM lat GROUP BY 1
+    )
+    SELECT r.o_orderpriority, CAST(max(c.n) AS BIGINT) AS n_lineitems,
+           max(CASE WHEN r.rn = (c.n - 1) * 50 // 100 + 1
+                    THEN r.days END) AS p50_days,
+           max(CASE WHEN r.rn = (c.n - 1) * 95 // 100 + 1
+                    THEN r.days END) AS p95_days
+    FROM ranked r JOIN counts c ON r.o_orderpriority = c.o_orderpriority
+    WHERE r.rn = (c.n - 1) * 50 // 100 + 1
+       OR r.rn = (c.n - 1) * 95 // 100 + 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ship_latency_percentiles(spark, sf_dir):
+    """Exact order-to-ship latency percentiles per priority
+    (relational.ship_latency_percentiles): positional-rule p50/p95
+    from ONE priority-partitioned rank pass + conditional aggregation
+    — engine-native interpolating percentiles disagree across
+    engines; picked positions cannot."""
+    return REL.ship_latency_percentiles(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9428,6 +9468,7 @@ _DRIVER_PRIORITY = [
     "customer_rfm_segments",
     "doc_lang_confusion",
     "events_weekly_churn",
+    "ship_latency_percentiles",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -179,3 +179,29 @@ def test_nation_revenue_ols_negative_slope_sign(spark):
     [r] = nation_revenue_ols(orders, customer, nation).collect()
     assert r.slope_fp == -1_000_000_000  # −1000 cents/month at 1e6 scale
     assert r.intercept_fp == 2_000_000_000
+
+
+def test_ship_latency_percentiles_positional_rule(spark):
+    """5 lineitems with latencies 1..5 days: p50 = idx (4*50)//100+1=3
+    → 3 days; p95 = idx (4*95)//100+1=4 → 4 days (positional, no
+    interpolation)."""
+    from lab3_spark.operators.relational import ship_latency_percentiles
+
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", "1995-01-01")],
+        "o_orderkey bigint, o_orderpriority string, d string",
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+    )
+    li = spark.createDataFrame(
+        [(1, i, f"1995-01-0{1 + i}") for i in range(1, 6)],
+        "l_orderkey bigint, l_linenumber int, s string",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("s").cast("timestamp").alias("l_shipdate"),
+    )
+    [r] = ship_latency_percentiles(orders, li).collect()
+    assert (r.n_lineitems, r.p50_days, r.p95_days) == (5, 3, 4)
