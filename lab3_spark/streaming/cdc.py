@@ -34,8 +34,6 @@ argument as the batch MERGE gate, orders_scd_upsert).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -131,7 +129,7 @@ def start_cdc_apply(stream: DataFrame, store_path: str, checkpoint: str):
     return (
         stream.writeStream.foreachBatch(process)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(checkpoint))
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
