@@ -9398,6 +9398,162 @@ def q_ship_latency_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "data_expectations",
+    """
+    WITH o AS (
+      SELECT count(*) AS n_rows, count(o_custkey) AS n_custkey,
+             count(DISTINCT o_orderkey) AS n_distinct_key,
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS n_bad_status,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpos_price,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_null_date
+      FROM orders
+    ),
+    li AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS n_bad_discount,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_nonpos_qty,
+             sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01' THEN 1 ELSE 0 END)
+               AS n_early_ship
+      FROM lineitem
+    ),
+    orph AS (
+      SELECT count(*) AS n_orphans FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    checks AS (
+      SELECT 'orders' AS tbl, 'row_count_nonzero' AS chk,
+             CAST(n_rows * 1000000 AS BIGINT) AS metric_fp,
+             CAST(CASE WHEN n_rows > 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'completeness_o_custkey',
+             CAST(n_custkey * 1000000 // n_rows AS BIGINT),
+             CAST(CASE WHEN n_custkey = n_rows THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'uniqueness_o_orderkey',
+             CAST(n_distinct_key * 1000000 // n_rows AS BIGINT),
+             CAST(CASE WHEN n_distinct_key = n_rows THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'accepted_values_o_orderstatus',
+             CAST(n_bad_status * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_bad_status = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'positive_o_totalprice',
+             CAST(n_nonpos_price * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_nonpos_price = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'completeness_o_orderdate',
+             CAST(n_null_date * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_null_date = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'lineitem', 'row_count_nonzero',
+             CAST(n_rows * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_rows > 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem', 'range_l_discount_0_1',
+             CAST(n_bad_discount * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_bad_discount = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem', 'positive_l_quantity',
+             CAST(n_nonpos_qty * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_nonpos_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem', 'shipdate_after_1992',
+             CAST(n_early_ship * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_early_ship = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem', 'referential_l_orderkey',
+             CAST(n_orphans * 1000000 AS BIGINT),
+             CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM orph
+    )
+    SELECT tbl, chk, metric_fp, passed FROM checks ORDER BY tbl, chk
+    """,
+)
+def q_data_expectations(spark, sf_dir):
+    """Deequ-style ingest contract (expectations.expectations_report):
+    completeness / uniqueness / accepted-values / range / referential
+    checks over orders+lineitem in exactly three distributed passes —
+    one combinable agg per table (check rows fanned out by ``inline``
+    so the agg runs ONCE) + one anti-join orphan count."""
+    from lab3_spark.operators.expectations import expectations_report
+
+    return expectations_report(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "source_drift_psi",
+    """
+    WITH binned AS (
+      SELECT source, (doc_id % 2 = 0) AS is_a,
+             least(n_chars // 200, 9) AS bin
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, bin,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS c_b
+      FROM binned GROUP BY 1, 2
+    ),
+    domain AS (
+      SELECT s.source, b.bin
+      FROM (SELECT DISTINCT source FROM counts) s,
+           (SELECT unnest(range(10)) AS bin) b
+    ),
+    dense AS (
+      SELECT d.source, d.bin,
+             coalesce(c.c_a, 0) AS c_a, coalesce(c.c_b, 0) AS c_b
+      FROM domain d
+      LEFT JOIN counts c ON d.source = c.source AND d.bin = c.bin
+    ),
+    tot AS (
+      SELECT *, sum(c_a) OVER (PARTITION BY source) AS n_a,
+                sum(c_b) OVER (PARTITION BY source) AS n_b
+      FROM dense
+    ),
+    contrib AS (
+      SELECT source, n_a, n_b,
+             CAST(floor(
+               ((c_a + 1) / CAST(n_a + 10 AS DOUBLE)
+                  - (c_b + 1) / CAST(n_b + 10 AS DOUBLE))
+               * ln(((c_a + 1) / CAST(n_a + 10 AS DOUBLE))
+                    / ((c_b + 1) / CAST(n_b + 10 AS DOUBLE)))
+               * 100000000) AS BIGINT) AS contrib_fp
+      FROM tot
+    )
+    SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sum(contrib_fp) AS BIGINT) AS psi_fp,
+           CAST(CASE WHEN sum(contrib_fp) > 20000000 THEN 1 ELSE 0 END
+                AS BIGINT) AS drifted
+    FROM contrib GROUP BY 1, 2, 3 ORDER BY source
+    """,
+)
+def q_source_drift_psi(spark, sf_dir):
+    """Snapshot-drift PSI per source (drift.snapshot_psi): Population
+    Stability Index of the doc-length distribution between the
+    even-doc_id (reference) and odd-doc_id (candidate) snapshots —
+    ONE documents scan, Laplace smoothing over an engine-identical
+    densified 10-bin domain, per-bin contributions fixed-pointed as
+    one deterministic double expression (entropy-gate contract)."""
+    from lab3_spark.operators.drift import snapshot_psi
+
+    return snapshot_psi(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9469,6 +9625,8 @@ _DRIVER_PRIORITY = [
     "doc_lang_confusion",
     "events_weekly_churn",
     "ship_latency_percentiles",
+    "data_expectations",
+    "source_drift_psi",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -1,0 +1,102 @@
+"""Deequ-style data-expectations suite (operators/expectations.py)."""
+
+from pyspark.sql import functions as F
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate_s string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+    )
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_discount double, l_quantity double, "
+        "l_shipdate_s string",
+    ).select(
+        "l_orderkey",
+        "l_discount",
+        "l_quantity",
+        F.col("l_shipdate_s").cast("timestamp").alias("l_shipdate"),
+    )
+
+
+def _report(spark, orders_rows, lineitem_rows):
+    from lab3_spark.operators.expectations import expectations_report
+
+    out = expectations_report(
+        _orders(spark, orders_rows), _lineitem(spark, lineitem_rows)
+    )
+    return {(r.tbl, r.chk): r for r in out.collect()}
+
+
+CLEAN_ORDERS = [
+    (1, 10, "O", 100.0, "1995-01-01 00:00:00"),
+    (2, 11, "F", 200.0, "1996-01-01 00:00:00"),
+]
+CLEAN_LINES = [
+    (1, 0.05, 10.0, "1995-02-01 00:00:00"),
+    (2, 0.0, 1.0, "1996-02-01 00:00:00"),
+]
+
+
+def test_clean_data_all_pass(spark):
+    got = _report(spark, CLEAN_ORDERS, CLEAN_LINES)
+    assert len(got) == 11
+    assert all(r.passed == 1 for r in got.values())
+    # ratio metrics are fixed-point 1e6 when fully complete/unique
+    assert got[("orders", "completeness_o_custkey")].metric_fp == 1_000_000
+    assert got[("orders", "uniqueness_o_orderkey")].metric_fp == 1_000_000
+
+
+def test_violations_detected(spark):
+    """Each planted defect flips exactly its own check."""
+    orders = [
+        (1, 10, "O", 100.0, "1995-01-01 00:00:00"),
+        (1, None, "X", -5.0, None),  # dup key, null cust, bad status,
+        # nonpositive price, null date
+    ]
+    lines = [
+        (1, 1.5, 0.0, "1991-06-01 00:00:00"),  # bad discount, zero qty,
+        # pre-1992 shipdate
+        (99, 0.1, 2.0, "1995-01-01 00:00:00"),  # orphan order key
+    ]
+    got = _report(spark, orders, lines)
+    failed = {k for k, r in got.items() if r.passed == 0}
+    assert failed == {
+        ("orders", "completeness_o_custkey"),
+        ("orders", "uniqueness_o_orderkey"),
+        ("orders", "accepted_values_o_orderstatus"),
+        ("orders", "positive_o_totalprice"),
+        ("orders", "completeness_o_orderdate"),
+        ("lineitem", "range_l_discount_0_1"),
+        ("lineitem", "positive_l_quantity"),
+        ("lineitem", "shipdate_after_1992"),
+        ("lineitem", "referential_l_orderkey"),
+    }
+    # metrics carry the observed counts/ratios, not just pass/fail
+    assert got[("orders", "completeness_o_custkey")].metric_fp == 500_000
+    assert got[("orders", "uniqueness_o_orderkey")].metric_fp == 500_000
+    assert got[("lineitem", "referential_l_orderkey")].metric_fp == 1_000_000
+
+
+def test_single_pass_per_table(spark):
+    """The inline fan-out keeps ONE consumer per aggregate: the plan
+    holds at most 4 table scans (orders agg, lineitem agg, and the
+    two anti-join sides) — NOT one scan per check row."""
+    from lab3_spark.operators.expectations import expectations_report
+
+    out = expectations_report(
+        _orders(spark, CLEAN_ORDERS), _lineitem(spark, CLEAN_LINES)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 4
