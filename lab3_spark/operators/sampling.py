@@ -505,3 +505,50 @@ def mixture_apportionment(
         )
         .orderBy("source")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    candidates: DataFrame,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate documents NEVER
+    straddle a split boundary.
+
+    A plain per-doc hash split (train_val_test_split) leaks evaluation
+    data whenever a near-duplicate of a test doc lands in train — the
+    standard benchmark-contamination failure mode.  The fix is to hash
+    the DUPLICATE GROUP, not the doc: group_id = the connected-component
+    label of the near-dup candidate graph (min doc_id of the component),
+    falling back to the doc's own id for singletons.  Every member of a
+    component therefore shares one hash and one split, by construction.
+
+    ``candidates`` is the (doc_a, doc_b, ...) near-dup pair frame (e.g.
+    dedup.minhash_candidates) — shared with the dedup family, so the
+    expensive part is computed once per session.  Scale shape: the
+    component closure is the iterative min-label propagation
+    (operators/components.py, bounded persists); the split itself is a
+    pure per-row expression after ONE left join of documents against
+    the (tiny relative to the corpus) clustered-node frame.
+
+    Returns (doc_id, group_id, split) ordered by doc_id.
+    """
+    from lab3_spark.operators.components import connected_components
+
+    comps = connected_components(candidates, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+    h = md5_long(F.col("group_id").cast("string"), salt=salt)
+    split = (
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    )
+    return (
+        documents.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        )
+        .select("doc_id", "group_id", split.alias("split"))
+        .orderBy("doc_id")
+    )

@@ -9554,6 +9554,54 @@ def q_source_drift_psi(spark, sf_dir):
     return snapshot_psi(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS group_id
+      FROM reach GROUP BY src
+    ),
+    g AS (
+      SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, group_id,
+                 {_h2l("substr(md5(concat('gsplit', '|', CAST(group_id AS VARCHAR))), 1, 15)")}
+                   AS h
+          FROM g)
+    ORDER BY doc_id
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Group-aware train/val/test split (sampling.leakage_safe_split):
+    split membership hashes the near-dup CONNECTED COMPONENT (min-label
+    closure of the MinHash-LSH candidate graph), not the doc — so near-
+    duplicates can never straddle train/test (the benchmark-
+    contamination failure of per-doc splits).  Singletons hash their
+    own doc_id; assignment is a pure per-row expression after one left
+    join against the clustered-node frame."""
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, minhash_candidates(docs))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9627,6 +9675,7 @@ _DRIVER_PRIORITY = [
     "ship_latency_percentiles",
     "data_expectations",
     "source_drift_psi",
+    "leakage_safe_split",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
