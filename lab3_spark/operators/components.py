@@ -429,3 +429,88 @@ def bfs_hops(
         free_checkpoint(prev_ckpt)
         prev_ckpt = dist
     return dist.orderBy("hops", "node")
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, core_degree): the k-core of the undirected graph —
+    repeatedly delete nodes of degree < k; what survives is the
+    maximal subgraph where every node keeps ≥ k neighbors.
+
+    Dedup reading: the candidate graph's 2-core separates *mutually
+    corroborated* near-dup groups from pendant one-off collisions — a
+    band-collision FP usually attaches by a single edge and peels off,
+    while a genuine duplicate cluster is near-clique and survives.
+    Core membership is the standard cheap robustness score before
+    spending verify-join budget on a candidate (same role the triangle
+    count plays, one rung cheaper).
+
+    ``rounds=None`` peels to the exact fixpoint (count-checked per
+    round, ≤ ``max_iter``); a fixed ``rounds`` runs exactly that many
+    peels — the engine-identical form the DuckDB oracle unrolls, and a
+    documented PREFIX of the fixpoint (peeling is monotone: each round
+    only removes nodes).
+
+    Scale shape: each round is one combinable degree agg + two
+    semi-joins on the SHRINKING edge frame — no all-pairs, no windows;
+    every frame partitions on the node key.  Rounds needed equal the
+    peel depth: near-clique dedup graphs finish in 1-2, only a long
+    pendant chain pays O(chain) (k=2 dissolves it one end-pair per
+    round) — the same degenerate-input caveat bfs_hops documents.
+    Lineage: each round references the prior edge frame THREE times
+    (degree agg + both semi-join probes), so an unpersisted loop grows
+    the plan 3^rounds — analysis time dominates long before execution
+    does.  Every round is therefore eagerly localCheckpoint-ed and the
+    superseded checkpoint freed once its successor is materialized
+    (the bfs_hops/pagerank discipline).
+    """
+    from lab3_spark.functions.partitioning import free_checkpoint
+
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("a"),
+                F.col(src).cast("long").alias("b"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    n_rounds = rounds if rounds is not None else max_iter
+    converged = rounds is not None
+    for _it in range(n_rounds):
+        keep = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("a")
+        )
+        prev = und
+        und = (
+            und.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+        free_checkpoint(prev)
+        now = und.count()
+        if rounds is None and now == n_edges:
+            converged = True
+            break
+        n_edges = now
+    if not converged:
+        raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+    return (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -9602,6 +9602,62 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, minhash_candidates(docs))
 
 
+def _duck_kcore_iters(n_iter: int, k: int = 2) -> str:
+    """Unrolled peel CTEs e0..e{n} over the symmetric candidate edges —
+    per round: degree count, keep edges whose BOTH endpoints have
+    degree ≥ k (components.kcore with fixed ``rounds``).
+
+    Every CTE is MATERIALIZED: each round references its predecessor
+    three times, and DuckDB inlines plain CTEs, so an un-materialized
+    unroll re-expands the whole minhash subtree 3^n times — the SQL
+    twin of the lineage blow-up the Spark side truncates with
+    localCheckpoint."""
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand"
+        " UNION SELECT doc_b AS a, doc_a AS b FROM cand)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    d{i} AS MATERIALIZED (SELECT a, count(*) AS c FROM e{i - 1} GROUP BY a),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN d{i} x ON e.a = x.a AND x.c >= {k}
+      JOIN d{i} y ON e.b = y.a AND y.c >= {k}
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "dedup_kcore",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    {_duck_kcore_iters(6)}
+    SELECT a AS node, count(*) AS core_degree
+    FROM e6 GROUP BY a ORDER BY node
+    """,
+)
+def q_dedup_kcore(spark, sf_dir):
+    """2-core of the near-dup candidate graph (components.kcore):
+    six peel rounds remove every node with < 2 corroborating
+    neighbors — pendant band-collision FPs peel off, near-clique
+    duplicate groups survive with their in-core degree.  Fixed
+    ``rounds=6`` is the engine-identical unrolled form (a documented
+    prefix of the fixpoint; peeling is monotone), mirroring the
+    bfs_hops depth-cap contract."""
+    from lab3_spark.operators.components import kcore
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    return kcore(
+        minhash_candidates(_t(spark, sf_dir, "documents")),
+        "doc_a",
+        "doc_b",
+        k=2,
+        rounds=6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9676,6 +9732,7 @@ _DRIVER_PRIORITY = [
     "data_expectations",
     "source_drift_psi",
     "leakage_safe_split",
+    "dedup_kcore",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -99,3 +99,49 @@ def test_modularity_barbell_hand_computed(spark):
         assert rows[c].e_in == 3
         assert rows[c].d_sum == 7
         assert rows[c].q_num == 4 * 7 * 3 - 49
+
+
+def _cores(spark, edges, **kw):
+    from lab3_spark.operators.components import kcore
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["core_degree"] for r in kcore(df, **kw).collect()}
+
+
+def test_kcore_pendant_chain_peels_off_triangle(spark):
+    # triangle 1-2-3 plus pendant chain 3-4-5: the chain has degree-1
+    # ends every round, so the 2-core is exactly the triangle.
+    got = _cores(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixed_rounds_is_prefix_of_fixpoint(spark):
+    # chain 1..6 hung off a 4-clique: k=2 dissolves the chain one
+    # end per round, so rounds=1 still keeps part of it while the
+    # fixpoint keeps only the clique.
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    chain = [(13, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    one = _cores(spark, clique + chain, rounds=1)
+    fix = _cores(spark, clique + chain)
+    assert set(fix) == {10, 11, 12, 13}
+    assert all(v == 3 for v in fix.values())
+    assert set(fix) <= set(one)  # peeling is monotone: prefix keeps more
+
+
+def test_kcore_k3_drops_everything_but_clique(spark):
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    extra = [(13, 1), (1, 2), (2, 10)]  # a cycle through the clique
+    got = _cores(spark, clique + extra, k=3)
+    assert set(got) == {10, 11, 12, 13}
+
+
+def test_kcore_non_convergence_raises(spark):
+    import pytest as _pt
+
+    from lab3_spark.operators.components import kcore
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        kcore(df, max_iter=2).collect()
