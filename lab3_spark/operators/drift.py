@@ -62,12 +62,13 @@ def snapshot_psi(documents: DataFrame) -> DataFrame:
     domain = (
         counts.select("source")
         .distinct()
-        .crossJoin(
-            F.broadcast(
-                documents.sparkSession.range(N_BINS).select(
-                    F.col("id").alias("bin")
+        .select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.lit(N_BINS - 1).cast("bigint")
                 )
-            )
+            ).alias("bin"),
         )
     )
     dense = domain.join(counts, ["source", "bin"], "left").select(

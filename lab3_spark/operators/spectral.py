@@ -1,0 +1,132 @@
+"""Spectral analysis of the embedding matrix: exact-integer Gram
+matrix + top principal direction by power iteration.
+
+The 100 TB shape is MLlib's own (RowMatrix.computePrincipalComponents
+/ computeGramianMatrix): the d×d Gramian is computed DISTRIBUTED in
+one pass — each Arrow batch contributes a d×d partial via a local
+matmul, so the shuffle carries d² rows per batch regardless of batch
+size — and only the d² scalars land on the driver, where the
+eigen-iteration on a 64×64 matrix is microseconds.  The data matrix
+itself is never collected and never shuffled.
+
+Cross-engine determinism: embeddings are quantized q = floor(x · 2¹⁴)
+— a power-of-two scale, so the float multiply is EXACT (only the
+exponent changes) and Spark/numpy/DuckDB produce identical ints; the
+Gram matrix is then exact int64 (|x| ≲ 6 → q ≲ 10⁵ → q² ≲ 10¹⁰, times
+N rows stays < 2⁶³ up to ~10⁸ rows per gate input).  The power
+iteration runs in IEEE doubles with a PINNED left-fold order (index
+0 → d−1, seed = first element) that DuckDB's ``list_reduce`` over an
+ORDER BY-ed list replays exactly — the events_ewma fold-pinning
+precedent applied to linear algebra.  No tolerance needed: the gate
+compares bit-identical doubles.
+
+Ref parity note: the reference engine (phoenixLab) has no linear
+algebra; this extends the engine's training-data toolkit (embedding
+quality inspection: dominant direction ≈ anisotropy of the embedding
+space, the usual first diagnostic before whitening).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from lab3_spark.functions.partitioning import spread
+
+DIMS = 64
+QSCALE = 1 << 14  # power of two: floor(x·QSCALE) exact in every engine
+POWER_ITERS = 8
+
+
+def gram_matrix(embeddings: DataFrame, dims: int = DIMS) -> DataFrame:
+    """(j, k, gv): exact-bigint second-moment (Gram) matrix
+    Gᵢⱼ = Σ_rows q_i·q_j of the quantized embeddings, 1-based indices.
+
+    One ``mapInArrow`` pass; each batch emits at most d² rows (the
+    local ``q.T @ q`` matmul is the map-side combine), then one
+    combinable groupBy over d² keys."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lab3_spark.operators.kmeans import _flat_matrix
+
+    def batches(it):
+        for batch in it:
+            x = _flat_matrix(batch.column(0), dims)
+            if x.shape[0] == 0:
+                continue
+            q = np.floor(x * float(QSCALE)).astype(np.int64)
+            g = q.T @ q  # exact int64: |q| ≲ 1e5 → |q²·n_batch| ≪ 2^63
+            jj, kk = np.meshgrid(
+                np.arange(1, dims + 1, dtype=np.int64),
+                np.arange(1, dims + 1, dtype=np.int64),
+                indexing="ij",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(jj.ravel()),
+                    pa.array(kk.ravel()),
+                    pa.array(g.ravel()),
+                ],
+                names=["j", "k", "gv"],
+            )
+
+    return (
+        spread(embeddings)
+        .select("embedding")
+        .mapInArrow(batches, "j bigint, k bigint, gv bigint")
+        .groupBy("j", "k")
+        .agg(F.sum("gv").alias("gv"))
+    )
+
+
+def _power_iteration(
+    grows: list[list[float]], dims: int, iters: int
+) -> list[float]:
+    """Pinned-order power iteration: every inner product folds left
+    over index order with the first term as the seed — the exact
+    recurrence DuckDB's ``list_reduce(list_transform(...))`` runs, so
+    the returned doubles are bit-identical across engines."""
+    v = [1.0 / math.sqrt(dims)] * dims
+    for _ in range(iters):
+        w = []
+        for j in range(dims):
+            row = grows[j]
+            acc = row[0] * v[0]
+            for k in range(1, dims):
+                acc += row[k] * v[k]
+            w.append(acc)
+        acc = w[0] * w[0]
+        for j in range(1, dims):
+            acc += w[j] * w[j]
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in w]
+    return v
+
+
+def top_principal_direction(
+    embeddings: DataFrame, dims: int = DIMS, iters: int = POWER_ITERS
+) -> DataFrame:
+    """(dim, loading): the top right-singular direction of the
+    quantized embedding matrix — the unit eigenvector of the exact
+    Gram matrix after ``iters`` power-iteration steps from the
+    deterministic all-ones start (no RNG to reconcile across engines;
+    uncentered by design so the Gramian stays exactly integer — this
+    is the top direction of the RAW data, the anisotropy axis).
+
+    The collect is d² bigints (the MLlib Gramian pattern — bounded by
+    the schema, not the data); the iteration output is d scalars."""
+    spark = embeddings.sparkSession
+    g = {
+        (r["j"], r["k"]): r["gv"]
+        for r in gram_matrix(embeddings, dims).collect()
+    }
+    grows = [
+        [float(g[(j, k)]) for k in range(1, dims + 1)]
+        for j in range(1, dims + 1)
+    ]
+    v = _power_iteration(grows, dims, iters)
+    return spark.createDataFrame(
+        [(j + 1, v[j]) for j in range(dims)], "dim bigint, loading double"
+    ).orderBy("dim")

@@ -9658,6 +9658,73 @@ def q_dedup_kcore(spark, sf_dir):
     )
 
 
+def _duck_power_iters(n_iter: int, dims: int = 64) -> str:
+    """Unrolled power-iteration CTEs w{i}/n{i}/v{i}: matrix-vector
+    product and norm as ``list_reduce`` left folds over ORDER BY-ed
+    lists — the exact IEEE recurrence operators/spectral.py pins, so
+    the final loadings are bit-identical doubles (no tolerance)."""
+    ctes = []
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    w{i} AS MATERIALIZED (
+      SELECT g.j,
+             list_reduce(list_transform(range(1, {dims + 1}),
+                 t -> g.row[t] * v.v[t]), (a, b) -> a + b) AS w
+      FROM grows g, v{i - 1} v
+    ),
+    n{i} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list_transform(list(w ORDER BY j),
+                  x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM w{i}
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT list(w.w / n.nrm ORDER BY w.j) AS v FROM w{i} w, n{i} n
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "embedding_top_direction",
+    f"""
+    WITH qv AS (
+      SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    g AS MATERIALIZED (
+      SELECT jj.j, kk.k, sum(q[jj.j] * q[kk.k]) AS gv
+      FROM qv, (SELECT unnest(range(1, 65)) AS j) jj,
+           (SELECT unnest(range(1, 65)) AS k) kk
+      GROUP BY jj.j, kk.k
+    ),
+    grows AS MATERIALIZED (
+      SELECT j, list(CAST(gv AS DOUBLE) ORDER BY k) AS row
+      FROM g GROUP BY j
+    ),
+    v0 AS (SELECT list_transform(range(1, 65), t -> 0.125) AS v),
+    {_duck_power_iters(8)}
+    SELECT t.d AS dim, v.v[t.d] AS loading
+    FROM v8 v, (SELECT unnest(range(1, 65)) AS d) t
+    ORDER BY dim
+    """,
+)
+def q_embedding_top_direction(spark, sf_dir):
+    """Top principal direction of the embedding matrix
+    (operators/spectral.py): the Gramian is computed distributed —
+    one mapInArrow pass, d² exact-bigint rows per batch (local
+    ``q.T @ q`` is the map-side combine) — and only d²=4096 scalars
+    reach the driver for the 8-step power iteration (the MLlib
+    RowMatrix.computePrincipalComponents shape).  Quantization scale
+    2¹⁴ is a power of two so floor(x·s) is exact in every engine; the
+    iteration's inner products fold left in pinned index order, so
+    Spark and DuckDB emit bit-identical doubles."""
+    from lab3_spark.operators.spectral import top_principal_direction
+
+    return top_principal_direction(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9733,6 +9800,7 @@ _DRIVER_PRIORITY = [
     "source_drift_psi",
     "leakage_safe_split",
     "dedup_kcore",
+    "embedding_top_direction",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
