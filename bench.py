@@ -188,6 +188,8 @@ HEADLINE = [
     "doc_lang_confusion",
     "events_weekly_churn",
     "ship_latency_percentiles",
+    "dedup_kcore",
+    "embedding_top_direction",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -485,7 +485,7 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = und.count()
+    n_edges = und.count() if rounds is None else -1
     n_rounds = rounds if rounds is not None else max_iter
     converged = rounds is not None
     for _it in range(n_rounds):
@@ -502,11 +502,15 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         free_checkpoint(prev)
-        now = und.count()
-        if rounds is None and now == n_edges:
-            converged = True
-            break
-        n_edges = now
+        if rounds is None:
+            # convergence check only on the fixpoint path — the
+            # fixed-rounds form needs no count job per round (the
+            # eager checkpoint already materialized the frame)
+            now = und.count()
+            if now == n_edges:
+                converged = True
+                break
+            n_edges = now
     if not converged:
         raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
     return (
