@@ -190,6 +190,7 @@ HEADLINE = [
     "ship_latency_percentiles",
     "dedup_kcore",
     "embedding_top_direction",
+    "mmr_diverse_select",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

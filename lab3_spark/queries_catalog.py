@@ -9725,6 +9725,61 @@ def q_embedding_top_direction(spark, sf_dir):
     return top_principal_direction(_t(spark, sf_dir, "embeddings"))
 
 
+def _duck_mmr_iters(k: int, lam: float = 0.5) -> str:
+    """Unrolled MMR greedy CTEs: s{t} picks the argmax of
+    rel − λ·max-sim-to-selected (ties → lowest vec_id), m{t} drops the
+    pick and folds its similarity into every survivor's running max —
+    the exact recurrence operators/diversity.mmr_select runs driver-
+    side over the shortlist.  MATERIALIZED throughout (each m{t} is
+    referenced twice)."""
+    dot = _DUCK_DOT.format(a="c.u", b="s.u")
+    ctes = []
+    for t in range(1, k + 1):
+        ctes.append(
+            f"""
+    s{t} AS MATERIALIZED (
+      SELECT vec_id, u, rel - {lam} * coalesce(ms, 0.0) AS score
+      FROM m{t - 1} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    m{t} AS MATERIALIZED (
+      SELECT c.vec_id, c.u, c.rel,
+             greatest(coalesce(c.ms, -1.0), {dot}) AS ms
+      FROM m{t - 1} c, s{t} s WHERE c.vec_id != s.vec_id
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "mmr_diverse_select",
+    f"""
+    WITH {_DUCK_VEC},
+    q AS (SELECT u FROM e WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.u, {_DUCK_DOT.format(a="e.u", b="q.u")} AS rel
+      FROM e, q WHERE e.vec_id != 0
+    ),
+    m0 AS MATERIALIZED (
+      SELECT vec_id, u, rel, CAST(NULL AS DOUBLE) AS ms
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 200
+    ),
+    {_duck_mmr_iters(8)}
+    SELECT step, vec_id, mmr_score FROM (
+      {" UNION ALL ".join(f"SELECT {t} AS step, vec_id, score AS mmr_score FROM s{t}" for t in range(1, 9))}
+    ) ORDER BY step
+    """,
+)
+def q_mmr_diverse_select(spark, sf_dir):
+    """Maximal-marginal-relevance top-8 against vec_id 0
+    (operators/diversity.py): ONE distributed relevance scan + a
+    TakeOrderedAndProject top-200 shortlist, then the λ=0.5 greedy
+    over the bounded shortlist driver-side with pinned left-fold inner
+    products — scores bit-identical to the unrolled SQL greedy."""
+    from lab3_spark.operators.diversity import mmr_select
+
+    return mmr_select(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9801,6 +9856,7 @@ _DRIVER_PRIORITY = [
     "leakage_safe_split",
     "dedup_kcore",
     "embedding_top_direction",
+    "mmr_diverse_select",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
