@@ -191,6 +191,7 @@ HEADLINE = [
     "dedup_kcore",
     "embedding_top_direction",
     "mmr_diverse_select",
+    "events_xcorr_lag",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

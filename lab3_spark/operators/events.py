@@ -1206,3 +1206,78 @@ def weekly_churn(events: DataFrame) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def lagged_xcorr(
+    events: DataFrame,
+    type_x: str = "view",
+    type_y: str = "purchase",
+    max_lag: int = 3,
+) -> DataFrame:
+    """(lag, n_hours, corr): Pearson correlation between the hourly
+    count series of ``type_x`` and ``type_y`` shifted by -max_lag..
+    +max_lag hours — "does purchase volume trail view volume, and by
+    how much?"  The lag with the max |corr| is the lead-lag estimate.
+
+    Scale shape: events collapse to ONE (hour, x, y) frame (a single
+    combinable conditional agg — |hours| rows, metadata-scale next to
+    the event stream), densified over the min..max hour spine from the
+    aggregate itself (missing hours are real zeros, and both engines
+    must see the identical domain).  The 7 lag alignments are ONE
+    equi-join of the lag-exploded spine against itself on the shifted
+    hour key — never an inequality join.  All five moment sums are
+    exact bigints; r is assembled from them in ONE deterministic
+    double expression per lag (the ab_ztest/OLS contract: products of
+    two bigint moments are cast to double BEFORE multiplying so no
+    intermediate exceeds int64 at any SF)."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    xy = F.when(F.col("event_type") == type_x, 1).otherwise(0)
+    yy = F.when(F.col("event_type") == type_y, 1).otherwise(0)
+    hourly = (
+        events.where(F.col("event_type").isin(type_x, type_y))
+        .select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            xy.alias("is_x"),
+            yy.alias("is_y"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("is_x").cast("bigint").alias("x"),
+            F.sum("is_y").cast("bigint").alias("y"),
+        )
+    )
+    spine = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    dense = persist_latest(
+        "events.lagged_xcorr.dense",
+        spine.join(hourly, "h", "left").select(
+            "h",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        ),
+    )
+    lags = F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    a = dense.select("h", "x", F.explode(lags).alias("lag"))
+    pairs = a.join(
+        dense.select(F.col("h").alias("h2"), "y"),
+        F.col("h2") == F.col("h") + F.col("lag"),
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0), trunc(num / F.sqrt(vx * vy), 6)
+    ).otherwise(F.lit(0.0))
+    return mom.select(
+        "lag", F.col("n").alias("n_hours"), corr.alias("corr")
+    ).orderBy("lag")

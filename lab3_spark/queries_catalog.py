@@ -9780,6 +9780,58 @@ def q_mmr_diverse_select(spark, sf_dir):
     return mmr_select(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "events_xcorr_lag",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(range(min(h), max(h) + 1)) AS h FROM hourly
+    ),
+    dense AS MATERIALIZED (
+      SELECT s.h, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+      FROM spine s LEFT JOIN hourly c ON s.h = c.h
+    ),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM dense a,
+           (SELECT unnest(range(-3, 4)) AS lag) l
+      JOIN dense b ON b.h = a.h + l.lag
+    ),
+    mom AS (
+      SELECT lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_hours,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor(
+                  (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000
+                ) / 1000000
+                ELSE 0.0 END AS corr
+    FROM mom ORDER BY lag
+    """,
+)
+def q_events_xcorr_lag(spark, sf_dir):
+    """Lead-lag analysis (operators/events.lagged_xcorr): Pearson
+    correlation of the hourly view vs purchase count series at hour
+    offsets -3..+3.  One combinable conditional agg collapses the
+    stream to |hours| rows; the 7 alignments are ONE equi-join on the
+    shifted hour key over the densified spine; moments exact bigint,
+    r one deterministic double expression per lag."""
+    from lab3_spark.operators.events import lagged_xcorr
+
+    return lagged_xcorr(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9857,6 +9909,7 @@ _DRIVER_PRIORITY = [
     "dedup_kcore",
     "embedding_top_direction",
     "mmr_diverse_select",
+    "events_xcorr_lag",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

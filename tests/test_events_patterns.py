@@ -74,3 +74,53 @@ def test_cohort_retention_hand_checked(spark):
         (w0 + 1, 0): 1,   # user 3's cohort
         (w0 + 1, 1): 1,   # user 3 active the following week
     }
+
+
+def test_lagged_xcorr_detects_shift(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import lagged_xcorr
+
+    # views pulse on a 5-hour cycle; purchases are the SAME pulse
+    # pattern 2 hours later -> corr peaks (exactly 1.0) at lag +2
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(48):
+        n_views = 5 if hour % 5 == 0 else 1
+        for _ in range(n_views):
+            rows.append((eid, base + timedelta(hours=hour), 1, "view", 0.0, "{}"))
+            eid += 1
+        n_purch = 5 if (hour - 2) % 5 == 0 else 1
+        for _ in range(n_purch):
+            rows.append((eid, base + timedelta(hours=hour), 1, "purchase", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["lag"]: r["corr"] for r in lagged_xcorr(df).collect()}
+    n = {r["lag"]: r["n_hours"] for r in lagged_xcorr(df).collect()}
+    assert got[2] > 0.95  # peak at +2 (edge hours shave exactness)
+    assert got[2] == max(got.values())
+    assert got[0] < 0.5
+    assert n[0] == 48 and n[2] == 46 and n[-3] == 45  # overlap shrinks
+
+
+def test_lagged_xcorr_zero_variance_guarded(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import lagged_xcorr
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for hour in range(6):  # constant series: variance 0 -> corr 0.0
+        rows.append((hour * 2, base + timedelta(hours=hour), 1, "view", 0.0, "{}"))
+        rows.append((hour * 2 + 1, base + timedelta(hours=hour), 1, "purchase", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert all(r["corr"] == 0.0 for r in lagged_xcorr(df).collect())
