@@ -192,6 +192,7 @@ HEADLINE = [
     "embedding_top_direction",
     "mmr_diverse_select",
     "events_xcorr_lag",
+    "source_lang_chi2",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -20,6 +20,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import persist_latest
+
 
 def _unpivot(wide: DataFrame, checks: list[str]) -> DataFrame:
     """1-row wide aggregate -> (check, violations) long form."""
@@ -149,3 +151,62 @@ def k_anonymity_report(
         )
         .orderBy("lang", "source", "size_bucket")
     )
+
+
+def chi_square_independence(
+    documents: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+    fp: int = 1_000_000,
+) -> DataFrame:
+    """(source, lang, observed, contrib_fp) per contingency cell plus
+    one ('ALL','ALL', N, chi2_fp) total row: Pearson's χ² test of
+    independence between two categorical columns — "is the language
+    mix the same across sources?", the distribution-shift companion to
+    snapshot PSI (drift over time) and the ab z-test (two groups).
+
+    Scale shape: ONE combinable count agg collapses the corpus to the
+    |rows|·|cols| contingency table (metadata-scale by construction);
+    margins are two more aggs over THAT table, rejoined broadcast.
+    Per-cell contribution (O−E)²/E is evaluated with the exact-bigint
+    counts converted to double in a FIXED expression shape —
+    d = O·N − R·C computed in doubles (bigint products overflow at
+    corpus scale, double rounding is deterministic and identical in
+    both engines) — then floored to fixed-point so the grand total is
+    an order-insensitive exact bigint SUM (the PSI contract)."""
+    cells = persist_latest(
+        "quality.chi2.cells",
+        documents.groupBy(
+            F.col(row_col).alias("r"), F.col(col_col).alias("c")
+        ).agg(F.count(F.lit(1)).alias("o")),
+    )
+    rmarg = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cmarg = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    total = cells.agg(F.sum("o").alias("n"))
+    d = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        - F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
+    contrib = (d * d) / (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        * F.col("n").cast("double")
+    )
+    scored = (
+        cells.join(F.broadcast(rmarg), "r")
+        .join(F.broadcast(cmarg), "c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            F.col("o").alias("observed"),
+            F.floor(contrib * fp).cast("bigint").alias("contrib_fp"),
+        )
+    )
+    total_row = scored.agg(
+        F.lit("ALL").alias(row_col),
+        F.lit("ALL").alias(col_col),
+        F.sum("observed").alias("observed"),
+        F.sum("contrib_fp").alias("contrib_fp"),
+    )
+    return scored.unionByName(total_row).orderBy(row_col, col_col)

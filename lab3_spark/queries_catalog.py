@@ -9832,6 +9832,47 @@ def q_events_xcorr_lag(spark, sf_dir):
     return lagged_xcorr(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "source_lang_chi2",
+    """
+    WITH cells AS (
+      SELECT source AS r, lang AS c, count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rmarg AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+    cmarg AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+    total AS (SELECT sum(o) AS n FROM cells),
+    scored AS (
+      SELECT cells.r AS source, cells.c AS lang, cells.o AS observed,
+             CAST(floor(
+               ((CAST(cells.o AS DOUBLE) * CAST(total.n AS DOUBLE)
+                 - CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE))
+                * (CAST(cells.o AS DOUBLE) * CAST(total.n AS DOUBLE)
+                   - CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE)))
+               / (CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE)
+                  * CAST(total.n AS DOUBLE)) * 1000000
+             ) AS BIGINT) AS contrib_fp
+      FROM cells
+      JOIN rmarg USING (r) JOIN cmarg USING (c), total
+    )
+    SELECT * FROM scored
+    UNION ALL
+    SELECT 'ALL', 'ALL', CAST(sum(observed) AS BIGINT),
+           CAST(sum(contrib_fp) AS BIGINT) FROM scored
+    ORDER BY source, lang
+    """,
+)
+def q_source_lang_chi2(spark, sf_dir):
+    """Pearson χ² independence test of source × lang
+    (operators/quality.chi_square_independence): one combinable count
+    agg to the metadata-scale contingency table, margins rejoined
+    broadcast, per-cell (O−E)²/E floored to fixed-point so the grand
+    total (the 'ALL' row) is an exact bigint sum."""
+    from lab3_spark.operators.quality import chi_square_independence
+
+    return chi_square_independence(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9910,6 +9951,7 @@ _DRIVER_PRIORITY = [
     "embedding_top_direction",
     "mmr_diverse_select",
     "events_xcorr_lag",
+    "source_lang_chi2",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -100,3 +100,42 @@ def test_single_pass_per_table(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") <= 4
+
+
+def test_chi2_hand_2x2(spark):
+    from lab3_spark.operators.quality import chi_square_independence
+
+    rows = (
+        [(i, "t", "en", "a", 1) for i in range(10)]
+        + [(i + 10, "t", "fr", "a", 1) for i in range(20)]
+        + [(i + 30, "t", "en", "b", 1) for i in range(20)]
+        + [(i + 50, "t", "fr", "b", 1) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["source"], r["lang"]): (r["observed"], r["contrib_fp"])
+        for r in chi_square_independence(df).collect()
+    }
+    # E = 15 everywhere; per-cell (O-E)^2/E = 25/15 = 1.666666...
+    for cell in [("a", "en"), ("a", "fr"), ("b", "en"), ("b", "fr")]:
+        assert got[cell][1] == 1_666_666
+    assert got[("ALL", "ALL")] == (60, 4 * 1_666_666)
+
+
+def test_chi2_independent_is_zero(spark):
+    from lab3_spark.operators.quality import chi_square_independence
+
+    rows = [
+        (i, "t", lang, src, 1)
+        for i, (lang, src) in enumerate(
+            (lg, sc) for lg in ("en", "fr") for sc in ("a", "b") for _ in range(7)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["source"], r["lang"]): r["contrib_fp"]
+           for r in chi_square_independence(df).collect()}
+    assert all(v == 0 for v in got.values())

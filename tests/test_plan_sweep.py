@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "above_avg_spenders",
     "promo_revenue_share",
     "bm25_top_docs",
+    "source_lang_chi2",  # 1-row grand-total aggregate broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
