@@ -193,6 +193,7 @@ HEADLINE = [
     "mmr_diverse_select",
     "events_xcorr_lag",
     "source_lang_chi2",
+    "zipf_fit",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

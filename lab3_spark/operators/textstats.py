@@ -1524,3 +1524,74 @@ def lang_confusion_matrix(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+ZIPF_LOG_FP = 10_000  # log fixed-point: small enough that Σ xf·yf
+# stays in int64 even at a 10^8-type vocabulary (xf,yf ≤ 2·10^5)
+
+
+def zipf_fit(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row (n_types, n_tokens, slope_fp, r2_fp): least-squares fit
+    of ln(count) against ln(rank) over the corpus vocabulary — Zipf's
+    law says natural text lands near slope −1, so the slope is a
+    corpus-health diagnostic (templated/synthetic text bends it) next
+    to source_token_entropy.
+
+    Determinism contract (the entropy/OLS patterns composed): the ONLY
+    float step is one ln() per DISTINCT term for x = ln(rank) and
+    y = ln(cnt), each immediately floored to ·10⁴ fixed point; the
+    five regression moments are then exact bigint sums, and slope/R²
+    are assembled from them in ONE double expression (moments cast to
+    double BEFORE multiplying — the ab_ztest overflow contract).
+
+    Scale: the corpus shuffles once into the (term, cnt) hash agg
+    (map-side combined); ranking the vocab-sized frame uses the
+    distributed range-partitioned row number (operators/rank.py) —
+    no single-partition window even at web-scale vocabularies."""
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_row_number,
+    )
+
+    wc = (
+        spread(documents)
+        .select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("neg", -F.col("cnt"))
+    )
+    ranked = drop_rank_internals(
+        with_global_row_number(
+            wc, ["neg", "term"], out_col="rank", memo_key="textstats.zipf"
+        )
+    )
+    xf = F.floor(F.log(F.col("rank").cast("double")) * ZIPF_LOG_FP).cast("bigint")
+    yf = F.floor(F.log(F.col("cnt").cast("double")) * ZIPF_LOG_FP).cast("bigint")
+    mom = ranked.select(
+        xf.alias("x"), yf.alias("y"), F.col("cnt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope_fp = F.when(
+        denx > 0, F.floor(num / denx * 1_000_000).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    r2_fp = F.when(
+        (denx > 0) & (deny > 0),
+        F.floor(num * num / (denx * deny) * 1_000_000).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return mom.select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        slope_fp.alias("slope_fp"),
+        r2_fp.alias("r2_fp"),
+    )

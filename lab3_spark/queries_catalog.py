@@ -9873,6 +9873,63 @@ def q_source_lang_chi2(spark, sf_dir):
     return chi_square_independence(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "zipf_fit",
+    f"""
+    WITH wc AS (
+      SELECT tok AS term, count(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX})) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM wc
+    ),
+    fx AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y,
+             cnt
+      FROM ranked
+    ),
+    mom AS (
+      SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM fx
+    )
+    SELECT n AS n_types, n_tokens,
+      CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+        THEN CAST(floor(
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * 1000000) AS BIGINT)
+        ELSE 0 END AS slope_fp,
+      CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+            AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+        THEN CAST(floor(
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          * 1000000) AS BIGINT)
+        ELSE 0 END AS r2_fp
+    FROM mom
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit (textstats.zipf_fit): ln(count) ~ ln(rank) OLS
+    over the vocabulary.  One hash agg to the vocab frame, distributed
+    range-partitioned global rank (no single-partition window), one
+    ln per distinct term fixed-pointed, exact bigint moments, slope
+    and R² each ONE double expression."""
+    from lab3_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -9952,6 +10009,7 @@ _DRIVER_PRIORITY = [
     "mmr_diverse_select",
     "events_xcorr_lag",
     "source_lang_chi2",
+    "zipf_fit",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -453,3 +453,36 @@ def test_dataset_card_checksum_multiplicity_faithful(spark):
     k = "content_checksum_modsum"
     assert c2[k] != 0
     assert c2[k] == (2 * c1[k]) % (2**61 - 1)
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus whose counts are exactly c_r = 1000/r (r=1..8) must fit
+    slope = -1 with R^2 ~ 1 (fixed-point log granularity aside)."""
+    from lab3_spark.operators.textstats import zipf_fit
+
+    words = []
+    names = ["alpha", "bravo", "carol", "delta", "echos", "foxes", "golfs", "hotel"]
+    for r in range(1, 9):
+        words += [names[r - 1]] * (1000 // r)
+    # one doc per word occurrence: tokenization is per-doc independent
+    rows = [(i, w, "en", "s", len(w)) for i, w in enumerate(words)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = zipf_fit(df).collect()[0]
+    assert row["n_types"] == 8
+    assert row["n_tokens"] == sum(1000 // r for r in range(1, 9))
+    assert -1_050_000 < row["slope_fp"] < -950_000   # slope ~ -1
+    assert row["r2_fp"] > 990_000                    # R^2 > 0.99
+
+
+def test_zipf_fit_single_type_guarded(spark):
+    from lab3_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [(0, "same same same", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = zipf_fit(df).collect()[0]
+    assert row["n_types"] == 1
+    assert row["slope_fp"] == 0 and row["r2_fp"] == 0  # denx = 0 guard
