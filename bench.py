@@ -194,6 +194,7 @@ HEADLINE = [
     "events_xcorr_lag",
     "source_lang_chi2",
     "zipf_fit",
+    "join_skew_report",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

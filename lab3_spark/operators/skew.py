@@ -80,3 +80,83 @@ def zipf_keys(spark, n_rows: int, hot_share: float = 0.3, n_cold: int = 100_000)
         .alias("k"),
         (F.col("id") % 97).cast("double").alias("v"),
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, table: str) -> DataFrame:
+    """One-row (tbl, key_col, n_rows, n_keys, max_group, top_share_fp,
+    p50_group, p99_group): the join-key skew profile an operator reads
+    BEFORE choosing a strategy — broadcast / plain shuffle / AQE skew
+    split / salting (tools/bench_skew.py measures those; this gate
+    measures WHEN they're needed).  top_share_fp is the hottest key's
+    row share ·1e6; p50/p99 are EXACT group-size percentiles.
+
+    Scale shape: one combinable count agg to the (key, cnt) frame,
+    then a second agg to the counts-of-counts HISTOGRAM — |distinct
+    group sizes| rows, metadata-scale no matter how many keys — so the
+    percentile scan is a running sum over a bounded frame (the single-
+    partition window is over the size histogram, never over data; a
+    billion-key table yields at most a few thousand distinct sizes).
+    Positional rule: index (n−1)·p DIV 100 + 1 into the size-ordered
+    key sequence (the ship_latency_percentiles convention)."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import persist_latest
+
+    cnts = persist_latest(
+        f"skew.report.{table}.{key_col}",
+        df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+    )
+    stats = cnts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_group"),
+    )
+    hist = cnts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    # bounded frame: |distinct sizes| rows — the WindowExec single
+    # partition here holds the histogram, not the data
+    cum = hist.withColumn(
+        "cum",
+        F.sum("m").over(
+            Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    picks = cum.crossJoin(F.broadcast(stats)).select(
+        "c",
+        "cum",
+        "n_keys",
+        "n_rows",
+        "max_group",
+        F.expr("CAST((n_keys - 1) * 50 DIV 100 AS BIGINT) + 1").alias("i50"),
+        F.expr("CAST((n_keys - 1) * 99 DIV 100 AS BIGINT) + 1").alias("i99"),
+    )
+    return picks.agg(
+        F.lit(table).alias("tbl"),
+        F.lit(key_col).alias("key_col"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_keys").alias("n_keys"),
+        F.max("max_group").alias("max_group"),
+        F.expr(f"CAST(max(max_group) * {10**6} DIV max(n_rows) AS BIGINT)").alias(
+            "top_share_fp"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("i50"), F.col("c"))).alias(
+            "p50_group"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("i99"), F.col("c"))).alias(
+            "p99_group"
+        ),
+    )
+
+
+def join_skew_report(
+    orders: DataFrame, lineitem: DataFrame, events: DataFrame
+) -> DataFrame:
+    """The standing skew audit over the schema's three fan-out join
+    keys, one report row each (see key_skew_report)."""
+    return (
+        key_skew_report(orders, "o_custkey", "orders")
+        .unionByName(key_skew_report(lineitem, "l_orderkey", "lineitem"))
+        .unionByName(key_skew_report(events, "user_id", "events"))
+        .orderBy("tbl")
+    )

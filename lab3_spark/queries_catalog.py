@@ -9930,6 +9930,55 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+_DUCK_SKEW_ONE = """
+    SELECT '{tbl}' AS tbl, '{key}' AS key_col,
+           CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(max_group) AS BIGINT) AS max_group,
+           CAST(max(max_group) * 1000000 // max(n_rows) AS BIGINT)
+             AS top_share_fp,
+           CAST(min(CASE WHEN cum >= (n_keys - 1) * 50 // 100 + 1
+                    THEN c END) AS BIGINT) AS p50_group,
+           CAST(min(CASE WHEN cum >= (n_keys - 1) * 99 // 100 + 1
+                    THEN c END) AS BIGINT) AS p99_group
+    FROM (
+      SELECT c, sum(m) OVER (ORDER BY c) AS cum,
+             sum(m) OVER () AS n_keys,
+             sum(c * m) OVER () AS n_rows,
+             max(c) OVER () AS max_group
+      FROM (SELECT c, count(*) AS m
+            FROM (SELECT {key}, count(*) AS c FROM {tbl} GROUP BY 1)
+            GROUP BY c)
+    )
+"""
+
+
+@query(
+    "join_skew_report",
+    " UNION ALL ".join(
+        _DUCK_SKEW_ONE.format(tbl=t, key=k)
+        for t, k in [
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+            ("events", "user_id"),
+        ]
+    )
+    + " ORDER BY tbl",
+)
+def q_join_skew_report(spark, sf_dir):
+    """Join-key skew audit (operators/skew.key_skew_report) over the
+    schema's three fan-out keys: hottest-key share and exact p50/p99
+    group sizes from the counts-of-counts histogram — the running sum
+    is over |distinct sizes| rows (metadata-scale), never over data."""
+    from lab3_spark.operators.skew import join_skew_report
+
+    return join_skew_report(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10010,6 +10059,7 @@ _DRIVER_PRIORITY = [
     "events_xcorr_lag",
     "source_lang_chi2",
     "zipf_fit",
+    "join_skew_report",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "promo_revenue_share",
     "bm25_top_docs",
     "source_lang_chi2",  # 1-row grand-total aggregate broadcast
+    "join_skew_report",  # 1-row per-key stats aggregate broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",

@@ -74,3 +74,25 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(1).select(F.lit("x").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_key_skew_report_hand_case(spark):
+    from lab3_spark.operators.skew import key_skew_report
+
+    rows = [(0, i) for i in range(10)] + [(k, 100 + k) for k in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long, payload long")
+    r = key_skew_report(df, "k", "t").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_group"]) == (20, 11, 10)
+    assert r["top_share_fp"] == 500_000  # hot key holds half the rows
+    # sizes ascending: ten 1s then the 10; i50 = 6 -> 1, i99 = 10 -> 1
+    assert r["p50_group"] == 1 and r["p99_group"] == 1
+
+
+def test_key_skew_report_uniform(spark):
+    from lab3_spark.operators.skew import key_skew_report
+
+    rows = [(k, i) for k in range(8) for i in range(3)]
+    df = spark.createDataFrame(rows, "k long, payload long")
+    r = key_skew_report(df, "k", "t").collect()[0]
+    assert (r["max_group"], r["p50_group"], r["p99_group"]) == (3, 3, 3)
+    assert r["top_share_fp"] == 125_000
