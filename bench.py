@@ -195,6 +195,8 @@ HEADLINE = [
     "source_lang_chi2",
     "zipf_fit",
     "join_skew_report",
+    "orders_cdc_asof",
+    "user_activity_bitmap",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

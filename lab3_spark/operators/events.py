@@ -1281,3 +1281,58 @@ def lagged_xcorr(
     return mom.select(
         "lag", F.col("n").alias("n_hours"), corr.alias("corr")
     ).orderBy("lag")
+
+
+def user_activity_bitmap(events: DataFrame, horizon_days: int = 62) -> DataFrame:
+    """(active_days, n_users, n_weekend_only): the bitmap-index form
+    of per-user activity — each user's day-presence over the stream's
+    first ``horizon_days`` days packs into ONE bigint via bit_or(1<<d)
+    (a combinable aggregation: the per-user event run collapses
+    map-side to a single mask before the wire, the roaring-bitmap idea
+    at int64 scale), then every retention question is bit algebra:
+    active_days = bit_count(mask), weekend-only = mask & weekday_mask
+    == 0.  A windowed COUNT(DISTINCT day) recomputes per question;
+    the mask answers all of them from |users| bigints.
+
+    The horizon is the documented bitmap span (a production bitmap
+    index shards by retention window — e.g. one mask per quarter);
+    days beyond it are excluded by filter, never wrapped."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    d0 = events.agg(
+        F.min(F.to_date("ts")).alias("_d0")
+    )
+    days = (
+        events.select(F.to_date("ts").alias("_d"), "user_id")
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff("_d", "_d0").cast("int").alias("d"),
+            # Monday-aligned weekday: dayofweek is 1=Sunday..7=Saturday
+            (F.dayofweek("_d").isin(1, 7)).alias("is_weekend"),
+        )
+        .where(F.col("d") < horizon_days)
+    )
+    masks = persist_latest(
+        "events.activity_bitmap.masks",
+        days.groupBy("user_id").agg(
+            F.bit_or(F.expr("shiftleft(1L, d)")).alias("mask"),
+            F.bit_or(
+                F.expr("CASE WHEN is_weekend THEN shiftleft(1L, d) ELSE 0L END")
+            ).alias("we_mask"),
+        ),
+    )
+    return (
+        masks.select(
+            F.bit_count("mask").alias("active_days"),
+            (
+                (F.col("we_mask") == F.col("mask")) & (F.col("mask") != 0)
+            ).cast("int").alias("weekend_only"),
+        )
+        .groupBy("active_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("weekend_only").alias("n_weekend_only"),
+        )
+        .orderBy("active_days")
+    )

@@ -9979,6 +9979,88 @@ def q_join_skew_report(spark, sf_dir):
     )
 
 
+@query(
+    "orders_cdc_asof",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders
+    ),
+    log AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 5000, 'U'
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, 'X'
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY seq DESC) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_changes
+      FROM (SELECT * FROM log WHERE seq <= 2)
+    )
+    SELECT o_orderkey, op AS last_op, price_cents, o_orderstatus,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op != 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_cdc_asof(spark, sf_dir):
+    """Time-travel read over the change feed: the snapshot AS OF
+    seq ≤ 2 — BEFORE the seq-3 tombstones, so the %7 keys are still
+    present in their updated state.  Composition, not new machinery:
+    the version predicate goes IN FRONT of relational.cdc_apply, so
+    Catalyst pushes it below the max_by aggregation and the snapshot
+    for any historical version costs exactly one filtered pass — the
+    lakehouse VERSION AS OF shape."""
+    log = REL.cdc_change_log(_t(spark, sf_dir, "orders"))
+    return REL.cdc_apply(log.where(F.col("seq") <= 2))
+
+
+@query(
+    "user_activity_bitmap",
+    """
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    days AS (
+      SELECT user_id,
+             datediff('day', d0.d0, CAST(ts AS DATE)) AS d,
+             CAST(ts AS DATE) AS dt
+      FROM events, d0
+      WHERE datediff('day', d0.d0, CAST(ts AS DATE)) < 62
+    ),
+    masks AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << d) AS mask,
+             bit_or(CASE WHEN dayofweek(dt) IN (0, 6)
+                    THEN CAST(1 AS BIGINT) << d ELSE CAST(0 AS BIGINT) END)
+               AS we_mask
+      FROM days GROUP BY user_id
+    )
+    SELECT bit_count(mask) AS active_days,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN we_mask = mask AND mask != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_only
+    FROM masks GROUP BY 1 ORDER BY active_days
+    """,
+)
+def q_user_activity_bitmap(spark, sf_dir):
+    """Bitmap-index activity analysis (events.user_activity_bitmap):
+    each user's day presence packs into one bigint via bit_or(1<<d) —
+    a combinable agg — and retention questions become bit algebra
+    (active_days = bit_count, weekend-only = mask equality).  DuckDB
+    dayofweek: 0=Sunday..6=Saturday vs Spark dayofweek 1..7 — both
+    sides pin Sunday/Saturday explicitly."""
+    from lab3_spark.operators.events import user_activity_bitmap
+
+    return user_activity_bitmap(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10060,6 +10142,8 @@ _DRIVER_PRIORITY = [
     "source_lang_chi2",
     "zipf_fit",
     "join_skew_report",
+    "orders_cdc_asof",
+    "user_activity_bitmap",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -124,3 +124,50 @@ def test_lagged_xcorr_zero_variance_guarded(spark):
         " value double, props string",
     )
     assert all(r["corr"] == 0.0 for r in lagged_xcorr(df).collect())
+
+
+def test_user_activity_bitmap_hand(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import user_activity_bitmap
+
+    # 2024-01-01 is a Monday; day 5 = Saturday, day 6 = Sunday
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: Mon, Tue, Tue again (dup day), Sat  -> 3 active days
+        (1, base, 1), (2, base + timedelta(days=1), 1),
+        (3, base + timedelta(days=1, hours=2), 1),
+        (4, base + timedelta(days=5), 1),
+        # user 2: Saturday and Sunday only -> weekend-only, 2 days
+        (5, base + timedelta(days=5), 2), (6, base + timedelta(days=6), 2),
+        # user 3: beyond the horizon -> excluded entirely
+        (7, base + timedelta(days=100), 3),
+        (8, base, 3),  # ...but day 0 still counts
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 0.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["active_days"]: (r["n_users"], r["n_weekend_only"])
+        for r in user_activity_bitmap(df).collect()
+    }
+    assert got[3] == (1, 0)   # user 1
+    assert got[2] == (1, 1)   # user 2, weekend-only
+    assert got[1] == (1, 0)   # user 3 (horizon-filtered to day 0)
+
+
+def test_cdc_asof_keeps_pre_tombstone_state(spark, sf_dir):
+    from lab3_spark.operators import relational as REL
+    from lab3_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = REL.cdc_change_log(orders)
+    asof = REL.cdc_apply(log.where("seq <= 2"))
+    final = REL.cdc_apply(log)
+    # a key hit by the seq-3 tombstone (7*3=21 also updated at seq 2)
+    k21_asof = asof.where("o_orderkey = 21").collect()
+    k21_final = final.where("o_orderkey = 21").collect()
+    assert len(k21_asof) == 1 and k21_asof[0]["last_op"] == "U"
+    assert len(k21_final) == 0  # deleted in the current snapshot
