@@ -197,6 +197,7 @@ HEADLINE = [
     "join_skew_report",
     "orders_cdc_asof",
     "user_activity_bitmap",
+    "quality_dup_calibration",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -210,3 +210,52 @@ def chi_square_independence(
         F.sum("contrib_fp").alias("contrib_fp"),
     )
     return scored.unionByName(total_row).orderBy(row_col, col_col)
+
+
+def quality_dup_calibration(
+    documents: DataFrame, text_col: str = "text", n_bins: int = 10
+) -> DataFrame:
+    """(bin, n_docs, n_dups, dup_rate_fp, mean_q_fp): the reliability
+    curve of the heuristic quality score against OBSERVED exact
+    duplication — per fixed-width score bin, how often is a doc a
+    non-representative copy?  This is the eval harness for the
+    curation rule itself (doc_lang_confusion's role, for the quality
+    scorer): a well-calibrated scorer shows dup_rate falling as the
+    bin rises, and a flat curve says the score is not informative.
+
+    Window-free: is_dup comes from a groupBy(fp).min(doc_id) rejoin
+    (the dedup_survivors shape, no per-fp window); bins are fixed-
+    width on [0,1] so both engines bin the identical IEEE score; the
+    per-bin stats are exact bigints with truncating fixed-point
+    division."""
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.textstats import quality_expr
+
+    base = persist_latest(
+        "quality.calibration.base",
+        documents.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", tokenize(text_col))).alias("fp"),
+            quality_expr(text_col).alias("q"),
+        ),
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = base.join(keep, "fp").select(
+        F.least(
+            F.floor(F.col("q") * n_bins).cast("bigint"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        (F.col("doc_id") != F.col("keep_id")).cast("bigint").alias("is_dup"),
+        F.floor(F.col("q") * 10_000).cast("bigint").alias("q_fp"),
+    )
+    return (
+        flagged.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dups"),
+            F.expr(f"CAST(sum(is_dup) * {10**6} DIV count(*) AS BIGINT)").alias(
+                "dup_rate_fp"
+            ),
+            F.expr("CAST(sum(q_fp) DIV count(*) AS BIGINT)").alias("mean_q_fp"),
+        )
+        .orderBy("bin")
+    )

@@ -10061,6 +10061,46 @@ def q_user_activity_bitmap(spark, sf_dir):
     return user_activity_bitmap(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "quality_dup_calibration",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp,
+             0.4 * least(len({_DUCK_TOKS}) / 50.0, 1.0)
+             + 0.3 * (1 - CASE WHEN length(text) > 0 THEN
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 / length(text) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len({_DUCK_TOKS}) > 0 THEN
+                 len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS})
+                 ELSE 0.0 END) AS q
+      FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp),
+    flagged AS (
+      SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS bin,
+             CASE WHEN base.doc_id != keep.keep_id THEN 1 ELSE 0 END AS is_dup,
+             CAST(floor(q * 10000) AS BIGINT) AS q_fp
+      FROM base JOIN keep USING (fp)
+    )
+    SELECT bin, count(*) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_fp,
+           CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_fp
+    FROM flagged GROUP BY bin ORDER BY bin
+    """,
+)
+def q_quality_dup_calibration(spark, sf_dir):
+    """Reliability curve of the quality score vs observed exact
+    duplication (quality.quality_dup_calibration): fixed-width [0,1]
+    bins over the shared _quality_blend expression (bit-identical
+    doubles in both engines — the dedup_keep_best contract), is_dup
+    from a window-free groupBy-min rejoin, exact bigint bin stats."""
+    from lab3_spark.operators.quality import quality_dup_calibration
+
+    return quality_dup_calibration(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10144,6 +10184,7 @@ _DRIVER_PRIORITY = [
     "join_skew_report",
     "orders_cdc_asof",
     "user_activity_bitmap",
+    "quality_dup_calibration",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

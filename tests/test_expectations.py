@@ -139,3 +139,30 @@ def test_chi2_independent_is_zero(spark):
     got = {(r["source"], r["lang"]): r["contrib_fp"]
            for r in chi_square_independence(df).collect()}
     assert all(v == 0 for v in got.values())
+
+
+def test_calibration_hand_case(spark):
+    from lab3_spark.operators.quality import quality_dup_calibration
+
+    # three identical low-quality docs (1 rep + 2 dups) and two
+    # distinct high-quality docs -> low bin dup_rate 2/3, high bin 0
+    low = "aa aa aa"  # tiny, repetitive -> low score
+    hi1 = " ".join(f"alpha{c}" for c in "abcdefghijklmnopqrstuvwxyz")
+    hi2 = " ".join(f"beta{c}" for c in "abcdefghijklmnopqrstuvwxyz")
+    rows = [
+        (0, low, "en", "s", len(low)),
+        (1, low, "en", "s", len(low)),
+        (2, low, "en", "s", len(low)),
+        (3, hi1, "en", "s", len(hi1)),
+        (4, hi2, "en", "s", len(hi2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["bin"]: r for r in quality_dup_calibration(df).collect()}
+    low_bin = min(got)
+    hi_bin = max(got)
+    assert low_bin != hi_bin
+    assert got[low_bin]["n_docs"] == 3 and got[low_bin]["n_dups"] == 2
+    assert got[low_bin]["dup_rate_fp"] == 666_666
+    assert got[hi_bin]["n_docs"] == 2 and got[hi_bin]["n_dups"] == 0
