@@ -40,6 +40,8 @@ from lab3_spark.session import get_spark
 
 PASSES = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 2
 KEEP = "--keep" in sys.argv
+# non-flag, non-digit args = run only these queries (subset re-measure)
+ONLY = [a for a in sys.argv[1:] if not a.startswith("-") and not a.isdigit()]
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sf1")
 K = 10
@@ -101,6 +103,17 @@ QUERIES = [
     "orders_price_skyline",
     "events_kmv_value_quantiles",
     "events_top_paths",
+    # round-6 third wave
+    "dedup_kcore",
+    "embedding_top_direction",
+    "mmr_diverse_select",
+    "events_xcorr_lag",
+    "source_lang_chi2",
+    "zipf_fit",
+    "join_skew_report",
+    "orders_cdc_asof",
+    "user_activity_bitmap",
+    "quality_dup_calibration",
     # dedup_ppjoin_exact deliberately NOT on the sf1 curve: the
     # synthetic corpus's ~29-word vocabulary makes every shingle hot,
     # which is the documented adversarial case for prefix filtering
@@ -167,7 +180,7 @@ def main() -> None:
     from lab3_spark.queries_catalog import QUERIES as CATALOG
 
     times: dict[str, float] = {}
-    for name in QUERIES:
+    for name in (ONLY or QUERIES):
         best = None
         for _ in range(PASSES):
             t = time.time()
