@@ -198,6 +198,7 @@ HEADLINE = [
     "orders_cdc_asof",
     "user_activity_bitmap",
     "quality_dup_calibration",
+    "customers_every_year",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

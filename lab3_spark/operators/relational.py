@@ -685,3 +685,31 @@ def ship_latency_percentiles(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def relational_division(
+    df: DataFrame, dividend_col: str, divisor_col: str
+) -> DataFrame:
+    """(dividend, n_matched): rows of ``dividend_col`` associated with
+    EVERY distinct value of ``divisor_col`` — relational division, the
+    classic "bought ALL brands / active in ALL years" query that SQL
+    has no operator for.
+
+    The scale formulation: ONE distinct projection of the pair, a
+    combinable per-dividend count, and a 1-row divisor-cardinality
+    aggregate broadcast for the equality filter — never the textbook
+    double-NOT-EXISTS (a correlated anti-join per divisor value) and
+    never a dividend × divisor cross product."""
+    pairs = df.select(
+        F.col(dividend_col).alias("dividend"),
+        F.col(divisor_col).alias("divisor"),
+    ).distinct()
+    total = pairs.agg(F.countDistinct("divisor").alias("n_divisor"))
+    return (
+        pairs.groupBy("dividend")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_matched") == F.col("n_divisor"))
+        .select("dividend", "n_matched")
+        .orderBy("dividend")
+    )

@@ -10101,6 +10101,38 @@ def q_quality_dup_calibration(spark, sf_dir):
     return quality_dup_calibration(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "customers_every_year",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS dividend,
+                      year(o_orderdate) AS divisor
+      FROM orders
+    ),
+    total AS (SELECT count(DISTINCT divisor) AS n_divisor FROM pairs)
+    SELECT dividend, count(*) AS n_matched
+    FROM pairs, total
+    GROUP BY dividend, total.n_divisor
+    HAVING count(*) = total.n_divisor
+    ORDER BY dividend
+    """,
+)
+def q_customers_every_year(spark, sf_dir):
+    """Relational division (relational.relational_division): customers
+    with at least one order in EVERY year the table covers — one
+    distinct pair projection + a combinable per-customer count + a
+    1-row divisor-cardinality broadcast, never the textbook
+    double-NOT-EXISTS correlated anti-join."""
+    from lab3_spark.operators.relational import relational_division
+
+    orders = _t(spark, sf_dir, "orders")
+    return relational_division(
+        orders.select("o_custkey", F.year("o_orderdate").alias("y")),
+        "o_custkey",
+        "y",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10185,6 +10217,7 @@ _DRIVER_PRIORITY = [
     "orders_cdc_asof",
     "user_activity_bitmap",
     "quality_dup_calibration",
+    "customers_every_year",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -205,3 +205,17 @@ def test_ship_latency_percentiles_positional_rule(spark):
     )
     [r] = ship_latency_percentiles(orders, li).collect()
     assert (r.n_lineitems, r.p50_days, r.p95_days) == (5, 3, 4)
+
+
+def test_relational_division_hand(spark):
+    from lab3_spark.operators.relational import relational_division
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),      # 1 has all three
+        (2, "a"), (2, "b"),                # 2 misses c
+        (3, "a"), (3, "b"), (3, "c"), (3, "c"),  # dup pair ignored
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {r["dividend"]: r["n_matched"]
+           for r in relational_division(df, "k", "v").collect()}
+    assert got == {1: 3, 3: 3}
