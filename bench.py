@@ -199,6 +199,8 @@ HEADLINE = [
     "user_activity_bitmap",
     "quality_dup_calibration",
     "customers_every_year",
+    "orders_scd2_history",
+    "systematic_sample_docs",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -713,3 +713,34 @@ def relational_division(
         .select("dividend", "n_matched")
         .orderBy("dividend")
     )
+
+
+def scd2_history(changes: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """(key, seq_from, seq_to, is_current, op, price_cents,
+    o_orderstatus): SCD Type-2 validity intervals from the ordered
+    change log — each version holds from its own seq until its
+    successor's (seq_to = lead(seq), NULL→open ⇒ is_current).  The
+    third leg of the lakehouse CDC family: cdc_apply materializes the
+    CURRENT snapshot, cdc_asof one HISTORICAL version, scd2_history
+    the full audit dimension every version query joins against.
+
+    One key-partitioned window pass (co-partitioned with the feed's
+    natural key — 2-3 rows per key, never a hot partition); DELETE
+    tombstones close their predecessor and emit no open interval."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy("seq")
+    return (
+        changes.withColumn("seq_to", F.lead("seq").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            key,
+            F.col("seq").alias("seq_from"),
+            "seq_to",
+            F.col("seq_to").isNull().cast("int").alias("is_current"),
+            "op",
+            "price_cents",
+            "o_orderstatus",
+        )
+        .orderBy(key, "seq_from")
+    )

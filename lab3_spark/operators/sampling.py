@@ -552,3 +552,41 @@ def leakage_safe_split(
         .select("doc_id", "group_id", split.alias("split"))
         .orderBy("doc_id")
     )
+
+
+def systematic_sample(
+    df: DataFrame, id_col: str = "doc_id", k: int = 10, salt: str = "sys"
+) -> DataFrame:
+    """(id, rn): every k-th row of the hash-ordered corpus (rows with
+    rn ≡ 1 mod k) — systematic sampling, the third classical design
+    next to stratified (per-group fractions) and Sequential Poisson
+    (weighted fixed-n).  Ordering by the portable md5 hash makes the
+    frame effectively randomly ordered, so the 1-in-k grid is an
+    unbiased uniform sample with exactly ceil(N/k) rows — a GUARANTEED
+    cadence (every window of k consecutive hash-ordered rows yields
+    exactly one pick) that Bernoulli hash_sample cannot give.
+
+    The rank is the distributed range-partitioned row number
+    (operators/rank.py) over the (hash, id) total order — no
+    single-partition window; the pick filter is a pure modulus."""
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_row_number,
+    )
+
+    hashed = df.select(
+        F.col(id_col),
+        md5_long(F.col(id_col).cast("string"), salt=salt).alias("_h"),
+    )
+    ranked = drop_rank_internals(
+        with_global_row_number(
+            hashed, ["_h", id_col], out_col="rn",
+            memo_key=f"sampling.systematic.{salt}",
+        )
+    )
+    return (
+        ranked.where((F.col("rn") % k) == 1)
+        .select(id_col, "rn")
+        .orderBy("rn")
+    )

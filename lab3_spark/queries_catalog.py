@@ -10133,6 +10133,74 @@ def q_customers_every_year(spark, sf_dir):
     )
 
 
+@query(
+    "orders_scd2_history",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders
+    ),
+    log AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 5000, 'U'
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, 'X'
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    intervals AS (
+      SELECT *,
+             lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS seq_to
+      FROM log
+    )
+    SELECT o_orderkey, seq AS seq_from, seq_to,
+           CASE WHEN seq_to IS NULL THEN 1 ELSE 0 END AS is_current,
+           op, price_cents, o_orderstatus
+    FROM intervals WHERE op != 'D'
+    ORDER BY o_orderkey, seq_from
+    """,
+)
+def q_orders_scd2_history(spark, sf_dir):
+    """SCD Type-2 validity intervals from the change feed
+    (relational.scd2_history): seq_to = lead(seq) per key BEFORE the
+    tombstone filter, so a DELETE closes its predecessor and emits no
+    open row.  Completes the CDC family: cdc_apply = current snapshot,
+    cdc_asof = one version, scd2_history = the full audit dimension.
+    One co-partitioned window pass (2-3 rows per key)."""
+    log = REL.cdc_change_log(_t(spark, sf_dir, "orders"))
+    return REL.scd2_history(log)
+
+
+@query(
+    "systematic_sample_docs",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {_h2l("substring(md5(concat('sys', '|', CAST(doc_id AS VARCHAR))), 1, 15)")} AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS rn
+      FROM hashed
+    )
+    SELECT doc_id, rn FROM ranked WHERE rn % 10 = 1 ORDER BY rn
+    """,
+)
+def q_systematic_sample_docs(spark, sf_dir):
+    """Systematic 1-in-10 sample over the hash-ordered corpus
+    (sampling.systematic_sample): exactly ceil(N/10) rows at a
+    guaranteed cadence — the third classical design next to
+    stratified and Sequential Poisson.  Distributed range-partitioned
+    rank; pick filter a pure modulus."""
+    from lab3_spark.operators.sampling import systematic_sample
+
+    return systematic_sample(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10218,6 +10286,8 @@ _DRIVER_PRIORITY = [
     "user_activity_bitmap",
     "quality_dup_calibration",
     "customers_every_year",
+    "orders_scd2_history",
+    "systematic_sample_docs",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -193,3 +193,33 @@ def test_source_token_entropy_hand_checked(spark):
     assert u.entropy_fp == 2_000_000
     c = got["constant"]
     assert (c.n_tokens, c.n_types, c.entropy_fp) == (4, 1, 0)
+
+
+def test_systematic_sample_exact_cadence(spark):
+    from lab3_spark.operators.sampling import systematic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(95)], "doc_id long")
+    rows = systematic_sample(df, k=10).collect()
+    assert len(rows) == 10  # ceil(95/10)
+    assert [r["rn"] for r in rows] == [1 + 10 * i for i in range(10)]
+    # deterministic: same call, same picks
+    again = systematic_sample(df, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+
+
+def test_scd2_history_intervals(spark, sf_dir):
+    from lab3_spark.operators import relational as REL
+    from lab3_spark.sources.tables import load_table
+
+    log = REL.cdc_change_log(load_table(spark, sf_dir, "orders"))
+    hist = REL.scd2_history(log)
+    # key 21: I(1) closed by U(2), U(2) closed by the D(3) tombstone
+    k21 = {r["seq_from"]: r for r in hist.where("o_orderkey = 21").collect()}
+    assert k21[1]["seq_to"] == 2 and k21[1]["is_current"] == 0
+    assert k21[2]["seq_to"] == 3 and k21[2]["is_current"] == 0
+    # key 3: updated, never deleted -> U row open
+    k3 = {r["seq_from"]: r for r in hist.where("o_orderkey = 3").collect()}
+    assert k3[2]["seq_to"] is None and k3[2]["is_current"] == 1
+    # key 1: plain insert still current
+    k1 = hist.where("o_orderkey = 1").collect()
+    assert len(k1) == 1 and k1[0]["is_current"] == 1
