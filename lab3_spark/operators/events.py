@@ -1297,19 +1297,28 @@ def user_activity_bitmap(events: DataFrame, horizon_days: int = 62) -> DataFrame
     The horizon is the documented bitmap span (a production bitmap
     index shards by retention window — e.g. one mask per quarter);
     days beyond it are excluded by filter, never wrapped."""
+    return activity_bitmap_from_presence(
+        events.select(F.to_date("ts").alias("dt"), "user_id"), horizon_days
+    )
+
+
+def activity_bitmap_from_presence(
+    presence: DataFrame, horizon_days: int = 62
+) -> DataFrame:
+    """The mask-assembly half of :func:`user_activity_bitmap`, taking
+    a (user_id, dt) presence frame — shared with the streaming twin,
+    whose store maintains exactly this frame incrementally (bit_or is
+    idempotent, so duplicate presence rows from replays are free)."""
     from lab3_spark.functions.partitioning import persist_latest
 
-    d0 = events.agg(
-        F.min(F.to_date("ts")).alias("_d0")
-    )
+    d0 = presence.agg(F.min("dt").alias("_d0"))
     days = (
-        events.select(F.to_date("ts").alias("_d"), "user_id")
-        .crossJoin(F.broadcast(d0))
+        presence.crossJoin(F.broadcast(d0))
         .select(
             "user_id",
-            F.datediff("_d", "_d0").cast("int").alias("d"),
+            F.datediff("dt", "_d0").cast("int").alias("d"),
             # Monday-aligned weekday: dayofweek is 1=Sunday..7=Saturday
-            (F.dayofweek("_d").isin(1, 7)).alias("is_weekend"),
+            (F.dayofweek("dt").isin(1, 7)).alias("is_weekend"),
         )
         .where(F.col("d") < horizon_days)
     )

@@ -10201,6 +10201,65 @@ def q_systematic_sample_docs(spark, sf_dir):
     return systematic_sample(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "streaming_activity_bitmap",
+    """
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    days AS (
+      SELECT user_id,
+             datediff('day', d0.d0, CAST(ts AS DATE)) AS d,
+             CAST(ts AS DATE) AS dt
+      FROM events, d0
+      WHERE datediff('day', d0.d0, CAST(ts AS DATE)) < 62
+    ),
+    masks AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << d) AS mask,
+             bit_or(CASE WHEN dayofweek(dt) IN (0, 6)
+                    THEN CAST(1 AS BIGINT) << d ELSE CAST(0 AS BIGINT) END)
+               AS we_mask
+      FROM days GROUP BY user_id
+    )
+    SELECT bit_count(mask) AS active_days,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN we_mask = mask AND mask != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_only
+    FROM masks GROUP BY 1 ORDER BY active_days
+    """,
+)
+def q_streaming_activity_bitmap(spark, sf_dir):
+    """A REAL incremental presence-store run (streaming/bitmap.py):
+    events drain as mtime-ordered micro-batches through a foreachBatch
+    writing each batch's distinct (user, day) rows to an idempotent
+    partition; the bitmap report is then assembled from the MERGED
+    store via the same activity_bitmap_from_presence expression.
+    Presence union is a set union and bit_or is idempotent, so the
+    merged result is bit-identical to the one-shot batch gate — the
+    oracle states the one-shot form verbatim."""
+    import os as _os
+
+    from lab3_spark.operators.events import activity_bitmap_from_presence
+    from lab3_spark.streaming.bitmap import (
+        merged_presence,
+        start_streaming_bitmap,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    root = _scratch_dir("stream_bitmap_")
+    flat = _mtime_ordered_batches(ev, root, "event_id")
+    src = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_bitmap(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_bitmap availableNow run timed out")
+    return activity_bitmap_from_presence(merged_presence(spark, store))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10288,6 +10347,7 @@ _DRIVER_PRIORITY = [
     "customers_every_year",
     "orders_scd2_history",
     "systematic_sample_docs",
+    "streaming_activity_bitmap",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",
