@@ -66,6 +66,11 @@ def mmr_select(
     qrow = emb.where(F.col("vec_id") == query_vec_id).select("u").collect()
     if not qrow:
         raise ValueError(f"query vector {query_vec_id} not found")
+    if qrow[0]["u"] is None:
+        raise ValueError(
+            f"query vector {query_vec_id} has zero norm (unit vector "
+            "undefined) — pick a non-degenerate query"
+        )
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["u"]])
     cand = (
         emb.where(F.col("vec_id") != query_vec_id)

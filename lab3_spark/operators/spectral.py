@@ -122,6 +122,10 @@ def top_principal_direction(
         (r["j"], r["k"]): r["gv"]
         for r in gram_matrix(embeddings, dims).collect()
     }
+    if not g or all(v == 0 for v in g.values()):
+        # empty or all-zero input: no principal direction exists —
+        # return the empty frame rather than dividing by a 0 norm
+        return spark.createDataFrame([], "dim bigint, loading double")
     grows = [
         [float(g[(j, k)]) for k in range(1, dims + 1)]
         for j in range(1, dims + 1)

@@ -64,3 +64,11 @@ def test_mmr_shortlist_prefilter_respected(spark):
     )
     got = {r["vec_id"] for r in mmr_select(df, k=3, shortlist=2).collect()}
     assert got == {1, 2}
+
+
+def test_mmr_zero_norm_query_raises(spark):
+    import pytest as _pt
+
+    df = _df(spark, [[0.0, 0.0], [1.0, 0.0]])
+    with _pt.raises(ValueError, match="zero norm"):
+        mmr_select(df)

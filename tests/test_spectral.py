@@ -66,3 +66,12 @@ def test_gram_rejects_ragged_embeddings(spark):
     )
     with pytest.raises(Exception, match="shape violation"):
         gram_matrix(df, dims=3).collect()
+
+
+def test_spectral_degenerate_inputs_guarded(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert top_principal_direction(empty, dims=4).count() == 0
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert top_principal_direction(zeros, dims=2).count() == 0
