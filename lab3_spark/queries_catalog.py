@@ -10282,6 +10282,14 @@ def q_streaming_activity_bitmap(spark, sf_dir):
 #
 # Everything else follows in original order (driver may check more than
 # 50 someday; nothing is dropped — only reordered).
+#
+# ROUND-7 HANDOFF: round 6 landed 62 new gates for 50 slots, so the 12
+# at slots 51+ (mmr_diverse_select, events_xcorr_lag, source_lang_chi2,
+# zipf_fit, join_skew_report, orders_cdc_asof, user_activity_bitmap,
+# quality_dup_calibration, customers_every_year, orders_scd2_history,
+# systematic_sample_docs, streaming_activity_bitmap) get NO driver row
+# this round (all verified green locally via tools/verify_local.py
+# --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
     # -- changed this round ----------------------------------------------
     "dataset_card",  # checksum metric reshaped (ADVICE r5)
