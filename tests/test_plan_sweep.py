@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "source_lang_chi2",  # 1-row grand-total aggregate broadcast
     "join_skew_report",  # 1-row per-key stats aggregate broadcast
     "user_activity_bitmap",  # 1-row min-date aggregate broadcast
+    "streaming_activity_bitmap",  # same min-date broadcast via the shared assembly
     "customers_every_year",  # 1-row divisor-cardinality broadcast
     "token_budget_select",
     "source_mixing_weights",
