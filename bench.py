@@ -201,6 +201,7 @@ HEADLINE = [
     "customers_every_year",
     "orders_scd2_history",
     "systematic_sample_docs",
+    "events_kmv_type_overlap",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -1345,3 +1345,83 @@ def activity_bitmap_from_presence(
         )
         .orderBy("active_days")
     )
+
+
+def kmv_type_overlap(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    k: int = 64,
+) -> DataFrame:
+    """One row (exact_a, exact_b, exact_overlap, est_union,
+    est_overlap): |users(type_a) ∩ users(type_b)| estimated by KMV
+    set algebra — the theta-sketch intersection — next to the exact
+    answer so the sketch error is gate-visible.
+
+    Estimator (Bar-Yossef/theta): with U_k = bottom-k of the UNION,
+    J = |{h ∈ U_k : h ∈ A and h ∈ B}| / |U_k| and |A∩B| ≈ J·est(U).
+    Membership against the per-type bottom-k synopses is EXACT here:
+    any hash inside the union's bottom-k that belongs to A is
+    necessarily inside A's bottom-k (A ⊆ union), so the whole
+    estimate reads ≤ 3k synopsis rows — at 100 TB the per-type
+    synopses are stored state and the intersection never rescans
+    events.  All integer arithmetic (truncating div)."""
+    from lab3_spark.functions.partitioning import memo_persist, spread
+    from lab3_spark.functions.text import hex_to_long
+
+    hv = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+            1,
+            KMV_HEX_CHARS,
+        )
+    )
+    typed = (
+        spread(events)
+        .where(F.col("event_type").isin(type_a, type_b))
+        .select("event_type", "user_id", hv.alias("hv"))
+    )
+    syn = memo_persist(
+        f"events.kmv_overlap.{type_a}.{type_b}.{k}",
+        kmv_synopsis(typed, "event_type", "hv", k),
+    )
+    syn_u = (
+        syn.select("hv").distinct().orderBy("hv").limit(k)
+    )
+    in_a = syn.where(F.col("event_type") == type_a).select("hv")
+    in_b = syn.where(F.col("event_type") == type_b).select("hv")
+    shared = (
+        syn_u.join(in_a, "hv", "semi").join(in_b, "hv", "semi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ustats = syn_u.agg(F.count("*").alias("ns"), F.max("hv").alias("hk"))
+    est_union = F.when(F.col("ns") < k, F.col("ns")).otherwise(
+        F.expr(f"CAST({(k - 1) * KMV_DOMAIN} AS BIGINT) div hk")
+    )
+    exact = (
+        typed.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == type_a).cast("int")).alias("a"),
+            F.max((F.col("event_type") == type_b).cast("int")).alias("b"),
+        )
+        .agg(
+            F.sum("a").cast("bigint").alias("exact_a"),
+            F.sum("b").cast("bigint").alias("exact_b"),
+            F.sum(
+                (F.col("a") + F.col("b") == 2).cast("bigint")
+            ).alias("exact_overlap"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(ustats))
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            est_union.cast("bigint").alias("est_union"),
+            F.expr("CAST(n_shared * (" 
+                   + f"CASE WHEN ns < {k} THEN ns ELSE CAST({(k - 1) * KMV_DOMAIN} AS BIGINT) div hk END"
+                   + ") DIV ns AS BIGINT)").alias("est_overlap"),
+        )
+    )

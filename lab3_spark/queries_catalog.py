@@ -10260,6 +10260,63 @@ def q_streaming_activity_bitmap(spark, sf_dir):
     return activity_bitmap_from_presence(merged_presence(spark, store))
 
 
+@query(
+    "events_kmv_type_overlap",
+    f"""
+    WITH typed AS (
+      SELECT event_type, user_id,
+             {_h2l("substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 13)")} AS hv
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    syn AS MATERIALIZED (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT event_type, hv FROM typed)
+      ) WHERE rn <= 64
+    ),
+    syn_u AS MATERIALIZED (
+      SELECT hv FROM (SELECT DISTINCT hv FROM syn) ORDER BY hv LIMIT 64
+    ),
+    ustats AS (SELECT count(*) AS ns, max(hv) AS hk FROM syn_u),
+    shared AS (
+      SELECT count(*) AS n_shared FROM syn_u u
+      WHERE EXISTS (SELECT 1 FROM syn a
+                    WHERE a.event_type = 'view' AND a.hv = u.hv)
+        AND EXISTS (SELECT 1 FROM syn b
+                    WHERE b.event_type = 'purchase' AND b.hv = u.hv)
+    ),
+    exact AS (
+      SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+             CAST(sum(b) AS BIGINT) AS exact_b,
+             CAST(sum(CASE WHEN a + b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_overlap
+      FROM (SELECT user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM typed GROUP BY user_id)
+    )
+    SELECT exact_a, exact_b, exact_overlap,
+           CAST(CASE WHEN ns < 64 THEN ns
+                ELSE {63 * (1 << 52)} // hk END AS BIGINT) AS est_union,
+           CAST(n_shared * (CASE WHEN ns < 64 THEN ns
+                ELSE {63 * (1 << 52)} // hk END) // ns AS BIGINT)
+             AS est_overlap
+    FROM exact, ustats, shared
+    """,
+)
+def q_events_kmv_type_overlap(spark, sf_dir):
+    """Theta-sketch set intersection (events.kmv_type_overlap):
+    |viewers ∩ purchasers| from the per-type KMV synopses — J from
+    the union's bottom-k tested against the per-type bottom-k
+    (membership exact since each type ⊆ union), |A∩B| ≈ J·est(U),
+    exact overlap alongside so the sketch error is visible.  Reads
+    ≤ 3k synopsis rows; never rescans events for the intersection."""
+    from lab3_spark.operators.events import kmv_type_overlap
+
+    return kmv_type_overlap(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10287,7 +10344,8 @@ def q_streaming_activity_bitmap(spark, sf_dir):
 # at slots 51+ (mmr_diverse_select, events_xcorr_lag, source_lang_chi2,
 # zipf_fit, join_skew_report, orders_cdc_asof, user_activity_bitmap,
 # quality_dup_calibration, customers_every_year, orders_scd2_history,
-# systematic_sample_docs, streaming_activity_bitmap) get NO driver row
+# systematic_sample_docs, streaming_activity_bitmap,
+# events_kmv_type_overlap) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10356,6 +10414,7 @@ _DRIVER_PRIORITY = [
     "orders_scd2_history",
     "systematic_sample_docs",
     "streaming_activity_bitmap",
+    "events_kmv_type_overlap",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "user_activity_bitmap",  # 1-row min-date aggregate broadcast
     "streaming_activity_bitmap",  # same min-date broadcast via the shared assembly
     "customers_every_year",  # 1-row divisor-cardinality broadcast
+    "events_kmv_type_overlap",  # 1-row synopsis-stats broadcasts
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",

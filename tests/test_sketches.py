@@ -190,3 +190,52 @@ def test_ohlc_open_close_deterministic(spark):
     )
     (r,) = ohlc_downsample(ev).collect()
     assert (r.open, r.high, r.low, r.close, r.n_events) == (3.0, 9.0, 1.0, 1.0, 5)
+
+
+def test_kmv_overlap_exact_when_sets_small(spark):
+    """Below k the synopses ARE the sets, so the estimate is exact."""
+    from datetime import datetime
+
+    from lab3_spark.operators.events import kmv_type_overlap
+
+    ts = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(30):          # viewers 0..29
+        rows.append((eid, ts, u, "view", 0.0, "{}")); eid += 1
+    for u in range(20, 45):      # purchasers 20..44; overlap 20..29 = 10
+        rows.append((eid, ts, u, "purchase", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = kmv_type_overlap(df, k=64).collect()[0]
+    assert (r["exact_a"], r["exact_b"], r["exact_overlap"]) == (30, 25, 10)
+    # |union| = 45 < k: est_union exact and J = 10/45 exact
+    assert r["est_union"] == 45
+    assert r["est_overlap"] == 10
+
+
+def test_kmv_overlap_estimate_tracks_truth_above_k(spark):
+    from datetime import datetime
+
+    from lab3_spark.operators.events import kmv_type_overlap
+
+    ts = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(400):         # A = 0..399
+        rows.append((eid, ts, u, "view", 0.0, "{}")); eid += 1
+    for u in range(200, 600):    # B = 200..599; overlap = 200
+        rows.append((eid, ts, u, "purchase", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = kmv_type_overlap(df, k=64).collect()[0]
+    assert r["exact_overlap"] == 200
+    # k=64 on |U|=600: generous tolerance, but the estimate must be
+    # in the right ballpark (deterministic given the md5 hashes)
+    assert 80 <= r["est_overlap"] <= 400
