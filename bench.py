@@ -202,6 +202,7 @@ HEADLINE = [
     "orders_scd2_history",
     "systematic_sample_docs",
     "events_kmv_type_overlap",
+    "dedup_cdc_chunks",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -1155,3 +1155,108 @@ def sorted_neighborhood_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .orderBy("doc_a", "doc_b")
     )
+
+
+CDC_WINDOW = 16      # rolling-hash window (bytes)
+CDC_MASK_MOD = 64    # boundary when h % MOD == 0 -> ~64-byte chunks
+CDC_GEAR_MUL = 2654435761  # Knuth multiplicative hash
+CDC_GEAR_MOD = 8192
+
+
+def cdc_chunk_frame(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, idx, chunk): CONTENT-DEFINED chunking — the
+    restic/borg/FastCDC family's answer to the fixed-window chunker's
+    boundary-shift fragility.  A gear rolling hash over a 16-byte
+    window places a boundary wherever h % 64 == 0, so inserting or
+    deleting one byte shifts only the chunk it lands in: boundaries
+    RESYNCHRONIZE at the next hash match and every later chunk keeps
+    its fingerprint (pinned by test), whereas repeated_chunks'
+    fixed windows shift every subsequent fingerprint.
+
+    Whole computation is ONE in-row expression chain (gear table →
+    closed-form window hash Σ gear[i−k]·4^k (< 2^47, exact int64) →
+    boundary filter → slice explode): no UDF, no shuffle until the
+    consumer aggregates.  O(n·16) expression ops per doc."""
+    n = F.length(text_col)
+    gear = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            F.ascii(F.substring(F.col(text_col), i, F.lit(1)))
+            * F.lit(CDC_GEAR_MUL)
+        )
+        % CDC_GEAR_MOD,
+    )
+    pre = documents.select(
+        "doc_id", F.col(text_col).alias("_t"), gear.alias("_gear"),
+        n.cast("long").alias("_n"),
+    )
+
+    def h(i):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CDC_WINDOW - 1)),
+                lambda k: F.element_at(F.col("_gear"), (i - k).cast("int"))
+                * F.pow(F.lit(4.0), k).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bnd = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0).cast("long")),
+                F.filter(
+                    # Spark's sequence(a, b) DESCENDS when b < a (DuckDB's
+                    # range is empty) — docs shorter than the window must
+                    # yield no interior boundary candidates, not a reversed
+                    # scan off the end of the gear table
+                    F.when(
+                        F.col("_n") >= CDC_WINDOW,
+                        F.sequence(
+                            F.lit(CDC_WINDOW).cast("long"), F.col("_n")
+                        ),
+                    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+                    lambda i: h(i) % CDC_MASK_MOD == 0,
+                ),
+                F.array(F.col("_n")),
+            )
+        )
+    )
+    return pre.select("doc_id", bnd.alias("_bs"), "_t").select(
+        "doc_id",
+        F.expr(
+            # CASE guard: an empty doc collapses _bs to [0] and
+            # sequence(1, 0) DESCENDS in Spark — emit no chunks instead
+            "posexplode(CASE WHEN size(_bs) >= 2 THEN"
+            " transform(sequence(1, size(_bs) - 1), idx ->"
+            " substring(_t, CAST(element_at(_bs, idx) + 1 AS INT),"
+            " CAST(element_at(_bs, idx + 1) - element_at(_bs, idx) AS INT)))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END)"
+        ).alias("idx", "chunk"),
+    ).where(F.length("chunk") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("idx"), "chunk"
+    )
+
+
+def cdc_duplicate_chunks(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(fp, chunk_len, n_copies, n_docs): content-defined chunks that
+    appear more than once — one combinable agg on the chunk md5 (the
+    exact-dedup shape at sub-document granularity, boundary-shift
+    robust)."""
+    ch = cdc_chunk_frame(documents, text_col)
+    return (
+        ch.select(
+            "doc_id", F.md5("chunk").alias("fp"),
+            F.length("chunk").alias("chunk_len"),
+        )
+        .groupBy("fp", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("fp")
+    )

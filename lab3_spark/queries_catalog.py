@@ -10317,6 +10317,55 @@ def q_events_kmv_type_overlap(spark, sf_dir):
     return kmv_type_overlap(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "dedup_cdc_chunks",
+    """
+    WITH pre AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+               i -> (ascii(substring(text, i, 1)) * 2654435761) % 8192)
+               AS gear
+      FROM documents
+    ),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, text,
+             list_sort(list_distinct(
+               [0] ||
+               list_filter(range(16, n + 1),
+                 i -> list_reduce(list_transform(range(0, 16),
+                        k -> gear[i - k] * (4 ** k)::BIGINT),
+                      (a, b) -> a + b) % 64 = 0) ||
+               [CAST(n AS BIGINT)])) AS bs
+      FROM pre
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(substring(text, bs[u.idx] + 1, bs[u.idx + 1] - bs[u.idx]))
+               AS fp,
+             bs[u.idx + 1] - bs[u.idx] AS chunk_len
+      FROM bnd, (SELECT unnest(range(1, 100000)) AS idx) u
+      WHERE u.idx < len(bs) AND bs[u.idx + 1] > bs[u.idx]
+    )
+    SELECT fp, CAST(chunk_len AS BIGINT) AS chunk_len,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch GROUP BY fp, chunk_len HAVING count(*) > 1
+    ORDER BY fp
+    """,
+)
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunk dedup (dedup.cdc_duplicate_chunks): gear
+    rolling hash places boundaries at h % 64 == 0, so a one-byte edit
+    shifts only its own chunk and boundaries RESYNCHRONIZE — the
+    restic/FastCDC family, vs repeated_chunks' fixed windows whose
+    every later fingerprint shifts.  One in-row expression chain per
+    doc (no UDF, closed-form window hash exact in int64), one
+    combinable agg on the chunk md5."""
+    from lab3_spark.operators.dedup import cdc_duplicate_chunks
+
+    return cdc_duplicate_chunks(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10345,7 +10394,7 @@ def q_events_kmv_type_overlap(spark, sf_dir):
 # zipf_fit, join_skew_report, orders_cdc_asof, user_activity_bitmap,
 # quality_dup_calibration, customers_every_year, orders_scd2_history,
 # systematic_sample_docs, streaming_activity_bitmap,
-# events_kmv_type_overlap) get NO driver row
+# events_kmv_type_overlap, dedup_cdc_chunks) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10415,6 +10464,7 @@ _DRIVER_PRIORITY = [
     "systematic_sample_docs",
     "streaming_activity_bitmap",
     "events_kmv_type_overlap",
+    "dedup_cdc_chunks",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

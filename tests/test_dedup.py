@@ -380,3 +380,68 @@ def test_ppjoin_complete_vs_bruteforce(spark, sf_dir):
     )
     for k, ni in brute.items():
         assert got[k][0] == ni
+
+
+def _py_cdc_chunks(text, W=16, MOD=64):
+    def gear(b):
+        return (b * 2654435761) % 8192
+
+    bs = [ord(c) for c in text]
+    n = len(bs)
+
+    def h(i):
+        return sum(gear(bs[i - 1 - k]) * (4 ** k) for k in range(W))
+
+    bnd = sorted(
+        {0, n} | {i for i in range(W, n + 1) if h(i) % MOD == 0}
+    )
+    return [
+        text[bnd[i]:bnd[i + 1]]
+        for i in range(len(bnd) - 1)
+        if bnd[i + 1] > bnd[i]
+    ]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    from lab3_spark.operators.dedup import cdc_chunk_frame
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the forest all day long without stopping even once",
+        "a" * 100,
+        "short",
+        "",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunk_frame(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["idx"], r["chunk"]))
+    for did, text in enumerate(texts):
+        want = _py_cdc_chunks(text)
+        have = [c for _, c in sorted(got.get(did, []))]
+        assert have == want, f"doc {did}"
+
+
+def test_cdc_boundaries_resynchronize_after_insert(spark):
+    """THE content-defined-chunking property: a 1-byte prepend changes
+    only the first chunk(s); boundaries resync and later chunks keep
+    their exact content (fixed-window chunking shifts all of them)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the forest all day long without stopping even once"
+    )
+    a = set(_py_cdc_chunks(base))
+    b = set(_py_cdc_chunks("X" + base))
+    assert len(a & b) >= len(a) - 1  # everything but the head survives
+
+    from lab3_spark.operators.dedup import cdc_duplicate_chunks
+
+    df = spark.createDataFrame(
+        [(0, base), (1, "X" + base)], "doc_id long, text string"
+    )
+    dup = cdc_duplicate_chunks(df).collect()
+    # the surviving shared chunks are reported as cross-doc duplicates
+    assert all(r["n_docs"] == 2 for r in dup)
+    assert len(dup) >= len(a) - 1
