@@ -445,3 +445,13 @@ def test_cdc_boundaries_resynchronize_after_insert(spark):
     # the surviving shared chunks are reported as cross-doc duplicates
     assert all(r["n_docs"] == 2 for r in dup)
     assert len(dup) >= len(a) - 1
+
+
+def test_cdc_arrow_twin_bit_identical(spark, sf_dir):
+    from lab3_spark.operators.dedup import cdc_chunk_frame, cdc_chunk_frame_arrow
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in cdc_chunk_frame(docs).collect())
+    b = sorted(tuple(r) for r in cdc_chunk_frame_arrow(docs).collect())
+    assert a == b
