@@ -203,6 +203,8 @@ HEADLINE = [
     "systematic_sample_docs",
     "events_kmv_type_overlap",
     "dedup_cdc_chunks",
+    "source_lang_mutual_info",
+    "region_price_anova",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -259,3 +259,72 @@ def quality_dup_calibration(
         )
         .orderBy("bin")
     )
+
+
+MI_FP = 1_000_000_000  # nat-scaled fixed point for per-cell MI terms
+
+
+def mutual_information(
+    documents: DataFrame, row_col: str = "source", col_col: str = "lang"
+) -> DataFrame:
+    """One row (n, mi_fp, h_row_fp, h_col_fp, npmi_like_fp): mutual
+    information I(row; col) in nats between two categorical columns —
+    the EFFECT-SIZE companion to chi_square_independence (χ² grows
+    with N even for trivial dependence; MI measures the dependence
+    itself).  npmi_like_fp = 2·I/(H(row)+H(col)) — the symmetric
+    redundancy score in [0, 1]-ish.
+
+    Same scale shape as χ²: one combinable count agg to the
+    contingency cells, margins broadcast back.  Determinism: one
+    ln((o·n)/(r·c)) per CELL, immediately fixed-pointed, then exact
+    bigint Σ o·term and ONE integer division by n (the
+    source_token_entropy contract); entropies likewise."""
+    cells = persist_latest(
+        "quality.mi.cells",
+        documents.groupBy(
+            F.col(row_col).alias("r"), F.col(col_col).alias("c")
+        ).agg(F.count(F.lit(1)).alias("o")),
+    )
+    rmarg = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cmarg = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    total = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rmarg), "r")
+        .join(F.broadcast(cmarg), "c")
+        .crossJoin(F.broadcast(total))
+    )
+    # per-cell ln term, fixed-pointed BEFORE any cross-row sum
+    term = F.floor(
+        F.log(
+            (F.col("o").cast("double") * F.col("n").cast("double"))
+            / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+        )
+        * MI_FP
+    ).cast("bigint")
+    rterm = F.floor(
+        F.log(F.col("n").cast("double") / F.col("rt").cast("double")) * MI_FP
+    ).cast("bigint")
+    cterm = F.floor(
+        F.log(F.col("n").cast("double") / F.col("ct").cast("double")) * MI_FP
+    ).cast("bigint")
+    agg = joined.select(
+        "n",
+        (F.col("o") * term).alias("mi_c"),
+        (F.col("o") * rterm).alias("hr_c"),
+        (F.col("o") * cterm).alias("hc_c"),
+    ).groupBy("n").agg(
+        F.sum("mi_c").alias("mi_s"),
+        F.sum("hr_c").alias("hr_s"),
+        F.sum("hc_c").alias("hc_s"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(mi_s DIV n AS BIGINT)").alias("mi_fp"),
+        F.expr("CAST(hr_s DIV n AS BIGINT)").alias("h_row_fp"),
+        F.expr("CAST(hc_s DIV n AS BIGINT)").alias("h_col_fp"),
+        F.expr(
+            "CAST(CASE WHEN hr_s + hc_s > 0 THEN"
+            f" (2 * (mi_s DIV n) * {MI_FP}) DIV ((hr_s DIV n) + (hc_s DIV n))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("npmi_like_fp"),
+    )

@@ -744,3 +744,78 @@ def scd2_history(changes: DataFrame, key: str = "o_orderkey") -> DataFrame:
         )
         .orderBy(key, "seq_from")
     )
+
+
+def region_price_anova(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """One row (k_groups, n_obs, ssb, ssw, f_fp): one-way ANOVA — is
+    the mean order value the same across regions?  The k-group
+    extension of the two-group z-test (ab_ztest), completing the
+    classical-stat family (z-test, χ², MI, OLS, Pearson r).
+
+    Observation design keeps EVERY moment in int64 at ANY scale
+    factor: the unit is the per-(region, month) MEAN order value in
+    whole dollars (an average is bounded by order size, not corpus
+    size; the OLS monthly-rollup trick applied to variance analysis).
+    Per-group Σy, Σy² and the grand totals are exact bigints; SSB/SSW
+    use truncating integer division (s²  DIV n — a DEFINED statistic,
+    identical in both engines); only the final F ratio is one double
+    expression, fixed-pointed ×10⁴.
+
+    Plan: orders⋈customer shuffles on custkey, nation/region
+    broadcast, ONE agg per (region, month), ONE per region, ONE total
+    — no window, no extra fact pass."""
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+        )
+        .groupBy(
+            "r_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("bigint").alias("m"),
+        )
+        .agg(
+            F.expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT))"
+                   " DIV count(*) AS BIGINT)").alias("y")
+        )
+    )
+    grp = monthly.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y").alias("sg"),
+        F.sum(F.col("y") * F.col("y")).alias("ssg"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum(F.expr("sg * sg DIV ng")).alias("t_sum"),
+        F.sum("ssg").alias("ss"),
+    )
+    ssb = F.col("t_sum") - F.expr("s * s DIV n")
+    ssw = F.col("ss") - F.col("t_sum")
+    f_fp = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        F.floor(
+            (ssb.cast("double") / (F.col("k") - 1).cast("double"))
+            / (ssw.cast("double") / (F.col("n") - F.col("k")).cast("double"))
+            * 10_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return tot.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        ssb.cast("bigint").alias("ssb"),
+        ssw.cast("bigint").alias("ssw"),
+        f_fp.alias("f_fp"),
+    )

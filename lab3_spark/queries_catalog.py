@@ -10366,6 +10366,101 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return cdc_duplicate_chunks(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "source_lang_mutual_info",
+    """
+    WITH cells AS (
+      SELECT source AS r, lang AS c, count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rmarg AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+    cmarg AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+    total AS (SELECT sum(o) AS n FROM cells),
+    terms AS (
+      SELECT total.n AS n,
+             o * CAST(floor(ln((CAST(o AS DOUBLE) * CAST(total.n AS DOUBLE))
+                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS mi_c,
+             o * CAST(floor(ln(CAST(total.n AS DOUBLE) / CAST(rt AS DOUBLE))
+                   * 1000000000) AS BIGINT) AS hr_c,
+             o * CAST(floor(ln(CAST(total.n AS DOUBLE) / CAST(ct AS DOUBLE))
+                   * 1000000000) AS BIGINT) AS hc_c
+      FROM cells JOIN rmarg USING (r) JOIN cmarg USING (c), total
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sum(mi_c) // n AS BIGINT) AS mi_fp,
+           CAST(sum(hr_c) // n AS BIGINT) AS h_row_fp,
+           CAST(sum(hc_c) // n AS BIGINT) AS h_col_fp,
+           CAST(CASE WHEN sum(hr_c) + sum(hc_c) > 0 THEN
+             (2 * (sum(mi_c) // n) * 1000000000)
+               // ((sum(hr_c) // n) + (sum(hc_c) // n))
+             ELSE 0 END AS BIGINT) AS npmi_like_fp
+    FROM terms GROUP BY n
+    """,
+)
+def q_source_lang_mutual_info(spark, sf_dir):
+    """Mutual information I(source; lang) in nats
+    (quality.mutual_information): the effect-size companion to the χ²
+    gate — one ln per contingency CELL immediately fixed-pointed,
+    exact bigint accumulation, one integer division by N (the
+    token-entropy contract); symmetric redundancy 2I/(Hr+Hc)."""
+    from lab3_spark.operators.quality import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "region_price_anova",
+    """
+    WITH monthly AS (
+      SELECT r_name,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, m
+    ),
+    grp AS (
+      SELECT r_name, count(*) AS ng,
+             CAST(sum(y) AS BIGINT) AS sg,
+             CAST(sum(y * y) AS BIGINT) AS ssg
+      FROM monthly GROUP BY r_name
+    ),
+    tot AS (
+      SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS BIGINT) AS s,
+             CAST(sum(sg * sg // ng) AS BIGINT) AS t_sum,
+             CAST(sum(ssg) AS BIGINT) AS ss
+      FROM grp
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n AS n_obs,
+           CAST(t_sum - s * s // n AS BIGINT) AS ssb,
+           CAST(ss - t_sum AS BIGINT) AS ssw,
+           CAST(CASE WHEN k > 1 AND n > k AND ss - t_sum > 0 THEN
+             floor((CAST(t_sum - s * s // n AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ss - t_sum AS DOUBLE) / CAST(n - k AS DOUBLE))
+                 * 10000)
+             ELSE 0 END AS BIGINT) AS f_fp
+    FROM tot
+    """,
+)
+def q_region_price_anova(spark, sf_dir):
+    """One-way ANOVA of mean monthly order value across regions
+    (relational.region_price_anova): the k-group extension of the
+    two-group z-test.  Observations are per-(region, month) MEAN
+    dollars, so every moment stays in int64 at any SF; SSB/SSW exact
+    bigints with truncating division; F one double expression."""
+    return REL.region_price_anova(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10394,7 +10489,8 @@ def q_dedup_cdc_chunks(spark, sf_dir):
 # zipf_fit, join_skew_report, orders_cdc_asof, user_activity_bitmap,
 # quality_dup_calibration, customers_every_year, orders_scd2_history,
 # systematic_sample_docs, streaming_activity_bitmap,
-# events_kmv_type_overlap, dedup_cdc_chunks) get NO driver row
+# events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
+# region_price_anova) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10465,6 +10561,8 @@ _DRIVER_PRIORITY = [
     "streaming_activity_bitmap",
     "events_kmv_type_overlap",
     "dedup_cdc_chunks",
+    "source_lang_mutual_info",
+    "region_price_anova",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

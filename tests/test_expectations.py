@@ -166,3 +166,52 @@ def test_calibration_hand_case(spark):
     assert got[low_bin]["n_docs"] == 3 and got[low_bin]["n_dups"] == 2
     assert got[low_bin]["dup_rate_fp"] == 666_666
     assert got[hi_bin]["n_docs"] == 2 and got[hi_bin]["n_dups"] == 0
+
+
+def test_mutual_info_independent_and_determined(spark):
+    from lab3_spark.operators.quality import mutual_information
+
+    # independent: uniform 2x2 -> MI = 0
+    rows = [
+        (i, "t", lg, sc, 1)
+        for i, (lg, sc) in enumerate(
+            (lg, sc) for lg in ("en", "fr") for sc in ("a", "b") for _ in range(5)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = mutual_information(df).collect()[0]
+    assert r["mi_fp"] == 0
+    # fully determined: lang == f(source) -> MI = H(row) = H(col) = ln 2
+    rows = (
+        [(i, "t", "en", "a", 1) for i in range(10)]
+        + [(i + 10, "t", "fr", "b", 1) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = mutual_information(df).collect()[0]
+    import math
+
+    ln2_fp = math.floor(math.log(2) * 1_000_000_000)
+    assert r["mi_fp"] == ln2_fp
+    assert r["h_row_fp"] == ln2_fp and r["h_col_fp"] == ln2_fp
+    assert 999_999_990 <= r["npmi_like_fp"] <= 1_000_000_000
+
+
+def test_anova_zero_between_when_groups_identical(spark, sf_dir):
+    from lab3_spark.operators.relational import region_price_anova
+    from lab3_spark.sources.tables import load_table
+
+    r = region_price_anova(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    ).collect()[0]
+    assert r["k_groups"] == 5
+    assert r["ssw"] > 0 and r["ssb"] >= 0
+    # synthetic orders are region-independent: F should be unremarkable
+    # (well under the ~9.5e4 fp that would scream dependence)
+    assert 0 <= r["f_fp"] < 95_000

@@ -80,6 +80,7 @@ BNLJ_ALLOWED = {
     "streaming_activity_bitmap",  # same min-date broadcast via the shared assembly
     "customers_every_year",  # 1-row divisor-cardinality broadcast
     "events_kmv_type_overlap",  # 1-row synopsis-stats broadcasts
+    "source_lang_mutual_info",  # 1-row grand-total aggregate broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
