@@ -205,6 +205,8 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "source_lang_mutual_info",
     "region_price_anova",
+    "orders_benford_audit",
+    "events_cusum_changepoint",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

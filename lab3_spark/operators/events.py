@@ -1425,3 +1425,54 @@ def kmv_type_overlap(
                    + ") DIV ns AS BIGINT)").alias("est_overlap"),
         )
     )
+
+
+CUSUM_FP = 1_000_000
+
+
+def cusum_changepoint(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """One row (change_hour, cusum_abs_max, n_hours): CUSUM changepoint
+    detection over the hourly mean of ``value_col`` — the classic
+    "when did the level shift?" estimator: the |cumulative sum of
+    deviations from the grand mean| peaks AT the changepoint.
+    Complements the per-point detectors (daily z, seasonal z): those
+    flag outlier POINTS, CUSUM locates a persistent LEVEL SHIFT.
+
+    All integer: hourly means fixed-pointed (·10⁶, truncating div),
+    deviations scaled by n_hours so the running statistic is
+    c_t = Σ_{i≤t} (n·y_i − S) — exact bigint (hours are bounded by the
+    retention window, values by the domain, so no overflow at any SF).
+    The running sum is an ordered window over the |hours|-row rollup —
+    metadata-scale, never over events.  Tie → earliest hour."""
+    hourly = (
+        events.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(floor({value_col} * {CUSUM_FP}) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    dev = (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "h",
+            "n",
+            F.sum(F.col("n") * F.col("y") - F.col("s")).over(w).alias("c"),
+        )
+    )
+    return dev.agg(
+        F.expr("max_by(h, struct(abs(c) AS a, -h AS nh))").alias(
+            "change_hour"
+        ),
+        F.max(F.abs("c")).alias("cusum_abs_max"),
+        F.max("n").cast("bigint").alias("n_hours"),
+    )

@@ -145,3 +145,60 @@ def exact_distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
         .groupBy("column")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+BENFORD_FP = 1_000_000
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str = "o_totalprice"
+) -> DataFrame:
+    """(digit, n, observed_fp, expected_fp, dev_fp): first-significant-
+    digit distribution of a positive numeric column against Benford's
+    law — the classic forensic data-quality audit (fabricated or
+    truncated-domain numerics bend the curve; organically-grown
+    magnitudes follow log10(1 + 1/d)).
+
+    One pure per-row projection (first digit via string head — no
+    log/pow per row) + one 9-row combinable agg.  expected_fp is the
+    Benford mass as DRIVER-SIDE integer literals (the same 9 constants
+    in both engines — no runtime float log10); dev_fp = |obs − exp|."""
+    import math
+
+    first = F.substring(
+        F.regexp_replace(
+            F.col(value_col).cast("double").cast("string"), r"[^1-9]*", ""
+        ),
+        1,
+        1,
+    ).cast("bigint")
+    counts = (
+        df.where(F.col(value_col) > 0)
+        .select(first.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    exp_fp = F.element_at(
+        F.array(
+            *[
+                F.lit(math.floor(math.log10(1 + 1 / d) * BENFORD_FP)).cast(
+                    "long"
+                )
+                for d in range(1, 10)
+            ]
+        ),
+        F.col("digit").cast("int"),
+    )
+    obs_fp = F.expr(f"CAST(n * {BENFORD_FP} DIV t AS BIGINT)")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            obs_fp.alias("observed_fp"),
+            exp_fp.alias("expected_fp"),
+            F.abs(obs_fp - exp_fp).alias("dev_fp"),
+        )
+        .orderBy("digit")
+    )

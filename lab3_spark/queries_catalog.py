@@ -10461,6 +10461,78 @@ def q_region_price_anova(spark, sf_dir):
     )
 
 
+@query(
+    "orders_benford_audit",
+    """
+    WITH counts AS (
+      SELECT CAST(substring(regexp_replace(
+               CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR),
+               '[^1-9]', '', 'g'), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    exp AS (
+      SELECT unnest(range(1, 10)) AS digit,
+             unnest([301029, 176091, 124938, 96910, 79181,
+                     66946, 57991, 51152, 45757]) AS expected_fp
+    )
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t AS BIGINT) AS observed_fp,
+           CAST(e.expected_fp AS BIGINT) AS expected_fp,
+           CAST(abs(c.n * 1000000 // t - e.expected_fp) AS BIGINT) AS dev_fp
+    FROM counts c JOIN exp e ON c.digit = e.digit, total
+    ORDER BY c.digit
+    """,
+)
+def q_orders_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals
+    (profile.benford_first_digit): the forensic data-quality check —
+    organically-grown magnitudes follow log10(1+1/d); fabricated or
+    truncated-domain numbers bend the curve.  First digit via string
+    head (no per-row log), 9-row combinable agg, Benford masses as
+    identical integer literals in both engines."""
+    from lab3_spark.operators.profile import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM hourly),
+    dev AS (
+      SELECT h, stats.n,
+             sum(stats.n * y - stats.s) OVER (ORDER BY h) AS c
+      FROM hourly, stats
+    )
+    SELECT p.change_hour,
+           m.cusum_abs_max,
+           m.n_hours
+    FROM (SELECT CAST(max(abs(c)) AS BIGINT) AS cusum_abs_max,
+                 CAST(max(n) AS BIGINT) AS n_hours FROM dev) m,
+         (SELECT h AS change_hour FROM dev
+          ORDER BY abs(c) DESC, h LIMIT 1) p
+    """,
+)
+def q_events_cusum_changepoint(spark, sf_dir):
+    """CUSUM level-shift locator over hourly mean event value
+    (events.cusum_changepoint): |Σ deviations from the grand mean|
+    peaks at the changepoint.  All-integer running statistic
+    c_t = Σ(n·y_i − S) over the |hours|-row rollup (window over
+    metadata, never events); tie → earliest hour."""
+    from lab3_spark.operators.events import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10490,7 +10562,8 @@ def q_region_price_anova(spark, sf_dir):
 # quality_dup_calibration, customers_every_year, orders_scd2_history,
 # systematic_sample_docs, streaming_activity_bitmap,
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
-# region_price_anova) get NO driver row
+# region_price_anova, orders_benford_audit, events_cusum_changepoint)
+# get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10563,6 +10636,8 @@ _DRIVER_PRIORITY = [
     "dedup_cdc_chunks",
     "source_lang_mutual_info",
     "region_price_anova",
+    "orders_benford_audit",
+    "events_cusum_changepoint",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -171,3 +171,47 @@ def test_cdc_asof_keeps_pre_tombstone_state(spark, sf_dir):
     k21_final = final.where("o_orderkey = 21").collect()
     assert len(k21_asof) == 1 and k21_asof[0]["last_op"] == "U"
     assert len(k21_final) == 0  # deleted in the current snapshot
+
+
+def test_cusum_locates_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import cusum_changepoint
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(40):
+        v = 10.0 if hour < 25 else 50.0  # level shift after hour 24
+        rows.append((eid, base + timedelta(hours=hour), 1, "view", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = cusum_changepoint(df).collect()[0]
+    h0 = int(base.timestamp() // 3600)
+    # |CUSUM| peaks at the LAST pre-shift hour (hour index 24)
+    assert r["change_hour"] == h0 + 24
+    assert r["n_hours"] == 40
+
+
+def test_benford_organic_vs_truncated(spark):
+    from lab3_spark.operators.profile import benford_first_digit
+
+    # log-uniform magnitudes follow Benford closely
+    import math
+
+    rows = [(i, math.exp(i / 120.0) * 1.37) for i in range(1500)]
+    df = spark.createDataFrame(rows, "k long, o_totalprice double")
+    got = {r["digit"]: r for r in benford_first_digit(df).collect()}
+    assert set(got) == set(range(1, 10))
+    assert all(r["dev_fp"] < 40_000 for r in got.values())  # within 4pp
+    # a truncated-domain column (all values 400-499) is maximally bent
+    df2 = spark.createDataFrame(
+        [(i, 400.0 + i % 100) for i in range(500)], "k long, o_totalprice double"
+    )
+    got2 = {r["digit"]: r for r in benford_first_digit(df2).collect()}
+    assert set(got2) == {4}
+    assert got2[4]["observed_fp"] == 1_000_000

@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "customers_every_year",  # 1-row divisor-cardinality broadcast
     "events_kmv_type_overlap",  # 1-row synopsis-stats broadcasts
     "source_lang_mutual_info",  # 1-row grand-total aggregate broadcast
+    "orders_benford_audit",  # 1-row digit-total broadcast
+    "events_cusum_changepoint",  # 1-row grand-mean broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
