@@ -207,6 +207,7 @@ HEADLINE = [
     "region_price_anova",
     "orders_benford_audit",
     "events_cusum_changepoint",
+    "embedding_projection_by_label",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

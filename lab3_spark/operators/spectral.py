@@ -134,3 +134,67 @@ def top_principal_direction(
     return spark.createDataFrame(
         [(j + 1, v[j]) for j in range(dims)], "dim bigint, loading double"
     ).orderBy("dim")
+
+
+def projection_by_label(
+    embeddings: DataFrame, dims: int = DIMS, iters: int = POWER_ITERS
+) -> DataFrame:
+    """(label, n, mean_proj_fp, var_proj_fp): every embedding projected
+    onto the corpus's top principal direction, summarized per label —
+    the downstream CONSUMPTION of the spectral result: if labels
+    separate along the dominant axis, it is signal; if all label means
+    coincide, the axis is shared anisotropy you'd whiten away.
+
+    The projection is distributed: the d-vector from
+    :func:`top_principal_direction` is embedded as a LITERAL array
+    (driver holds d doubles — nothing is collected from data) and each
+    row pays one pinned-order fold; per-label stats use the
+    fixed-point-then-exact-bigint contract (projections floored ·10⁶;
+    mean and variance from integer moments, truncating division)."""
+    from lab3_spark.functions.partitioning import spread
+
+    vrow = top_principal_direction(embeddings, dims, iters).orderBy(
+        "dim"
+    ).collect()
+    if not vrow:
+        return embeddings.sparkSession.createDataFrame(
+            [], "label int, n bigint, mean_proj_fp bigint, var_proj_fp bigint"
+        )
+    vlit = F.array(*[F.lit(float(r["loading"])) for r in vrow])
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QSCALE).cast("double"),
+    )
+    # pinned left fold seeded 0.0 == list_reduce over the zipped list
+    proj = F.aggregate(
+        F.zip_with(q, vlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # fixed-point ·10⁴ (not 10⁶): Σp² must stay in int64 at large N
+    # (|proj| ≤ ||x|| ≤ ~50 ⇒ p ≤ 5·10⁵, p² ≤ 2.5·10¹¹ — safe to ~10⁷
+    # rows per label).  Final divisions run floor-on-double on BOTH
+    # sides: Spark's integer DIV truncates toward zero while DuckDB's
+    # // floors, and projections can be negative.
+    pfp = F.floor(proj * (1.0 / QSCALE) * 10_000).cast("bigint")
+    base = spread(embeddings).select("label", pfp.alias("p"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("s"),
+            F.sum(F.col("p") * F.col("p")).alias("ss"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(sd / nd).cast("bigint").alias("mean_proj_fp"),
+            F.floor(ssd / nd - (sd / nd) * (sd / nd))
+            .cast("bigint")
+            .alias("var_proj_fp"),
+        )
+        .orderBy("label")
+    )

@@ -10533,6 +10533,58 @@ def q_events_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "embedding_projection_by_label",
+    f"""
+    WITH qv AS (
+      SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    g AS MATERIALIZED (
+      SELECT jj.j, kk.k, sum(q[jj.j] * q[kk.k]) AS gv
+      FROM qv, (SELECT unnest(range(1, 65)) AS j) jj,
+           (SELECT unnest(range(1, 65)) AS k) kk
+      GROUP BY jj.j, kk.k
+    ),
+    grows AS MATERIALIZED (
+      SELECT j, list(CAST(gv AS DOUBLE) ORDER BY k) AS row
+      FROM g GROUP BY j
+    ),
+    v0 AS (SELECT list_transform(range(1, 65), t -> 0.125) AS v),
+    {_duck_power_iters(8)},
+    proj AS (
+      SELECT e.label,
+             CAST(floor(
+               list_reduce(list_transform(range(1, 65),
+                 t -> CAST(floor(CAST(e.embedding[t] AS DOUBLE) * 16384)
+                           AS BIGINT) * 1.0 * v.v[t]),
+                 (a, b) -> a + b) * (1.0 / 16384) * 10000
+             ) AS BIGINT) AS p
+      FROM embeddings e, v8 v
+    )
+    SELECT label, count(*) AS n,
+           CAST(floor(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_proj_fp,
+           CAST(floor(CAST(sum(p * p) AS DOUBLE) / count(*)
+                - (CAST(sum(p) AS DOUBLE) / count(*))
+                  * (CAST(sum(p) AS DOUBLE) / count(*))) AS BIGINT)
+             AS var_proj_fp
+    FROM proj GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_projection_by_label(spark, sf_dir):
+    """Per-label distribution of the projection onto the corpus's top
+    principal direction (spectral.projection_by_label): the spectral
+    result CONSUMED distributed — the eigenvector ships as a literal
+    d-array, each row pays one pinned-order fold; per-label stats via
+    the fixed-point contract with floor-on-double division (Spark DIV
+    truncates, DuckDB // floors; projections are signed)."""
+    from lab3_spark.operators.spectral import projection_by_label
+
+    return projection_by_label(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10562,8 +10614,8 @@ def q_events_cusum_changepoint(spark, sf_dir):
 # quality_dup_calibration, customers_every_year, orders_scd2_history,
 # systematic_sample_docs, streaming_activity_bitmap,
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
-# region_price_anova, orders_benford_audit, events_cusum_changepoint)
-# get NO driver row
+# region_price_anova, orders_benford_audit, events_cusum_changepoint,
+# embedding_projection_by_label) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10638,6 +10690,7 @@ _DRIVER_PRIORITY = [
     "region_price_anova",
     "orders_benford_audit",
     "events_cusum_changepoint",
+    "embedding_projection_by_label",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

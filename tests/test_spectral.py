@@ -75,3 +75,29 @@ def test_spectral_degenerate_inputs_guarded(spark):
         [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
     )
     assert top_principal_direction(zeros, dims=2).count() == 0
+
+
+def test_projection_by_label_separates_clusters(spark):
+    import numpy as np
+
+    from lab3_spark.operators.spectral import projection_by_label
+
+    rng = np.random.default_rng(11)
+    u = np.zeros(8)
+    u[1] = 1.0
+    # label 0 at +10u, label 1 at -10u: dominant axis IS u, and the
+    # label means must sit far apart with small within-label variance
+    a = (10.0 * u + rng.normal(size=(100, 8)) * 0.2).astype(np.float32)
+    b = (-10.0 * u + rng.normal(size=(100, 8)) * 0.2).astype(np.float32)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(a)] + [
+        (100 + i, [float(x) for x in v], 1) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in projection_by_label(df, dims=8).collect()}
+    m0, m1 = got[0]["mean_proj_fp"], got[1]["mean_proj_fp"]
+    assert abs(m0 - m1) > 150_000          # ≥ 15 apart in projection units
+    assert m0 * m1 < 0                     # opposite sides of the origin
+    for r in got.values():
+        assert r["var_proj_fp"] < abs(m0 - m1) ** 2 / 100
