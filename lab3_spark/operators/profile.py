@@ -202,3 +202,83 @@ def benford_first_digit(
         )
         .orderBy("digit")
     )
+
+
+# Poisson(1) CDF ·1e6, floor — the inverse-CDF ladder both engines
+# evaluate literally (no runtime exp())
+_POISSON1_CDF_FP = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+BOOT_B = 40  # resamples: 2.5%/97.5% land on ranks 1 and 39
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+    n_boot: int = BOOT_B,
+) -> DataFrame:
+    """Three rows (stat ∈ {point, ci_lo, ci_hi}, value_cents): the mean
+    of ``value_col`` with a 95% POISSON-BOOTSTRAP confidence interval —
+    uncertainty quantification that actually scales: classical
+    bootstrap resamples N rows WITH replacement B times (impossible to
+    coordinate distributed); the Poisson bootstrap gives every row an
+    iid Poisson(1) weight per resample, which is the same thing in the
+    limit and needs NO coordination — each row computes its B weights
+    locally and one combinable agg per resample does the rest.
+
+    Determinism: the Poisson draw is inverse-CDF over the portable md5
+    uniform (u = h % 10⁶ against the literal CDF ladder — no runtime
+    exp/random in either engine); resample means are exact-bigint
+    cents with truncating division (values positive ⇒ Spark DIV ==
+    DuckDB //); the CI picks are positional ranks 1 and B−1 of the
+    B-row means frame (metadata-scale sort)."""
+    from lab3_spark.functions.text import md5_long
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    blits = F.array(*[F.lit(b) for b in range(n_boot)])
+    u = (
+        md5_long(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit("|"),
+                F.col(key_col).cast("string"),
+            ),
+            salt="boot",
+        )
+        % 1_000_000
+    )
+    w = F.lit(len(_POISSON1_CDF_FP))
+    for lvl in range(len(_POISSON1_CDF_FP) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF_FP[lvl], F.lit(lvl)).otherwise(w)
+    weighted = (
+        df.select(F.col(key_col), cents.alias("y"))
+        .select("y", F.explode(blits).alias("b"), F.col(key_col))
+        .select("b", "y", w.cast("bigint").alias("w"))
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("sy"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select("b", F.expr("CAST(sy DIV sw AS BIGINT)").alias("m"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    point = df.agg(
+        F.lit("point").alias("stat"),
+        F.expr(
+            f"CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("value_cents"),
+    )
+    lo = ranked.where(F.col("rk") == 1).select(
+        F.lit("ci_lo").alias("stat"), F.col("m").alias("value_cents")
+    )
+    hi = ranked.where(F.col("rk") == n_boot - 1).select(
+        F.lit("ci_hi").alias("stat"), F.col("m").alias("value_cents")
+    )
+    return point.unionByName(lo).unionByName(hi).orderBy("stat")

@@ -10585,6 +10585,55 @@ def q_embedding_projection_by_label(spark, sf_dir):
     return projection_by_label(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "orders_mean_bootstrap_ci",
+    f"""
+    WITH weighted AS (
+      SELECT b.b,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             CASE
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 367879 THEN 0
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 735758 THEN 1
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 919698 THEN 2
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 981011 THEN 3
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 996340 THEN 4
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999405 THEN 5
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999916 THEN 6
+               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999989 THEN 7
+               ELSE 8 END AS w
+      FROM orders, (SELECT unnest(range(0, 40)) AS b) b
+    ),
+    means AS (
+      SELECT b, CAST(sum(w * y) // sum(w) AS BIGINT) AS m
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+    )
+    SELECT 'point' AS stat,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS value_cents
+    FROM orders
+    UNION ALL
+    SELECT 'ci_lo', m FROM ranked WHERE rk = 1
+    UNION ALL
+    SELECT 'ci_hi', m FROM ranked WHERE rk = 39
+    ORDER BY stat
+    """,
+)
+def q_orders_mean_bootstrap_ci(spark, sf_dir):
+    """95% Poisson-bootstrap CI for the mean order value
+    (profile.poisson_bootstrap_ci): each row draws B=40 iid
+    Poisson(1) weights from the portable md5 uniform via a literal
+    inverse-CDF ladder — the coordination-free distributed bootstrap
+    (classical with-replacement resampling cannot be distributed);
+    per-resample means are exact-bigint cents; CI = positional ranks
+    1 and 39 of the 40-row means frame."""
+    from lab3_spark.operators.profile import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10615,7 +10664,8 @@ def q_embedding_projection_by_label(spark, sf_dir):
 # systematic_sample_docs, streaming_activity_bitmap,
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
-# embedding_projection_by_label) get NO driver row
+# embedding_projection_by_label, orders_mean_bootstrap_ci) get NO
+# driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10691,6 +10741,7 @@ _DRIVER_PRIORITY = [
     "orders_benford_audit",
     "events_cusum_changepoint",
     "embedding_projection_by_label",
+    "orders_mean_bootstrap_ci",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

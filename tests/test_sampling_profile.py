@@ -223,3 +223,34 @@ def test_scd2_history_intervals(spark, sf_dir):
     # key 1: plain insert still current
     k1 = hist.where("o_orderkey = 1").collect()
     assert len(k1) == 1 and k1[0]["is_current"] == 1
+
+
+def test_poisson_bootstrap_ci_brackets_truth(spark):
+    from lab3_spark.operators.profile import poisson_bootstrap_ci
+
+    # symmetric values around 100.00: the CI must bracket the point
+    # estimate tightly and the point estimate must be exact
+    rows = [(i, 100.0 + ((i % 21) - 10) * 0.5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    got = {r["stat"]: r["value_cents"] for r in poisson_bootstrap_ci(df).collect()}
+    assert set(got) == {"point", "ci_lo", "ci_hi"}
+    # 95 full 21-cycles (mean exactly 100.00) + 5 leftover low rows
+    assert got["point"] == 9999
+    assert got["ci_lo"] <= got["point"] <= got["ci_hi"]
+    # ±10σ/√n is generous: σ≈303c, n=2000 → ~68c
+    assert got["ci_hi"] - got["ci_lo"] < 100
+
+
+def test_poisson_weights_mean_one(spark):
+    """Σw/N must be ≈ 1 across resamples (Poisson(1) mean)."""
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.profile import _POISSON1_CDF_FP
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    u = md5_long(F.concat(F.lit("0"), F.lit("|"), F.col("k").cast("string")), salt="boot") % 1_000_000
+    w = F.lit(len(_POISSON1_CDF_FP))
+    for lvl in range(len(_POISSON1_CDF_FP) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF_FP[lvl], F.lit(lvl)).otherwise(w)
+    s = df.select(w.alias("w")).agg(F.sum("w").alias("s")).collect()[0]["s"]
+    assert 4700 < s < 5300
