@@ -209,6 +209,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "embedding_projection_by_label",
     "orders_mean_bootstrap_ci",
+    "source_influence_jackknife",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -328,3 +328,49 @@ def mutual_information(
             " ELSE 0 END AS BIGINT)"
         ).alias("npmi_like_fp"),
     )
+
+
+def source_influence_jackknife(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(source, n_docs, mean_q_fp, loo_mean_fp, influence_fp):
+    leave-one-source-out influence of each source on the corpus-wide
+    mean quality — the data-ops question "which feed is dragging the
+    metric" answered exactly: influence = loo_mean − overall_mean,
+    positive ⇒ removing the source RAISES corpus quality.
+
+    Jackknife-by-group needs no re-scan per group: one per-source agg
+    (Σq, n) and the grand totals give every leave-one-out mean by
+    arithmetic — (S − s_g)/(N − n_g) — so the whole audit is one
+    combinable aggregation plus a broadcast of one stats row.  Quality
+    is fixed-pointed per doc (·10⁴, the calibration contract) so all
+    sums are exact bigints; the final divisions run floor-on-double on
+    both sides (the signed-division rule)."""
+    from lab3_spark.operators.textstats import quality_expr
+
+    per = documents.select(
+        "source",
+        F.floor(quality_expr(text_col) * 10_000).cast("bigint").alias("q"),
+    )
+    grp = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    tot = grp.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    j = grp.crossJoin(F.broadcast(tot))
+    mean_all = F.col("ss").cast("double") / F.col("nn").cast("double")
+    loo = (F.col("ss") - F.col("s")).cast("double") / (
+        F.col("nn") - F.col("n")
+    ).cast("double")
+    return (
+        j.where(F.col("nn") > F.col("n"))  # a sole source has no LOO
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("bigint")
+            .alias("mean_q_fp"),
+            F.floor(loo).cast("bigint").alias("loo_mean_fp"),
+            F.floor(loo - mean_all).cast("bigint").alias("influence_fp"),
+        )
+        .orderBy("source")
+    )

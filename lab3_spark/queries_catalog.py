@@ -10634,6 +10634,49 @@ def q_orders_mean_bootstrap_ci(spark, sf_dir):
     return poisson_bootstrap_ci(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "source_influence_jackknife",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(floor((0.4 * least(len({_DUCK_TOKS}) / 50.0, 1.0)
+             + 0.3 * (1 - CASE WHEN length(text) > 0 THEN
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 / length(text) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len({_DUCK_TOKS}) > 0 THEN
+                 len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS})
+                 ELSE 0.0 END)) * 10000) AS BIGINT) AS q
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+      FROM per GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(s) AS BIGINT) AS ss FROM grp)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+             AS mean_q_fp,
+           CAST(floor(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE))
+             AS BIGINT) AS loo_mean_fp,
+           CAST(floor(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+                - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) AS BIGINT)
+             AS influence_fp
+    FROM grp, tot WHERE nn > n
+    ORDER BY source
+    """,
+)
+def q_source_influence_jackknife(spark, sf_dir):
+    """Leave-one-source-out influence on corpus mean quality
+    (quality.source_influence_jackknife): the whole audit is ONE
+    per-source agg + a broadcast stats row — (S−s_g)/(N−n_g) gives
+    every LOO mean without re-scanning per group.  Signed results ⇒
+    floor-on-double division on both sides."""
+    from lab3_spark.operators.quality import source_influence_jackknife
+
+    return source_influence_jackknife(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10664,8 +10707,8 @@ def q_orders_mean_bootstrap_ci(spark, sf_dir):
 # systematic_sample_docs, streaming_activity_bitmap,
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
-# embedding_projection_by_label, orders_mean_bootstrap_ci) get NO
-# driver row
+# embedding_projection_by_label, orders_mean_bootstrap_ci,
+# source_influence_jackknife) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10742,6 +10785,7 @@ _DRIVER_PRIORITY = [
     "events_cusum_changepoint",
     "embedding_projection_by_label",
     "orders_mean_bootstrap_ci",
+    "source_influence_jackknife",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

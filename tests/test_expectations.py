@@ -215,3 +215,24 @@ def test_anova_zero_between_when_groups_identical(spark, sf_dir):
     # synthetic orders are region-independent: F should be unremarkable
     # (well under the ~9.5e4 fp that would scream dependence)
     assert 0 <= r["f_fp"] < 95_000
+
+
+def test_jackknife_influence_signs(spark):
+    from lab3_spark.operators.quality import source_influence_jackknife
+
+    hi = " ".join(f"word{c}" for c in "abcdefghijklmnopqrstuvwxyz")
+    lo = "aa aa"
+    rows = (
+        [(i, hi, "en", "good", len(hi)) for i in range(10)]
+        + [(100 + i, lo, "en", "bad", len(lo)) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in source_influence_jackknife(df).collect()}
+    # removing the bad source raises the mean; removing good lowers it
+    assert got["bad"]["influence_fp"] > 0
+    assert got["good"]["influence_fp"] < 0
+    # LOO means are the other group's mean exactly
+    assert got["bad"]["loo_mean_fp"] == got["good"]["mean_q_fp"]
+    assert got["good"]["loo_mean_fp"] == got["bad"]["mean_q_fp"]

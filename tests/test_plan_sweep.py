@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "source_lang_mutual_info",  # 1-row grand-total aggregate broadcast
     "orders_benford_audit",  # 1-row digit-total broadcast
     "events_cusum_changepoint",  # 1-row grand-mean broadcast
+    "source_influence_jackknife",  # 1-row grand-total broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
