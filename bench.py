@@ -210,6 +210,7 @@ HEADLINE = [
     "embedding_projection_by_label",
     "orders_mean_bootstrap_ci",
     "source_influence_jackknife",
+    "embedding_top2_directions",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

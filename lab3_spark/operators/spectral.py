@@ -149,8 +149,9 @@ def projection_by_label(
     :func:`top_principal_direction` is embedded as a LITERAL array
     (driver holds d doubles — nothing is collected from data) and each
     row pays one pinned-order fold; per-label stats use the
-    fixed-point-then-exact-bigint contract (projections floored ·10⁶;
-    mean and variance from integer moments, truncating division)."""
+    fixed-point-then-exact-bigint contract (projections floored ·10⁴;
+    mean and variance from integer moments, floor-on-double final
+    divisions — see the inline note)."""
     from lab3_spark.functions.partitioning import spread
 
     vrow = top_principal_direction(embeddings, dims, iters).orderBy(
@@ -198,3 +199,55 @@ def projection_by_label(
         )
         .orderBy("label")
     )
+
+
+def top2_principal_directions(
+    embeddings: DataFrame, dims: int = DIMS, iters: int = POWER_ITERS
+) -> DataFrame:
+    """(component, dim, loading): the top TWO principal directions —
+    v1 by power iteration, v2 by HOTELLING DEFLATION (G₂ = G − λ₁v₁v₁ᵀ
+    with λ₁ the Rayleigh quotient) and a second iteration chain on the
+    deflated matrix.  Together they span the plane every embedding-
+    space scatter plot projects onto.
+
+    Same determinism contract throughout: distributed exact-integer
+    Gramian, d² scalars to the driver, and every float op — Rayleigh
+    fold, deflation term t = (λ·v_j)·v_k, both iteration chains — in a
+    PINNED order the unrolled SQL replays bit-for-bit."""
+    spark = embeddings.sparkSession
+    g = {
+        (r["j"], r["k"]): r["gv"]
+        for r in gram_matrix(embeddings, dims).collect()
+    }
+    if not g or all(v == 0 for v in g.values()):
+        return spark.createDataFrame(
+            [], "component bigint, dim bigint, loading double"
+        )
+    grows = [
+        [float(g[(j, k)]) for k in range(1, dims + 1)]
+        for j in range(1, dims + 1)
+    ]
+    v1 = _power_iteration(grows, dims, iters)
+    # Rayleigh quotient λ1 = v1ᵀ(G v1): pinned folds — w first, then λ
+    w = []
+    for j in range(dims):
+        row = grows[j]
+        acc = row[0] * v1[0]
+        for k in range(1, dims):
+            acc += row[k] * v1[k]
+        w.append(acc)
+    lam = v1[0] * w[0]
+    for j in range(1, dims):
+        lam += v1[j] * w[j]
+    # Hotelling deflation with the pinned term order t = (λ·v_j)·v_k
+    g2 = [
+        [grows[j][k] - (lam * v1[j]) * v1[k] for k in range(dims)]
+        for j in range(dims)
+    ]
+    v2 = _power_iteration(g2, dims, iters)
+    rows = [(1, j + 1, v1[j]) for j in range(dims)] + [
+        (2, j + 1, v2[j]) for j in range(dims)
+    ]
+    return spark.createDataFrame(
+        rows, "component bigint, dim bigint, loading double"
+    ).orderBy("component", "dim")

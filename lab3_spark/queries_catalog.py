@@ -9658,28 +9658,32 @@ def q_dedup_kcore(spark, sf_dir):
     )
 
 
-def _duck_power_iters(n_iter: int, dims: int = 64) -> str:
-    """Unrolled power-iteration CTEs w{i}/n{i}/v{i}: matrix-vector
-    product and norm as ``list_reduce`` left folds over ORDER BY-ed
-    lists — the exact IEEE recurrence operators/spectral.py pins, so
-    the final loadings are bit-identical doubles (no tolerance)."""
+def _duck_power_iters(
+    n_iter: int, dims: int = 64, grows: str = "grows", p: str = ""
+) -> str:
+    """Unrolled power-iteration CTEs {p}w{i}/{p}n{i}/{p}v{i} over the
+    ``grows`` row-list table: matrix-vector product and norm as
+    ``list_reduce`` left folds over ORDER BY-ed lists — the exact IEEE
+    recurrence operators/spectral.py pins, so the final loadings are
+    bit-identical doubles (no tolerance).  ``p`` prefixes the CTE
+    names so a second (deflated) iteration chain can coexist."""
     ctes = []
     for i in range(1, n_iter + 1):
         ctes.append(
             f"""
-    w{i} AS MATERIALIZED (
+    {p}w{i} AS MATERIALIZED (
       SELECT g.j,
              list_reduce(list_transform(range(1, {dims + 1}),
                  t -> g.row[t] * v.v[t]), (a, b) -> a + b) AS w
-      FROM grows g, v{i - 1} v
+      FROM {grows} g, {p}v{i - 1} v
     ),
-    n{i} AS MATERIALIZED (
+    {p}n{i} AS MATERIALIZED (
       SELECT sqrt(list_reduce(list_transform(list(w ORDER BY j),
                   x -> x * x), (a, b) -> a + b)) AS nrm
-      FROM w{i}
+      FROM {p}w{i}
     ),
-    v{i} AS MATERIALIZED (
-      SELECT list(w.w / n.nrm ORDER BY w.j) AS v FROM w{i} w, n{i} n
+    {p}v{i} AS MATERIALIZED (
+      SELECT list(w.w / n.nrm ORDER BY w.j) AS v FROM {p}w{i} w, {p}n{i} n
     )"""
         )
     return ",".join(ctes)
@@ -10677,6 +10681,64 @@ def q_source_influence_jackknife(spark, sf_dir):
     return source_influence_jackknife(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "embedding_top2_directions",
+    f"""
+    WITH qv AS (
+      SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    g AS MATERIALIZED (
+      SELECT jj.j, kk.k, sum(q[jj.j] * q[kk.k]) AS gv
+      FROM qv, (SELECT unnest(range(1, 65)) AS j) jj,
+           (SELECT unnest(range(1, 65)) AS k) kk
+      GROUP BY jj.j, kk.k
+    ),
+    grows AS MATERIALIZED (
+      SELECT j, list(CAST(gv AS DOUBLE) ORDER BY k) AS row
+      FROM g GROUP BY j
+    ),
+    v0 AS (SELECT list_transform(range(1, 65), t -> 0.125) AS v),
+    {_duck_power_iters(8)},
+    rq AS MATERIALIZED (
+      SELECT g.j,
+             list_reduce(list_transform(range(1, 65),
+                 t -> g.row[t] * v.v[t]), (a, b) -> a + b) AS w
+      FROM grows g, v8 v
+    ),
+    lam AS MATERIALIZED (
+      SELECT list_reduce(list_transform(range(1, 65),
+                 t -> v.v[t] * wl.wv[t]), (a, b) -> a + b) AS lam
+      FROM (SELECT list(w ORDER BY j) AS wv FROM rq) wl, v8 v
+    ),
+    grows2 AS MATERIALIZED (
+      SELECT g.j,
+             list_transform(range(1, 65),
+               t -> g.row[t] - (lam.lam * v.v[g.j]) * v.v[t]) AS row
+      FROM grows g, v8 v, lam
+    ),
+    dv0 AS (SELECT list_transform(range(1, 65), t -> 0.125) AS v),
+    {_duck_power_iters(8, grows="grows2", p="d")}
+    SELECT 1 AS component, t.d AS dim, v.v[t.d] AS loading
+    FROM v8 v, (SELECT unnest(range(1, 65)) AS d) t
+    UNION ALL
+    SELECT 2, t.d, v.v[t.d]
+    FROM dv8 v, (SELECT unnest(range(1, 65)) AS d) t
+    ORDER BY component, dim
+    """,
+)
+def q_embedding_top2_directions(spark, sf_dir):
+    """Top TWO principal directions (spectral.top2_principal_
+    directions): v1 by power iteration, λ1 by a pinned Rayleigh fold,
+    v2 by Hotelling deflation G₂ = G − λ₁v₁v₁ᵀ (deflation term order
+    pinned: (λ·v_j)·v_k) and a second unrolled iteration chain —
+    bit-identical doubles end-to-end, one distributed Gramian pass."""
+    from lab3_spark.operators.spectral import top2_principal_directions
+
+    return top2_principal_directions(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10708,7 +10770,8 @@ def q_source_influence_jackknife(spark, sf_dir):
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
-# source_influence_jackknife) get NO driver row
+# source_influence_jackknife, embedding_top2_directions) get NO
+# driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10786,6 +10849,7 @@ _DRIVER_PRIORITY = [
     "embedding_projection_by_label",
     "orders_mean_bootstrap_ci",
     "source_influence_jackknife",
+    "embedding_top2_directions",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -101,3 +101,26 @@ def test_projection_by_label_separates_clusters(spark):
     assert m0 * m1 < 0                     # opposite sides of the origin
     for r in got.values():
         assert r["var_proj_fp"] < abs(m0 - m1) ** 2 / 100
+
+
+def test_top2_orthogonal_and_correct(spark):
+    import numpy as np
+
+    from lab3_spark.operators.spectral import top2_principal_directions
+
+    rng = np.random.default_rng(5)
+    u1 = np.zeros(6); u1[0] = 1.0
+    u2 = np.zeros(6); u2[3] = 1.0
+    x = (
+        rng.normal(size=(400, 1)) * 40.0 * u1
+        + rng.normal(size=(400, 1)) * 15.0 * u2
+        + rng.normal(size=(400, 6)) * 0.3
+    ).astype(np.float32)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = top2_principal_directions(df, dims=6).collect()
+    v1 = [r["loading"] for r in got if r["component"] == 1]
+    v2 = [r["loading"] for r in got if r["component"] == 2]
+    assert abs(sum(a * b for a, b in zip(v1, u1))) > 0.99
+    assert abs(sum(a * b for a, b in zip(v2, u2))) > 0.99
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-4  # ~orthogonal (8 iters)
