@@ -211,6 +211,7 @@ HEADLINE = [
     "orders_mean_bootstrap_ci",
     "source_influence_jackknife",
     "embedding_top2_directions",
+    "dedup_graph_assortativity",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

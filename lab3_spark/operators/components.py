@@ -518,3 +518,56 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row (n_edges, r_fp): Pearson correlation of endpoint
+    degrees over the undirected edges — Newman's degree assortativity.
+    Dedup reading: r > 0 (hubs join hubs) says the candidate graph has
+    a boilerplate CORE that LSH band capping should target; r < 0
+    (hub-and-spoke) says near-dup mass hangs off single templates.
+
+    Each edge contributes both orientations (the standard symmetric
+    formulation).  Degrees come from one count agg joined back twice
+    on the node key; the five moments are exact bigints (degree ≤ N
+    ⇒ Σd² ≤ N·N² = N³ — document the 2·10⁶-node bound per gate input);
+    r is ONE double expression, floored ·10⁶."""
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).union(
+        edges.select(
+            F.col(dst).cast("long").alias("a"),
+            F.col(src).cast("long").alias("b"),
+        )
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    und = persist_latest("components.assort.und", und)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg, "a")
+        .select("b", F.col("d").alias("dx"))
+        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = md * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = md * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    r_fp = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(num / F.sqrt(vx * vy) * 1_000_000).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return mom.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"), r_fp.alias("r_fp")
+    )

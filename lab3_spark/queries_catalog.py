@@ -10739,6 +10739,54 @@ def q_embedding_top2_directions(spark, sf_dir):
     return top2_principal_directions(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "dedup_graph_assortativity",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+    pairs AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM und JOIN deg dx ON und.a = dx.a JOIN deg dy ON und.b = dy.a
+    ),
+    mom AS (
+      SELECT count(*) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+      CAST(CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                 AND (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+        THEN floor(
+          (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          * 1000000)
+        ELSE 0 END AS BIGINT) AS r_fp
+    FROM mom
+    """,
+)
+def q_dedup_graph_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the near-dup candidate graph
+    (components.degree_assortativity): r > 0 ⇒ boilerplate core (hubs
+    join hubs — target band capping there); r < 0 ⇒ hub-and-spoke
+    templates.  One degree agg re-joined on both endpoints, exact
+    bigint moments, r one double expression."""
+    from lab3_spark.operators.components import degree_assortativity
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    return degree_assortativity(
+        minhash_candidates(_t(spark, sf_dir, "documents")), "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10770,8 +10818,8 @@ def q_embedding_top2_directions(spark, sf_dir):
 # events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
-# source_influence_jackknife, embedding_top2_directions) get NO
-# driver row
+# source_influence_jackknife, embedding_top2_directions,
+# dedup_graph_assortativity) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10850,6 +10898,7 @@ _DRIVER_PRIORITY = [
     "orders_mean_bootstrap_ci",
     "source_influence_jackknife",
     "embedding_top2_directions",
+    "dedup_graph_assortativity",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

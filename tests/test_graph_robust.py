@@ -130,3 +130,22 @@ def test_robust_zscore_matches_numpy(spark, sf_dir):
         for r in rs:
             want = t((r.quality - med) / mad) if mad > 0 else 0.0
             assert r.robust_z == want, (src, r.doc_id)
+
+
+def test_assortativity_star_vs_clique(spark):
+    from lab3_spark.operators.components import degree_assortativity
+
+    # star: hub degree 5 joins leaves degree 1 -> strongly negative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["r_fp"] == -1_000_000  # exactly -1 for a star
+
+    # regular graph (6-cycle): all degrees equal -> zero variance -> 0
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r2 = degree_assortativity(cyc).collect()[0]
+    assert r2["r_fp"] == 0
