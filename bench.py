@@ -212,6 +212,7 @@ HEADLINE = [
     "source_influence_jackknife",
     "embedding_top2_directions",
     "dedup_graph_assortativity",
+    "dedup_ktruss",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -571,3 +571,63 @@ def degree_assortativity(
     return mom.select(
         (F.col("m") / 2).cast("bigint").alias("n_edges"), r_fp.alias("r_fp")
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """(a, b) with a < b: the k-truss after ``rounds`` support peels —
+    every surviving edge closes ≥ k−2 triangles WITHIN the surviving
+    subgraph.  The EDGE analog of :func:`kcore`, one rung stronger:
+    a 3-truss edge is corroborated by a common neighbor, so pendant
+    band-collision FPs (no triangle) drop even when both endpoints
+    look busy.  Fixed ``rounds`` is the unrolled-oracle form — a
+    documented prefix of the fixpoint (support peeling is monotone).
+
+    Per round: edge support = one two-hop self-join on the SYMMETRIC
+    edge list (|N(a) ∩ N(b)| via wedge closing — the triangle_stats
+    join shape, never all-pairs), one left join back, one filter.
+    Each round references the prior edge frame three times ⇒ eager
+    localCheckpoint per round (the kcore lineage discipline)."""
+    from lab3_spark.functions.partitioning import free_checkpoint
+
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("a"),
+                F.col(src).cast("long").alias("b"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(rounds):
+        x = und.select(F.col("a").alias("xa"), F.col("b").alias("w"))
+        y = und.select(F.col("a").alias("ya"), F.col("b").alias("w"))
+        support = (
+            und.join(x, F.col("xa") == F.col("a"))
+            .join(y, (F.col("ya") == F.col("b")) & (y.w == x.w))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nxt = (
+            und.join(support, ["a", "b"], "left")
+            .where(F.coalesce("c", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            free_checkpoint(prev)
+        prev = und
+        und = nxt
+    return (
+        und.where(F.col("a") < F.col("b")).orderBy("a", "b")
+    )

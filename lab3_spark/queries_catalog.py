@@ -10787,6 +10787,62 @@ def q_dedup_graph_assortativity(spark, sf_dir):
     )
 
 
+def _duck_ktruss_iters(n_iter: int, k: int = 3) -> str:
+    """Unrolled support-peel CTEs: per round, edge support by wedge
+    closing (two self-joins on the symmetric list), then keep edges
+    with support ≥ k−2.  MATERIALIZED — each round references its
+    predecessor three times (the kcore unroll lesson)."""
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand"
+        " UNION SELECT doc_b AS a, doc_a AS b FROM cand)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT e.a, e.b, count(*) AS c
+      FROM e{i - 1} e
+      JOIN e{i - 1} x ON x.a = e.a
+      JOIN e{i - 1} y ON y.a = e.b AND y.b = x.b
+      GROUP BY e.a, e.b
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+      WHERE coalesce(s.c, 0) >= {k - 2}
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@query(
+    "dedup_ktruss",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    {_duck_ktruss_iters(4)}
+    SELECT a, b FROM e4 WHERE a < b ORDER BY a, b
+    """,
+)
+def q_dedup_ktruss(spark, sf_dir):
+    """3-truss of the near-dup candidate graph (components.ktruss):
+    four support peels keep only edges closing ≥ 1 triangle within the
+    surviving subgraph — triangle-corroborated duplicate structure,
+    one rung stronger than the 2-core (a pendant FP with two busy
+    endpoints survives k-core but not k-truss).  Fixed rounds = the
+    engine-identical unrolled oracle (a prefix of the fixpoint;
+    peeling is monotone)."""
+    from lab3_spark.operators.components import ktruss
+    from lab3_spark.operators.dedup import minhash_candidates
+
+    return ktruss(
+        minhash_candidates(_t(spark, sf_dir, "documents")),
+        "doc_a",
+        "doc_b",
+        k=3,
+        rounds=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10819,7 +10875,7 @@ def q_dedup_graph_assortativity(spark, sf_dir):
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
 # source_influence_jackknife, embedding_top2_directions,
-# dedup_graph_assortativity) get NO driver row
+# dedup_graph_assortativity, dedup_ktruss) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10899,6 +10955,7 @@ _DRIVER_PRIORITY = [
     "source_influence_jackknife",
     "embedding_top2_directions",
     "dedup_graph_assortativity",
+    "dedup_ktruss",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

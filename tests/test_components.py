@@ -145,3 +145,45 @@ def test_kcore_non_convergence_raises(spark):
     )
     with _pt.raises(RuntimeError, match="did not converge"):
         kcore(df, max_iter=2).collect()
+
+
+def _truss(spark, edges, **kw):
+    from lab3_spark.operators.components import ktruss
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {(r["a"], r["b"]) for r in ktruss(df, **kw).collect()}
+
+
+def test_ktruss_keeps_triangle_drops_pendant(spark):
+    # triangle 1-2-3 + pendant 3-4: the pendant edge closes no
+    # triangle and is peeled; the triangle survives the 3-truss.
+    got = _truss(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_ktruss_stronger_than_kcore(spark):
+    # 4-cycle: every node has degree 2 (survives the 2-core) but no
+    # edge closes a triangle -> empty 3-truss
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _truss(spark, cyc) == set()
+    from lab3_spark.operators.components import kcore
+
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    assert kcore(df, k=2).count() == 4  # all four survive the 2-core
+
+
+def test_ktruss_cascade_peel(spark):
+    # two triangles sharing edge 2-3, plus 4-5 hanging a triangle off
+    # an edge that dies in round 1: peeling must CASCADE (the 4-5-6
+    # triangle depends on 4-6 which closes no triangle... build a case
+    # where an edge loses its only triangle after round 1).
+    # K4 minus one edge, plus a triangle glued on the removed side:
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4),  # K4 minus 1-4
+             (4, 5), (4, 6), (5, 6)]                   # triangle at 4
+    got = _truss(spark, edges, rounds=4)
+    # every edge closes >= 1 triangle already; all survive
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)}
+    # now remove 5-6: 4-5 and 4-6 lose their triangle and peel,
+    # leaving the diamond intact
+    got2 = _truss(spark, edges[:-1], rounds=4)
+    assert got2 == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
