@@ -213,6 +213,7 @@ HEADLINE = [
     "embedding_top2_directions",
     "dedup_graph_assortativity",
     "dedup_ktruss",
+    "dedup_blocking_quality",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

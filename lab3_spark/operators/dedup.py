@@ -1324,3 +1324,57 @@ def cdc_chunk_frame_arrow(
         .select("doc_id", F.col(text_col).alias("text"))
         .mapInArrow(batches, "doc_id bigint, idx bigint, chunk string")
     )
+
+
+def blocking_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_docs, n_true_pairs, n_cand_pairs, n_caught, pc_fp,
+    rr_fp): the two numbers every blocking strategy is judged by in
+    entity resolution — PAIR COMPLETENESS (how many true duplicate
+    pairs the candidate generator catches; recall of the blocker) and
+    REDUCTION RATIO (how much of the N·(N−1)/2 comparison space it
+    prunes).  Truth = exact-fingerprint pairs; candidates = the LSH
+    band join.  A good blocker sits at PC → 1, RR → 1.
+
+    No pair space is ever materialized: n_true_pairs is Σ C(g,2) over
+    fingerprint group sizes (one agg), n_caught joins the candidate
+    frame to the fingerprint table twice (equi-joins on doc id), and
+    RR's denominator is arithmetic."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    fp = persist_latest(
+        "dedup.blocking.fp",
+        documents.select(
+            "doc_id", F.md5(F.concat_ws(" ", tokenize(text_col))).alias("fp")
+        ),
+    )
+    truth = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("g")).agg(
+        F.sum(F.expr("g * (g - 1) DIV 2")).alias("n_true"),
+        F.sum("g").alias("n_docs"),
+    )
+    cand = persist_latest(
+        "dedup.blocking.cand", minhash_candidates(documents, text_col)
+    )
+    caught = (
+        cand.join(fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa")), "doc_a")
+        .join(fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb")), "doc_b")
+        .where(F.col("fa") == F.col("fb"))
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    j = truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(caught))
+    pairs_total = F.expr("n_docs * (n_docs - 1) DIV 2")
+    pc = F.when(
+        F.col("n_true") > 0,
+        F.expr(f"CAST(n_caught * {10**6} DIV n_true AS BIGINT)"),
+    ).otherwise(F.lit(1_000_000).cast("bigint"))
+    rr = F.lit(1_000_000).cast("bigint") - F.expr(
+        f"CAST(n_cand * {10**6} DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT)"
+    )
+    return j.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_true").cast("bigint").alias("n_true_pairs"),
+        F.col("n_cand").cast("bigint").alias("n_cand_pairs"),
+        F.col("n_caught").cast("bigint").alias("n_caught"),
+        pc.alias("pc_fp"),
+        rr.alias("rr_fp"),
+    )

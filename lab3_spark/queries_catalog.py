@@ -10843,6 +10843,49 @@ def q_dedup_ktruss(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_blocking_quality",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    truth AS (
+      SELECT CAST(sum(g * (g - 1) // 2) AS BIGINT) AS n_true,
+             CAST(sum(g) AS BIGINT) AS n_docs
+      FROM (SELECT count(*) AS g FROM fp GROUP BY fp.fp)
+    ),
+    nc AS (SELECT count(*) AS n_cand FROM cand),
+    caught AS (
+      SELECT count(*) AS n_caught
+      FROM cand
+      JOIN fp a ON cand.doc_a = a.doc_id
+      JOIN fp b ON cand.doc_b = b.doc_id
+      WHERE a.fp = b.fp
+    )
+    SELECT n_docs, n_true AS n_true_pairs,
+           CAST(n_cand AS BIGINT) AS n_cand_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(CASE WHEN n_true > 0 THEN n_caught * 1000000 // n_true
+                ELSE 1000000 END AS BIGINT) AS pc_fp,
+           CAST(1000000 - n_cand * 1000000
+                // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS rr_fp
+    FROM truth, nc, caught
+    """,
+)
+def q_dedup_blocking_quality(spark, sf_dir):
+    """Entity-resolution blocking metrics (dedup.blocking_quality):
+    pair completeness (blocker recall vs exact-fingerprint truth) and
+    reduction ratio (fraction of the N·(N−1)/2 space pruned) for the
+    LSH candidate generator.  No pair space materialized: truth is
+    Σ C(g,2) over group sizes, caught is two equi-joins."""
+    from lab3_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10875,7 +10918,8 @@ def q_dedup_ktruss(spark, sf_dir):
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
 # source_influence_jackknife, embedding_top2_directions,
-# dedup_graph_assortativity, dedup_ktruss) get NO driver row
+# dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality)
+# get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -10956,6 +11000,7 @@ _DRIVER_PRIORITY = [
     "embedding_top2_directions",
     "dedup_graph_assortativity",
     "dedup_ktruss",
+    "dedup_blocking_quality",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

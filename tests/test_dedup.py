@@ -455,3 +455,22 @@ def test_cdc_arrow_twin_bit_identical(spark, sf_dir):
     a = sorted(tuple(r) for r in cdc_chunk_frame(docs).collect())
     b = sorted(tuple(r) for r in cdc_chunk_frame_arrow(docs).collect())
     assert a == b
+
+
+def test_blocking_quality_hand_corpus(spark):
+    from lab3_spark.operators.dedup import blocking_quality
+
+    # 3 exact copies (3 true pairs) + 2 distinct docs: LSH must catch
+    # all exact-copy pairs (identical shingles -> identical bands)
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    hi1 = " ".join(f"alpha{c}" for c in "abcdefghij")
+    hi2 = " ".join(f"beta{c}" for c in "abcdefghij")
+    rows = [
+        (0, dup), (1, dup), (2, dup), (3, hi1), (4, hi2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = blocking_quality(df).collect()[0]
+    assert r["n_docs"] == 5 and r["n_true_pairs"] == 3
+    assert r["n_caught"] == 3 and r["pc_fp"] == 1_000_000
+    # candidate space far below the full C(5,2)=10
+    assert r["n_cand_pairs"] < 10 and r["rr_fp"] > 0

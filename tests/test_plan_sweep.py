@@ -84,6 +84,7 @@ BNLJ_ALLOWED = {
     "orders_benford_audit",  # 1-row digit-total broadcast
     "events_cusum_changepoint",  # 1-row grand-mean broadcast
     "source_influence_jackknife",  # 1-row grand-total broadcast
+    "dedup_blocking_quality",  # 1-row truth/cand/caught aggregates
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
