@@ -297,3 +297,67 @@ def phrase_search(
         )
         .orderBy("doc_id")
     )
+
+
+MU = 200.0  # Dirichlet pseudo-count, ~avg doc length for this corpus
+
+
+def ql_dirichlet_top_docs(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("dup", "vector", "spark"),
+    k: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_fp, rnk): top-k documents by DIRICHLET-smoothed
+    query likelihood — the language-modeling ranking family next to
+    BM25 (Zhai & Lafferty 2001):
+
+        score(d) = Σ_t ln( (tf_t + μ·ctf_t/T) / (dl + μ) )
+
+    Same scale shape as bm25_top_docs: corpus stats (T, per-term ctf)
+    reduce to ONE broadcast row, per-doc tf is an in-row array fold
+    (no posting explode), top-k is the TakeOrderedAndProject heap.
+    Per-term contributions are floored ·10⁶ BEFORE the per-doc sum
+    (order-free integer accumulation); a term absent from the corpus
+    contributes 0 instead of ln 0."""
+    toks = tokenize(text_col)
+    base = spread(documents).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("bigint").alias(f"ctf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        pc = F.col(f"ctf_{i}").cast("double") / F.col("t_tokens").cast("double")
+        part = F.log(
+            (tf + F.lit(MU) * pc) / (F.col("dl").cast("double") + F.lit(MU))
+        )
+        contribs.append(
+            F.when(
+                F.col(f"ctf_{i}") > 0, F.floor(part * FP).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    ranked = (
+        scored.select("doc_id", score.alias("score_fp"))
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return ranked.select(
+        "doc_id",
+        "score_fp",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .alias("rnk"),
+    ).orderBy("rnk")

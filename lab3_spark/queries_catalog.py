@@ -10886,6 +10886,61 @@ def q_dedup_blocking_quality(spark, sf_dir):
     return blocking_quality(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "ql_dirichlet_top_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_2
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
+             CAST(sum(tf_0) AS BIGINT) AS ctf_0,
+             CAST(sum(tf_1) AS BIGINT) AS ctf_1,
+             CAST(sum(tf_2) AS BIGINT) AS ctf_2
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+        (CASE WHEN ctf_0 > 0 THEN CAST(floor(ln(
+            (CAST(tf_0 AS DOUBLE) + 200.0 * (CAST(ctf_0 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END)
+        + (CASE WHEN ctf_1 > 0 THEN CAST(floor(ln(
+            (CAST(tf_1 AS DOUBLE) + 200.0 * (CAST(ctf_1 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END)
+        + (CASE WHEN ctf_2 > 0 THEN CAST(floor(ln(
+            (CAST(tf_2 AS DOUBLE) + 200.0 * (CAST(ctf_2 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END) AS score_fp
+      FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, score_fp,
+           CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                AS INTEGER) AS rnk
+    FROM scored ORDER BY score_fp DESC, doc_id ASC LIMIT 15
+    """,
+)
+def q_ql_dirichlet_top_docs(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood top-15
+    (retrieval.ql_dirichlet_top_docs): the language-modeling ranking
+    family next to BM25 — one broadcast stats row (T, per-term ctf),
+    in-row tf folds, per-term contributions floored ·10⁶ before the
+    integer per-doc sum, TakeOrderedAndProject heap."""
+    from lab3_spark.operators.retrieval import ql_dirichlet_top_docs
+
+    return ql_dirichlet_top_docs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10918,8 +10973,8 @@ def q_dedup_blocking_quality(spark, sf_dir):
 # region_price_anova, orders_benford_audit, events_cusum_changepoint,
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
 # source_influence_jackknife, embedding_top2_directions,
-# dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality)
-# get NO driver row
+# dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
+# ql_dirichlet_top_docs) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11001,6 +11056,7 @@ _DRIVER_PRIORITY = [
     "dedup_graph_assortativity",
     "dedup_ktruss",
     "dedup_blocking_quality",
+    "ql_dirichlet_top_docs",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -241,3 +241,31 @@ def test_phrase_search_hand_checked(spark):
         for r in phrase_search(docs2, "go go stop").collect()
     }
     assert got2 == {1: (1, 0), 3: (1, 1)}
+
+
+def test_ql_prefers_term_dense_docs(spark):
+    from lab3_spark.operators.retrieval import ql_dirichlet_top_docs
+
+    rows = [
+        (0, "dup dup dup vector filler words here"),
+        (1, "dup filler words here and more filler"),
+        (2, "completely unrelated text with nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [r["doc_id"] for r in ql_dirichlet_top_docs(
+        df, terms=("dup", "vector"), k=3
+    ).collect()]
+    assert got[0] == 0          # densest in query terms ranks first
+    assert got.index(1) < got.index(2)
+
+
+def test_ql_absent_corpus_term_contributes_zero(spark):
+    from lab3_spark.operators.retrieval import ql_dirichlet_top_docs
+
+    df = spark.createDataFrame(
+        [(0, "some words"), (1, "other words")], "doc_id long, text string"
+    )
+    # 'zzz' never occurs: no -inf, scores finite and all docs ranked
+    rows = ql_dirichlet_top_docs(df, terms=("words", "zzz"), k=2).collect()
+    assert len(rows) == 2
+    assert all(r["score_fp"] < 0 for r in rows)  # log-probs are negative
