@@ -215,6 +215,7 @@ HEADLINE = [
     "dedup_ktruss",
     "dedup_blocking_quality",
     "ql_dirichlet_top_docs",
+    "retrieval_rank_agreement",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -361,3 +361,53 @@ def ql_dirichlet_top_docs(
         .over(Window.orderBy(F.desc("score_fp"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+def rank_agreement(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("dup", "vector", "spark"),
+    k: int = 15,
+) -> DataFrame:
+    """One row (k, n_common, jaccard_fp, footrule_fp): agreement
+    between the BM25 and query-likelihood top-k for the same query —
+    overlap (Jaccard of the two doc sets) and Spearman footrule
+    (mean |rank difference| over the COMMON docs, normalized by k) —
+    the standard quick check that two rankers see the same head.
+    High overlap + low footrule ⇒ the rankers agree and fusion (RRF)
+    adds little; divergence is where hybrid retrieval earns its keep.
+
+    Both rankings are k-row frames (TakeOrderedAndProject heads), so
+    the whole comparison is metadata-scale joins."""
+    bm = bm25_top_docs(documents, terms, k).select(
+        "doc_id", F.col("rnk").alias("r1")
+    )
+    ql = ql_dirichlet_top_docs(documents, terms, k).select(
+        "doc_id", F.col("rnk").alias("r2")
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    bm = persist_latest("retrieval.agree.bm", bm)
+    ql = persist_latest("retrieval.agree.ql", ql)
+    common = bm.join(ql, "doc_id")
+    stats = common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).alias("fr_sum"),
+    )
+    n1 = bm.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = ql.agg(F.count(F.lit(1)).alias("n2"))
+    j = stats.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    union_n = F.col("n1") + F.col("n2") - F.col("n_common")
+    jac = F.when(
+        union_n > 0,
+        F.expr(f"CAST(n_common * {10**6} DIV (n1 + n2 - n_common) AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    fr = F.when(
+        F.col("n_common") > 0,
+        F.expr(f"CAST(fr_sum * {10**6} DIV (n_common * {k}) AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return j.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        jac.alias("jaccard_fp"),
+        fr.alias("footrule_fp"),
+    )

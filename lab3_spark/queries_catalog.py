@@ -10941,6 +10941,81 @@ def q_ql_dirichlet_top_docs(spark, sf_dir):
     return ql_dirichlet_top_docs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "retrieval_rank_agreement",
+    f"""
+    WITH {duck_bm25_ctes(k=15, name="bm")},
+    qbase AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_2
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), {OR.DUCK_TOKEN_REGEX}) AS toks
+            FROM documents)
+    ),
+    qstats AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
+             CAST(sum(tf_0) AS BIGINT) AS ctf_0,
+             CAST(sum(tf_1) AS BIGINT) AS ctf_1,
+             CAST(sum(tf_2) AS BIGINT) AS ctf_2
+      FROM qbase
+    ),
+    qscored AS (
+      SELECT doc_id,
+        (CASE WHEN ctf_0 > 0 THEN CAST(floor(ln(
+            (CAST(tf_0 AS DOUBLE) + 200.0 * (CAST(ctf_0 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END)
+        + (CASE WHEN ctf_1 > 0 THEN CAST(floor(ln(
+            (CAST(tf_1 AS DOUBLE) + 200.0 * (CAST(ctf_1 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END)
+        + (CASE WHEN ctf_2 > 0 THEN CAST(floor(ln(
+            (CAST(tf_2 AS DOUBLE) + 200.0 * (CAST(ctf_2 AS DOUBLE)
+               / CAST(t_tokens AS DOUBLE)))
+            / (CAST(dl AS DOUBLE) + 200.0)) * 1000000) AS BIGINT)
+          ELSE 0 END) AS score_fp
+      FROM qbase CROSS JOIN qstats
+    ),
+    ql AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS r2
+      FROM qscored ORDER BY score_fp DESC, doc_id ASC LIMIT 15
+    ),
+    common AS (
+      SELECT count(*) AS n_common,
+             CAST(coalesce(sum(abs(bm.rnk - ql.r2)), 0) AS BIGINT) AS fr_sum
+      FROM bm JOIN ql USING (doc_id)
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM bm) AS n1,
+             (SELECT count(*) FROM ql) AS n2
+    )
+    SELECT CAST(15 AS BIGINT) AS k,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n1 + n2 - n_common > 0
+                THEN n_common * 1000000 // (n1 + n2 - n_common)
+                ELSE 0 END AS BIGINT) AS jaccard_fp,
+           CAST(CASE WHEN n_common > 0
+                THEN fr_sum * 1000000 // (n_common * 15)
+                ELSE 0 END AS BIGINT) AS footrule_fp
+    FROM common, sizes
+    """,
+)
+def q_retrieval_rank_agreement(spark, sf_dir):
+    """BM25 vs query-likelihood rank agreement
+    (retrieval.rank_agreement): Jaccard of the two top-15 doc sets +
+    normalized Spearman footrule over the common docs — where the
+    rankers diverge is where RRF fusion earns its keep.  Both heads
+    are k-row frames; the comparison is metadata-scale joins."""
+    from lab3_spark.operators.retrieval import rank_agreement
+
+    return rank_agreement(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -10974,7 +11049,7 @@ def q_ql_dirichlet_top_docs(spark, sf_dir):
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
 # source_influence_jackknife, embedding_top2_directions,
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
-# ql_dirichlet_top_docs) get NO driver row
+# ql_dirichlet_top_docs, retrieval_rank_agreement) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11057,6 +11132,7 @@ _DRIVER_PRIORITY = [
     "dedup_ktruss",
     "dedup_blocking_quality",
     "ql_dirichlet_top_docs",
+    "retrieval_rank_agreement",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

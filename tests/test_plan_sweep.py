@@ -86,6 +86,7 @@ BNLJ_ALLOWED = {
     "source_influence_jackknife",  # 1-row grand-total broadcast
     "dedup_blocking_quality",  # 1-row truth/cand/caught aggregates
     "ql_dirichlet_top_docs",  # 1-row corpus-stats broadcast (bm25 shape)
+    "retrieval_rank_agreement",  # k-row heads + 1-row size broadcasts
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",

