@@ -216,6 +216,7 @@ HEADLINE = [
     "dedup_blocking_quality",
     "ql_dirichlet_top_docs",
     "retrieval_rank_agreement",
+    "orders_holt_forecast",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

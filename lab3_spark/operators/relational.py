@@ -819,3 +819,57 @@ def region_price_anova(
         ssw.cast("bigint").alias("ssw"),
         f_fp.alias("f_fp"),
     )
+
+
+def holt_forecast(orders: DataFrame, horizon: int = 7) -> DataFrame:
+    """One row (n_days, level, trend_fp, forecast_h): Holt double
+    exponential smoothing (level + trend, α = β = 1/2) over the daily
+    revenue series, with the h-step-ahead forecast ŷ = l_n + h·t_n —
+    the state-space forecasting primitive one step up from the EWMA
+    gate (level only, no trend).
+
+    Determinism: the daily rollup is exact bigint cents; the smoothing
+    is ONE in-row fold over the day-sorted array with a [level, trend]
+    array accumulator — both engines run the identical IEEE recurrence
+    (α = β = 0.5 are exact halvings; the t-update recomputes l'
+    inline, the same expression shape in both engines).  The series
+    frame is |days| rows (bounded by the calendar, not the data), so
+    the collect_list is metadata-scale."""
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_cents()).alias("yc"))
+        .select("d", F.col("yc").cast("double").alias("y"))
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("sv")
+    ).select(
+        F.transform(F.col("sv"), lambda s: s["y"]).alias("ys")
+    )
+    n = F.size("ys")
+    l0 = F.element_at("ys", 1)
+    t0 = F.element_at("ys", 2) - F.element_at("ys", 1)
+    # fold over elements 3..n with [level, trend] accumulator; the
+    # trend update recomputes the new level inline — identical shape
+    # in the oracle so the doubles match bit-for-bit
+    # fold starts at y_1 (the seed level is y_0, so the first update
+    # consumes y_1): on an exactly linear series the state then locks
+    # on (l_i = y_i, t_i = slope) — pinned by test
+    lt = F.aggregate(
+        F.slice("ys", 2, F.greatest(n - 1, F.lit(0))),
+        F.array(l0, t0),
+        lambda acc, y: F.array(
+            0.5 * y + 0.5 * (acc[0] + acc[1]),
+            0.5 * ((0.5 * y + 0.5 * (acc[0] + acc[1])) - acc[0])
+            + 0.5 * acc[1],
+        ),
+    )
+    return series.select(
+        n.cast("bigint").alias("n_days"),
+        F.floor(lt[0]).cast("bigint").alias("level"),
+        F.floor(lt[1] * 100).cast("bigint").alias("trend_fp"),
+        F.floor(lt[0] + F.lit(float(horizon)) * lt[1])
+        .cast("bigint")
+        .alias("forecast_h"),
+    )

@@ -11016,6 +11016,49 @@ def q_retrieval_rank_agreement(spark, sf_dir):
     return rank_agreement(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "orders_holt_forecast",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT list_transform(list_sort(list({d: d, y: y})), s -> s.y) AS ys
+      FROM daily
+    ),
+    folded AS (
+      SELECT len(ys) AS n,
+             list_reduce(
+               [[ys[1], ys[2] - ys[1]]] || list_transform(ys[2:], v -> [v, 0.0]),
+               (acc, e) -> [
+                 0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                 0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2]
+               ]) AS lt
+      FROM series
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(floor(lt[1]) AS BIGINT) AS level,
+           CAST(floor(lt[2] * 100) AS BIGINT) AS trend_fp,
+           CAST(floor(lt[1] + 7.0 * lt[2]) AS BIGINT) AS forecast_h
+    FROM folded
+    """,
+)
+def q_orders_holt_forecast(spark, sf_dir):
+    """Holt double exponential smoothing over daily revenue
+    (relational.holt_forecast): level+trend state-space fold with
+    α=β=1/2 and the 7-day-ahead forecast — one in-row fold over the
+    day-sorted series (|days| rows, calendar-bounded), bit-identical
+    IEEE recurrence in both engines (the t-update recomputes l'
+    inline in the same expression shape; DuckDB seeds list_reduce
+    from the first element, so the [l0, t0] seed rides as a prepended
+    element)."""
+    return REL.holt_forecast(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11049,7 +11092,8 @@ def q_retrieval_rank_agreement(spark, sf_dir):
 # embedding_projection_by_label, orders_mean_bootstrap_ci,
 # source_influence_jackknife, embedding_top2_directions,
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
-# ql_dirichlet_top_docs, retrieval_rank_agreement) get NO driver row
+# ql_dirichlet_top_docs, retrieval_rank_agreement,
+# orders_holt_forecast) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11133,6 +11177,7 @@ _DRIVER_PRIORITY = [
     "dedup_blocking_quality",
     "ql_dirichlet_top_docs",
     "retrieval_rank_agreement",
+    "orders_holt_forecast",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

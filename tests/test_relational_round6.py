@@ -219,3 +219,25 @@ def test_relational_division_hand(spark):
     got = {r["dividend"]: r["n_matched"]
            for r in relational_division(df, "k", "v").collect()}
     assert got == {1: 3, 3: 3}
+
+
+def test_holt_forecast_linear_series_exact(spark):
+    """On an exactly linear series y = 100 + 5·day, Holt locks on:
+    level = last value, trend = slope, forecast = level + 7·slope."""
+    from datetime import date, timedelta
+
+    from lab3_spark.operators.relational import holt_forecast
+
+    base = date(1995, 1, 1)
+    rows = [
+        (i, (100_00 + 5_00 * i) / 100.0, base + timedelta(days=i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+    )
+    r = holt_forecast(df).collect()[0]
+    assert r["n_days"] == 30
+    assert r["level"] == 100_00 + 5_00 * 29   # cents, locked on
+    assert r["trend_fp"] == 5_00 * 100        # slope 5.00/day
+    assert r["forecast_h"] == 100_00 + 5_00 * 36
