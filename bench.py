@@ -217,6 +217,7 @@ HEADLINE = [
     "ql_dirichlet_top_docs",
     "retrieval_rank_agreement",
     "orders_holt_forecast",
+    "nation_trend_robust",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -873,3 +873,80 @@ def holt_forecast(orders: DataFrame, horizon: int = 7) -> DataFrame:
         .cast("bigint")
         .alias("forecast_h"),
     )
+
+
+def nation_trend_robust(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(n_name, n_months, theilsen_fp, mk_s, mk_trend): Theil–Sen
+    robust slope + Mann–Kendall trend statistic of monthly revenue per
+    nation — the ROBUST companions to nation_revenue_ols: Theil–Sen is
+    the median of all pairwise slopes (a single outlier month cannot
+    move it), Mann–Kendall counts concordant minus discordant pairs
+    (distribution-free monotone-trend evidence; |S| large ⇒ trend).
+
+    The pair enumeration is bounded by the CALENDAR, not the data:
+    C(|months|, 2) pairs per nation (~3.5k for 7 years) from the same
+    monthly rollup OLS uses — the fact table is scanned once and never
+    self-joined.  Slopes are exact integers (Δcents·10⁶ DIV Δmonth,
+    positive Δx ⇒ truncation identical in both engines is NOT given
+    for negative numerators — floor-on-double instead); the median is
+    the positional rule on the per-nation slope list; S is an exact
+    bigint sum of sign()."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    monthly = persist_latest(
+        "relational.trend_robust.monthly",
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey
+        )
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(_cents()).alias("y")),
+    )
+    a = monthly.select("n_name", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = monthly.select("n_name", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "n_name").where(F.col("xj") > F.col("xi"))
+    slope = F.floor(
+        (F.col("yj") - F.col("yi")).cast("double")
+        * 1_000_000.0
+        / (F.col("xj") - F.col("xi")).cast("double")
+    ).cast("bigint")
+    sgn = F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("bigint")
+    scored = pairs.select("n_name", slope.alias("s"), sgn.alias("g"))
+    from pyspark.sql.window import Window
+
+    # per-nation positional median over the calendar-bounded slope
+    # list: |pairs| ≤ C(84,2) per nation — the window is bounded by
+    # the calendar, never by the fact table
+    w = Window.partitionBy("n_name").orderBy("s")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    counts = scored.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("np"), F.sum("g").alias("mk_s")
+    )
+    mcounts = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months")
+    )
+    med_idx = F.expr("CAST((np - 1) * 50 DIV 100 AS BIGINT) + 1")
+    return (
+        ranked.join(F.broadcast(counts), "n_name")
+        .join(F.broadcast(mcounts), "n_name")
+        .where(F.col("rk") == med_idx)
+        .select(
+            "n_name",
+            F.col("n_months").cast("bigint").alias("n_months"),
+            F.col("s").alias("theilsen_fp"),
+            F.col("mk_s").cast("bigint").alias("mk_s"),
+            F.signum(F.col("mk_s").cast("double")).cast("int").alias(
+                "mk_trend"
+            ),
+        )
+        .orderBy("n_name")
+    )

@@ -11059,6 +11059,62 @@ def q_orders_holt_forecast(spark, sf_dir):
     return REL.holt_forecast(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "nation_trend_robust",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, x
+    ),
+    pairs AS (
+      SELECT a.n_name,
+             CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+                  / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS s,
+             CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT) AS g
+      FROM monthly a JOIN monthly b
+        ON a.n_name = b.n_name AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT n_name, s,
+             row_number() OVER (PARTITION BY n_name ORDER BY s) AS rk
+      FROM pairs
+    ),
+    counts AS (
+      SELECT n_name, count(*) AS np, CAST(sum(g) AS BIGINT) AS mk_s
+      FROM pairs GROUP BY n_name
+    ),
+    mcounts AS (
+      SELECT n_name, count(*) AS n_months FROM monthly GROUP BY n_name
+    )
+    SELECT r.n_name, CAST(m.n_months AS BIGINT) AS n_months,
+           r.s AS theilsen_fp, c.mk_s,
+           CAST(sign(CAST(c.mk_s AS DOUBLE)) AS INTEGER) AS mk_trend
+    FROM ranked r
+    JOIN counts c ON r.n_name = c.n_name
+    JOIN mcounts m ON r.n_name = m.n_name
+    WHERE r.rk = (c.np - 1) * 50 // 100 + 1
+    ORDER BY r.n_name
+    """,
+)
+def q_nation_trend_robust(spark, sf_dir):
+    """Theil–Sen robust slope + Mann–Kendall trend per nation
+    (relational.nation_trend_robust): pairwise over the CALENDAR-
+    bounded monthly rollup (C(84,2) pairs per nation — the fact table
+    is never self-joined); slope median by the positional rule,
+    S an exact sign sum."""
+    return REL.nation_trend_robust(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11093,7 +11149,7 @@ def q_orders_holt_forecast(spark, sf_dir):
 # source_influence_jackknife, embedding_top2_directions,
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
-# orders_holt_forecast) get NO driver row
+# orders_holt_forecast, nation_trend_robust) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11178,6 +11234,7 @@ _DRIVER_PRIORITY = [
     "ql_dirichlet_top_docs",
     "retrieval_rank_agreement",
     "orders_holt_forecast",
+    "nation_trend_robust",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -241,3 +241,32 @@ def test_holt_forecast_linear_series_exact(spark):
     assert r["level"] == 100_00 + 5_00 * 29   # cents, locked on
     assert r["trend_fp"] == 5_00 * 100        # slope 5.00/day
     assert r["forecast_h"] == 100_00 + 5_00 * 36
+
+
+def test_theilsen_robust_to_outlier(spark):
+    """A single wild month cannot move the Theil-Sen slope (the OLS
+    slope would swing), and Mann-Kendall still reads the trend."""
+    from datetime import date
+
+    from lab3_spark.operators.relational import nation_trend_robust
+
+    # build raw orders: nation A via one customer; y = 1000 + 10*x
+    # cents with one massive outlier at x=6
+    orders = []
+    for m in range(12):
+        amount = (1000 + 10 * m) if m != 6 else 999_999
+        orders.append(
+            (m, 1, amount / 100.0, date(1992, 1 + m % 12, 1))
+        )
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date"
+    )
+    cdf = spark.createDataFrame([(1, 7)], "c_custkey long, c_nationkey long")
+    ndf = spark.createDataFrame([(7, "X")], "n_nationkey long, n_name string")
+    r = nation_trend_robust(odf, cdf, ndf).collect()[0]
+    assert r["n_months"] == 12
+    # true slope 10 cents/month -> 10_000_000 fp; outlier pairs are a
+    # minority so the MEDIAN pairwise slope stays exactly on it
+    assert r["theilsen_fp"] == 10_000_000
+    assert r["mk_trend"] == 1
