@@ -218,6 +218,7 @@ HEADLINE = [
     "retrieval_rank_agreement",
     "orders_holt_forecast",
     "nation_trend_robust",
+    "source_token_gini",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

@@ -1595,3 +1595,45 @@ def zipf_fit(documents: DataFrame, text_col: str = "text") -> DataFrame:
         slope_fp.alias("slope_fp"),
         r2_fp.alias("r2_fp"),
     )
+
+
+def source_token_gini(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_sources, total_tokens, gini_fp): Gini coefficient of
+    token mass across sources — the corpus-concentration audit ("is
+    the training mix dominated by two crawls?") next to the mixture
+    weights (prescriptive) and source entropy (per-source internal
+    diversity).  G = Σ_i (2i − n − 1)·m_i / (n · Σm) over sources
+    sorted ascending by mass; 0 = perfectly even, → 1 = one source
+    holds everything.
+
+    One token-count agg to the |sources|-row frame; the rank window is
+    over that metadata-scale frame; the Gini numerator is an exact
+    bigint sum (masses ≤ total tokens; (2i−n−1) ≤ 2·|sources|), and
+    the single division runs floor-on-double."""
+    masses = (
+        spread(documents)
+        .select("source", F.size(tokenize(text_col)).cast("bigint").alias("m"))
+        .groupBy("source")
+        .agg(F.sum("m").alias("m"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = masses.withColumn(
+        "i", F.row_number().over(Window.orderBy("m", "source"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("t"),
+        F.sum(
+            (2 * F.col("i") - F.lit(1)) * F.col("m")
+        ).alias("wsum"),  # Σ(2i−1)m_i; subtract n·Σm below
+    )
+    gini = (
+        (F.col("wsum") - F.col("n") * F.col("t")).cast("double")
+        / (F.col("n") * F.col("t")).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_sources"),
+        F.col("t").cast("bigint").alias("total_tokens"),
+        F.floor(gini * 1_000_000).cast("bigint").alias("gini_fp"),
+    )

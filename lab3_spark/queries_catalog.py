@@ -11115,6 +11115,38 @@ def q_nation_trend_robust(spark, sf_dir):
     )
 
 
+@query(
+    "source_token_gini",
+    f"""
+    WITH masses AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(lower(text),
+                  {OR.DUCK_TOKEN_REGEX}))) AS BIGINT) AS m
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, source) AS i FROM masses
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(m) AS BIGINT) AS total_tokens,
+           CAST(floor(
+             CAST(sum((2 * i - 1) * m) - count(*) * sum(m) AS DOUBLE)
+             / CAST(count(*) * sum(m) AS DOUBLE) * 1000000
+           ) AS BIGINT) AS gini_fp
+    FROM ranked
+    """,
+)
+def q_source_token_gini(spark, sf_dir):
+    """Gini concentration of token mass across sources
+    (textstats.source_token_gini): the corpus-mix concentration audit.
+    One token-count agg to the |sources| frame; positional formula
+    Σ(2i−n−1)m_i with exact bigint numerator; single floor-on-double
+    division."""
+    from lab3_spark.operators.textstats import source_token_gini
+
+    return source_token_gini(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11149,7 +11181,8 @@ def q_nation_trend_robust(spark, sf_dir):
 # source_influence_jackknife, embedding_top2_directions,
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
-# orders_holt_forecast, nation_trend_robust) get NO driver row
+# orders_holt_forecast, nation_trend_robust, source_token_gini)
+# get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11235,6 +11268,7 @@ _DRIVER_PRIORITY = [
     "retrieval_rank_agreement",
     "orders_holt_forecast",
     "nation_trend_robust",
+    "source_token_gini",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

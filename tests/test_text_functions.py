@@ -486,3 +486,27 @@ def test_zipf_fit_single_type_guarded(spark):
     row = zipf_fit(df).collect()[0]
     assert row["n_types"] == 1
     assert row["slope_fp"] == 0 and row["r2_fp"] == 0  # denx = 0 guard
+
+
+def test_gini_even_and_concentrated(spark):
+    from lab3_spark.operators.textstats import source_token_gini
+
+    # perfectly even: 4 sources x 5 tokens each -> G = 0
+    even = [
+        (i, "alpha bravo carol delta echos", "en", f"s{i % 4}", 30)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        even, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert source_token_gini(df).collect()[0]["gini_fp"] == 0
+    # one source holds ~all mass: G -> (n-1)/n = 0.75 for n=4
+    skew = (
+        [(0, " ".join(["word"] * 97), "en", "big", 1)]
+        + [(i, "word", "en", f"t{i}", 1) for i in (1, 2, 3)]
+    )
+    df2 = spark.createDataFrame(
+        skew, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    g = source_token_gini(df2).collect()[0]["gini_fp"]
+    assert 700_000 <= g <= 750_000
