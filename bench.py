@@ -219,6 +219,7 @@ HEADLINE = [
     "orders_holt_forecast",
     "nation_trend_robust",
     "source_token_gini",
+    "quality_feature_correlations",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

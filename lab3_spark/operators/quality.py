@@ -374,3 +374,88 @@ def source_influence_jackknife(
         )
         .orderBy("source")
     )
+
+
+_QF_NAMES = ("n_tokens", "punct_ratio", "distinct_ratio", "stop_ratio")
+
+
+def quality_feature_correlations(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(feat_a, feat_b, corr_fp): Pearson correlation between every
+    pair of the quality scorer's input features — the feature-
+    engineering audit behind _quality_blend: two features correlating
+    near ±1 are redundant weight (the blend double-counts them), and a
+    feature uncorrelated with everything carries independent signal.
+
+    One corpus scan projects the four features as ·10⁴ fixed-point
+    ints; ONE aggregation collects all 14 moments (4 sums, 4 squares,
+    6 cross-products — exact bigints); the 6 correlations are double
+    expressions over that single broadcast row, emitted long-form via
+    an in-row explode."""
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.textstats import _stop_hits
+
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    dtoks = F.array_distinct(toks)
+    feats = [
+        n_tokens.cast("bigint"),
+        F.floor(
+            F.when(n_chars > 0, punct / n_chars).otherwise(0.0) * 10_000
+        ).cast("bigint"),
+        F.floor(
+            F.when(n_tokens > 0, F.size(dtoks) / n_tokens).otherwise(0.0)
+            * 10_000
+        ).cast("bigint"),
+        F.floor(
+            F.when(
+                F.size(dtoks) > 0, _stop_hits(dtoks) / F.size(dtoks)
+            ).otherwise(0.0)
+            * 10_000
+        ).cast("bigint"),
+    ]
+    base = documents.select(
+        *[f.alias(f"f{i}") for i, f in enumerate(feats)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(f"f{i}").alias(f"s{i}"))
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"p{i}{j}")
+            )
+    mom = base.agg(*aggs)
+
+    def corr(i: int, j: int):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(f"p{i}{j}").cast("double") - F.col(
+            f"s{i}"
+        ).cast("double") * F.col(f"s{j}").cast("double")
+        vi = nd * F.col(f"p{i}{i}").cast("double") - F.col(
+            f"s{i}"
+        ).cast("double") * F.col(f"s{i}").cast("double")
+        vj = nd * F.col(f"p{j}{j}").cast("double") - F.col(
+            f"s{j}"
+        ).cast("double") * F.col(f"s{j}").cast("double")
+        return F.when(
+            (vi > 0) & (vj > 0),
+            F.floor(num / F.sqrt(vi * vj) * 1_000_000).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    pairs = [
+        F.struct(
+            F.lit(_QF_NAMES[i]).alias("feat_a"),
+            F.lit(_QF_NAMES[j]).alias("feat_b"),
+            corr(i, j).alias("corr_fp"),
+        )
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    return (
+        mom.select(F.explode(F.array(*pairs)).alias("pr"))
+        .select("pr.feat_a", "pr.feat_b", "pr.corr_fp")
+        .orderBy("feat_a", "feat_b")
+    )

@@ -11147,6 +11147,57 @@ def q_source_token_gini(spark, sf_dir):
     return source_token_gini(_t(spark, sf_dir, "documents"))
 
 
+def _duck_qf_corr(i: int, j: int, names: tuple[str, ...]) -> str:
+    nd = "CAST(n AS DOUBLE)"
+    num = f"({nd} * p{i}{j} - CAST(s{i} AS DOUBLE) * s{j})"
+    vi = f"({nd} * p{i}{i} - CAST(s{i} AS DOUBLE) * s{i})"
+    vj = f"({nd} * p{j}{j} - CAST(s{j} AS DOUBLE) * s{j})"
+    return (
+        f"SELECT '{names[i]}' AS feat_a, '{names[j]}' AS feat_b,"
+        f" CAST(CASE WHEN {vi} > 0 AND {vj} > 0 THEN"
+        f" floor({num} / sqrt({vi} * {vj}) * 1000000)"
+        f" ELSE 0 END AS BIGINT) AS corr_fp FROM mom"
+    )
+
+
+@query(
+    "quality_feature_correlations",
+    f"""
+    WITH base AS (
+      SELECT CAST(len({_DUCK_TOKS}) AS BIGINT) AS f0,
+             CAST(floor((CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               / length(text) ELSE 0.0 END) * 10000) AS BIGINT) AS f1,
+             CAST(floor((CASE WHEN len({_DUCK_TOKS}) > 0 THEN
+               len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS})
+               ELSE 0.0 END) * 10000) AS BIGINT) AS f2,
+             CAST(floor((CASE WHEN len(list_distinct({_DUCK_TOKS})) > 0 THEN
+               len(list_intersect(list_distinct({_DUCK_TOKS}), {_DUCK_STOP_ARR}))
+               / len(list_distinct({_DUCK_TOKS})) ELSE 0.0 END) * 10000)
+               AS BIGINT) AS f3
+      FROM documents
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+        {", ".join(f"CAST(sum(f{i}) AS BIGINT) AS s{i}" for i in range(4))},
+        {", ".join(f"CAST(sum(f{i} * f{j}) AS BIGINT) AS p{i}{j}" for i in range(4) for j in range(i, 4))}
+      FROM base
+    )
+    {" UNION ALL ".join(_duck_qf_corr(i, j, ("n_tokens", "punct_ratio", "distinct_ratio", "stop_ratio")) for i in range(4) for j in range(i + 1, 4))}
+    ORDER BY feat_a, feat_b
+    """,
+)
+def q_quality_feature_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the quality scorer's input
+    features (quality.quality_feature_correlations): the feature-
+    engineering audit behind _quality_blend — near-±1 pairs are
+    double-counted weight.  One scan, ONE 14-moment aggregation,
+    six double expressions over the broadcast row."""
+    from lab3_spark.operators.quality import quality_feature_correlations
+
+    return quality_feature_correlations(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11181,8 +11232,8 @@ def q_source_token_gini(spark, sf_dir):
 # source_influence_jackknife, embedding_top2_directions,
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
-# orders_holt_forecast, nation_trend_robust, source_token_gini)
-# get NO driver row
+# orders_holt_forecast, nation_trend_robust, source_token_gini,
+# quality_feature_correlations) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11269,6 +11320,7 @@ _DRIVER_PRIORITY = [
     "orders_holt_forecast",
     "nation_trend_robust",
     "source_token_gini",
+    "quality_feature_correlations",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

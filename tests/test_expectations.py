@@ -236,3 +236,30 @@ def test_jackknife_influence_signs(spark):
     # LOO means are the other group's mean exactly
     assert got["bad"]["loo_mean_fp"] == got["good"]["mean_q_fp"]
     assert got["good"]["loo_mean_fp"] == got["bad"]["mean_q_fp"]
+
+
+def test_feature_correlations_planted(spark):
+    from lab3_spark.operators.quality import quality_feature_correlations
+
+    # texts engineered so n_tokens and distinct_ratio anti-correlate
+    # (longer docs repeat the same word); punct constant -> corr 0
+    rows = []
+    for i in range(30):
+        n = 3 + i
+        # i distinct words then padding repeats of the first word
+        words = [f"w{j}abc" for j in range(3)] + ["w0abc"] * (n - 3)
+        rows.append((i, " ".join(words), "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["feat_a"], r["feat_b"]): r["corr_fp"]
+        for r in quality_feature_correlations(df).collect()
+    }
+    assert len(got) == 6
+    assert got[("n_tokens", "distinct_ratio")] < -800_000  # strong anti
+    # punct_ratio is ~constant across docs -> its correlations are
+    # zero-variance-guarded or tiny
+    for (a, b), v in got.items():
+        if "punct_ratio" in (a, b):
+            assert abs(v) < 300_000
