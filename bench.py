@@ -220,6 +220,8 @@ HEADLINE = [
     "nation_trend_robust",
     "source_token_gini",
     "quality_feature_correlations",
+    "events_hourly_acf",
+    "events_decayed_leaderboard",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

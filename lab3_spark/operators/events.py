@@ -1476,3 +1476,110 @@ def cusum_changepoint(events: DataFrame, value_col: str = "value") -> DataFrame:
         F.max(F.abs("c")).alias("cusum_abs_max"),
         F.max("n").cast("bigint").alias("n_hours"),
     )
+
+
+def hourly_acf(events: DataFrame, max_lag: int = 24) -> DataFrame:
+    """(lag, n_hours, acf): autocorrelation of the hourly event-count
+    series at lags 1..max_lag — the seasonality detector (a peak at
+    lag 24 = daily cycle) next to lagged_xcorr (which correlates two
+    DIFFERENT series).  Same machinery: densified hour spine, ONE
+    shifted-key equi-join for all lags, exact bigint moments per lag,
+    r as one double expression."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    hourly = (
+        events.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    spine = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    dense = persist_latest(
+        "events.acf.dense",
+        spine.join(hourly, "h", "left").select(
+            "h", F.coalesce("x", F.lit(0)).alias("x")
+        ),
+    )
+    lags = F.array(*[F.lit(l) for l in range(1, max_lag + 1)])
+    a = dense.select("h", "x", F.explode(lags).alias("lag"))
+    pairs = a.join(
+        dense.select(F.col("h").alias("h2"), F.col("x").alias("y")),
+        F.col("h2") == F.col("h") + F.col("lag"),
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    acf = F.when(
+        (vx > 0) & (vy > 0), trunc(num / F.sqrt(vx * vy), 6)
+    ).otherwise(F.lit(0.0))
+    return mom.select(
+        "lag", F.col("n").alias("n_hours"), acf.alias("acf")
+    ).orderBy("lag")
+
+
+def decayed_leaderboard(events: DataFrame, half_life_days: int = 1) -> DataFrame:
+    """(event_type, raw_count, decayed_fp, rnk): event types ranked by
+    exponentially time-decayed count — the trending-now leaderboard
+    where yesterday counts half as much as today.
+
+    The decayed sum is EXACT: with a power-of-two half-life, weight
+    2^(CAP − age) is an INTEGER (age in whole half-life units from the
+    newest day, capped at CAP=20 — older rows saturate at weight 1,
+    i.e. a documented 2⁻²⁰ decay floor — so Σ ≤ 2²⁰·N fits int64 to
+    ~10¹² rows), and the per-type decayed mass is one exact bigint sum
+    — no float decay per row, no summation-order hazard.  Only the
+    final ·10⁶ normalization runs in double (one expression, mirrored
+    in the oracle)."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from pyspark.sql.window import Window
+
+    CAP = 20
+    aged = events.select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    d1 = aged.agg(F.max("d").alias("_d1"))
+    w = (
+        aged.crossJoin(F.broadcast(d1))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    F.datediff("_d1", "d") / F.lit(half_life_days)
+                ).cast("int"),
+                F.lit(CAP),
+            ).alias("age"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"shiftleft(1L, {CAP} - age)").alias("w"),
+        )
+    )
+    scored = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("raw_count"),
+        F.sum("w").alias("wsum"),
+    )
+    decayed = F.floor(
+        F.col("wsum").cast("double") * 1_000_000.0 / float(1 << CAP)
+    ).cast("bigint")
+    return (
+        scored.select(
+            "event_type", "raw_count", decayed.alias("decayed_fp")
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("decayed_fp"), F.asc("event_type"))
+            ),
+        )
+        .orderBy("rnk")
+    )

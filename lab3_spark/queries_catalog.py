@@ -11198,6 +11198,88 @@ def q_quality_feature_correlations(spark, sf_dir):
     return quality_feature_correlations(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "events_hourly_acf",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(min(h), max(h) + 1)) AS h FROM hourly),
+    dense AS MATERIALIZED (
+      SELECT s.h, coalesce(c.x, 0) AS x
+      FROM spine s LEFT JOIN hourly c ON s.h = c.h
+    ),
+    pairs AS (
+      SELECT l.lag, a.x, b.x AS y
+      FROM dense a, (SELECT unnest(range(1, 25)) AS lag) l
+      JOIN dense b ON b.h = a.h + l.lag
+    ),
+    mom AS (
+      SELECT lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_hours,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor(
+                  (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000
+                ) / 1000000
+                ELSE 0.0 END AS acf
+    FROM mom ORDER BY lag
+    """,
+)
+def q_events_hourly_acf(spark, sf_dir):
+    """Autocorrelation function of hourly event counts at lags 1..24
+    (events.hourly_acf): the seasonality detector — a peak at lag 24
+    is the daily cycle.  Densified spine, one shifted-key equi-join
+    for all lags, exact bigint moments."""
+    from lab3_spark.operators.events import hourly_acf
+
+    return hourly_acf(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_decayed_leaderboard",
+    """
+    WITH d1 AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(1 AS BIGINT) << (20 - least(
+               CAST(floor(datediff('day', CAST(ts AS DATE), d1.d1) / 1)
+                    AS INTEGER), 20)) AS w
+      FROM events, d1
+    ),
+    scored AS (
+      SELECT event_type, count(*) AS raw_count,
+             CAST(sum(w) AS BIGINT) AS wsum
+      FROM w GROUP BY event_type
+    )
+    SELECT event_type, raw_count,
+           CAST(floor(CAST(wsum AS DOUBLE) * 1000000.0 / 1048576.0)
+                AS BIGINT) AS decayed_fp,
+           CAST(row_number() OVER (
+             ORDER BY floor(CAST(wsum AS DOUBLE) * 1000000.0 / 1048576.0)
+               DESC, event_type ASC) AS INTEGER) AS rnk
+    FROM scored ORDER BY rnk
+    """,
+)
+def q_events_decayed_leaderboard(spark, sf_dir):
+    """Exponentially time-decayed event-type leaderboard
+    (events.decayed_leaderboard): half-life decay with EXACT integer
+    weights 2^(20−age) (power-of-two half-life ⇒ no per-row float
+    decay, no summation-order hazard; 2⁻²⁰ saturation floor
+    documented); one combinable agg, final normalize one double
+    expression."""
+    from lab3_spark.operators.events import decayed_leaderboard
+
+    return decayed_leaderboard(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11233,7 +11315,8 @@ def q_quality_feature_correlations(spark, sf_dir):
 # dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
 # orders_holt_forecast, nation_trend_robust, source_token_gini,
-# quality_feature_correlations) get NO driver row
+# quality_feature_correlations, events_hourly_acf,
+# events_decayed_leaderboard) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11321,6 +11404,8 @@ _DRIVER_PRIORITY = [
     "nation_trend_robust",
     "source_token_gini",
     "quality_feature_correlations",
+    "events_hourly_acf",
+    "events_decayed_leaderboard",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -215,3 +215,53 @@ def test_benford_organic_vs_truncated(spark):
     got2 = {r["digit"]: r for r in benford_first_digit(df2).collect()}
     assert set(got2) == {4}
     assert got2[4]["observed_fp"] == 1_000_000
+
+
+def test_acf_detects_periodicity(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import hourly_acf
+
+    # 6-hour cycle: counts [9,1,1,1,1,1] repeating for 96 hours
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(96):
+        n = 9 if hour % 6 == 0 else 1
+        for _ in range(n):
+            rows.append((eid, base + timedelta(hours=hour), 1, "view", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["lag"]: r["acf"] for r in hourly_acf(df, max_lag=12).collect()}
+    assert got[6] > 0.95 and got[12] > 0.95   # the cycle and its double
+    assert got[3] < 0                          # anti-phase
+
+
+def test_decayed_leaderboard_recency_beats_volume(spark):
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import decayed_leaderboard
+
+    newest = datetime(2024, 1, 10)
+    rows = []
+    eid = 0
+    # 'old' has 100 events 10 days ago (weight 2^-10 each);
+    # 'fresh' has 5 events today -> decayed 5 > 100/1024
+    for _ in range(100):
+        rows.append((eid, newest - timedelta(days=10), 1, "old", 0.0, "{}")); eid += 1
+    for _ in range(5):
+        rows.append((eid, newest, 1, "fresh", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = [(r["event_type"], r["rnk"]) for r in decayed_leaderboard(df).collect()]
+    assert got[0] == ("fresh", 1)  # recency wins despite 20x volume
+    d = {r["event_type"]: r["decayed_fp"] for r in decayed_leaderboard(df).collect()}
+    assert d["fresh"] == 5_000_000           # 5 full-weight events
+    assert d["old"] == 100 * 10**6 // 1024   # exactly 2^-10 decayed

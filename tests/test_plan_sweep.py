@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "ql_dirichlet_top_docs",  # 1-row corpus-stats broadcast (bm25 shape)
     "retrieval_rank_agreement",  # k-row heads + 1-row size broadcasts
     "quality_feature_correlations",  # 1-row 14-moment broadcast
+    "events_decayed_leaderboard",  # 1-row newest-day broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
