@@ -1208,6 +1208,19 @@ def weekly_churn(events: DataFrame) -> DataFrame:
     )
 
 
+def _pearson_trunc(digits: int = 6):
+    """Pearson r from the five exact-bigint moment columns
+    (n, sx, sy, sxx, syy, sxy) — shared by lagged_xcorr and
+    hourly_acf so the moments→r expression cannot drift between the
+    cross- and auto-correlation forms."""
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return F.when(
+        (vx > 0) & (vy > 0), trunc(num / F.sqrt(vx * vy), digits)
+    ).otherwise(F.lit(0.0))
+
+
 def lagged_xcorr(
     events: DataFrame,
     type_x: str = "view",
@@ -1272,14 +1285,8 @@ def lagged_xcorr(
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    corr = F.when(
-        (vx > 0) & (vy > 0), trunc(num / F.sqrt(vx * vy), 6)
-    ).otherwise(F.lit(0.0))
     return mom.select(
-        "lag", F.col("n").alias("n_hours"), corr.alias("corr")
+        "lag", F.col("n").alias("n_hours"), _pearson_trunc().alias("corr")
     ).orderBy("lag")
 
 
@@ -1516,14 +1523,8 @@ def hourly_acf(events: DataFrame, max_lag: int = 24) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    acf = F.when(
-        (vx > 0) & (vy > 0), trunc(num / F.sqrt(vx * vy), 6)
-    ).otherwise(F.lit(0.0))
     return mom.select(
-        "lag", F.col("n").alias("n_hours"), acf.alias("acf")
+        "lag", F.col("n").alias("n_hours"), _pearson_trunc().alias("acf")
     ).orderBy("lag")
 
 
