@@ -222,6 +222,7 @@ HEADLINE = [
     "quality_feature_correlations",
     "events_hourly_acf",
     "events_decayed_leaderboard",
+    "events_seasonal_decomposition",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

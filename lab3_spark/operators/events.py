@@ -1584,3 +1584,66 @@ def decayed_leaderboard(events: DataFrame, half_life_days: int = 1) -> DataFrame
         )
         .orderBy("rnk")
     )
+
+
+def seasonal_profile_decomposed(events: DataFrame) -> DataFrame:
+    """(hod, n_obs, seasonal_fp): hour-of-day seasonal indices after
+    DETRENDING — the STL-lite decomposition: a centered 24-hour moving
+    average estimates the trend, and the seasonal index is the mean
+    DETRENDED count per hour-of-day.  Unlike the raw weekday/hour
+    profile (events_weekday_hour_profile), this survives a growing
+    corpus: a rising trend inflates every raw hourly mean but cancels
+    in the detrended residual.
+
+    All-integer core: the trend is the textbook SYMMETRIC 2×24 MA
+    (the average of the two adjacent 24-windows — an even window is
+    otherwise off-center and leaks a linear-trend ramp into the
+    indices, which the planted-trend test caught on the asymmetric
+    first try), so detrended d_h = 48·x_h − (Σ[−12,+11] + Σ[−11,+12])
+    stays exactly integer; only hours with both FULL windows
+    contribute; the final per-hod mean divides once, floor-on-double
+    (signed).  The windows run over the dense |hours| spine —
+    calendar-bounded metadata, never events."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import persist_latest
+
+    hourly = (
+        events.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    spine = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    dense = persist_latest(
+        "events.seasonal_decomp.dense",
+        spine.join(hourly, "h", "left").select(
+            "h", F.coalesce("x", F.lit(0)).alias("x")
+        ),
+    )
+    wa = Window.orderBy("h").rowsBetween(-12, 11)
+    wb = Window.orderBy("h").rowsBetween(-11, 12)
+    det = dense.select(
+        "h",
+        (
+            F.col("x") * 48 - F.sum("x").over(wa) - F.sum("x").over(wb)
+        ).alias("d"),
+        (F.count(F.lit(1)).over(wa) + F.count(F.lit(1)).over(wb)).alias("wn"),
+    ).where(F.col("wn") == 48)
+    return (
+        det.groupBy((F.col("h") % 24).alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.sum("d").alias("sd"))
+        .select(
+            "hod",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.floor(
+                F.col("sd").cast("double")
+                / F.col("n_obs").cast("double")
+                / 48.0
+                * 10_000
+            ).cast("bigint").alias("seasonal_fp"),
+        )
+        .orderBy("hod")
+    )

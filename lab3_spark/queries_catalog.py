@@ -11280,6 +11280,51 @@ def q_events_decayed_leaderboard(spark, sf_dir):
     return decayed_leaderboard(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_seasonal_decomposition",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(min(h), max(h) + 1)) AS h FROM hourly),
+    dense AS MATERIALIZED (
+      SELECT s.h, coalesce(c.x, 0) AS x
+      FROM spine s LEFT JOIN hourly c ON s.h = c.h
+    ),
+    det AS (
+      SELECT h,
+             x * 48
+               - sum(x) OVER (ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+               - sum(x) OVER (ORDER BY h
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS d,
+             count(*) OVER (ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+               + count(*) OVER (ORDER BY h
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS wn
+      FROM dense
+    )
+    SELECT h % 24 AS hod, count(*) AS n_obs,
+           CAST(floor(CAST(sum(d) AS DOUBLE) / count(*) / 48.0 * 10000)
+                AS BIGINT) AS seasonal_fp
+    FROM det WHERE wn = 48
+    GROUP BY 1 ORDER BY hod
+    """,
+)
+def q_events_seasonal_decomposition(spark, sf_dir):
+    """STL-lite hour-of-day seasonal indices after SYMMETRIC 2×24-MA
+    detrending (events.seasonal_profile_decomposed): ×48 scaling keeps
+    the detrended residual exactly integer and the symmetric window
+    cancels linear trend exactly; only full windows contribute; one
+    floor-on-double division per hod.  Windows run over the
+    calendar-bounded dense spine, never over events."""
+    from lab3_spark.operators.events import seasonal_profile_decomposed
+
+    return seasonal_profile_decomposed(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11316,7 +11361,8 @@ def q_events_decayed_leaderboard(spark, sf_dir):
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
 # orders_holt_forecast, nation_trend_robust, source_token_gini,
 # quality_feature_correlations, events_hourly_acf,
-# events_decayed_leaderboard) get NO driver row
+# events_decayed_leaderboard, events_seasonal_decomposition) get NO
+# driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11406,6 +11452,7 @@ _DRIVER_PRIORITY = [
     "quality_feature_correlations",
     "events_hourly_acf",
     "events_decayed_leaderboard",
+    "events_seasonal_decomposition",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -265,3 +265,35 @@ def test_decayed_leaderboard_recency_beats_volume(spark):
     d = {r["event_type"]: r["decayed_fp"] for r in decayed_leaderboard(df).collect()}
     assert d["fresh"] == 5_000_000           # 5 full-weight events
     assert d["old"] == 100 * 10**6 // 1024   # exactly 2^-10 decayed
+
+
+def test_seasonal_decomposition_removes_trend(spark):
+    """A linearly GROWING series with a planted hour-of-day cycle:
+    detrending must recover the cycle shape (peak hod positive,
+    others negative) even though raw counts rise throughout."""
+    from datetime import datetime, timedelta
+
+    from lab3_spark.operators.events import seasonal_profile_decomposed
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(24 * 6):
+        n = 2 + hour // 24 + (8 if hour % 24 == 5 else 0)  # trend + spike at hod 5
+        for _ in range(n):
+            rows.append((eid, base + timedelta(hours=hour), 1, "view", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["hod"]: r["seasonal_fp"] for r in seasonal_profile_decomposed(df).collect()}
+    assert len(got) == 24
+    assert got[5] > 60_000                  # spike hod ~ +7.9 counts
+    # the day-STAIRCASE trend aliases a small (< 1 count) ramp into
+    # the indices — correct estimator behavior on a non-linear trend;
+    # the planted spike must dominate everything else by an order of
+    # magnitude and the non-spike indices must stay sub-count
+    assert all(abs(v) < 10_000 for h, v in got.items() if h != 5)
+    assert got[5] > 6 * max(abs(v) for h, v in got.items() if h != 5)
