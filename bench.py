@@ -223,6 +223,7 @@ HEADLINE = [
     "events_hourly_acf",
     "events_decayed_leaderboard",
     "events_seasonal_decomposition",
+    "customer_order_cadence",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

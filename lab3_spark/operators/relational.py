@@ -950,3 +950,56 @@ def nation_trend_robust(
         )
         .orderBy("n_name")
     )
+
+
+def order_cadence(orders: DataFrame) -> DataFrame:
+    """One row (n_gaps, p50_days, p95_days, mean_days_fp): the
+    distribution of days BETWEEN consecutive orders per customer —
+    purchase cadence, the CRM metric behind reorder nudges and churn
+    windows (weekly_churn counts who left; cadence says when to
+    expect them back).
+
+    One customer-partitioned lag pass (co-partitioned window, never
+    global), then EXACT percentiles from the counts-of-counts
+    histogram of gap lengths — |distinct gap values| rows (bounded by
+    the calendar span in days), the join_skew_report machinery — so
+    no rank pass over the gaps themselves."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.datediff("o_orderdate", "prev").cast("bigint").alias("g"))
+    )
+    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("m"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("m").over(
+            Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    stats = hist.agg(
+        F.sum("m").alias("n"), F.sum(F.col("g") * F.col("m")).alias("s")
+    )
+    picks = cum.crossJoin(F.broadcast(stats)).select(
+        "g",
+        "cum",
+        "n",
+        "s",
+        F.expr("CAST((n - 1) * 50 DIV 100 AS BIGINT) + 1").alias("i50"),
+        F.expr("CAST((n - 1) * 95 DIV 100 AS BIGINT) + 1").alias("i95"),
+    )
+    return picks.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(F.when(F.col("cum") >= F.col("i50"), F.col("g"))).alias(
+            "p50_days"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("i95"), F.col("g"))).alias(
+            "p95_days"
+        ),
+        F.expr(f"CAST(max(s) * {10**4} DIV max(n) AS BIGINT)").alias(
+            "mean_days_fp"
+        ),
+    )

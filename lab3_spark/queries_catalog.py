@@ -11325,6 +11325,40 @@ def q_events_seasonal_decomposition(spark, sf_dir):
     return seasonal_profile_decomposed(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "customer_order_cadence",
+    """
+    WITH gaps AS (
+      SELECT datediff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS g
+      FROM orders
+      QUALIFY g IS NOT NULL
+    ),
+    hist AS (SELECT g, count(*) AS m FROM gaps GROUP BY g),
+    cum AS (
+      SELECT g, m, sum(m) OVER (ORDER BY g) AS cum,
+             sum(m) OVER () AS n, sum(g * m) OVER () AS s
+      FROM hist
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1
+                    THEN g END) AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN cum >= (n - 1) * 95 // 100 + 1
+                    THEN g END) AS BIGINT) AS p95_days,
+           CAST(max(s) * 10000 // max(n) AS BIGINT) AS mean_days_fp
+    FROM cum
+    """,
+)
+def q_customer_order_cadence(spark, sf_dir):
+    """Inter-order gap distribution (relational.order_cadence): one
+    customer-partitioned lag pass, then EXACT p50/p95 from the
+    counts-of-counts histogram of gap lengths (|distinct gaps| rows,
+    calendar-bounded — the join_skew_report machinery)."""
+    return REL.order_cadence(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11361,8 +11395,8 @@ def q_events_seasonal_decomposition(spark, sf_dir):
 # ql_dirichlet_top_docs, retrieval_rank_agreement,
 # orders_holt_forecast, nation_trend_robust, source_token_gini,
 # quality_feature_correlations, events_hourly_acf,
-# events_decayed_leaderboard, events_seasonal_decomposition) get NO
-# driver row
+# events_decayed_leaderboard, events_seasonal_decomposition,
+# customer_order_cadence) get NO driver row
 # this round (all verified green locally via tools/verify_local.py
 # --bare) — lead round 7's window with them.
 _DRIVER_PRIORITY = [
@@ -11453,6 +11487,7 @@ _DRIVER_PRIORITY = [
     "events_hourly_acf",
     "events_decayed_leaderboard",
     "events_seasonal_decomposition",
+    "customer_order_cadence",
     # -- re-confirmations (fill to 50; new r6 gates get inserted above
     #    this block as they land, displacing the tail) -------------------
     "word_count",

@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "retrieval_rank_agreement",  # k-row heads + 1-row size broadcasts
     "quality_feature_correlations",  # 1-row 14-moment broadcast
     "events_decayed_leaderboard",  # 1-row newest-day broadcast
+    "customer_order_cadence",  # 1-row gap-stats broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",

@@ -270,3 +270,30 @@ def test_theilsen_robust_to_outlier(spark):
     # minority so the MEDIAN pairwise slope stays exactly on it
     assert r["theilsen_fp"] == 10_000_000
     assert r["mk_trend"] == 1
+
+
+def test_order_cadence_hand_case(spark):
+    from datetime import date
+
+    from lab3_spark.operators.relational import order_cadence
+
+    # customer 1: orders at day 0, 10, 20, 90 -> gaps 10, 10, 70
+    # customer 2: single order -> no gap
+    rows = [
+        (1, 1, 1.0, date(1995, 1, 1)),
+        (2, 1, 1.0, date(1995, 1, 11)),
+        (3, 1, 1.0, date(1995, 1, 21)),
+        (4, 1, 1.0, date(1995, 4, 1)),
+        (5, 2, 1.0, date(1995, 6, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date"
+    )
+    r = order_cadence(df).collect()[0]
+    assert r["n_gaps"] == 3
+    assert r["p50_days"] == 10       # position 2 of [10, 10, 70]
+    # the engine-wide positional rule is (n-1)*p DIV 100 + 1 (the
+    # ship_latency convention): for n=3, p95 -> position 2, not 3
+    assert r["p95_days"] == 10
+    assert r["mean_days_fp"] == 300_000  # mean 30.0 days
