@@ -224,6 +224,15 @@ HEADLINE = [
     "events_decayed_leaderboard",
     "events_seasonal_decomposition",
     "customer_order_cadence",
+    # round-7 additions
+    "dedup_simhash_blocking",
+    "dedup_cross_source",
+    "dataset_split_manifest",
+    "quality_kappa",
+    "vocab_coverage_curve",
+    "bpe_merge_candidates",
+    "source_vocab_overlap",
+    "orders_winsorized_stats",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow
@@ -326,17 +335,21 @@ def main() -> None:
     warm = {n: min(ts[1:]) for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver archives only the LAST ~2 KB of this
+    # line, so the headline scalars (value/metric/unit/sf) must come
+    # AFTER the bulky per-query maps or they are truncated away from
+    # every BENCH_rN.json (r1-r6 all lost the total this way).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "cold": cold,
                 "warm": warm,
                 "memo_served": sorted(memo_served),
+                "unit": "sec",
+                "metric": "headline_queries_total_wall_sec",
                 "sf": float(sf),
+                "value": total,
             }
         )
     )

@@ -358,6 +358,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_source_near_dups(
+    documents: DataFrame,
+    text_col: str = "text",
+    label_col: str = "source",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """(doc_a, doc_b, source_a, source_b, jaccard): verified near-dup
+    pairs whose two sides come from DIFFERENT sources — the record-
+    linkage / cross-crawl-contamination view of the dedup pipeline
+    (the same page scraped by two crawls, a benchmark leaking into a
+    web dump).  Within-source duplicates are the exact-dedup stage's
+    job; what a mixture designer needs is the BETWEEN-source overlap.
+
+    Reuses the whole candidate→verify machinery (banded MinHash LSH →
+    exact shingle Jaccard on candidates only) and joins the two tiny
+    (doc_id, source) projections afterward — the label join is on the
+    verified pair list (candidate-scale), never the corpus pair space."""
+    pairs = ngram_jaccard_pairs(documents, text_col, min_jaccard)
+    labels = documents.select("doc_id", F.col(label_col))
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col(label_col).alias("source_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col(label_col).alias("source_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash_bitsum_partials(occurrences: DataFrame) -> DataFrame:
     """Per-Arrow-batch partial SimHash bit sums: (doc_id, s0..s59),
     one row per document PER BATCH (not per token occurrence).
@@ -1341,6 +1375,36 @@ def blocking_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     RR's denominator is arithmetic."""
     from lab3_spark.functions.partitioning import persist_latest
 
+    cand = persist_latest(
+        "dedup.blocking.cand", minhash_candidates(documents, text_col)
+    )
+    return _blocking_metrics(documents, cand, text_col)
+
+
+def simhash_blocking_quality(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """blocking_quality for the SIMHASH blocker (4×15-bit pigeonhole
+    chunks + hamming ≤ 3 verify) — same PC/RR metrics, same exact-
+    fingerprint truth set, so the two candidate generators the engine
+    ships are judged on one scale.  Exact duplicates are hamming-0 and
+    land in every chunk bucket, so PC = 1 unless a bucket cap drops a
+    pathological mass; RR measures how much tighter the 60-bit
+    signature blocks than MinHash bands."""
+    from lab3_spark.functions.partitioning import persist_latest
+
+    cand = persist_latest(
+        "dedup.blocking.simcand",
+        simhash_near_pairs(documents, text_col).select("doc_a", "doc_b"),
+    )
+    return _blocking_metrics(documents, cand, text_col)
+
+
+def _blocking_metrics(
+    documents: DataFrame, cand: DataFrame, text_col: str
+) -> DataFrame:
+    from lab3_spark.functions.partitioning import persist_latest
+
     fp = persist_latest(
         "dedup.blocking.fp",
         documents.select(
@@ -1351,9 +1415,6 @@ def blocking_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.expr("g * (g - 1) DIV 2")).alias("n_true"),
         F.sum("g").alias("n_docs"),
     )
-    cand = persist_latest(
-        "dedup.blocking.cand", minhash_candidates(documents, text_col)
-    )
     caught = (
         cand.join(fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa")), "doc_a")
         .join(fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb")), "doc_b")
@@ -1362,14 +1423,20 @@ def blocking_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     j = truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(caught))
-    pairs_total = F.expr("n_docs * (n_docs - 1) DIV 2")
     pc = F.when(
         F.col("n_true") > 0,
         F.expr(f"CAST(n_caught * {10**6} DIV n_true AS BIGINT)"),
     ).otherwise(F.lit(1_000_000).cast("bigint"))
-    rr = F.lit(1_000_000).cast("bigint") - F.expr(
-        f"CAST(n_cand * {10**6} DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT)"
-    )
+    # guard like the pc_fp branch: a 1-doc corpus has zero possible
+    # pairs, so RR is vacuously perfect rather than a divide-by-zero
+    rr = F.when(
+        F.col("n_docs") > 1,
+        F.lit(1_000_000).cast("bigint")
+        - F.expr(
+            f"CAST(n_cand * {10**6} DIV (n_docs * (n_docs - 1) DIV 2)"
+            " AS BIGINT)"
+        ),
+    ).otherwise(F.lit(1_000_000).cast("bigint"))
     return j.select(
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_true").cast("bigint").alias("n_true_pairs"),

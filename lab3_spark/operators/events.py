@@ -97,6 +97,66 @@ def approx_dau(events: DataFrame, rsd: float = 0.01) -> DataFrame:
     )
 
 
+def approx_dau_check(events: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """(day, dau_exact, within_5pct): the HLL++ estimate gated against
+    the exact count — the driver-hashable form of the sketch contract.
+    The estimate itself is engine-specific (no SQL oracle can produce
+    it), but `|est − exact| ≤ 5% · exact` IS oracle-expressible: the
+    oracle emits the exact counts plus literal TRUE, so a sketch whose
+    error ever exceeds the bound flips the boolean and the hash.  Both
+    sides integer-exact: abs(est−exact)·20 ≤ exact avoids floats."""
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("_est"),
+        )
+        .select(
+            "day",
+            "dau_exact",
+            (
+                F.abs(F.col("_est") - F.col("dau_exact")) * 20
+                <= F.col("dau_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
+def hll_merge_check(events: DataFrame) -> DataFrame:
+    """(day, dau_exact, daily_within_5pct, total_within_5pct): the
+    mergeable DataSketches-HLL pipeline (hll_daily_merge) gated against
+    exact counts — per-day sketch estimates AND the cross-day union
+    estimate must each land within 5% of their exact twins.  This is
+    the driver-hashable contract for the 'sketch once, union cheaply'
+    path: the union estimate is checked against the exact ALL-DAYS
+    distinct (which the sketch union approximates without rescanning)."""
+    est = hll_daily_merge(events)
+    exact = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau_exact"))
+    total_exact = events.agg(
+        F.countDistinct("user_id").alias("_total_exact")
+    )
+    return (
+        est.join(exact, "day")
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            "day",
+            "dau_exact",
+            (
+                F.abs(F.col("est_users") - F.col("dau_exact")) * 20
+                <= F.col("dau_exact")
+            ).alias("daily_within_5pct"),
+            (
+                F.abs(F.col("est_users_total") - F.col("_total_exact")) * 20
+                <= F.col("_total_exact")
+            ).alias("total_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
 def hll_daily_merge(events: DataFrame) -> DataFrame:
     """(day, est_users, est_users_total): Apache DataSketches HLL as a
     MERGEABLE sketch column (Spark 4 `hll_sketch_agg` /

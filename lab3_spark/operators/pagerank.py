@@ -223,6 +223,9 @@ def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
     top-k per role is a TakeOrderedAndProject heap."""
     from lab3_spark.functions.partitioning import persist_latest
 
+    if n_iter < 1:  # auths is only bound inside the loop
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+
     # persisted: the edge list is probed 2× per round
     edges = persist_latest("pagerank.hits.edges", edges)
     src_nodes = edges.select(F.col("src").alias("node")).distinct()

@@ -225,33 +225,39 @@ def poisson_bootstrap_ci(
     limit and needs NO coordination — each row computes its B weights
     locally and one combinable agg per resample does the rest.
 
-    Determinism: the Poisson draw is inverse-CDF over the portable md5
-    uniform (u = h % 10⁶ against the literal CDF ladder — no runtime
-    exp/random in either engine); resample means are exact-bigint
-    cents with truncating division (values positive ⇒ Spark DIV ==
-    DuckDB //); the CI picks are positional ranks 1 and B−1 of the
-    B-row means frame (metadata-scale sort)."""
+    Determinism: the Poisson draw is inverse-CDF over a portable
+    uniform (u against the literal CDF ladder — no runtime exp/random
+    in either engine); resample means are exact-bigint cents with
+    truncating division (values positive ⇒ Spark DIV == DuckDB //);
+    the CI picks are positional ranks 1 and B−1 of the B-row means
+    frame (metadata-scale sort).
+
+    The uniform is ONE md5 per row mixed with the resample index b by
+    a cubic-residue fold — h is hashed once, then per b:
+    x = (h + b·2654435761) % P + 1 (P = 2³¹−1), z = x³·48271 mod P,
+    u = z % 10⁶.  The cube is nonlinear in b so the B draws per row
+    are decorrelated; every intermediate stays < 2⁶² (no bigint
+    overflow in either engine).  The previous shape evaluated a FULL
+    md5 per (row, b) — B=40 md5s/row dominated the scan (9.6 s at
+    sf0.1); the mix is ~integer-ops-only per b."""
     from lab3_spark.functions.text import md5_long
 
+    P = 2147483647  # 2^31 - 1
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
     blits = F.array(*[F.lit(b) for b in range(n_boot)])
-    u = (
-        md5_long(
-            F.concat(
-                F.col("b").cast("string"),
-                F.lit("|"),
-                F.col(key_col).cast("string"),
-            ),
-            salt="boot",
-        )
-        % 1_000_000
-    )
+    x = (F.col("h") + F.col("b") * F.lit(2654435761)) % P + 1
+    x2 = (x * x) % P
+    x3 = (x2 * x) % P
+    u = ((x3 * 48271) % P) % 1_000_000
     w = F.lit(len(_POISSON1_CDF_FP))
     for lvl in range(len(_POISSON1_CDF_FP) - 1, -1, -1):
         w = F.when(u < _POISSON1_CDF_FP[lvl], F.lit(lvl)).otherwise(w)
     weighted = (
-        df.select(F.col(key_col), cents.alias("y"))
-        .select("y", F.explode(blits).alias("b"), F.col(key_col))
+        df.select(
+            cents.alias("y"),
+            md5_long(F.col(key_col).cast("string"), salt="boot").alias("h"),
+        )
+        .select("y", "h", F.explode(blits).alias("b"))
         .select("b", "y", w.cast("bigint").alias("w"))
     )
     means = (
@@ -265,8 +271,10 @@ def poisson_bootstrap_ci(
     )
     from pyspark.sql.window import Window
 
+    # B-row frame; the literal partitionBy keeps the same single-task
+    # plan but suppresses the all-to-one-partition WindowExec warning
     ranked = means.withColumn(
-        "rk", F.row_number().over(Window.orderBy("m", "b"))
+        "rk", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("m", "b"))
     )
     point = df.agg(
         F.lit("point").alias("stat"),
@@ -282,3 +290,88 @@ def poisson_bootstrap_ci(
         F.lit("ci_hi").alias("stat"), F.col("m").alias("value_cents")
     )
     return point.unionByName(lo).unionByName(hi).orderBy("stat")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+    tail_pct: int = 1,
+) -> DataFrame:
+    """One row (n, p_lo_cents, p_hi_cents, mean_cents,
+    winsorized_mean_cents): the mean before and after winsorizing the
+    distribution's tails — clip every value below the p1 (above the
+    p99) RANK cutoff to the cutoff value, then re-average.  The robust
+    location estimate that, unlike trimming, keeps n constant.
+
+    Rank-based cutoffs (k = max(1, n·tail_pct DIV 100); p_lo = the
+    k-th smallest value, p_hi = the k-th largest) make the whole
+    statistic integer-exact and engine-portable — no percentile
+    interpolation to disagree on.  The global rank is the DISTRIBUTED
+    range-partitioned row number (operators/rank.py) — no single-
+    partition window on the data-scale frame; the two cutoffs travel
+    back as a broadcast 1-row frame and the clip + mean is one
+    combinable agg."""
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_row_number,
+    )
+
+    cents = (
+        F.floor(F.col(value_col) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y")
+    )
+    vals = df.select(cents, F.col(key_col).alias("k"))
+    ranked = drop_rank_internals(
+        with_global_row_number(
+            vals, ["y", "k"], out_col="rn",
+            memo_key="profile.winsorize",
+        )
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    ranked = persist_latest("profile.winsorize.ranked", ranked)
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .where(
+            (
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.expr(f"n * {tail_pct} DIV 100")
+                )
+            )
+            | (
+                F.col("rn")
+                == F.col("n")
+                - F.greatest(F.lit(1), F.expr(f"n * {tail_pct} DIV 100"))
+                + 1
+            )
+        )
+        .agg(
+            F.min("y").alias("p_lo"),
+            F.max("y").alias("p_hi"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("p_lo").alias("p_lo_cents"),
+            F.first("p_hi").alias("p_hi_cents"),
+            F.sum("y").alias("sy"),
+            F.sum(
+                F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("y")))
+            ).alias("sw"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("p_lo_cents").cast("bigint").alias("p_lo_cents"),
+            F.col("p_hi_cents").cast("bigint").alias("p_hi_cents"),
+            F.expr("CAST(sy DIV n AS BIGINT)").alias("mean_cents"),
+            F.expr("CAST(sw DIV n AS BIGINT)").alias(
+                "winsorized_mean_cents"
+            ),
+        )
+    )

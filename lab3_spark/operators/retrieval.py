@@ -100,7 +100,7 @@ def bm25_top_docs(
         "doc_id",
         "score_fp",
         F.row_number()
-        .over(Window.orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score_fp"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 
@@ -224,7 +224,7 @@ def hybrid_rrf(
         "doc_id",
         "rrf",
         F.row_number()
-        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("rrf"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 
@@ -358,7 +358,7 @@ def ql_dirichlet_top_docs(
         "doc_id",
         "score_fp",
         F.row_number()
-        .over(Window.orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score_fp"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 

@@ -585,8 +585,50 @@ def systematic_sample(
             memo_key=f"sampling.systematic.{salt}",
         )
     )
+    # (rn - 1) % k == 0 picks rows 1, k+1, 2k+1, … for ALL k >= 1;
+    # the naive rn % k == 1 form returns an EMPTY frame at k=1
+    # (1 % 1 == 0, never 1) instead of the documented ceil(N/k)=N rows.
     return (
-        ranked.where((F.col("rn") % k) == 1)
+        ranked.where(((F.col("rn") - 1) % k) == 0)
         .select(id_col, "rn")
         .orderBy("rn")
+    )
+
+
+def dataset_split_manifest(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "split",
+) -> DataFrame:
+    """(source, split, n, pct_fp): the release manifest of a
+    deterministic 90/5/5 train/val/test hash split, bucketed by
+    stratum — the table a dataset card publishes and a training run
+    re-derives to assert it reads the same split ("is val really 5%
+    of every source, or did the hash skew a small stratum?").
+
+    The split is a pure per-row expression over the portable md5
+    (re-runnable anywhere, no stored assignment file); the manifest is
+    ONE groupBy over (stratum, split) plus a broadcast join of the
+    |sources|-row totals.  pct_fp = n·10⁶ DIV stratum_total, exact
+    bigint."""
+    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    per = (
+        documents.select(F.col(stratum_col), split.alias("split"))
+        .groupBy(stratum_col, "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = per.groupBy(stratum_col).agg(F.sum("n").alias("t"))
+    return (
+        per.join(F.broadcast(totals), stratum_col)
+        .select(
+            stratum_col,
+            "split",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"CAST(n * {10**6} DIV t AS BIGINT)").alias("pct_fp"),
+        )
+        .orderBy(stratum_col, "split")
     )

@@ -1637,3 +1637,254 @@ def source_token_gini(documents: DataFrame, text_col: str = "text") -> DataFrame
         F.col("t").cast("bigint").alias("total_tokens"),
         F.floor(gini * 1_000_000).cast("bigint").alias("gini_fp"),
     )
+
+
+def vocab_coverage_curve(
+    documents: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256),
+) -> DataFrame:
+    """(k, words_used, coverage_fp): fraction of all token OCCURRENCES
+    covered by the top-k most frequent words — the vocabulary-
+    truncation curve a tokenizer designer reads before fixing a vocab
+    size ("how much of the corpus do the first k types buy me?").
+
+    One tokenize scan folds to the vocabulary-scale count table; the
+    rank window and the k-ladder cross join run over that metadata-
+    scale frame only (|V| × |ks| rows), so at 100 TB the cost is the
+    scan + one word-count shuffle — the word_count plan with a curve
+    on top.  coverage_fp is an exact bigint ratio (Σ top-k counts ·
+    10⁶ DIV Σ all counts)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        spread(documents)
+        .select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    # vocabulary-scale; probed once per ladder step + once for the total
+    ranked = persist_latest(
+        "textstats.vocab_curve.ranked",
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.desc("cnt"), F.asc("word")
+                )
+            ),
+        ),
+    )
+    total = ranked.agg(F.sum("cnt").alias("t"))
+    ladder = F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    return (
+        ranked.select("rk", "cnt", ladder)
+        .where(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("words_used"),
+            F.sum("cnt").alias("s"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("words_used").cast("bigint").alias("words_used"),
+            F.expr(f"CAST(s * {10**6} DIV t AS BIGINT)").alias(
+                "coverage_fp"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def bpe_merge_candidates(
+    documents: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """(pair, cnt, rnk): the top-k adjacent CHARACTER pairs by corpus
+    frequency — the ranking the first BPE merge iteration (Sennrich et
+    al. 2016) is chosen from, weighted by word occurrence counts.
+
+    The corpus scan folds to the vocabulary-scale word-count table
+    FIRST; the char-pair explode runs over vocabulary types (weighted
+    by their counts), never over token occurrences — at 100 TB the
+    pair stage is metadata-scale no matter how big the corpus.  Words
+    are pre-filtered to length ≥ 2 BEFORE the pair transform: Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0] rather than an empty
+    array, so 1-char words would fabricate pairs."""
+    from pyspark.sql.window import Window
+
+    words = (
+        spread(documents)
+        .select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = (
+        words.select(
+            "wcnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+    # rnk over the k survivors only (post-limit, metadata scale)
+    return pairs.select(
+        "pair",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
+        )
+        .alias("rnk"),
+    ).orderBy("rnk")
+
+
+def quality_kappa(
+    documents: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """One row (n11, n10, n01, n00, po_fp, pe_fp, kappa_fp): Cohen's
+    kappa between the engine's two independent quality raters — the
+    composite heuristic score (rater A: quality ≥ threshold) and the
+    Gopher rule conjunction (rater B: gopher_pass) — chance-corrected
+    agreement, the standard answer to "do my filters even agree, or is
+    their overlap what coin flips would give?".
+
+    Everything integer-exact from the 2×2 contingency counts:
+    kappa = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0)),
+    fixed-pointed with sign-symmetric truncation (Spark DIV truncates
+    toward zero, DuckDB // floors — they differ on negatives, so the
+    negative branch divides the negated numerator; kappa CAN be
+    negative when raters disagree more than chance).  Two scan-speed
+    feature passes joined on doc_id (co-partitioned corpus-scale
+    equi-join), then one 1-row agg."""
+    a = quality_score(documents, text_col).select(
+        "doc_id", (F.col("quality") >= threshold).alias("ra")
+    )
+    b = gopher_quality(documents, text_col).select(
+        "doc_id", F.col("gopher_pass").alias("rb")
+    )
+    t = a.join(b, "doc_id")
+    c = t.agg(
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    a1 = F.col("n11") + F.col("n10")
+    b1 = F.col("n11") + F.col("n01")
+    a0 = F.col("n01") + F.col("n00")
+    b0 = F.col("n10") + F.col("n00")
+    agree = F.col("n11") + F.col("n00")
+    chance = a1 * b1 + a0 * b0
+    num = n * agree - chance
+    den = n * n - chance
+    fp = F.lit(1_000_000).cast("bigint")
+    # sign-symmetric fixed-point division, mirrored in the oracle
+    kappa_fp = F.when(den == 0, fp).otherwise(
+        F.when(
+            num >= 0,
+            F.expr(
+                "CAST(((n11+n10+n01+n00)*(n11+n00)"
+                " - ((n11+n10)*(n11+n01)+(n01+n00)*(n10+n00)))"
+                " * 1000000 DIV ((n11+n10+n01+n00)*(n11+n10+n01+n00)"
+                " - ((n11+n10)*(n11+n01)+(n01+n00)*(n10+n00)))"
+                " AS BIGINT)"
+            ),
+        ).otherwise(
+            -F.expr(
+                "CAST((((n11+n10)*(n11+n01)+(n01+n00)*(n10+n00))"
+                " - (n11+n10+n01+n00)*(n11+n00))"
+                " * 1000000 DIV ((n11+n10+n01+n00)*(n11+n10+n01+n00)"
+                " - ((n11+n10)*(n11+n01)+(n01+n00)*(n10+n00)))"
+                " AS BIGINT)"
+            )
+        )
+    )
+    po_fp = F.expr(
+        "CAST((n11+n00) * 1000000 DIV (n11+n10+n01+n00) AS BIGINT)"
+    )
+    pe_fp = F.expr(
+        "CAST(((n11+n10)*(n11+n01)+(n01+n00)*(n10+n00)) * 1000000"
+        " DIV ((n11+n10+n01+n00)*(n11+n10+n01+n00)) AS BIGINT)"
+    )
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po_fp.alias("po_fp"),
+        pe_fp.alias("pe_fp"),
+        kappa_fp.alias("kappa_fp"),
+    )
+
+
+def source_vocab_overlap(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(source_a, source_b, v_a, v_b, v_inter, jaccard_fp): vocabulary
+    Jaccard between every source pair — the redundancy audit a mixture
+    designer reads next to the mixing weights ("are crawl-7 and
+    crawl-12 the same corpus wearing two names?").
+
+    The corpus folds to the (source, word) DISTINCT table first (one
+    shuffle, vocabulary×sources scale); the pair join is a word-keyed
+    self-equi-join of that metadata-scale table (never corpus²), and
+    the |sources|² result is tiny.  jaccard_fp is exact bigint."""
+    sv = (
+        spread(documents)
+        .select("source", F.explode(tokenize(text_col)).alias("word"))
+        .distinct()
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    sv = persist_latest("textstats.vocab_overlap.sv", sv)
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "word")
+    b = sv.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("v_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("v_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("v_a").cast("bigint").alias("v_a"),
+            F.col("v_b").cast("bigint").alias("v_b"),
+            F.col("v_inter").cast("bigint").alias("v_inter"),
+            F.expr(
+                f"CAST(v_inter * {10**6} DIV (v_a + v_b - v_inter)"
+                " AS BIGINT)"
+            ).alias("jaccard_fp"),
+        )
+        .orderBy("source_a", "source_b")
+    )

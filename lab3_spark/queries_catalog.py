@@ -1305,10 +1305,11 @@ def q_dedup_containment(spark, sf_dir):
     return containment_pairs(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_simhash",
-    f"""
-    WITH tc AS (
+# Shared SimHash CTEs (sigs = per-doc 60-bit signature, pairs = chunk-
+# blocked candidate pairs with both signatures) — interpolated by
+# dedup_simhash AND dedup_simhash_blocking so the two oracles cannot
+# drift.
+_DUCK_SIMHASH_CTES = f"""tc AS (
       SELECT doc_id, tok, count(*) AS cnt,
              {_h2l("substr(md5(tok), 1, 15)")} AS h
       FROM (SELECT doc_id,
@@ -1335,7 +1336,13 @@ def q_dedup_containment(spark, sf_dir):
              a.sig AS sa, b.sig AS sb
       FROM chunks a
       JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH {_DUCK_SIMHASH_CTES}
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM pairs
     WHERE bit_count(xor(sa, sb)) <= 3
@@ -2341,24 +2348,50 @@ def q_retention(spark, sf_dir):
     return EV.day_over_day_retention(_t(spark, sf_dir, "events"))
 
 
-@query("events_approx_dau", None)
+@query(
+    "events_approx_dau",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
 def q_approx_dau(spark, sf_dir):
     """HyperLogLog++ daily distinct users — the 100 TB scale path for
-    count-distinct (single shuffle of fixed-size sketches).  No SQL
-    oracle: the sketch estimate is engine-specific (rows-only check);
-    the EXACT twin events_daily_active_users is fully oracle-checked."""
-    return EV.approx_dau(_t(spark, sf_dir, "events"))
+    count-distinct (single shuffle of fixed-size sketches) — gated as
+    a BOUNDED-ERROR contract (events.approx_dau_check): the estimate
+    itself is engine-specific, but `|est − exact| ≤ 5%·exact` is
+    oracle-expressible — the oracle emits exact counts + literal TRUE,
+    so a sketch drifting past the bound flips the hash.  The raw
+    estimate path stays available as events.approx_dau."""
+    return EV.approx_dau_check(_t(spark, sf_dir, "events"))
 
 
-@query("events_hll_daily_merge", None)
+@query(
+    "events_hll_daily_merge",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau_exact
+      FROM events GROUP BY day
+    )
+    SELECT day, dau_exact,
+           TRUE AS daily_within_5pct,
+           TRUE AS total_within_5pct
+    FROM daily ORDER BY day
+    """,
+)
 def q_hll_daily_merge(spark, sf_dir):
     """DataSketches HLL as a MERGEABLE sketch column (events.
-    hll_daily_merge): per-day sketches, later unioned across days
-    without rescanning — the reusable-state shape approx_count_distinct
-    can't express.  Rows-only check (sketch internals are
-    engine-specific); estimate-vs-exact tolerance pinned in
-    tests/test_sketches.py."""
-    return EV.hll_daily_merge(_t(spark, sf_dir, "events"))
+    hll_daily_merge): per-day sketches, unioned across days without
+    rescanning — the reusable-state shape approx_count_distinct can't
+    express.  Gated as a bounded-error contract (events.
+    hll_merge_check): per-day estimates AND the cross-day union
+    estimate must each land within 5% of their exact twins, so the
+    'sketch once, union cheaply' path is driver-hash-checked, not just
+    rows-counted."""
+    return EV.hll_merge_check(_t(spark, sf_dir, "events"))
 
 
 _CMS_ORACLE = f"""
@@ -3166,20 +3199,46 @@ def q_no_orders(spark, sf_dir):
     )
 
 
-@query("events_value_percentiles_approx", None)
+@query(
+    "events_value_percentiles_approx",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol,
+           TRUE AS p99_within_rank_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_percentiles_approx(spark, sf_dir):
-    """approx_percentile (t-digest) — the single-pass mergeable-sketch
-    twin of events_value_percentiles; rows-only check (sketch estimates
-    are engine-specific), exact twin fully oracle-checked."""
-    from lab3_spark.functions.rounding import trunc
-
+    """approx_percentile (GK sketch) — the single-pass mergeable-sketch
+    twin of events_value_percentiles — gated as the bounded-RANK-error
+    contract GK actually guarantees: the approximate p-quantile (an
+    actual data point) must lie between the exact (p−0.01) and
+    (p+0.01) quantiles (GK's rank error at the default accuracy 10⁴
+    is ~0.01% — two orders inside the bound; a VALUE-relative bound is
+    the wrong contract for heavy tails, where adjacent order
+    statistics differ by more than 5%).  The oracle emits per-type
+    counts + literal TRUE booleans, so sketch drift past the bound
+    flips the hash; exact estimates stay available via
+    events_value_percentiles (fully oracled)."""
     ev = _t(spark, sf_dir, "events")
+
+    def within(p: float, name: str):
+        approx = F.expr(f"approx_percentile(value, {p})")
+        lo = F.expr(f"percentile(value, {max(0.0, p - 0.01)})")
+        hi = F.expr(f"percentile(value, {min(1.0, p + 0.01)})")
+        return (
+            (approx >= lo - F.lit(1e-9)) & (approx <= hi + F.lit(1e-9))
+        ).alias(name)
+
     return (
         ev.groupBy("event_type")
         .agg(
-            trunc(F.expr("approx_percentile(value, 0.5)"), 4).alias("p50"),
-            trunc(F.expr("approx_percentile(value, 0.9)"), 4).alias("p90"),
-            trunc(F.expr("approx_percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+            within(0.5, "p50_within_rank_tol"),
+            within(0.9, "p90_within_rank_tol"),
+            within(0.99, "p99_within_rank_tol"),
         )
         .orderBy("event_type")
     )
@@ -10191,7 +10250,7 @@ def q_orders_scd2_history(spark, sf_dir):
       SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS rn
       FROM hashed
     )
-    SELECT doc_id, rn FROM ranked WHERE rn % 10 = 1 ORDER BY rn
+    SELECT doc_id, rn FROM ranked WHERE (rn - 1) % 10 = 0 ORDER BY rn
     """,
 )
 def q_systematic_sample_docs(spark, sf_dir):
@@ -10592,20 +10651,35 @@ def q_embedding_projection_by_label(spark, sf_dir):
 @query(
     "orders_mean_bootstrap_ci",
     f"""
-    WITH weighted AS (
-      SELECT b.b,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+    WITH hashed AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             {_h2l("substring(md5(concat('boot', '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} AS h
+      FROM orders
+    ),
+    mixed AS (
+      SELECT b.b, y,
+             ((h + b.b * 2654435761) % 2147483647 + 1) AS x
+      FROM hashed, (SELECT unnest(range(0, 40)) AS b) b
+    ),
+    uni AS (
+      SELECT b, y,
+             ((((x * x) % 2147483647) * x % 2147483647) * 48271
+              % 2147483647) % 1000000 AS u
+      FROM mixed
+    ),
+    weighted AS (
+      SELECT b, y,
              CASE
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 367879 THEN 0
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 735758 THEN 1
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 919698 THEN 2
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 981011 THEN 3
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 996340 THEN 4
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999405 THEN 5
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999916 THEN 6
-               WHEN {_h2l("substring(md5(concat('boot', '|', CAST(b.b AS VARCHAR), '|', CAST(o_orderkey AS VARCHAR))), 1, 15)")} % 1000000 < 999989 THEN 7
+               WHEN u < 367879 THEN 0
+               WHEN u < 735758 THEN 1
+               WHEN u < 919698 THEN 2
+               WHEN u < 981011 THEN 3
+               WHEN u < 996340 THEN 4
+               WHEN u < 999405 THEN 5
+               WHEN u < 999916 THEN 6
+               WHEN u < 999989 THEN 7
                ELSE 8 END AS w
-      FROM orders, (SELECT unnest(range(0, 40)) AS b) b
+      FROM uni
     ),
     means AS (
       SELECT b, CAST(sum(w * y) // sum(w) AS BIGINT) AS m
@@ -11359,100 +11433,365 @@ def q_customer_order_cadence(spark, sf_dir):
     return REL.order_cadence(_t(spark, sf_dir, "orders"))
 
 
+# --------------------------------------------------------------------------
+# round 7 additions (8 gates, window-budgeted: 35 never-checked + 3
+# reshaped sketch gates + 8 new + 4 re-confirmations = 50 slots)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash_blocking",
+    f"""
+    WITH {_DUCK_SIMHASH_CTES},
+    cand AS (
+      SELECT doc_a, doc_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    truth AS (
+      SELECT CAST(sum(g * (g - 1) // 2) AS BIGINT) AS n_true,
+             CAST(sum(g) AS BIGINT) AS n_docs
+      FROM (SELECT count(*) AS g FROM fp GROUP BY fp.fp)
+    ),
+    nc AS (SELECT count(*) AS n_cand FROM cand),
+    caught AS (
+      SELECT count(*) AS n_caught
+      FROM cand
+      JOIN fp a ON cand.doc_a = a.doc_id
+      JOIN fp b ON cand.doc_b = b.doc_id
+      WHERE a.fp = b.fp
+    )
+    SELECT n_docs, n_true AS n_true_pairs,
+           CAST(n_cand AS BIGINT) AS n_cand_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(CASE WHEN n_true > 0 THEN n_caught * 1000000 // n_true
+                ELSE 1000000 END AS BIGINT) AS pc_fp,
+           CAST(CASE WHEN n_docs > 1 THEN 1000000 - n_cand * 1000000
+                // (n_docs * (n_docs - 1) // 2)
+                ELSE 1000000 END AS BIGINT) AS rr_fp
+    FROM truth, nc, caught
+    """,
+)
+def q_dedup_simhash_blocking(spark, sf_dir):
+    """Blocking metrics for the SIMHASH candidate generator
+    (dedup.simhash_blocking_quality): pair completeness and reduction
+    ratio against the same exact-fingerprint truth set as
+    dedup_blocking_quality — the engine's two blockers judged on one
+    scale.  Candidates = 4×15-bit pigeonhole chunk join + hamming ≤ 3
+    verify; no pair space materialized."""
+    from lab3_spark.operators.dedup import simhash_blocking_quality
+
+    return simhash_blocking_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_cross_source",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b,
+             floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000)
+               / 10000 AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000)
+              / 10000 >= 0.2
+    )
+    SELECT j.doc_a, j.doc_b,
+           da.source AS source_a, db.source AS source_b, j.jaccard
+    FROM jac j
+    JOIN documents da ON da.doc_id = j.doc_a
+    JOIN documents db ON db.doc_id = j.doc_b
+    WHERE da.source != db.source
+    ORDER BY j.doc_a, j.doc_b
+    """,
+)
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source verified near-duplicates (dedup.
+    cross_source_near_dups): the record-linkage / contamination view —
+    LSH candidates → exact shingle Jaccard → keep pairs whose sides
+    come from DIFFERENT sources.  The label join runs on the verified
+    pair list (candidate scale), never the corpus pair space."""
+    from lab3_spark.operators.dedup import cross_source_near_dups
+
+    return cross_source_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dataset_split_manifest",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT source,
+                   {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+                     % 100 AS h
+            FROM documents)
+    ),
+    per AS (SELECT source, split, count(*) AS n FROM s GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS t FROM per GROUP BY 1)
+    SELECT per.source, per.split, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // t AS BIGINT) AS pct_fp
+    FROM per JOIN tot ON per.source = tot.source
+    ORDER BY per.source, per.split
+    """,
+)
+def q_dataset_split_manifest(spark, sf_dir):
+    """Release manifest of the deterministic 90/5/5 hash split
+    (sampling.dataset_split_manifest): per (source, split) counts +
+    exact-bigint share of the stratum — the table a dataset card
+    publishes and a training run re-derives to assert it reads the
+    same split.  One groupBy + a broadcast totals join; the split
+    itself is a pure per-row md5 expression (no stored assignment)."""
+    from lab3_spark.operators.sampling import dataset_split_manifest
+
+    return dataset_split_manifest(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_kappa",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    q AS (
+      SELECT doc_id,
+        floor((0.4 * least(len(toks) / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN length(text) > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                / length(text) ELSE 0.0 END)
+          + 0.3 * (CASE WHEN len(toks) > 0 THEN
+              len(list_distinct(toks)) / len(toks) ELSE 0.0 END))
+          * 10000) / 10000 >= 0.5 AS ra
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    g AS (SELECT doc_id, {_DUCK_GOPHER_PASS} AS rb FROM gf),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM q JOIN g USING (doc_id)
+    ),
+    k AS (
+      SELECT n11, n10, n01, n00,
+             (n11 + n10 + n01 + n00) AS n,
+             (n11 + n00) AS agree,
+             ((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00)) AS chance
+      FROM c
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(agree * 1000000 // n AS BIGINT) AS po_fp,
+           CAST(chance * 1000000 // (n * n) AS BIGINT) AS pe_fp,
+           CASE WHEN (n * n - chance) = 0 THEN CAST(1000000 AS BIGINT)
+                WHEN (n * agree - chance) >= 0 THEN
+                  CAST((n * agree - chance) * 1000000
+                       // (n * n - chance) AS BIGINT)
+                ELSE -CAST((chance - n * agree) * 1000000
+                           // (n * n - chance) AS BIGINT) END AS kappa_fp
+    FROM k
+    """,
+)
+def q_quality_kappa(spark, sf_dir):
+    """Cohen's kappa between the composite quality heuristic (≥ 0.5)
+    and the Gopher rule conjunction (textstats.quality_kappa):
+    chance-corrected rater agreement from the exact 2×2 contingency —
+    integer throughout, with sign-symmetric fixed-point division
+    (Spark DIV truncates, DuckDB // floors; they differ on negatives,
+    so the negative branch divides the negated numerator)."""
+    from lab3_spark.operators.textstats import quality_kappa
+
+    return quality_kappa(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH counts AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+      FROM counts
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts),
+    ladder AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS words_used,
+           CAST(sum(cnt) * 1000000 // t AS BIGINT) AS coverage_fp
+    FROM ranked, ladder, total
+    WHERE rk <= k
+    GROUP BY k, t ORDER BY k
+    """,
+)
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary-truncation curve (textstats.vocab_coverage_curve):
+    token-occurrence coverage of the top-k word types for a k-ladder —
+    what a tokenizer designer reads before fixing a vocab size.  One
+    word-count shuffle; the rank window and ladder join run over the
+    vocabulary-scale frame only."""
+    from lab3_spark.operators.textstats import vocab_coverage_curve
+
+    return vocab_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+    WITH words AS (
+      SELECT word, count(*) AS wcnt
+      FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, wcnt
+      FROM (SELECT word, wcnt,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM words WHERE length(word) >= 2)
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+    ),
+    top AS (
+      SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC)
+                  AS INTEGER) AS rnk
+      FROM agg
+    )
+    SELECT pair, cnt, rnk FROM top WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    """First-iteration BPE merge ranking (textstats.
+    bpe_merge_candidates): top-20 adjacent character pairs weighted by
+    word occurrence counts (Sennrich et al. 2016).  The corpus folds
+    to the vocabulary-scale word-count table FIRST; the pair explode
+    runs over word types only — metadata-scale no matter the corpus
+    size."""
+    from lab3_spark.operators.textstats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_vocab_overlap",
+    f"""
+    WITH sv AS (
+      SELECT DISTINCT source, word
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS word FROM documents)
+    ),
+    sizes AS (SELECT source, count(*) AS v FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS v_inter
+      FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(sa.v AS BIGINT) AS v_a,
+           CAST(sb.v AS BIGINT) AS v_b,
+           CAST(v_inter AS BIGINT) AS v_inter,
+           CAST(v_inter * 1000000 // (sa.v + sb.v - v_inter)
+                AS BIGINT) AS jaccard_fp
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.source_a
+    JOIN sizes sb ON sb.source = inter.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Vocabulary Jaccard between every source pair (textstats.
+    source_vocab_overlap): the redundancy audit next to the mixture
+    weights.  One DISTINCT shuffle to the (source, word) table, then a
+    word-keyed self-join of that metadata-scale frame — never
+    corpus²."""
+    from lab3_spark.operators.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "orders_winsorized_stats",
+    """
+    WITH vals AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             o_orderkey AS k
+      FROM orders
+    ),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY y, k) AS rn FROM vals
+    ),
+    nn AS (SELECT count(*) AS n FROM vals),
+    cuts AS (
+      SELECT min(y) AS p_lo, max(y) AS p_hi
+      FROM ranked, nn
+      WHERE rn = greatest(1, n * 1 // 100)
+         OR rn = n - greatest(1, n * 1 // 100) + 1
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(p_lo) AS BIGINT) AS p_lo_cents,
+           CAST(max(p_hi) AS BIGINT) AS p_hi_cents,
+           CAST(sum(y) // max(n) AS BIGINT) AS mean_cents,
+           CAST(sum(greatest(p_lo, least(p_hi, y))) // max(n)
+                AS BIGINT) AS winsorized_mean_cents
+    FROM ranked, cuts, nn
+    """,
+)
+def q_orders_winsorized_stats(spark, sf_dir):
+    """Winsorized mean of order values (profile.winsorized_stats):
+    clip both 1% tails to their RANK-cutoff values and re-average —
+    the robust location estimate that keeps n constant.  Rank-based
+    cutoffs make the whole statistic integer-exact (no percentile
+    interpolation to disagree on); the global rank is the distributed
+    range-partitioned row number (operators/rank.py)."""
+    from lab3_spark.operators.profile import winsorized_stats
+
+    return winsorized_stats(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
 # registration order above is build-chronological.  ``_DRIVER_PRIORITY``
-# pins the window deliberately.  After round 5 every oracled query has a
-# green driver CORRECTNESS row (cumulative 170/170); round 6's curation:
+# pins the window deliberately.  Round-7 curation (exactly 50 slots):
 #
-#   1      ``dataset_card`` — its checksum metric changed this round
-#          (bit_xor → modular sum, per ADVICE) so the standing green row
-#          no longer describes the current code; re-confirm first.
-#   2-4    the 3 rows-only sketch gates (``events_approx_dau``,
-#          ``events_hll_daily_merge``, ``events_value_percentiles_
-#          approx``) — never windowed; rows-only by design (sketch
-#          internals are engine-specific), but a driver row makes the
-#          weaker check visible instead of absent.
-#   5+     new round-6 gates as they land, then re-confirmations: the
-#          §2 parity core and one representative per family so every
-#          SURVEY §2 family keeps a recent green row.
+#   1-35   the 35 round-6 gates that never received a driver
+#          CORRECTNESS row (round 6 landed 62 gates for 50 slots) —
+#          the entire remaining evidence gap after r1-r6's cumulative
+#          216/219 driver-green (VERDICT r6 item 1).
+#   36-38  the 3 sketch gates, reshaped THIS round from rows-only to
+#          bounded-error ORACLED contracts (exact side + tolerance
+#          booleans, VERDICT r6 item 6) — fresh rows required.
+#   39-46  the 8 new round-7 gates (additions capped to fit the window,
+#          per VERDICT r6 item 7).
+#   47-50  re-confirmations: the §2 parity core + one dedup family rep.
 #
-# Everything else follows in original order (driver may check more than
-# 50 someday; nothing is dropped — only reordered).
-#
-# ROUND-7 HANDOFF: round 6 landed 62 new gates for 50 slots, so the 12
-# at slots 51+ (mmr_diverse_select, events_xcorr_lag, source_lang_chi2,
-# zipf_fit, join_skew_report, orders_cdc_asof, user_activity_bitmap,
-# quality_dup_calibration, customers_every_year, orders_scd2_history,
-# systematic_sample_docs, streaming_activity_bitmap,
-# events_kmv_type_overlap, dedup_cdc_chunks, source_lang_mutual_info,
-# region_price_anova, orders_benford_audit, events_cusum_changepoint,
-# embedding_projection_by_label, orders_mean_bootstrap_ci,
-# source_influence_jackknife, embedding_top2_directions,
-# dedup_graph_assortativity, dedup_ktruss, dedup_blocking_quality,
-# ql_dirichlet_top_docs, retrieval_rank_agreement,
-# orders_holt_forecast, nation_trend_robust, source_token_gini,
-# quality_feature_correlations, events_hourly_acf,
-# events_decayed_leaderboard, events_seasonal_decomposition,
-# customer_order_cadence) get NO driver row
-# this round (all verified green locally via tools/verify_local.py
-# --bare) — lead round 7's window with them.
+# Everything else follows (driver may check more than 50 someday;
+# nothing is dropped — only reordered).  The window-budget contract is
+# test-enforced: tests/test_oracle_lint.py asserts every never-checked
+# catalog gate sits inside the first 50.
 _DRIVER_PRIORITY = [
-    # -- changed this round ----------------------------------------------
-    "dataset_card",  # checksum metric reshaped (ADVICE r5)
-    # -- rows-only sketch gates, never windowed --------------------------
-    "events_approx_dau",
-    "events_hll_daily_merge",
-    "events_value_percentiles_approx",
-    # -- new round-6 gates (inserted here as they land) ------------------
-    "events_kmv_daily_users",
-    "dedup_bloom_prefilter",
-    "events_attribution_window",
-    "dedup_reassemble",
-    "phrase_search_docs",
-    "events_ohlc_hourly",
-    "events_cms_verified_hh",
-    "corpus_snapshot_diff",
-    "pipeline_forget_docs",
-    "dedup_threshold_curve",
-    "streaming_kmv_distinct",
-    "multimodal_phash_near_dup",
-    "events_type_islands",
-    "events_cohort_retention",
-    "source_token_entropy",
-    "mixture_apportionment",
-    "dedup_ppjoin_exact",
-    "streaming_lsh_flagging",
-    "events_seasonal_anomalies",
-    "events_transition_matrix",
-    "orders_cdc_apply",
-    "frequent_brand_pairs",
-    "nation_revenue_ols",
-    "dedup_sorted_neighborhood",
-    "dedup_bfs_hops",
-    "supplier_hits_scores",
-    "textrank_keywords",
-    "k_anonymity_report",
-    "events_ewma",
-    "compaction_bins",
-    "events_funnel_within",
-    "orders_price_skyline",
-    "streaming_cdc_apply",
-    "events_kmv_value_quantiles",
-    "events_top_paths",
-    "events_kmv_rolling_users",
-    "events_ab_ztest",
-    "customer_rfm_segments",
-    "doc_lang_confusion",
-    "events_weekly_churn",
-    "ship_latency_percentiles",
-    "data_expectations",
-    "source_drift_psi",
-    "leakage_safe_split",
-    "dedup_kcore",
-    "embedding_top_direction",
+    # -- the 35 round-6 gates that have never had a driver row (the
+    #    entire remaining evidence gap; VERDICT r6 item 1) ------------
     "mmr_diverse_select",
     "events_xcorr_lag",
     "source_lang_chi2",
@@ -11488,15 +11827,31 @@ _DRIVER_PRIORITY = [
     "events_decayed_leaderboard",
     "events_seasonal_decomposition",
     "customer_order_cadence",
-    # -- re-confirmations (fill to 50; new r6 gates get inserted above
-    #    this block as they land, displacing the tail) -------------------
+    # -- the 3 sketch gates, reshaped this round from rows-only to
+    #    bounded-error ORACLED contracts (fresh rows needed) ----------
+    "events_approx_dau",
+    "events_hll_daily_merge",
+    "events_value_percentiles_approx",
+    # -- new round-7 gates (8, window-budgeted) -----------------------
+    "dedup_simhash_blocking",
+    "dedup_cross_source",
+    "dataset_split_manifest",
+    "quality_kappa",
+    "vocab_coverage_curve",
+    "bpe_merge_candidates",
+    "source_vocab_overlap",
+    "orders_winsorized_stats",
+    # -- re-confirmations (fill to exactly 50) ------------------------
     "word_count",
-    "word_count_parity",
     "top50_words",
     "inverted_index",
+    "dedup_minhash_lsh",
+    # -- beyond the 50-slot window: rest of the catalog's standing
+    #    re-confirmation order (driver may check more than 50 someday;
+    #    nothing is dropped, only reordered) ---------------------------
+    "word_count_parity",
     "inverted_index_parity",
     "dedup_simhash",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_survivors",
@@ -11542,6 +11897,7 @@ _DRIVER_PRIORITY = [
     "cross_source_contamination",
     "doc_gopher_quality",
     "events_cms_heavy_hitters",
+    "dataset_card",
 ]
 
 

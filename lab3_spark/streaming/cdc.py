@@ -93,6 +93,24 @@ def start_cdc_apply(stream: DataFrame, store_path: str, checkpoint: str):
             f"{store_path}/version={batch_id - 1}"
         )
         fs = hprev.getFileSystem(spark._jsc.hadoopConfiguration())
+        if batch_id > 0 and not fs.exists(hprev):
+            # A missing version=batch_id-1 while OTHER versions exist
+            # means a stream restarted with a fresh checkpoint over an
+            # existing store: silently rebuilding from scratch would
+            # discard prior state yet leave latest_snapshot() returning
+            # the stale higher version.  Refuse instead of corrupting.
+            hstore = jvm.org.apache.hadoop.fs.Path(store_path)
+            other = fs.exists(hstore) and any(
+                st.getPath().getName().startswith("version=")
+                for st in fs.listStatus(hstore)
+            )
+            if other:
+                raise RuntimeError(
+                    f"cdc store {store_path} has snapshot versions but "
+                    f"not version={batch_id - 1}; refusing to rebuild "
+                    "from scratch — point the stream at a fresh store "
+                    "or resume from the original checkpoint"
+                )
         if batch_id > 0 and fs.exists(hprev):
             prior = snapshot(spark, store_path, batch_id - 1)
             untouched = prior.join(
