@@ -93,23 +93,34 @@ def start_cdc_apply(stream: DataFrame, store_path: str, checkpoint: str):
             f"{store_path}/version={batch_id - 1}"
         )
         fs = hprev.getFileSystem(spark._jsc.hadoopConfiguration())
+        # Store/checkpoint-disagreement guard: batch_id > 0 with the
+        # expected version=batch_id-1 ABSENT while other versions exist
+        # means the store was partially wiped or the stream restarted
+        # against a mismatched checkpoint.  Silently treating it as a
+        # first batch would discard prior state yet leave
+        # latest_snapshot() returning a stale higher version — refuse
+        # instead of corrupting.  (batch_id == 0 with versions present
+        # stays legal: that is the full-replay-after-checkpoint-loss
+        # path, whose overwrite-from-the-start is the idempotency
+        # contract pinned by test_streaming_cdc_replay_is_idempotent.)
         if batch_id > 0 and not fs.exists(hprev):
-            # A missing version=batch_id-1 while OTHER versions exist
-            # means a stream restarted with a fresh checkpoint over an
-            # existing store: silently rebuilding from scratch would
-            # discard prior state yet leave latest_snapshot() returning
-            # the stale higher version.  Refuse instead of corrupting.
             hstore = jvm.org.apache.hadoop.fs.Path(store_path)
-            other = fs.exists(hstore) and any(
-                st.getPath().getName().startswith("version=")
-                for st in fs.listStatus(hstore)
+            existing = (
+                sorted(
+                    int(st.getPath().getName().split("=", 1)[1])
+                    for st in fs.listStatus(hstore)
+                    if st.getPath().getName().startswith("version=")
+                )
+                if fs.exists(hstore)
+                else []
             )
-            if other:
+            if existing:
                 raise RuntimeError(
-                    f"cdc store {store_path} has snapshot versions but "
-                    f"not version={batch_id - 1}; refusing to rebuild "
-                    "from scratch — point the stream at a fresh store "
-                    "or resume from the original checkpoint"
+                    f"cdc store {store_path} holds versions {existing} but "
+                    f"not version={batch_id - 1} expected by incoming "
+                    f"batch_id={batch_id}; refusing to rebuild from "
+                    "scratch — point the stream at a fresh store or "
+                    "resume from the original checkpoint"
                 )
         if batch_id > 0 and fs.exists(hprev):
             prior = snapshot(spark, store_path, batch_id - 1)
