@@ -90,6 +90,13 @@ BNLJ_ALLOWED = {
     "quality_feature_correlations",  # 1-row 14-moment broadcast
     "events_decayed_leaderboard",  # 1-row newest-day broadcast
     "customer_order_cadence",  # 1-row gap-stats broadcast
+    # round-7 additions (all inspected 1-row scalar broadcasts)
+    "vocab_coverage_curve",  # 1-row token-total broadcast
+    "orders_winsorized_stats",  # 1-row n + 1-row cutoffs broadcasts
+    "dedup_simhash_blocking",  # 1-row truth/cand/caught aggregates
+    "quality_kappa",  # 1-row contingency aggregate
+    "events_approx_dau",  # tolerance gate over the exact/approx agg
+    "events_value_percentiles_approx",  # tolerance gate aggregates
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",
