@@ -224,7 +224,11 @@ HEADLINE = [
     "events_decayed_leaderboard",
     "events_seasonal_decomposition",
     "customer_order_cadence",
-    # round-7 additions
+    # round-7 additions (incl. the 3 sketch gates, oracled and
+    # bench-priced now that they compute exact+approx sides)
+    "events_approx_dau",
+    "events_hll_daily_merge",
+    "events_value_percentiles_approx",
     "dedup_simhash_blocking",
     "dedup_cross_source",
     "dataset_split_manifest",
