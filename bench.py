@@ -237,6 +237,10 @@ HEADLINE = [
     "bpe_merge_candidates",
     "source_vocab_overlap",
     "orders_winsorized_stats",
+    "orders_mannwhitney",
+    "source_length_ks",
+    "corpus_ngram_novelty",
+    "quality_pr_curve",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

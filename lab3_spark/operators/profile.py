@@ -375,3 +375,74 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    group_expr: str = "o_orderpriority = '1-URGENT'",
+) -> DataFrame:
+    """One row (n1, n2, u1_x2, u2_x2, auc_fp): Mann-Whitney U between
+    the rows matching ``group_expr`` (group 1) and the rest — the
+    rank-based two-sample location test that, unlike the t-test,
+    needs no normality and is EXACT under ties.  auc_fp is the
+    common-language effect size U1/(n1·n2) — equivalently
+    P(X1 > X2) + ½P(X1 = X2), the probability a random group-1 value
+    beats a random group-2 value.
+
+    Everything integer: from the VALUE HISTOGRAM (one groupBy to the
+    distinct-value frame), the tie-averaged rank sum is
+    2·R1 = Σ_v n1(v)·(2·cum_below(v) + cnt(v) + 1) — kept ×2 so
+    average ranks at ties (k+½ shapes) never materialize a float;
+    U1×2 = 2R1 − n1(n1+1).  Distinct values ≈ rows here (continuous
+    prices), so the cumulative count uses the DISTRIBUTED global
+    running sum (operators/rank.py), never a single-partition window
+    on the data-scale histogram."""
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_running_sum,
+    )
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        df.select(
+            cents.alias("y"),
+            F.when(F.expr(group_expr), 1).otherwise(0).alias("g1"),
+        )
+        .groupBy("y")
+        .agg(
+            F.sum("g1").cast("bigint").alias("n1v"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    cum = drop_rank_internals(
+        with_global_running_sum(
+            hist, ["y"], "cnt", out_col="cum_incl",
+            memo_key="profile.mannwhitney",
+        )
+    )
+    agg = cum.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v")
+            * (
+                2 * (F.col("cum_incl") - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            )
+        ).alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2)
+        .cast("bigint")
+        .alias("u2_x2"),
+        F.expr(
+            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
+            " DIV (2 * n1 * n2) AS BIGINT)"
+        ).alias("auc_fp"),
+    )

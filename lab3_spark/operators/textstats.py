@@ -1888,3 +1888,185 @@ def source_vocab_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def length_ks_test(
+    documents: DataFrame,
+    source_a: str = "src0",
+    source_b: str = "src1",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """One row (n_a, n_b, d_num, d_fp): two-sample Kolmogorov-Smirnov
+    distance between the ``value_col`` distributions of two sources —
+    the distribution-drift audit ("is crawl A's length profile the
+    same population as crawl B's?") next to the mean-level tests
+    (ANOVA, Mann-Whitney).
+
+    Exact integers: D = max_v |F_a(v) − F_b(v)| over the pooled value
+    grid = max |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b) — numerator
+    and denominator kept separately, d_fp = d_num·10⁶ DIV (n_a·n_b).
+    One groupBy to the distinct-value histogram; document lengths are
+    a BOUNDED domain (hundreds of distinct values at any corpus size),
+    so the cumulative window over that frame is metadata-scale — the
+    literal partitionBy keeps the single-task plan without the
+    all-to-one-partition warning.  (For an unbounded value domain use
+    the mannwhitney_u shape: distributed running sum.)"""
+    from pyspark.sql.window import Window
+
+    hist = (
+        documents.where(F.col("source").isin(source_a, source_b))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col("source") == source_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == source_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    from lab3_spark.functions.partitioning import persist_latest
+
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # persisted: probed once for the totals and once for the deviation
+    cum = persist_latest(
+        "textstats.ks.cum",
+        hist.select(
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"),
+        ),
+    )
+    totals = cum.agg(
+        F.max("cum_a").alias("ta"), F.max("cum_b").alias("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("cum_a").cast("bigint").alias("n_a"),
+            F.max("cum_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("tb")
+                    - F.col("cum_b") * F.col("ta")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
+                "d_fp"
+            ),
+        )
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row (n_test_grams, n_novel, novelty_fp): fraction of the
+    TEST split's distinct word n-grams never seen in the TRAIN split —
+    the memorization/generalization audit run before trusting held-out
+    perplexity (a test set whose n-grams are all in train measures
+    recall, not generalization).  Splits are the engine's deterministic
+    90/5/5 md5 split (sampling.dataset_split_manifest), so the audit
+    is re-derivable anywhere.
+
+    Shape: per-side DISTINCT n-gram tables (groupBy dedups map-side —
+    the shuffle carries distinct grams only), one left-anti join for
+    the novel set, two counts.  All gram-table-scale after the scan."""
+    from lab3_spark.functions.text import md5_long
+
+    h = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    grams = documents.select(
+        h.alias("h"),
+        F.explode(_word_ngrams(tokenize(text_col), n)).alias("gram"),
+    )
+    train_g = grams.where(F.col("h") < 90).select("gram").distinct()
+    test_g = grams.where(F.col("h") >= 95).select("gram").distinct()
+    novel = test_g.join(train_g, "gram", "left_anti")
+    counts = test_g.agg(F.count(F.lit(1)).alias("n_test_grams")).crossJoin(
+        F.broadcast(novel.agg(F.count(F.lit(1)).alias("n_novel")))
+    )
+    return counts.select(
+        F.col("n_test_grams").cast("bigint").alias("n_test_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.when(F.col("n_test_grams") > 0, F.expr(
+            "CAST(n_novel * 1000000 DIV n_test_grams AS BIGINT)"
+        )).otherwise(F.lit(0).cast("bigint")).alias("novelty_fp"),
+    )
+
+
+def quality_pr_curve(
+    documents: DataFrame,
+    text_col: str = "text",
+    thresholds_fp: tuple[int, ...] = (
+        3000, 3500, 4000, 4500, 5000, 5500, 6000, 6500, 7000,
+    ),
+) -> DataFrame:
+    """(t_fp, n_tp, n_fp, n_fn, n_tn, precision_fp, recall_fp): the
+    precision/recall sweep of the composite quality score (≥ t)
+    against the Gopher rule conjunction as ground truth — the curve
+    behind quality_kappa's single point, read before picking a
+    filtering threshold.  Thresholds are fixed-point (×10⁴, matching
+    the truncated score).
+
+    One pass computes both raters (the kappa join), the ladder explode
+    multiplies only the tiny (doc, bool, score) projection, and each
+    threshold folds to one row — corpus-scan + |ladder| combinable
+    aggs.  Degenerate denominators (no predicted / no actual
+    positives) emit 10⁶ by the same convention as kappa.
+
+    The score is fixed-pointed as floor(raw_blend · 10⁴) DIRECTLY —
+    not trunc-to-4-decimals then re-multiply, whose float round trip
+    (m/10⁴·10⁴ can land at m − ulp) truncates differently under
+    Spark's cast (toward zero) vs DuckDB's (round-to-nearest)."""
+    q = spread(documents).select(
+        "doc_id",
+        F.floor(quality_expr(text_col) * 10_000).cast("bigint").alias("qfp"),
+    )
+    g = gopher_quality(documents, text_col).select(
+        "doc_id", F.col("gopher_pass").alias("actual")
+    )
+    ladder = F.explode(
+        F.array(*[F.lit(t) for t in thresholds_fp])
+    ).alias("t_fp")
+    t = q.join(g, "doc_id").select("qfp", "actual", ladder)
+    pred = F.col("qfp") >= F.col("t_fp")
+    c = t.groupBy("t_fp").agg(
+        F.sum(F.when(pred & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tp"),
+        F.sum(F.when(pred & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fp"),
+        F.sum(F.when(~pred & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fn"),
+        F.sum(F.when(~pred & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tn"),
+    )
+    million = F.lit(1_000_000).cast("bigint")
+    return c.select(
+        F.col("t_fp").cast("bigint").alias("t_fp"),
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        "n_tn",
+        F.when(
+            F.col("n_tp") + F.col("n_fp") > 0,
+            F.expr("CAST(n_tp * 1000000 DIV (n_tp + n_fp) AS BIGINT)"),
+        ).otherwise(million).alias("precision_fp"),
+        F.when(
+            F.col("n_tp") + F.col("n_fn") > 0,
+            F.expr("CAST(n_tp * 1000000 DIV (n_tp + n_fn) AS BIGINT)"),
+        ).otherwise(million).alias("recall_fp"),
+    ).orderBy("t_fp")

@@ -11767,6 +11767,180 @@ def q_orders_winsorized_stats(spark, sf_dir):
     return winsorized_stats(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "orders_mannwhitney",
+    """
+    WITH hist AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT n1v, cnt, sum(cnt) OVER (ORDER BY y) AS cum_incl FROM hist
+    ),
+    agg AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+             CAST(sum(cnt - n1v) AS BIGINT) AS n2,
+             CAST(sum(n1v * (2 * (cum_incl - cnt) + cnt + 1))
+                  AS BIGINT) AS r1_x2
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           CAST((r1_x2 - n1 * (n1 + 1)) * 1000000
+                // (2 * n1 * n2) AS BIGINT) AS auc_fp
+    FROM agg
+    """,
+)
+def q_orders_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U between URGENT and non-urgent order values
+    (profile.mannwhitney_u): the rank-based two-sample test, exact
+    under ties via the ×2 tie-averaged rank sum from the value
+    histogram; auc_fp = U1/(n1·n2) is the common-language effect size.
+    Distinct prices ≈ rows, so the cumulative count is the DISTRIBUTED
+    global running sum (operators/rank.py) — no single-partition
+    window over the data-scale histogram."""
+    from lab3_spark.operators.profile import mannwhitney_u
+
+    return mannwhitney_u(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "source_length_ks",
+    """
+    WITH hist AS (
+      SELECT n_chars,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY n_chars) AS cum_a,
+             sum(cb) OVER (ORDER BY n_chars) AS cum_b
+      FROM hist
+    ),
+    tot AS (SELECT max(cum_a) AS ta, max(cum_b) AS tb FROM cum)
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS d_num,
+           CAST(max(abs(cum_a * tb - cum_b * ta)) * 1000000
+                // (ta * tb) AS BIGINT) AS d_fp
+    FROM cum, tot GROUP BY ta, tb
+    """,
+)
+def q_source_length_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the length
+    distributions of two sources (textstats.length_ks_test):
+    distribution-level drift, exact integers — D's numerator
+    max|cum_a·n_b − cum_b·n_a| and denominator n_a·n_b kept apart,
+    one division at the end.  The cumulative window runs over the
+    BOUNDED distinct-length histogram (metadata scale)."""
+    from lab3_spark.operators.textstats import length_ks_test
+
+    return length_ks_test(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_ngram_novelty",
+    f"""
+    WITH d AS (
+      SELECT {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+               % 100 AS h,
+             {_DUCK_TOKS} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT h, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM (SELECT h, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3)
+    ),
+    train_g AS (SELECT DISTINCT gram FROM g WHERE h < 90),
+    test_g AS (SELECT DISTINCT gram FROM g WHERE h >= 95),
+    counts AS (
+      SELECT
+        CAST((SELECT count(*) FROM test_g) AS BIGINT) AS n_test_grams,
+        CAST((SELECT count(*) FROM test_g
+              WHERE gram NOT IN (SELECT gram FROM train_g))
+             AS BIGINT) AS n_novel
+    )
+    SELECT n_test_grams, n_novel,
+           CAST(CASE WHEN n_test_grams > 0
+                THEN n_novel * 1000000 // n_test_grams
+                ELSE 0 END AS BIGINT) AS novelty_fp
+    FROM counts
+    """,
+)
+def q_corpus_ngram_novelty(spark, sf_dir):
+    """Fraction of the TEST split's distinct 3-grams never seen in
+    TRAIN (textstats.ngram_novelty) — the memorization audit behind
+    held-out perplexity, over the same deterministic md5 split as
+    dataset_split_manifest.  Distinct-gram tables dedup map-side; one
+    left-anti join."""
+    from lab3_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_pr_curve",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    q AS (
+      SELECT doc_id,
+        CAST(floor((0.4 * least(len(toks) / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN length(text) > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                / length(text) ELSE 0.0 END)
+          + 0.3 * (CASE WHEN len(toks) > 0 THEN
+              len(list_distinct(toks)) / len(toks) ELSE 0.0 END))
+          * 10000) AS BIGINT) AS qfp
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    g AS (SELECT doc_id, {_DUCK_GOPHER_PASS} AS actual FROM gf),
+    t AS (
+      SELECT qfp, actual, lad.t_fp
+      FROM q JOIN g USING (doc_id),
+           (SELECT unnest([3000, 3500, 4000, 4500, 5000,
+                           5500, 6000, 6500, 7000]) AS t_fp) lad
+    ),
+    c AS (
+      SELECT t_fp,
+        CAST(sum(CASE WHEN qfp >= t_fp AND actual THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tp,
+        CAST(sum(CASE WHEN qfp >= t_fp AND NOT actual THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fp,
+        CAST(sum(CASE WHEN qfp < t_fp AND actual THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fn,
+        CAST(sum(CASE WHEN qfp < t_fp AND NOT actual THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tn
+      FROM t GROUP BY t_fp
+    )
+    SELECT CAST(t_fp AS BIGINT) AS t_fp, n_tp, n_fp, n_fn, n_tn,
+           CAST(CASE WHEN n_tp + n_fp > 0
+                THEN n_tp * 1000000 // (n_tp + n_fp)
+                ELSE 1000000 END AS BIGINT) AS precision_fp,
+           CAST(CASE WHEN n_tp + n_fn > 0
+                THEN n_tp * 1000000 // (n_tp + n_fn)
+                ELSE 1000000 END AS BIGINT) AS recall_fp
+    FROM c ORDER BY t_fp
+    """,
+)
+def q_quality_pr_curve(spark, sf_dir):
+    """Precision/recall sweep of the quality score against the Gopher
+    rules (textstats.quality_pr_curve) — the threshold-selection curve
+    behind quality_kappa's single point.  Score fixed-pointed as
+    floor(raw·10⁴) directly on BOTH sides (a trunc-then-remultiply
+    float round trip truncates differently under Spark's cast vs
+    DuckDB's)."""
+    from lab3_spark.operators.textstats import quality_pr_curve
+
+    return quality_pr_curve(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -11781,9 +11955,9 @@ def q_orders_winsorized_stats(spark, sf_dir):
 #   36-38  the 3 sketch gates, reshaped THIS round from rows-only to
 #          bounded-error ORACLED contracts (exact side + tolerance
 #          booleans, VERDICT r6 item 6) — fresh rows required.
-#   39-46  the 8 new round-7 gates (additions capped to fit the window,
-#          per VERDICT r6 item 7).
-#   47-50  re-confirmations: the §2 parity core + one dedup family rep.
+#   39-50  the 12 new round-7 gates (additions capped to exactly fill
+#          the window, per VERDICT r6 item 7; the §2 parity core keeps
+#          its r5 green rows and heads the beyond-window tail).
 #
 # Everything else follows (driver may check more than 50 someday;
 # nothing is dropped — only reordered).  The window-budget contract is
@@ -11841,14 +12015,17 @@ _DRIVER_PRIORITY = [
     "bpe_merge_candidates",
     "source_vocab_overlap",
     "orders_winsorized_stats",
-    # -- re-confirmations (fill to exactly 50) ------------------------
+    "orders_mannwhitney",
+    "source_length_ks",
+    "corpus_ngram_novelty",
+    "quality_pr_curve",
+    # -- beyond the 50-slot window: rest of the catalog's standing
+    #    re-confirmation order (driver may check more than 50 someday;
+    #    nothing is dropped, only reordered) ---------------------------
     "word_count",
     "top50_words",
     "inverted_index",
     "dedup_minhash_lsh",
-    # -- beyond the 50-slot window: rest of the catalog's standing
-    #    re-confirmation order (driver may check more than 50 someday;
-    #    nothing is dropped, only reordered) ---------------------------
     "word_count_parity",
     "inverted_index_parity",
     "dedup_simhash",

@@ -45,8 +45,12 @@ def test_driver_window_leads_with_round7_priorities():
         "bpe_merge_candidates",
         "source_vocab_overlap",
         "orders_winsorized_stats",
+        "orders_mannwhitney",
+        "source_length_ks",
+        "corpus_ngram_novelty",
+        "quality_pr_curve",
     }
-    assert set(order[38:46]) == new_r7
+    assert set(order[38:50]) == new_r7
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

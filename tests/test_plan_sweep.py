@@ -97,6 +97,9 @@ BNLJ_ALLOWED = {
     "quality_kappa",  # 1-row contingency aggregate
     "events_approx_dau",  # tolerance gate over the exact/approx agg
     "events_value_percentiles_approx",  # tolerance gate aggregates
+    "source_length_ks",  # 1-row totals broadcast over the length histogram
+    "corpus_ngram_novelty",  # 1-row novel-count aggregate broadcast
+    "orders_mannwhitney",  # rank-machinery offsets broadcast
     "token_budget_select",
     "source_mixing_weights",
     "events_value_histogram",

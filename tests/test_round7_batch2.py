@@ -1,0 +1,104 @@
+"""Round-7 second wave: rank statistics (Mann-Whitney, KS), the
+n-gram novelty audit, and the quality PR sweep."""
+
+from pyspark.sql import functions as F
+
+
+def test_mannwhitney_hand_computed(spark):
+    """group1 = {3, 5}, group2 = {1, 3}: ranks 1, 2.5, 2.5, 4 →
+    R1 = 6.5, U1 = 3.5 (pair count: 3>1 + ½·(3=3) + 5>1 + 5>3),
+    AUC = 3.5/4."""
+    from lab3_spark.operators.profile import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(0.03, "g1"), (0.05, "g1"), (0.01, "g2"), (0.03, "g2")],
+        "o_totalprice double, grp string",
+    )
+    row = mannwhitney_u(df, group_expr="grp = 'g1'").collect()[0]
+    assert row["n1"] == 2 and row["n2"] == 2
+    assert row["u1_x2"] == 7  # U1 = 3.5
+    assert row["u2_x2"] == 1  # U2 = 0.5; U1 + U2 = n1*n2
+    assert row["auc_fp"] == 875_000
+
+
+def test_mannwhitney_symmetry(spark):
+    """Swapping the groups swaps U1/U2 and mirrors the AUC."""
+    from lab3_spark.operators.profile import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(float(v), "a" if v % 2 else "b") for v in range(1, 101)],
+        "o_totalprice double, grp string",
+    )
+    a = mannwhitney_u(df, group_expr="grp = 'a'").collect()[0]
+    b = mannwhitney_u(df, group_expr="grp = 'b'").collect()[0]
+    assert a["u1_x2"] == b["u2_x2"] and a["u2_x2"] == b["u1_x2"]
+    assert a["u1_x2"] + a["u2_x2"] == 2 * a["n1"] * a["n2"]
+
+
+def test_ks_hand_computed(spark):
+    """a lengths {1,2}, b lengths {2,3}: D = 1/2."""
+    from lab3_spark.operators.textstats import length_ks_test
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", 2), (4, "b", 3)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    row = length_ks_test(df, "a", "b").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["d_num"] == 2
+    assert row["d_fp"] == 500_000
+
+
+def test_ks_identical_distributions_zero(spark):
+    from lab3_spark.operators.textstats import length_ks_test
+
+    rows = [(i, "a", i % 7) for i in range(70)] + [
+        (100 + i, "b", i % 7) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    row = length_ks_test(df, "a", "b").collect()[0]
+    assert row["d_num"] == 0 and row["d_fp"] == 0
+
+
+def test_ngram_novelty_bounds_and_determinism(spark, sf_dir):
+    from lab3_spark.operators.textstats import ngram_novelty
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = ngram_novelty(docs).collect()[0]
+    assert 0 <= a["n_novel"] <= a["n_test_grams"]
+    assert 0 <= a["novelty_fp"] <= 1_000_000
+    b = ngram_novelty(docs).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_ngram_novelty_disjoint_corpus(spark):
+    """Every doc shares one text → test grams all appear in train
+    (both splits nonempty at this size) → novelty 0."""
+    from lab3_spark.operators.textstats import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "s") for i in range(200)],
+        "doc_id bigint, text string, source string",
+    )
+    row = ngram_novelty(df).collect()[0]
+    assert row["n_test_grams"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert row["n_novel"] == 0 and row["novelty_fp"] == 0
+
+
+def test_quality_pr_curve_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the predicted-positive
+    set: recall is non-increasing in t, tp+fn (actual positives) is
+    constant, and all counts partition the corpus."""
+    from lab3_spark.operators.textstats import quality_pr_curve
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = quality_pr_curve(docs).collect()
+    n = docs.count()
+    actual_pos = {r["n_tp"] + r["n_fn"] for r in rows}
+    assert len(actual_pos) == 1
+    recalls = [r["recall_fp"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        assert r["n_tp"] + r["n_fp"] + r["n_fn"] + r["n_tn"] == n
