@@ -434,6 +434,14 @@ def mannwhitney_u(
         ).alias("r1_x2"),
     )
     u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    # an empty group makes U undefined — emit NULL, not a zero-division
+    auc = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.expr(
+            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
+            " DIV (2 * n1 * n2) AS BIGINT)"
+        ),
+    )
     return agg.select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
@@ -441,8 +449,5 @@ def mannwhitney_u(
         (2 * F.col("n1") * F.col("n2") - u1_x2)
         .cast("bigint")
         .alias("u2_x2"),
-        F.expr(
-            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
-            " DIV (2 * n1 * n2) AS BIGINT)"
-        ).alias("auc_fp"),
+        auc.alias("auc_fp"),
     )

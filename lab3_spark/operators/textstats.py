@@ -1961,9 +1961,11 @@ def length_ks_test(
             "n_a",
             "n_b",
             "d_num",
-            F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
-                "d_fp"
-            ),
+            # an empty side makes D undefined — NULL, not a zero-division
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)"),
+            ).alias("d_fp"),
         )
     )
 

@@ -102,3 +102,23 @@ def test_quality_pr_curve_monotone(spark, sf_dir):
     assert recalls == sorted(recalls, reverse=True)
     for r in rows:
         assert r["n_tp"] + r["n_fp"] + r["n_fn"] + r["n_tn"] == n
+
+
+def test_mannwhitney_empty_group_null_auc(spark):
+    from lab3_spark.operators.profile import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(1.0, "b"), (2.0, "b")], "o_totalprice double, grp string"
+    )
+    row = mannwhitney_u(df, group_expr="grp = 'a'").collect()[0]
+    assert row["n1"] == 0 and row["auc_fp"] is None
+
+
+def test_ks_missing_source_null_d(spark):
+    from lab3_spark.operators.textstats import length_ks_test
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id bigint, source string, n_chars bigint"
+    )
+    row = length_ks_test(df, "a", "zzz").collect()[0]
+    assert row["n_b"] == 0 and row["d_fp"] is None
