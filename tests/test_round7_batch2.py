@@ -122,3 +122,58 @@ def test_ks_missing_source_null_d(spark):
     )
     row = length_ks_test(df, "a", "zzz").collect()[0]
     assert row["n_b"] == 0 and row["d_fp"] is None
+
+
+def test_mannwhitney_matches_bruteforce_pair_count(spark):
+    """U1 = #(x1 > x2) + ½·#(x1 = x2) over all cross pairs — the
+    definition, checked against the histogram formulation on a messy
+    tie-heavy sample."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (float(rng.randint(0, 15)) / 100.0, rng.choice(["a", "b"]))
+        for _ in range(300)
+    ]
+    if not any(g == "a" for _, g in rows):  # pragma: no cover
+        rows[0] = (rows[0][0], "a")
+    from lab3_spark.operators.profile import mannwhitney_u
+
+    df = spark.createDataFrame(rows, "o_totalprice double, grp string")
+    got = mannwhitney_u(df, group_expr="grp = 'a'").collect()[0]
+    xs1 = [round(v * 100) for v, g in rows if g == "a"]
+    xs2 = [round(v * 100) for v, g in rows if g == "b"]
+    u1_x2 = sum(
+        2 if x1 > x2 else (1 if x1 == x2 else 0)
+        for x1 in xs1
+        for x2 in xs2
+    )
+    assert got["n1"] == len(xs1) and got["n2"] == len(xs2)
+    assert got["u1_x2"] == u1_x2
+    assert got["auc_fp"] == u1_x2 * 10**6 // (2 * len(xs1) * len(xs2))
+
+
+def test_ks_matches_bruteforce_cdf_scan(spark):
+    """D·n_a·n_b = max over the pooled grid of |cum_a·n_b − cum_b·n_a|
+    — checked against a plain python CDF scan."""
+    import random
+
+    rng = random.Random(11)
+    la = [rng.randint(0, 30) for _ in range(120)]
+    lb = [rng.randint(5, 40) for _ in range(80)]
+    rows = [(i, "a", v) for i, v in enumerate(la)] + [
+        (1000 + i, "b", v) for i, v in enumerate(lb)
+    ]
+    from lab3_spark.operators.textstats import length_ks_test
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    got = length_ks_test(df, "a", "b").collect()[0]
+    grid = sorted(set(la) | set(lb))
+    na, nb = len(la), len(lb)
+    d_num = max(
+        abs(sum(1 for x in la if x <= v) * nb - sum(1 for x in lb if x <= v) * na)
+        for v in grid
+    )
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["d_num"] == d_num
+    assert got["d_fp"] == d_num * 10**6 // (na * nb)
