@@ -177,3 +177,33 @@ def test_ks_matches_bruteforce_cdf_scan(spark):
     assert (got["n_a"], got["n_b"]) == (na, nb)
     assert got["d_num"] == d_num
     assert got["d_fp"] == d_num * 10**6 // (na * nb)
+
+
+def test_winsorized_and_mannwhitney_use_distributed_rank(spark, sf_dir):
+    """Both rank statistics must go through the ranged shuffle
+    (RangePartitioning on the value order), never a single-partition
+    window over the data-scale frame."""
+    from lab3_spark.operators.profile import mannwhitney_u, winsorized_stats
+    from lab3_spark.plans.explain import formatted_plan
+    from lab3_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    for df in (winsorized_stats(orders), mannwhitney_u(orders)):
+        plan = formatted_plan(df)
+        assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_bpe_pair_stage_is_vocab_scale(spark, sf_dir):
+    """The char-pair explode must sit ABOVE the word-count aggregate
+    (pairs derive from word types, not token occurrences): exactly one
+    Generate and it consumes the aggregated (word, wcnt) frame."""
+    from lab3_spark.operators.textstats import bpe_merge_candidates
+    from lab3_spark.plans.explain import formatted_plan
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(bpe_merge_candidates(docs))
+    # two Generates total: the tokenizer explode (below the count agg)
+    # and the pair explode (above it) — the pair one must reference wcnt
+    gen_sections = plan.split("Generate")
+    assert any("wcnt" in g[:400] for g in gen_sections[1:]), plan
