@@ -11963,6 +11963,15 @@ def q_quality_pr_curve(spark, sf_dir):
 # nothing is dropped — only reordered).  The window-budget contract is
 # test-enforced: tests/test_oracle_lint.py asserts every never-checked
 # catalog gate sits inside the first 50.
+#
+# ROUND-8 HANDOFF: if CORRECTNESS_r07 comes back 50/50 green, the
+# never-checked backlog is EMPTY (cumulative driver-green covers all
+# 266 gates).  Round 8's window budget is therefore: gates whose
+# code/output changes that round first, then up to ~50 new gates, then
+# re-confirmations (lead with the §2 parity core — word_count,
+# top50_words, inverted_index, the parity twins — which last got rows
+# in r5).  Update test_driver_window_leads_with_round7_priorities to
+# the new curation when reordering.
 _DRIVER_PRIORITY = [
     # -- the 35 round-6 gates that have never had a driver row (the
     #    entire remaining evidence gap; VERDICT r6 item 1) ------------
