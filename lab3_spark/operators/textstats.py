@@ -1981,9 +1981,15 @@ def ngram_novelty(
     90/5/5 md5 split (sampling.dataset_split_manifest), so the audit
     is re-derivable anywhere.
 
-    Shape: per-side DISTINCT n-gram tables (groupBy dedups map-side —
-    the shuffle carries distinct grams only), one left-anti join for
-    the novel set, two counts.  All gram-table-scale after the scan."""
+    Shape: ONE scan and ONE shuffle — each gram occurrence carries its
+    split flag, a single groupBy(gram) folds to (gram, in_train,
+    in_test) with map-side partial max (the shuffle carries distinct
+    grams only), and the novelty counts are one combinable agg over
+    that table.  The per-side-distinct + anti-join alternative costs
+    two corpus tokenizations and three shuffles (local[32] wall-time
+    is shuffle-latency-bound so the gap barely shows at sf0.1, but at
+    cluster scale the saved scan + two shuffles are the dominant
+    cost)."""
     from lab3_spark.functions.text import md5_long
 
     h = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
@@ -1991,11 +1997,16 @@ def ngram_novelty(
         h.alias("h"),
         F.explode(_word_ngrams(tokenize(text_col), n)).alias("gram"),
     )
-    train_g = grams.where(F.col("h") < 90).select("gram").distinct()
-    test_g = grams.where(F.col("h") >= 95).select("gram").distinct()
-    novel = test_g.join(train_g, "gram", "left_anti")
-    counts = test_g.agg(F.count(F.lit(1)).alias("n_test_grams")).crossJoin(
-        F.broadcast(novel.agg(F.count(F.lit(1)).alias("n_novel")))
+    flags = grams.groupBy("gram").agg(
+        F.max(F.when(F.col("h") < 90, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("h") >= 95, 1).otherwise(0)).alias("in_test"),
+    )
+    counts = flags.agg(
+        F.sum("in_test").alias("n_test_grams"),
+        F.sum(
+            F.when((F.col("in_test") == 1) & (F.col("in_train") == 0), 1)
+            .otherwise(0)
+        ).alias("n_novel"),
     )
     return counts.select(
         F.col("n_test_grams").cast("bigint").alias("n_test_grams"),
