@@ -3221,7 +3221,12 @@ def q_percentiles_approx(spark, sf_dir):
     statistics differ by more than 5%).  The oracle emits per-type
     counts + literal TRUE booleans, so sketch drift past the bound
     flips the hash; exact estimates stay available via
-    events_value_percentiles (fully oracled)."""
+    events_value_percentiles (fully oracled).
+
+    Scale note: the gate's exact percentile() side buffers each
+    group's values (an ImperativeAggregate) — right for a correctness
+    gate at test scale, NOT the 100 TB path; production reads only the
+    approx side, whose GK state is bounded per group."""
     ev = _t(spark, sf_dir, "events")
 
     def within(p: float, name: str):
