@@ -16,7 +16,24 @@ count (plan analysis, no job)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def one_window_partition() -> Column:
+    """A constant, NON-FOLDABLE partition key for window frames that
+    are legitimately single-partition (metadata-scale: per-partition
+    offsets, post-limit k rows, B resample means).
+
+    ``partitionBy(F.lit(0))`` does NOT silence the WindowExec "No
+    Partition Defined" warning: the optimizer constant-folds the
+    literal out of the partition spec, leaving it empty again (measured
+    round 8 — the r6 lit(0) sites all still warned).  ``pmod(
+    spark_partition_id(), 1)`` is 0 for every row but opaque to
+    constant folding, so the spec stays non-empty: same single-task
+    placement, no warning masking real ones during verify runs."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.spark_partition_id(), F.lit(1))
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

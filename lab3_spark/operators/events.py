@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import one_window_partition
 from lab3_spark.functions.rounding import trunc
 
 MONEY = 2
@@ -585,7 +586,9 @@ def cms_heavy_hitters(
 
     est = cms_estimates(events, key_col, d, w, counters)
     top = est.orderBy(F.desc("est"), F.asc(key_col)).limit(topn)
-    w0 = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), F.asc(key_col))
+    w0 = Window.partitionBy(one_window_partition()).orderBy(
+        F.desc("est"), F.asc(key_col)
+    )
     return top.withColumn("rnk", F.row_number().over(w0)).orderBy("rnk")
 
 
@@ -1527,7 +1530,9 @@ def cusum_changepoint(events: DataFrame, value_col: str = "value") -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(one_window_partition()).orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     dev = (
         hourly.crossJoin(F.broadcast(stats))
         .select(
@@ -1639,7 +1644,9 @@ def decayed_leaderboard(events: DataFrame, half_life_days: int = 1) -> DataFrame
         .withColumn(
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.desc("decayed_fp"), F.asc("event_type"))
+                Window.partitionBy(one_window_partition()).orderBy(
+                    F.desc("decayed_fp"), F.asc("event_type")
+                )
             ),
         )
         .orderBy("rnk")
@@ -1683,8 +1690,8 @@ def seasonal_profile_decomposed(events: DataFrame) -> DataFrame:
             "h", F.coalesce("x", F.lit(0)).alias("x")
         ),
     )
-    wa = Window.orderBy("h").rowsBetween(-12, 11)
-    wb = Window.orderBy("h").rowsBetween(-11, 12)
+    wa = Window.partitionBy(one_window_partition()).orderBy("h").rowsBetween(-12, 11)
+    wb = Window.partitionBy(one_window_partition()).orderBy("h").rowsBetween(-11, 12)
     det = dense.select(
         "h",
         (

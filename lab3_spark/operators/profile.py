@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import one_window_partition
+
 
 def _canon(col: Column, dtype: str) -> Column:
     if dtype in ("double", "float"):
@@ -274,7 +276,10 @@ def poisson_bootstrap_ci(
     # B-row frame; the literal partitionBy keeps the same single-task
     # plan but suppresses the all-to-one-partition WindowExec warning
     ranked = means.withColumn(
-        "rk", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("m", "b"))
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(one_window_partition()).orderBy("m", "b")
+        ),
     )
     point = df.agg(
         F.lit("point").alias("stat"),
@@ -450,4 +455,288 @@ def mannwhitney_u(
         .cast("bigint")
         .alias("u2_x2"),
         auc.alias("auc_fp"),
+    )
+
+
+def grouped_winsorized_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    tail_pct: int = 1,
+    scale_cents: bool = False,
+) -> DataFrame:
+    """Per-GROUP winsorized means — :func:`winsorized_stats` lifted
+    from a corpus-global scalar to one row per group (VERDICT r7
+    item 3): (grp, n, p_lo, p_hi, mean_v, winsorized_mean_v), ordered
+    by grp.
+
+    Same integer-exact rank-cutoff recipe (k = max(1, n_g·tail_pct
+    DIV 100) per group), but the rank is the GROUPED distributed row
+    number (operators/rank.py with_grouped_row_number): one ranged
+    shuffle ordered by (group, value, key), per-group offsets
+    broadcast back — the data never crosses a per-group
+    single-partition window, so a skewed group cannot stall an
+    executor.  Cutoffs come back as a #groups-row broadcast frame."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.operators.rank import (
+        group_rows_col,
+        with_grouped_row_number,
+    )
+
+    y = (
+        F.floor(F.col(value_col) * 100 + F.lit(0.5))
+        if scale_cents
+        else F.col(value_col)
+    ).cast("bigint")
+    vals = df.select(
+        F.col(group_col).alias("grp"), y.alias("y"), F.col(key_col).alias("k")
+    )
+    ranked = persist_latest(
+        "profile.grouped_winsorize.ranked",
+        with_grouped_row_number(
+            vals, ["grp"], ["y", "k"], out_col="rn",
+            memo_key="profile.grouped_winsorize",
+        ).withColumn("gn", group_rows_col()),
+    )
+    kcut = F.greatest(F.lit(1), F.expr(f"gn * {tail_pct} DIV 100"))
+    hi_rn = F.col("gn") - kcut + 1
+    cuts = (
+        ranked.where((F.col("rn") == kcut) | (F.col("rn") == hi_rn))
+        .groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("rn") == kcut, F.col("y"))).alias("p_lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("y"))).alias("p_hi"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            F.sum("y").alias("sy"),
+            F.sum(
+                F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("y")))
+            ).alias("sw"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("p_lo").cast("bigint").alias("p_lo"),
+            F.col("p_hi").cast("bigint").alias("p_hi"),
+            F.expr("CAST(sy DIV n AS BIGINT)").alias("mean_v"),
+            F.expr("CAST(sw DIV n AS BIGINT)").alias("winsorized_mean_v"),
+        )
+        .orderBy("grp")
+    )
+
+
+def grouped_mannwhitney_u(
+    df: DataFrame,
+    group_col: str = "o_orderstatus",
+    value_col: str = "o_totalprice",
+    group_expr: str = "o_orderpriority = '1-URGENT'",
+) -> DataFrame:
+    """Per-GROUP Mann-Whitney U — :func:`mannwhitney_u` lifted to one
+    row per group (grp, n1, n2, u1_x2, u2_x2, auc_fp), ordered by grp.
+    Same exact-integer tie-averaged recipe from the per-group value
+    histogram; the cumulative count is the GROUPED distributed prefix
+    sum (operators/rank.py with_grouped_running_sum) — one ranged
+    shuffle ordered by (group, value), per-group starting totals
+    broadcast back, never a per-group single-partition window.  Empty
+    side within a group → NULL auc_fp (the corpus-global contract)."""
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_grouped_running_sum,
+    )
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            cents.alias("y"),
+            F.when(F.expr(group_expr), 1).otherwise(0).alias("g1"),
+        )
+        .groupBy("grp", "y")
+        .agg(
+            F.sum("g1").cast("bigint").alias("n1v"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    cum = drop_rank_internals(
+        with_grouped_running_sum(
+            hist, ["grp"], ["y"], "cnt", out_col="cum_incl",
+            memo_key="profile.grouped_mannwhitney",
+        )
+    )
+    agg = cum.groupBy("grp").agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v")
+            * (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    auc = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.expr(
+            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000"
+            " DIV (2 * n1 * n2) AS BIGINT)"
+        ),
+    )
+    return agg.select(
+        "grp",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).cast("bigint").alias("u2_x2"),
+        auc.alias("auc_fp"),
+    ).orderBy("grp")
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str = "l_quantity",
+    y_col: str = "l_extendedprice",
+) -> DataFrame:
+    """One row (n, rho_fp): Spearman rank correlation between two
+    numeric columns — Pearson over tie-averaged ranks, exact until the
+    final division.  rho_fp = floor(rho·10⁶).
+
+    Ranks stay INTEGER via the ×2 trick (2·rank = 2·cum_below + cnt
+    + 1 from each column's value histogram — the mannwhitney_u
+    machinery; the uniform ×2 cancels in the correlation).  Each
+    histogram's cumulative count is the DISTRIBUTED prefix sum
+    (operators/rank.py); rank columns join back to the fact rows as
+    value→rank lookup tables (co-partitioned equi-joins on the value —
+    two data-scale shuffles, the irreducible cost of a joint rank
+    statistic).  Moment sums accumulate in decimal(38,0) — exact to
+    n ≈ 1.3·10⁹ rows (num ≈ 4n⁴ < 10³⁸; DuckDB's HUGEINT has the
+    same bound); the final rho is ONE double expression evaluated
+    identically in both engines (docs/SCALE.md).  Degenerate (constant)
+    column → NULL rho_fp."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_running_sum,
+    )
+
+    xfp = F.floor(F.col(x_col) * 100 + F.lit(0.5)).cast("bigint")
+    yfp = F.floor(F.col(y_col) * 100 + F.lit(0.5)).cast("bigint")
+    vals = persist_latest(
+        "profile.spearman.vals",
+        df.select(xfp.alias("x"), yfp.alias("y")),
+    )
+
+    def rank_table(col: str, memo: str) -> DataFrame:
+        hist = vals.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        cum = drop_rank_internals(
+            with_global_running_sum(
+                hist, [col], "_c", out_col="_cum", memo_key=memo
+            )
+        )
+        # 2·(tie-averaged rank) = 2·cum_below + cnt + 1
+        return cum.select(
+            col,
+            (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1).alias(
+                f"r{col}"
+            ),
+        )
+
+    ranked = vals.join(
+        rank_table("x", "profile.spearman.x"), "x"
+    ).join(rank_table("y", "profile.spearman.y"), "y")
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx").cast(d38)).alias("sx"),
+        F.sum(F.col("ry").cast(d38)).alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d38)).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d38)).alias("sxy"),
+    )
+    # one double expression, written identically in the oracle so both
+    # engines run the same IEEE op sequence on the same exact integers
+    rho_fp = F.expr(
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000 /"
+        " SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        " ELSE NULL END"
+    )
+    return agg.select("n", rho_fp.alias("rho_fp"))
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_ord: Column | str,
+    y_ord: Column | str,
+) -> DataFrame:
+    """One row (n, n_concordant, n_discordant, tie_x_pairs,
+    tie_y_pairs, tau_fp): Kendall's tau-b between two ORDINAL
+    variables, exact integers until the final division.
+
+    Scale contract: both inputs must be metadata-cardinality ordinals
+    (priority levels, buckets, grades) — ONE corpus scan folds to the
+    |X|·|Y| contingency table, and the concordant/discordant counts
+    are a broadcast cells×cells self-join (≤ thousands of cell pairs).
+    Pair counts are bigint-safe (C, D ≤ n²/2); only the tau
+    denominator sqrt((n0−n1)(n0−n2)) runs in double — one expression,
+    mirrored in the oracle.  Continuous inputs should be bucketed by
+    the caller (tau on raw continuous data is what spearman_rho is
+    for)."""
+    xc = F.col(x_ord) if isinstance(x_ord, str) else x_ord
+    yc = F.col(y_ord) if isinstance(y_ord, str) else y_ord
+    cells = (
+        df.select(xc.cast("bigint").alias("xo"), yc.cast("bigint").alias("yo"))
+        .groupBy("xo", "yo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = cells.select(
+        F.col("xo").alias("xa"), F.col("yo").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("xo").alias("xb"), F.col("yo").alias("yb"), F.col("c").alias("cb")
+    )
+    # unordered cell pairs, counted once via xb > xa (x-tied pairs
+    # contribute to neither C nor D)
+    pairs = a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), F.col("ca") * F.col("cb"))
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(F.col("yb") < F.col("ya"), F.col("ca") * F.col("cb"))
+        ).alias("d_pairs"),
+    )
+    xm = cells.groupBy("xo").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.expr("t * (t - 1) DIV 2")).alias("tie_x"),
+        F.sum("t").alias("n_x"),
+    )
+    ym = cells.groupBy("yo").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.expr("t * (t - 1) DIV 2")).alias("tie_y")
+    )
+    joined = cd.crossJoin(F.broadcast(xm)).crossJoin(F.broadcast(ym)).select(
+        F.col("n_x").cast("bigint").alias("n"),
+        F.coalesce("c_pairs", F.lit(0)).cast("bigint").alias("n_concordant"),
+        F.coalesce("d_pairs", F.lit(0)).cast("bigint").alias("n_discordant"),
+        F.col("tie_x").cast("bigint").alias("tie_x_pairs"),
+        F.col("tie_y").cast("bigint").alias("tie_y_pairs"),
+    )
+    tau_fp = F.expr(
+        "CASE WHEN n * (n - 1) DIV 2 - tie_x_pairs > 0"
+        " AND n * (n - 1) DIV 2 - tie_y_pairs > 0 THEN"
+        " CAST(FLOOR(CAST(n_concordant - n_discordant AS DOUBLE) * 1000000 /"
+        " SQRT(CAST(n * (n - 1) DIV 2 - tie_x_pairs AS DOUBLE)"
+        " * CAST(n * (n - 1) DIV 2 - tie_y_pairs AS DOUBLE))) AS BIGINT)"
+        " ELSE NULL END"
+    )
+    return joined.select(
+        "n", "n_concordant", "n_discordant", "tie_x_pairs", "tie_y_pairs",
+        tau_fp.alias("tau_fp"),
     )

@@ -107,11 +107,23 @@ def with_global_row_number(
     d = _ranged_frame(df, order_cols, memo_key)
 
     counts = d.groupBy(_PID).agg(F.count("*").alias("_n"))
-    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # one_window_partition(): same single-partition placement over the
+    # ≤ defaultParallelism offset rows, but a non-empty (and
+    # non-foldable) partition spec silences the WindowExec "No
+    # Partition Defined" warning that was masking real warnings during
+    # verify runs (VERDICT r7 item 7)
+    from lab3_spark.functions.partitioning import one_window_partition
+
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         counts.withColumn(_OFF, F.coalesce(F.sum("_n").over(w), F.lit(0)))
-        .withColumn(_TOT, F.sum("_n").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn(_TOT, F.sum("_n").over(
+            Window.partitionBy(one_window_partition()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(_PID, _OFF, _TOT)
     )
 
@@ -144,7 +156,15 @@ def with_global_running_sum(
     d = _ranged_frame(df, order_cols, memo_key)
 
     sums = d.groupBy(_PID).agg(F.sum(value_col).alias("_v"))
-    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # see with_global_row_number — warning hygiene over the
+    # metadata-scale offsets frame, identical placement
+    from lab3_spark.functions.partitioning import one_window_partition
+
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = sums.withColumn(
         _OFF, F.coalesce(F.sum("_v").over(w), F.lit(0))
     ).select(_PID, _OFF)
@@ -165,8 +185,97 @@ def with_global_running_sum(
     )
 
 
+_GRP_N = "_gos_group_n"
+
+
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    memo_key: str = "rank.grouped_row_number",
+) -> DataFrame:
+    """Per-GROUP 1-based row number following ``ORDER BY order_cols``
+    within each group — WITHOUT a per-group window (``partitionBy(
+    group)`` moves each whole group to one partition: the skew/OOM
+    trap when a group is data-scale).
+
+    One :func:`with_global_row_number` pass ordered by (group, order)
+    gives contiguous global ranks per group; subtracting each group's
+    broadcast start offset (cumulative counts of preceding groups —
+    a #groups-row metadata frame) localizes them.  Group cardinality
+    must be metadata-scale (sources, priorities, statuses); the DATA
+    never sees a per-group single-partition window.  Also leaves a
+    ``_gos_group_n`` column (per-group row count, exposed via
+    :func:`group_rows_col`); drop with :func:`drop_rank_internals`."""
+    from lab3_spark.functions.partitioning import one_window_partition
+
+    gcols = list(group_cols)
+    d = with_global_row_number(
+        df, [*gcols, *order_cols], out_col="_grn", memo_key=memo_key
+    )
+    counts = d.groupBy(*gcols).agg(F.count("*").alias(_GRP_N))
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(*gcols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        _OFF, F.coalesce(F.sum(_GRP_N).over(w), F.lit(0))
+    )
+    return (
+        d.join(F.broadcast(offs), gcols)
+        .withColumn(out_col, (F.col("_grn") - F.col(_OFF)).cast("long"))
+        .drop("_grn", _OFF)
+    )
+
+
+def with_grouped_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    memo_key: str = "rank.grouped_running_sum",
+) -> DataFrame:
+    """Per-group prefix sum of ``value_col`` following ``ORDER BY
+    order_cols`` within each group — the grouped sibling of
+    :func:`with_global_running_sum`, same no-per-group-window design
+    as :func:`with_grouped_row_number`: one global prefix sum ordered
+    by (group, order), minus each group's broadcast starting total
+    (cumulative value sums of preceding groups, #groups rows)."""
+    from lab3_spark.functions.partitioning import one_window_partition
+
+    gcols = list(group_cols)
+    d = with_global_running_sum(
+        df, [*gcols, *order_cols], value_col, out_col="_gcum",
+        memo_key=memo_key,
+    )
+    sums = d.groupBy(*gcols).agg(F.sum(value_col).alias("_gv"))
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(*gcols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sums.withColumn(
+        _OFF, F.coalesce(F.sum("_gv").over(w), F.lit(0))
+    ).drop("_gv")
+    return (
+        d.join(F.broadcast(offs), gcols)
+        .withColumn(out_col, F.col("_gcum") - F.col(_OFF))
+        .drop("_gcum", _OFF)
+    )
+
+
+def group_rows_col() -> Column:
+    """Per-group row count as a column, valid on a
+    :func:`with_grouped_row_number` result before
+    ``drop_rank_internals``."""
+    return F.col(_GRP_N)
+
+
 def drop_rank_internals(df: DataFrame) -> DataFrame:
-    return df.drop(_TOT)
+    return df.drop(_TOT).drop(_GRP_N)
 
 
 def total_rows_col() -> Column:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import one_window_partition
+
 # Monetary/ratio rounding used identically in oracle SQL so value-hash
 # comparison is stable across engines' float summation orders.
 MONEY = 2
@@ -167,7 +169,7 @@ def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), MONEY).alias("total"))
     )
-    w = Window.orderBy("month")
+    w = Window.partitionBy(one_window_partition()).orderBy("month")
     wma = w.rowsBetween(-2, 0)
     return (
         monthly.withColumn("prev_total", F.lag("total").over(w))
@@ -563,7 +565,7 @@ def price_time_skyline(orders: DataFrame) -> DataFrame:
         _cents().alias("price_cents"),
     )
     daily = o.groupBy("_day").agg(F.max("price_cents").alias("_dmax"))
-    w = Window.orderBy("_day").rowsBetween(
+    w = Window.partitionBy(one_window_partition()).orderBy("_day").rowsBetween(
         Window.unboundedPreceding, -1
     )
     pfx = daily.select(
@@ -977,7 +979,9 @@ def order_cadence(orders: DataFrame) -> DataFrame:
     cum = hist.withColumn(
         "cum",
         F.sum("m").over(
-            Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(one_window_partition())
+            .orderBy("g")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     stats = hist.agg(

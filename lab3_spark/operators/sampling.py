@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lab3_spark.functions.partitioning import spread
+from lab3_spark.functions.partitioning import one_window_partition, spread
 from lab3_spark.functions.text import md5_long, tokenize
 
 SAMPLE_MOD = 1_000_000
@@ -365,7 +365,7 @@ def weighted_sample_docs(
         "priority",
         F.row_number()
         .over(
-            Window.partitionBy(F.lit(0)).orderBy(
+            Window.partitionBy(one_window_partition()).orderBy(
                 F.desc("priority"), F.asc("doc_id")
             )
         )
@@ -488,7 +488,7 @@ def mixture_apportionment(
     deficit = shares.agg(
         (F.lit(budget) - F.sum("base")).alias("deficit")
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(one_window_partition()).orderBy(
         F.desc("rem"), F.asc("source")
     )
     return (

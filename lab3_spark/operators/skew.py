@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lab3_spark.functions.partitioning import one_window_partition
+
 
 def salted_join(
     fact: DataFrame,
@@ -119,7 +121,9 @@ def key_skew_report(df: DataFrame, key_col: str, table: str) -> DataFrame:
     cum = hist.withColumn(
         "cum",
         F.sum("m").over(
-            Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(one_window_partition())
+            .orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     picks = cum.crossJoin(F.broadcast(stats)).select(

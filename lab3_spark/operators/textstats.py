@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lab3_spark.functions.partitioning import spread
+from lab3_spark.functions.partitioning import one_window_partition, spread
 from lab3_spark.functions.rounding import trunc
 from lab3_spark.functions.text import tokenize
 from lab3_spark.stopwords import STOP_WORDS
@@ -1619,7 +1619,10 @@ def source_token_gini(documents: DataFrame, text_col: str = "text") -> DataFrame
     from pyspark.sql.window import Window
 
     ranked = masses.withColumn(
-        "i", F.row_number().over(Window.orderBy("m", "source"))
+        "i",
+        F.row_number().over(
+            Window.partitionBy(one_window_partition()).orderBy("m", "source")
+        ),
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1671,7 +1674,7 @@ def vocab_coverage_curve(
         counts.withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
+                Window.partitionBy(one_window_partition()).orderBy(
                     F.desc("cnt"), F.asc("word")
                 )
             ),
@@ -1743,10 +1746,101 @@ def bpe_merge_candidates(
         F.col("cnt").cast("bigint").alias("cnt"),
         F.row_number()
         .over(
-            Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
+            Window.partitionBy(one_window_partition()).orderBy(
+                F.desc("cnt"), F.asc("pair")
+            )
         )
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+def bpe_merges(
+    documents: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(it, pair, cnt): the merge chosen at each of ``k`` BPE rounds
+    (Sennrich et al. 2016) — ``pair`` is the space-separated symbol
+    pair ("t h", then later e.g. "th e") and ``cnt`` its corpus
+    frequency at selection time, weighted by word occurrence counts.
+    Iterates the full algorithm, not just the first round that
+    :func:`bpe_merge_candidates` seeds.
+
+    Scale design: the corpus folds ONCE to the vocabulary-scale
+    (word, wcnt) type table; every round's pair count and merge apply
+    run over word TYPES — metadata-scale regardless of corpus size,
+    the same argument as :func:`bpe_merge_candidates`.  Per round: one
+    groupBy over the type table plus a 1-ROW driver collect of the
+    argmax pair (the kmeans-centroid pattern — bounded, documented).
+
+    Segmentations are strings of WRAPPED symbols — ``|a||b||c|``, each
+    symbol carrying its own leading AND trailing delimiter ('|' cannot
+    occur in [a-z']+ tokens).  That encoding makes ONE plain
+    ``replace(seg, '|a||b|', '|ab|')`` pass exactly the standard
+    greedy left-to-right merge: a match can only start at a symbol
+    boundary, and consuming a match never eats the next symbol's
+    leading delimiter (the failure mode of space-separated encodings,
+    where " a a " steals the middle space and odd runs under-merge).
+    Identical `replace` semantics in Spark and DuckDB — the oracle
+    runs the same algorithm.  Pinned against a pure-Python greedy
+    reference in tests, pathological same-char runs included.  Each
+    round's frame is memo-persisted under a per-iteration key (the
+    components.py discipline): warm repeat runs cache-hit every round.
+
+    Ties break (cnt DESC, pair ASC) — deterministic, mirrored in the
+    oracle.  Stops early if no pair remains (every word fully merged).
+    """
+    from lab3_spark.functions.partitioning import memo_persist
+
+    spark = documents.sparkSession
+    words = (
+        spread(documents)
+        .select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("word") >= 2)
+    )
+    seg = words.select(
+        "wcnt",
+        F.concat(
+            F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
+        ).alias("seg"),
+    )
+    rows: list[tuple[int, str, int]] = []
+    for it in range(1, k + 1):
+        seg = memo_persist(f"textstats.bpe.seg_k{k}_it{it}", seg)
+        pairs = (
+            seg.select(
+                "wcnt",
+                F.split(F.expr("trim(BOTH '|' FROM seg)"), "\\|\\|").alias(
+                    "syms"
+                ),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "wcnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(syms[i-1], ' ', syms[i]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+        )
+        # 1-row argmax collect per round — metadata-scale by design
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        rows.append((it, pair, cnt))
+        a, b = pair.split(" ")
+        seg = seg.select(
+            "wcnt",
+            F.replace(
+                F.col("seg"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("seg"),
+        )
+    return spark.createDataFrame(rows, "it bigint, pair string, cnt bigint")
 
 
 def quality_kappa(
@@ -1928,7 +2022,7 @@ def length_ks_test(
     from lab3_spark.functions.partitioning import persist_latest
 
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(one_window_partition())
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )

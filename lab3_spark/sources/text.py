@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lab3_spark.functions.partitioning import one_window_partition
+
 ROW_IDX_BITS = 33  # monotonically_increasing_id layout (Spark contract)
 
 
@@ -40,7 +42,9 @@ def with_line_numbers(df: DataFrame, out_col: str = "line_no") -> DataFrame:
     d = df.withColumn("_pid", F.shiftrightunsigned(mid, ROW_IDX_BITS)).withColumn(
         "_ridx", mid.bitwiseAND(F.lit((1 << ROW_IDX_BITS) - 1))
     )
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.partitionBy(one_window_partition()).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = (
         d.groupBy("_pid")
         .agg(F.count("*").alias("_n"))

@@ -122,6 +122,20 @@ def start_cdc_apply(stream: DataFrame, store_path: str, checkpoint: str):
                     "scratch — point the stream at a fresh store or "
                     "resume from the original checkpoint"
                 )
+            # A COMPLETELY emptied store (full wipe, checkpoint kept)
+            # is the same silent-prior-state-loss class: batch_id > 0
+            # proves the checkpoint believes earlier batches were
+            # applied, so writing version=batch_id containing only the
+            # current batch would masquerade as a full snapshot.
+            # Refuse; the legal recovery paths are a fresh checkpoint
+            # (full replay from batch 0) or restoring the store.
+            raise RuntimeError(
+                f"cdc store {store_path} is empty but the checkpoint "
+                f"delivered batch_id={batch_id} > 0 — prior applied "
+                "state is lost; refusing to write a partial snapshot. "
+                "Start over with a fresh checkpoint (full replay) or "
+                "restore the store"
+            )
         if batch_id > 0 and fs.exists(hprev):
             prior = snapshot(spark, store_path, batch_id - 1)
             untouched = prior.join(

@@ -21,36 +21,31 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_round7_priorities():
-    """Round-7 curation contract: the window leads with (1) the 35
-    round-6 gates that never received a driver row, (2) the 3 sketch
-    gates reshaped this round to bounded-error oracled contracts,
-    (3) the 8 new round-7 gates — everything needing a FIRST or FRESH
+def test_driver_window_leads_with_round8_priorities():
+    """Round-8 curation contract: the window leads with (1) the new
+    round-8 gates (no driver row anywhere), (2) the 3 gates whose
+    oracle SQL gained ADVICE-r7 guards, (3) the §2 parity core
+    re-confirmations, then the plan-changed gates from the
+    one_window_partition sweep — everything needing a FIRST or FRESH
     driver row sits inside the 50-slot window."""
     import __spark_entry__ as entrymod
+    from lab3_spark.queries_catalog import ROUND8_NEW
 
     order = list(entrymod.queries())
-    assert order[0] == "mmr_diverse_select"
-    assert set(order[35:38]) == {
-        "events_approx_dau",
-        "events_hll_daily_merge",
-        "events_value_percentiles_approx",
-    }
-    new_r7 = {
-        "dedup_simhash_blocking",
-        "dedup_cross_source",
-        "dataset_split_manifest",
-        "quality_kappa",
-        "vocab_coverage_curve",
-        "bpe_merge_candidates",
-        "source_vocab_overlap",
-        "orders_winsorized_stats",
+    n_new = len(ROUND8_NEW)
+    assert order[:n_new] == ROUND8_NEW
+    assert order[n_new : n_new + 3] == [
+        "dedup_blocking_quality",
         "orders_mannwhitney",
         "source_length_ks",
-        "corpus_ngram_novelty",
-        "quality_pr_curve",
-    }
-    assert set(order[38:50]) == new_r7
+    ]
+    assert order[n_new + 3 : n_new + 8] == [
+        "word_count",
+        "top50_words",
+        "inverted_index",
+        "word_count_parity",
+        "inverted_index_parity",
+    ]
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

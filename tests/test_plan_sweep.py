@@ -125,6 +125,14 @@ BNLJ_ALLOWED = {
     "dedup_containment",
     "weighted_sample_docs",
     "stratified_fixed_n_sample",
+    # round-8 additions
+    "orders_kendall_tau",  # cells×cells inequality self-join over the
+    # ≤|X|·|Y|-cell contingency table (metadata-scale by the ordinal
+    # contract documented in profile.kendall_tau_b)
+    "source_winsorized_stats",  # grouped rank-machinery offsets +
+    # #groups-row cutoff broadcasts
+    "orders_mannwhitney_by_status",  # grouped prefix-sum offsets broadcast
+    "lineitem_spearman",  # rank-machinery offsets broadcasts (x and y)
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

@@ -1,0 +1,319 @@
+"""Round-8 additions: ADVICE-r7 fixes (cdc full-wipe refusal, oracle
+division guards), iterated BPE merges, per-source rank statistics,
+Spearman / Kendall tau-b."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- cdc --
+
+
+def test_cdc_apply_refuses_fully_wiped_store(spark, tmp_path):
+    """ADVICE r7: batch_id > 0 against a COMPLETELY emptied store
+    (full wipe, checkpoint kept) must refuse like the partial-wipe
+    case — the checkpoint proves prior batches were applied, so a
+    version=batch_id write holding only the current batch would
+    masquerade as a full snapshot."""
+    import os
+    import shutil
+    import time
+
+    from lab3_spark.streaming.cdc import start_cdc_apply
+
+    store = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    os.makedirs(feed)
+    schema = (
+        "o_orderkey bigint, seq bigint, op string,"
+        " price_cents bigint, o_orderstatus string"
+    )
+
+    def add_file(i: int):
+        part = str(tmp_path / f"part{i}")
+        spark.createDataFrame(
+            [(i + 1, i + 1, "I", 100 * (i + 1), "O")], schema
+        ).coalesce(1).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(feed, f"{i:02d}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (time.time() + i * 10,) * 2)
+
+    def drain() -> None:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = start_cdc_apply(src, store, ck)
+        if not q.awaitTermination(300):  # pragma: no cover
+            q.stop()
+            raise AssertionError("cdc stream timed out")
+
+    add_file(0)
+    drain()
+    # wipe the WHOLE store, keep the checkpoint, feed batch 1: the
+    # guard must fail the stream rather than write version=1 holding
+    # only the second record
+    shutil.rmtree(store)
+    add_file(1)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="refusing"):
+        drain()
+
+
+# ---------------------------------------------------------------- bench --
+
+
+def test_bench_tail_carries_slowest_map():
+    """VERDICT r7 item 1: the driver archives only the LAST ~2 KB of
+    bench.py's JSON line, so the top-10 "slowest" map and the headline
+    scalars must sit inside that tail even with a full-size per-query
+    map in front."""
+    import json
+
+    import bench
+
+    fake = {n: 1.234 for n in bench.HEADLINE}
+    slowest = dict(sorted(fake.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps(
+        {
+            "queries": fake,
+            "cold": fake,
+            "warm": fake,
+            "memo_served": sorted(bench.HEADLINE),
+            "slowest": slowest,
+            "unit": "sec",
+            "metric": "headline_queries_total_wall_sec",
+            "sf": 0.1,
+            "value": round(sum(fake.values()), 3),
+        }
+    )
+    tail = line[-2048:]
+    assert '"slowest"' in tail
+    assert '"value"' in tail and '"metric"' in tail
+    # and the whole top-10 map fits, not just its opening key
+    body = tail.split('"slowest": ', 1)[1].split(', "unit"', 1)[0]
+    assert json.loads(body) == slowest
+
+
+# ------------------------------------------------------------------ bpe --
+
+
+def _ref_bpe(word_counts: dict, k: int):
+    """Pure-Python reference: Sennrich et al. greedy BPE over word
+    types — the ground truth the replace-to-fixpoint implementation
+    must reproduce."""
+    segs = {w: list(w) for w in word_counts}
+    out = []
+    for it in range(1, k + 1):
+        counts = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )[0]
+        (a, b), cnt = best
+        out.append((it, a + " " + b, cnt))
+        for w, s in segs.items():
+            merged, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            segs[w] = merged
+    return out
+
+
+def test_bpe_merges_hand_computed(spark):
+    from lab3_spark.operators.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab", "s")], "doc_id bigint, text string, source string"
+    )
+    got = [(r["it"], r["pair"], r["cnt"]) for r in bpe_merges(docs, k=5).collect()]
+    # round 1: (a,a) appears twice (once per 'aa'), (a,b) once -> merge 'a a'
+    # round 2: only (a,b) remains in 'ab' -> merge 'a b'; round 3: nothing
+    assert got == [(1, "a a", 2), (2, "a b", 1)]
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """Includes a pathological same-char run ('aaaaaaaa') where one
+    replace pass is NOT enough — pins the fixpoint ≡ greedy claim."""
+    from collections import Counter
+
+    from lab3_spark.operators.textstats import bpe_merges
+
+    texts = [
+        "the theft theme then the the",
+        "aaaaaaaa aaaa aa banana bananas",
+        "low lower lowest newest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    )
+    wc = Counter(
+        w for t in texts for w in t.split() if len(w) >= 2
+    )
+    for k in (1, 4, 10):
+        got = [
+            (r["it"], r["pair"], r["cnt"])
+            for r in bpe_merges(docs, k=k).collect()
+        ]
+        assert got == _ref_bpe(dict(wc), k), f"k={k}"
+
+
+# ------------------------------------------------- grouped rank stats --
+
+
+def _orders(spark):
+    rows = []
+    import random
+
+    rng = random.Random(7)
+    for i in range(400):
+        status = "POF"[i % 3]
+        prio = "1-URGENT" if rng.random() < 0.4 else "3-MEDIUM"
+        price = round(rng.uniform(100, 900), 2)
+        rows.append((i, status, prio, price))
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderstatus string,"
+        " o_orderpriority string, o_totalprice double",
+    )
+
+
+def test_grouped_mannwhitney_matches_per_group_scalar(spark):
+    """The grouped operator must equal the corpus-global operator run
+    on each group's slice."""
+    from lab3_spark.operators.profile import (
+        grouped_mannwhitney_u,
+        mannwhitney_u,
+    )
+
+    df = _orders(spark)
+    got = {
+        r["grp"]: (r["n1"], r["n2"], r["u1_x2"], r["u2_x2"], r["auc_fp"])
+        for r in grouped_mannwhitney_u(df).collect()
+    }
+    for status in "POF":
+        (exp,) = mannwhitney_u(
+            df.where(F.col("o_orderstatus") == status)
+        ).collect()
+        assert got[status] == (
+            exp["n1"], exp["n2"], exp["u1_x2"], exp["u2_x2"], exp["auc_fp"]
+        ), status
+
+
+def test_grouped_winsorized_matches_per_group_python(spark):
+    from lab3_spark.operators.profile import grouped_winsorized_stats
+
+    df = _orders(spark).selectExpr(
+        "o_orderstatus AS source",
+        "CAST(o_totalprice AS BIGINT) AS n_chars",
+        "o_orderkey AS doc_id",
+    )
+    got = {
+        r["grp"]: (r["n"], r["p_lo"], r["p_hi"], r["mean_v"],
+                   r["winsorized_mean_v"])
+        for r in grouped_winsorized_stats(df, tail_pct=5).collect()
+    }
+    rows = df.collect()
+    for status in "POF":
+        ys = sorted(r["n_chars"] for r in rows if r["source"] == status)
+        n = len(ys)
+        k = max(1, n * 5 // 100)
+        p_lo, p_hi = ys[k - 1], ys[n - k]
+        clipped = [min(max(y, p_lo), p_hi) for y in ys]
+        assert got[status] == (
+            n, p_lo, p_hi, sum(ys) // n, sum(clipped) // n
+        ), status
+
+
+def test_spearman_matches_bruteforce(spark):
+    """Tie-heavy small input vs a pure-Python tie-averaged-rank
+    Pearson."""
+    from lab3_spark.operators.profile import spearman_rho
+
+    xs = [1, 2, 2, 3, 3, 3, 4, 10, 10, 5, 6, 7]
+    ys = [2, 1, 3, 3, 5, 4, 4, 20, 19, 6, 6, 9]
+    df = spark.createDataFrame(
+        list(zip(map(float, xs), map(float, ys))),
+        "l_quantity double, l_extendedprice double",
+    )
+    (got,) = spearman_rho(df).collect()
+
+    def avg_ranks(v):
+        s = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(s):
+            j = i
+            while j + 1 < len(s) and v[s[j + 1]] == v[s[i]]:
+                j += 1
+            for t in range(i, j + 1):
+                r[s[t]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    import math
+
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got["n"] == n
+    assert abs(got["rho_fp"] / 1e6 - rho) < 2e-6
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    from lab3_spark.operators.profile import kendall_tau_b
+
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.randint(1, 5) for _ in range(120)]
+    ys = [x + rng.randint(-2, 2) for x in xs]  # correlated ordinals
+    df = spark.createDataFrame(
+        list(zip(xs, ys)), "xo bigint, yo bigint"
+    )
+    (got,) = kendall_tau_b(df, "xo", "yo").collect()
+    C = D = tx = ty = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xs[j] - xs[i]
+            dy = ys[j] - ys[i]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    import math
+
+    n0 = n * (n - 1) // 2
+    tau = (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert (
+        got["n"], got["n_concordant"], got["n_discordant"],
+        got["tie_x_pairs"], got["tie_y_pairs"],
+    ) == (n, C, D, tx, ty)
+    assert abs(got["tau_fp"] / 1e6 - tau) < 2e-6
