@@ -243,10 +243,28 @@ HEADLINE = [
     "quality_pr_curve",
     # round-8 additions
     "bpe_merges_k",
+    "bpe_apply_compression",
     "source_winsorized_stats",
     "orders_mannwhitney_by_status",
     "lineitem_spearman",
     "orders_kendall_tau",
+    "orders_paired_permutation",
+    "source_drift_bh_screen",
+    # round-8 rotation: previously never-benched gates, one per family
+    # (VERDICT r7 item 8) — the standing exclusion list and rotation
+    # policy now live in BASELINE.md §bench-coverage
+    "pagerank_candidates",
+    "salted_wordcount",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q21_sole_latest_supplier",
+    "train_val_test_split",
+    "leakage_safe_split",
+    "source_drift_psi",
+    "data_expectations",
+    "events_props_from_json",
+    "top_words_per_source",
+    "hourly_spine_recursive",
     # streaming_cdc_apply excluded with the StreamingQuery gates below
     # streaming_curated_ingest excluded like the other StreamingQuery
     # gates: wall-clock is checkpoint machinery, not dataflow

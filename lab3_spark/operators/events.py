@@ -1065,8 +1065,13 @@ def kmv_value_quantiles(
             "day", "hk", "value"
         ),
     )
+    # 'ALL' built over an empty substring of hk: constant value, but
+    # NON-FOLDABLE, so the per-key windows inside top_n_per_key keep a
+    # non-empty partition spec (a plain lit gets constant-folded out,
+    # reintroducing the WindowExec warning — see one_window_partition)
+    all_key = F.concat(F.substring("hk", 1, 0), F.lit("ALL"))
     merged = top_n_per_key(
-        syn.withColumn("day", F.lit("ALL")), ["day"], ["hk"], k
+        syn.withColumn("day", all_key), ["day"], ["hk"], k
     ).select("day", "hk", "value")
     both = syn.unionByName(merged)
     ag = both.groupBy("day").agg(

@@ -273,8 +273,9 @@ def poisson_bootstrap_ci(
     )
     from pyspark.sql.window import Window
 
-    # B-row frame; the literal partitionBy keeps the same single-task
-    # plan but suppresses the all-to-one-partition WindowExec warning
+    # B-row frame; the non-foldable constant partition key keeps the
+    # same single-task plan but suppresses the all-to-one-partition
+    # WindowExec warning (a plain literal gets constant-folded back out)
     ranked = means.withColumn(
         "rk",
         F.row_number().over(
@@ -739,4 +740,250 @@ def kendall_tau_b(
     return joined.select(
         "n", "n_concordant", "n_discordant", "tie_x_pairs", "tie_y_pairs",
         tau_fp.alias("tau_fp"),
+    )
+
+
+def paired_permutation_test(
+    df: DataFrame,
+    key_col: str = "o_custkey",
+    value_col: str = "o_totalprice",
+    cond_a: str = "year(o_orderdate) = 1995",
+    cond_b: str = "year(o_orderdate) = 1996",
+    n_perm: int = 200,
+) -> DataFrame:
+    """One row (n_pairs, t_obs_cents, n_extreme, n_perm, p_fp): paired
+    SIGN-FLIP permutation test — does each entity's total under
+    condition A differ from its total under condition B?  The exact
+    nonparametric answer scipy's ``permutation_test(..
+    permutation_type='samples')`` approximates, distribution-free and
+    correct under arbitrary per-entity scale differences because each
+    entity is its own control.
+
+    d_i = sum(value | A) − sum(value | B) per key having BOTH sides
+    (one groupBy);  T = Σ d_i;  under H0 the d_i are sign-symmetric,
+    so the null distribution is T_b = Σ s_ib·d_i over deterministic
+    sign flips — s_ib from the bootstrap-CI integer mix (ONE md5 per
+    key, then the (h, b) cubic-residue fold; salt 'perm' decorrelates
+    from the bootstrap draws); p = (#{|T_b| ≥ |T|} + 1) / (B + 1),
+    the add-one-smoothed two-sided estimate that can never return 0.
+
+    Everything bigint: cents values, hash mix < 2⁶², p fixed-pointed.
+    Scale shape: pairs frame is |keys| rows; explode ×B then ONE
+    combinable groupBy(b) — the poisson_bootstrap_ci cost model.  No
+    pairs → NULL p (mirrored in the oracle)."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.text import md5_long
+
+    P = 2147483647  # 2^31 - 1
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    pairs = (
+        df.groupBy(key_col)
+        .agg(
+            F.sum(F.when(F.expr(cond_a), cents)).alias("sa"),
+            F.sum(F.when(F.expr(cond_b), cents)).alias("sb"),
+        )
+        .where(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("k"),
+            (F.col("sa") - F.col("sb")).alias("d"),
+        )
+    )
+    pairs = persist_latest(
+        "profile.paired_perm.pairs",
+        pairs.select(
+            "d", md5_long(F.col("k"), salt="perm").alias("h")
+        ),
+    )
+    obs = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("d").cast("bigint").alias("t_obs"),
+    )
+    blits = F.array(*[F.lit(b) for b in range(n_perm)])
+    x = (F.col("h") + F.col("b") * F.lit(2654435761)) % P + 1
+    x2 = (x * x) % P
+    x3 = (x2 * x) % P
+    u = ((x3 * 48271) % P) % 1_000_000
+    s = F.when(u < 500_000, F.lit(1)).otherwise(F.lit(-1))
+    perms = (
+        pairs.select("d", "h", F.explode(blits).alias("b"))
+        .select("b", (s * F.col("d")).alias("sd"))
+        .groupBy("b")
+        .agg(F.sum("sd").alias("t_b"))
+    )
+    extreme = perms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n_pairs",
+            F.col("t_obs").alias("t_obs_cents"),
+            F.coalesce("n_extreme", F.lit(0)).cast("bigint").alias(
+                "n_extreme"
+            ),
+            F.lit(n_perm).cast("bigint").alias("n_perm"),
+            F.when(
+                F.col("n_pairs") > 0,
+                F.expr(
+                    f"CAST((n_extreme + 1) * 1000000 DIV ({n_perm} + 1)"
+                    " AS BIGINT)"
+                ),
+            ).alias("p_fp"),
+        )
+    )
+
+
+def bh_zcrit_fp(m: int, alpha: float = 0.05) -> list[int]:
+    """Benjamini-Hochberg rank thresholds as z-score fixed-point
+    literals: crit_k = Φ⁻¹(1 − (k·α/m)/2)·10⁶ for k = 1..m — the BH
+    step-up condition p_(k) ≤ k·α/m re-expressed on |z| so NO in-engine
+    normal CDF is needed (neither Spark nor DuckDB ships erf).  The
+    driver computes the m literals once (stdlib NormalDist — a
+    deterministic rational approximation) and BOTH engines compare
+    integer z_fp against the same integers."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        int(nd.inv_cdf(1 - (k * alpha / m) / 2) * 1_000_000)
+        for k in range(1, m + 1)
+    ]
+
+
+def source_mannwhitney_bh(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """(grp, n1, n2, z_fp, bh_rank, bh_reject): per-GROUP drift screen
+    with false-discovery-rate control — for every source, a
+    Mann-Whitney z (tie-corrected normal approximation) of "does this
+    source's value distribution differ from the REST of the corpus",
+    then Benjamini-Hochberg step-up across the m sources, the standard
+    answer to "20 sources → 20 tests → which differences survive
+    multiple-testing correction?".
+
+    ONE corpus scan folds to the (value, group) histogram; the
+    per-value total histogram's cumulative count (the DISTRIBUTED
+    prefix sum) prices every group's tie-averaged rank sum
+    simultaneously — m tests for the cost of one.  Exact bigint up to
+    the z denominator: rank sums ×2, U ×2; the tie term Σ(t³−t)
+    accumulates in decimal(38,0)/HUGEINT; variance and z are ONE
+    double expression mirrored in the oracle, z_fp = floor(z·10⁶).
+    BH runs over the m-row result frame (metadata-scale window):
+    rank by |z| desc, k* = max{k: z_fp_(k) ≥ crit_k} with crit from
+    :func:`bh_zcrit_fp` — the discrete-on-fixed-point form of
+    p_(k) ≤ k·α/m, identical in both engines by construction.
+
+    The group count m is collected once (a 1-row metadata aggregate,
+    the kmeans pattern) because the BH thresholds depend on it."""
+    from lab3_spark.functions.partitioning import (
+        one_window_partition,
+        persist_latest,
+    )
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_global_running_sum,
+    )
+    from pyspark.sql.window import Window
+
+    hist = persist_latest(
+        "profile.mw_bh.hist",
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("y"),
+        )
+        .groupBy("y", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+    )
+    tot = persist_latest(
+        "profile.mw_bh.tot",
+        hist.groupBy("y").agg(F.sum("cnt").cast("bigint").alias("ct")),
+    )
+    cum = drop_rank_internals(
+        with_global_running_sum(
+            tot, ["y"], "ct", out_col="cumt", memo_key="profile.mw_bh"
+        )
+    )
+    rank2 = (2 * (F.col("cumt") - F.col("ct")) + F.col("ct") + 1).alias("r2")
+    per = (
+        hist.join(cum.select("y", rank2), "y")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n1"),
+            F.sum(F.col("cnt") * F.col("r2")).cast("bigint").alias("r1_x2"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    scal = tot.agg(
+        F.sum("ct").cast("bigint").alias("n_all"),
+        F.sum(
+            F.col("ct").cast(d38) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie_t"),
+    )
+    rows = per.crossJoin(F.broadcast(scal)).select(
+        "grp",
+        "n1",
+        (F.col("n_all") - F.col("n1")).cast("bigint").alias("n2"),
+        # z = (U1 − n1·n2/2)/sqrt(var) = num_x2/(2·sqrt(var)); one
+        # double expression, mirrored verbatim in the oracle
+        F.expr(
+            "CASE WHEN n1 > 0 AND n_all - n1 > 0 AND n_all > 1 AND"
+            " CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE) / 12 *"
+            " ((CAST(n_all AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) /"
+            " (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) - 1))) > 0"
+            " THEN CAST(FLOOR(CAST(r1_x2 - n1 * (n1 + 1)"
+            " - n1 * (n_all - n1) AS DOUBLE) * 1000000 /"
+            " (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE)"
+            " / 12 * ((CAST(n_all AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) /"
+            " (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) - 1))))))"
+            " AS BIGINT) ELSE NULL END"
+        ).alias("z_fp"),
+    )
+    # m is needed for the BH thresholds — a 1-row metadata collect
+    m = rows.count()
+    if m == 0:
+        return rows.select(
+            "grp", "n1", "n2", "z_fp",
+            F.lit(None).cast("bigint").alias("bh_rank"),
+            F.lit(None).cast("boolean").alias("bh_reject"),
+        )
+    crit = F.array(*[F.lit(c) for c in bh_zcrit_fp(m, alpha)])
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(F.abs("z_fp").desc_nulls_last(), F.asc("grp"))
+    )
+    ranked = rows.withColumn("bh_rank", F.row_number().over(w)).withColumn(
+        "_pass",
+        F.coalesce(
+            F.abs("z_fp") >= F.element_at(crit, F.col("bh_rank")),
+            F.lit(False),
+        ),
+    )
+    wk = Window.partitionBy(one_window_partition()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ranked.withColumn(
+            "_kstar",
+            F.max(F.when(F.col("_pass"), F.col("bh_rank"))).over(wk),
+        )
+        .select(
+            "grp",
+            "n1",
+            "n2",
+            "z_fp",
+            F.col("bh_rank").cast("bigint").alias("bh_rank"),
+            F.coalesce(
+                F.col("bh_rank") <= F.col("_kstar"), F.lit(False)
+            ).alias("bh_reject"),
+        )
+        .orderBy("grp")
     )

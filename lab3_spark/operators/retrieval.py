@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lab3_spark.functions.partitioning import spread
+from lab3_spark.functions.partitioning import one_window_partition, spread
 from lab3_spark.functions.text import tokenize
 
 K1 = 1.2
@@ -100,7 +100,7 @@ def bm25_top_docs(
         "doc_id",
         "score_fp",
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .over(Window.partitionBy(one_window_partition()).orderBy(F.desc("score_fp"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 
@@ -224,7 +224,7 @@ def hybrid_rrf(
         "doc_id",
         "rrf",
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .over(Window.partitionBy(one_window_partition()).orderBy(F.desc("rrf"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 
@@ -358,7 +358,7 @@ def ql_dirichlet_top_docs(
         "doc_id",
         "score_fp",
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .over(Window.partitionBy(one_window_partition()).orderBy(F.desc("score_fp"), F.asc("doc_id")))
         .alias("rnk"),
     ).orderBy("rnk")
 

@@ -1788,9 +1788,20 @@ def bpe_merges(
     Ties break (cnt DESC, pair ASC) — deterministic, mirrored in the
     oracle.  Stops early if no pair remains (every word fully merged).
     """
+    rows, _ = _bpe_loop(documents, text_col, k)
+    return documents.sparkSession.createDataFrame(
+        rows, "it bigint, pair string, cnt bigint"
+    )
+
+
+def _bpe_loop(
+    documents: DataFrame, text_col: str, k: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The shared BPE engine behind :func:`bpe_merges` and
+    :func:`bpe_apply_compression`: returns (chosen merges, the FINAL
+    (wcnt, seg) segmentation frame after all of them applied)."""
     from lab3_spark.functions.partitioning import memo_persist
 
-    spark = documents.sparkSession
     words = (
         spread(documents)
         .select(F.explode(tokenize(text_col)).alias("word"))
@@ -1840,7 +1851,58 @@ def bpe_merges(
                 F.col("seg"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ).alias("seg"),
         )
-    return spark.createDataFrame(rows, "it bigint, pair string, cnt bigint")
+    return rows, seg
+
+
+def bpe_apply_compression(
+    documents: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """One row (n_merges, n_tokens, total_chars, total_symbols,
+    chars_per_symbol_fp): apply the ``k`` learned BPE merges back to
+    the corpus and measure the compression a tokenizer built from this
+    vocabulary would achieve — the acceptance metric of vocabulary
+    induction (more merges → fewer, longer symbols → higher
+    chars/symbol).
+
+    Runs the same metadata-scale type-table loop as :func:`bpe_merges`
+    (shared ``_bpe_loop``), then ONE aggregate over the final
+    segmentation frame: symbols per word = size(split(seg)), weighted
+    by word occurrence counts; 1-char words (excluded from merge
+    LEARNING — they have no pairs) re-enter the corpus totals as
+    single-symbol tokens.  chars_per_symbol_fp = total_chars·10⁶ DIV
+    total_symbols."""
+    merges, seg = _bpe_loop(documents, text_col, k)
+    words1 = (
+        spread(documents)
+        .select(F.explode(tokenize(text_col)).alias("word"))
+        .where(F.length("word") == 1)
+        .agg(
+            F.coalesce(F.sum(F.lit(1)), F.lit(0)).cast("bigint").alias("n1"),
+        )
+    )
+    stats = seg.select(
+        "wcnt",
+        F.size(
+            F.split(F.expr("trim(BOTH '|' FROM seg)"), "\\|\\|")
+        ).alias("n_syms"),
+        (F.length(F.expr("replace(seg, '|', '')"))).alias("n_chars"),
+    ).agg(
+        F.sum("wcnt").cast("bigint").alias("nw"),
+        F.sum(F.col("wcnt") * F.col("n_syms")).cast("bigint").alias("ns"),
+        F.sum(F.col("wcnt") * F.col("n_chars")).cast("bigint").alias("nc"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(words1))
+        .select(
+            F.lit(len(merges)).cast("bigint").alias("n_merges"),
+            (F.col("nw") + F.col("n1")).alias("n_tokens"),
+            (F.col("nc") + F.col("n1")).alias("total_chars"),
+            (F.col("ns") + F.col("n1")).alias("total_symbols"),
+            F.expr(
+                "CAST((nc + n1) * 1000000 DIV (ns + n1) AS BIGINT)"
+            ).alias("chars_per_symbol_fp"),
+        )
+    )
 
 
 def quality_kappa(

@@ -11957,12 +11957,13 @@ def q_quality_pr_curve(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _duck_bpe_merges_sql(k: int) -> str:
-    """Unrolled k-round BPE oracle mirroring textstats.bpe_merges:
+def _duck_bpe_ctes(k: int) -> str:
+    """Unrolled k-round BPE CTE chain mirroring textstats._bpe_loop:
     wrapped-symbol segmentation strings (|a||b||c|) make one plain
     replace() pass the exact greedy left-to-right merge in BOTH
     engines; each round is a (pair-count → argmax → replace) CTE
-    triple chained on the previous round's segmentation."""
+    triple chained on the previous round's segmentation.  Shared by
+    the bpe_merges_k and bpe_apply_compression oracles."""
     ctes = [
         f"""w AS (
       SELECT word, CAST(count(*) AS BIGINT) AS wcnt
@@ -11999,14 +12000,22 @@ def _duck_bpe_merges_sql(k: int) -> str:
             FROM b{r}) m
     )"""
         )
-    union = "\n      UNION ALL ".join(
+    return ",\n    ".join(ctes)
+
+
+def _duck_bpe_union(k: int) -> str:
+    return "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS it, pair, cnt FROM b{r}"
         for r in range(1, k + 1)
     )
+
+
+def _duck_bpe_merges_sql(k: int) -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT it, pair, cnt FROM ({union}) ORDER BY it"
+        + _duck_bpe_ctes(k)
+        + f"\n    SELECT it, pair, cnt FROM ({_duck_bpe_union(k)})"
+        " ORDER BY it"
     )
 
 
@@ -12215,6 +12224,261 @@ def q_orders_kendall_tau(spark, sf_dir):
     )
 
 
+def _duck_bpe_compression_sql(k: int) -> str:
+    return (
+        "WITH "
+        + _duck_bpe_ctes(k)
+        + f""",
+    w1 AS (
+      SELECT CAST(coalesce(sum(CASE WHEN length(word) = 1
+                   THEN wcnt END), 0) AS BIGINT) AS n1
+      FROM w
+    ),
+    merges AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_merges
+      FROM ({_duck_bpe_union(k)})
+    ),
+    stats AS (
+      SELECT CAST(sum(wcnt) AS BIGINT) AS nw,
+             CAST(sum(wcnt * len(string_split(trim(seg, '|'), '||')))
+                  AS BIGINT) AS ns,
+             CAST(sum(wcnt * length(replace(seg, '|', '')))
+                  AS BIGINT) AS nc
+      FROM seg{k}
+    )
+    SELECT n_merges,
+           CAST(nw + n1 AS BIGINT) AS n_tokens,
+           CAST(nc + n1 AS BIGINT) AS total_chars,
+           CAST(ns + n1 AS BIGINT) AS total_symbols,
+           CAST(CASE WHEN ns + n1 > 0
+                THEN (nc + n1) * 1000000 // (ns + n1)
+                ELSE NULL END AS BIGINT) AS chars_per_symbol_fp
+    FROM stats, w1, merges
+    """
+    )
+
+
+@query("bpe_apply_compression", _duck_bpe_compression_sql(8))
+def q_bpe_apply_compression(spark, sf_dir):
+    """Vocabulary-induction acceptance metric (textstats.
+    bpe_apply_compression): the 8 learned merges applied back to the
+    corpus, measuring chars-per-symbol compression — the number a
+    tokenizer built from this vocabulary delivers.  Shares the
+    metadata-scale type-table loop with bpe_merges_k (per-iteration
+    memo: the driver run pays the loop once for both gates); the apply
+    stage is ONE aggregate over the final segmentation frame."""
+    from lab3_spark.operators.textstats import bpe_apply_compression
+
+    return bpe_apply_compression(_t(spark, sf_dir, "documents"), k=8)
+
+
+@query(
+    "orders_paired_permutation",
+    f"""
+    WITH pairs AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k,
+             sum(CASE WHEN year(o_orderdate) = 1995
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 END) AS sa,
+             sum(CASE WHEN year(o_orderdate) = 1996
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 END) AS sb
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT CAST(sa - sb AS BIGINT) AS d,
+             {_h2l("substring(md5(concat('perm', '|', k)), 1, 15)")} AS h
+      FROM pairs WHERE sa IS NOT NULL AND sb IS NOT NULL
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(d) AS BIGINT) AS t_obs
+      FROM d
+    ),
+    mixed AS (
+      SELECT b.b, d,
+             ((h + b.b * 2654435761) % 2147483647 + 1) AS x
+      FROM d, (SELECT unnest(range(0, 200)) AS b) b
+    ),
+    flips AS (
+      SELECT b,
+             CASE WHEN ((((x * x) % 2147483647) * x % 2147483647)
+                        * 48271 % 2147483647) % 1000000 < 500000
+                  THEN d ELSE -d END AS sd
+      FROM mixed
+    ),
+    perms AS (SELECT b, sum(sd) AS t_b FROM flips GROUP BY b),
+    ext AS (
+      SELECT CAST(coalesce(sum(CASE WHEN abs(t_b) >= abs(t_obs)
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extreme
+      FROM perms, obs
+    )
+    SELECT n_pairs, t_obs AS t_obs_cents, n_extreme,
+           CAST(200 AS BIGINT) AS n_perm,
+           CAST(CASE WHEN n_pairs > 0
+                THEN (n_extreme + 1) * 1000000 // 201
+                ELSE NULL END AS BIGINT) AS p_fp
+    FROM obs, ext
+    """,
+)
+def q_orders_paired_permutation(spark, sf_dir):
+    """Paired sign-flip permutation test (profile.
+    paired_permutation_test): per customer, 1995 order total vs 1996
+    order total — the exact nonparametric paired test with
+    deterministic md5+cubic-mix sign flips (the bootstrap-CI integer
+    recipe, salt 'perm'), p add-one-smoothed over B=200 flips.  Pairs
+    frame is |customers| rows; explode ×B + one combinable groupBy."""
+    from lab3_spark.operators.profile import paired_permutation_test
+
+    return paired_permutation_test(_t(spark, sf_dir, "orders"))
+
+
+def _duck_mw_bh_sql() -> str:
+    """Oracle for source_drift_bh_screen — the per-source MW z and the
+    BH step-up with thresholds from the SAME bh_zcrit_fp literals the
+    Spark side uses (m = 20 sources in the synthetic corpus; the
+    operator computes m from the data, the oracle pins the testdata's
+    value)."""
+    from lab3_spark.operators.profile import bh_zcrit_fp
+
+    crit = ", ".join(str(c) for c in bh_zcrit_fp(20))
+    z_expr = (
+        "CAST(FLOOR(CAST(r1_x2 - n1 * (n1 + 1)"
+        " - n1 * (n_all - n1) AS DOUBLE) * 1000000 /"
+        " (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE)"
+        " / 12 * ((CAST(n_all AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) /"
+        " (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) - 1))))))"
+        " AS BIGINT)"
+    )
+    guard = (
+        "n1 > 0 AND n_all - n1 > 0 AND n_all > 1 AND"
+        " CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE) / 12 *"
+        " ((CAST(n_all AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) /"
+        " (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) - 1))) > 0"
+    )
+    return f"""
+    WITH hist AS (
+      SELECT CAST(n_chars AS BIGINT) AS y, source AS grp,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT y, CAST(sum(cnt) AS BIGINT) AS ct FROM hist GROUP BY y),
+    cum AS (SELECT y, ct, sum(ct) OVER (ORDER BY y) AS cumt FROM tot),
+    r AS (SELECT y, 2 * (cumt - ct) + ct + 1 AS r2 FROM cum),
+    per AS (
+      SELECT grp, CAST(sum(cnt) AS BIGINT) AS n1,
+             CAST(sum(cnt * r2) AS BIGINT) AS r1_x2
+      FROM hist JOIN r USING (y) GROUP BY grp
+    ),
+    scal AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS n_all,
+             sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie_t
+      FROM tot
+    ),
+    zrows AS (
+      SELECT grp, n1, CAST(n_all - n1 AS BIGINT) AS n2,
+             CASE WHEN {guard} THEN {z_expr} ELSE NULL END AS z_fp
+      FROM per, scal
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY abs(z_fp) DESC NULLS LAST, grp ASC) AS bh_rank
+      FROM zrows
+    ),
+    passed AS (
+      SELECT *, coalesce(abs(z_fp) >= ([{crit}])[bh_rank], FALSE) AS p
+      FROM ranked
+    ),
+    kstar AS (
+      SELECT coalesce(max(CASE WHEN p THEN bh_rank END), 0) AS ks
+      FROM passed
+    )
+    SELECT grp, n1, n2, z_fp, CAST(bh_rank AS BIGINT) AS bh_rank,
+           coalesce(bh_rank <= ks, FALSE) AS bh_reject
+    FROM passed, kstar ORDER BY grp
+    """
+
+
+@query("source_drift_bh_screen", _duck_mw_bh_sql())
+def q_source_drift_bh_screen(spark, sf_dir):
+    """FDR-controlled per-source drift screen (profile.
+    source_mannwhitney_bh): Mann-Whitney z of every source's doc-length
+    distribution vs the REST of the corpus, all m tests priced by ONE
+    (value, source) histogram + one distributed prefix sum, then
+    Benjamini-Hochberg step-up over the m-row frame with z-threshold
+    literals (bh_zcrit_fp) so no in-engine normal CDF is needed —
+    "which of my 20 sources actually drift, at 5% FDR"."""
+    from lab3_spark.operators.profile import source_mannwhitney_bh
+
+    return source_mannwhitney_bh(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "streaming_incremental_pagerank",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    pr_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_edeg AS (
+      SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src
+    ),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM pr_nodes),
+    {_duck_pagerank_iters(_PAGERANK_ITERS)}
+    SELECT node AS doc_id, rank_fp
+    FROM r{_PAGERANK_ITERS}
+    ORDER BY rank_fp DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_streaming_incremental_pagerank(spark, sf_dir):
+    """A REAL incremental rank-store maintenance run (streaming/
+    incremental_pagerank.py, VERDICT r7 item 6): the symmetrized
+    MinHash candidate edges split into 3 mtime-ordered delta batches,
+    each micro-batch growing the versioned edge store and re-ranking it
+    with the all-bigint fixed-point operator.  Merged-equals-batch
+    contract: the final rank version must equal the ONE-SHOT batch
+    PageRank over all delivered edges — the oracle IS
+    pagerank_candidates' oracle verbatim."""
+    import os as _os
+
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.operators.pagerank import symmetrize
+    from lab3_spark.streaming.incremental_pagerank import (
+        latest_ranks,
+        start_incremental_pagerank,
+    )
+
+    edges = symmetrize(minhash_candidates(_t(spark, sf_dir, "documents")))
+    root = _scratch_dir("stream_pagerank_")
+    flat = _mtime_ordered_batches(
+        edges.withColumn("_b", (F.col("src") + F.col("dst")) % 3),
+        root,
+        "_b",
+    )
+    src = (
+        spark.readStream.schema("src bigint, dst bigint, _b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_pagerank(
+        src, store, _os.path.join(root, "ckpt"), n_iter=_PAGERANK_ITERS
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental pagerank availableNow run timed out")
+    return (
+        latest_ranks(spark, store)
+        .select(F.col("node").alias("doc_id"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -12267,6 +12531,10 @@ ROUND8_NEW = [
     "orders_mannwhitney_by_status",
     "lineitem_spearman",
     "orders_kendall_tau",
+    "bpe_apply_compression",
+    "orders_paired_permutation",
+    "source_drift_bh_screen",
+    "streaming_incremental_pagerank",
 ]
 
 _DRIVER_PRIORITY = [

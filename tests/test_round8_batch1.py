@@ -317,3 +317,202 @@ def test_kendall_tau_b_matches_bruteforce(spark):
         got["tie_x_pairs"], got["tie_y_pairs"],
     ) == (n, C, D, tx, ty)
     assert abs(got["tau_fp"] / 1e6 - tau) < 2e-6
+
+
+# ------------------------------------------- streaming incremental PR --
+
+
+def _edge_feed(spark, tmp_path, batches):
+    """Write edge batches as mtime-ordered single-file parquets."""
+    import os
+    import time
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    existing = len(os.listdir(feed))
+    for i, edges in enumerate(batches, start=existing):
+        part = str(tmp_path / f"part{i}")
+        spark.createDataFrame(edges, "src bigint, dst bigint").coalesce(
+            1
+        ).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(feed, f"{i:02d}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (time.time() + i * 10,) * 2)
+    return feed
+
+
+def _drain_pagerank(spark, feed, store, ck):
+    src = (
+        spark.readStream.schema("src bigint, dst bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    from lab3_spark.streaming.incremental_pagerank import (
+        start_incremental_pagerank,
+    )
+
+    q = start_incremental_pagerank(src, store, ck, n_iter=3)
+    if not q.awaitTermination(300):  # pragma: no cover
+        q.stop()
+        raise AssertionError("incremental pagerank stream timed out")
+
+
+def test_incremental_pagerank_merged_equals_batch(spark, tmp_path):
+    """The maintained rank store's final version must equal one-shot
+    batch PageRank over the union of every delivered edge — bit-exact
+    (integer fixed-point arithmetic, same n_iter)."""
+    from lab3_spark.operators.pagerank import pagerank_fixed_point
+    from lab3_spark.streaming.incremental_pagerank import latest_ranks
+
+    b1 = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    b2 = [(3, 4), (4, 3), (1, 2)]  # (1,2) re-delivered: idempotent
+    b3 = [(4, 5), (5, 4), (5, 1), (1, 5)]
+    feed = _edge_feed(spark, tmp_path, [b1, b2, b3])
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    _drain_pagerank(spark, feed, store, ck)
+
+    all_edges = spark.createDataFrame(
+        sorted(set(b1 + b2 + b3)), "src bigint, dst bigint"
+    )
+    exp = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(all_edges, n_iter=3).collect()
+    }
+    got = {
+        r["node"]: r["rank_fp"] for r in latest_ranks(spark, store).collect()
+    }
+    assert got == exp
+    # and every intermediate version exists (consistent snapshot pairs)
+    import os
+
+    assert sorted(os.listdir(os.path.join(store, "ranks"))) == [
+        "version=0", "version=1", "version=2",
+    ]
+
+
+def test_incremental_pagerank_refuses_wiped_store(spark, tmp_path):
+    """Partial AND full edge-store wipes under a kept checkpoint must
+    fail the stream (the cdc.py guard contract, both branches)."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    feed = _edge_feed(spark, tmp_path, [[(1, 2), (2, 1)]])
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    _drain_pagerank(spark, feed, store, ck)
+    # full wipe of the edge store, checkpoint kept
+    shutil.rmtree(store)
+    _edge_feed(spark, tmp_path, [[(2, 3), (3, 2)]])
+    with pytest.raises(StreamingQueryException, match="refusing"):
+        _drain_pagerank(spark, feed, store, ck)
+
+
+# -------------------------------------------------- paired permutation --
+
+
+def test_paired_permutation_matches_python(spark):
+    """Deterministic md5+cubic-mix sign flips reproduced in Python:
+    the Spark result must match the brute-force computation of the
+    same statistic on the same flips."""
+    import hashlib
+
+    from lab3_spark.operators.profile import paired_permutation_test
+
+    rows = []
+    vals = {}
+    import random
+
+    rng = random.Random(11)
+    for cust in range(1, 31):
+        a = round(rng.uniform(100, 500), 2)
+        b = round(rng.uniform(100, 500), 2)
+        rows.append((cust, "1995-03-01", a))
+        rows.append((cust, "1996-03-01", b))
+        vals[cust] = (round(a * 100), round(b * 100))
+    # one unpaired customer: must be excluded
+    rows.append((99, "1995-05-01", 250.0))
+    df = spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    (got,) = paired_permutation_test(df, n_perm=50).collect()
+
+    P = 2147483647
+    ds, hs = [], []
+    for cust, (a, b) in vals.items():
+        ds.append(a - b)
+        h = int(hashlib.md5(f"perm|{cust}".encode()).hexdigest()[:15], 16)
+        hs.append(h)
+    t_obs = sum(ds)
+    n_extreme = 0
+    for b in range(50):
+        t = 0
+        for d, h in zip(ds, hs):
+            x = (h + b * 2654435761) % P + 1
+            u = ((pow(x, 3, P)) * 48271 % P) % 1_000_000
+            t += d if u < 500_000 else -d
+        if abs(t) >= abs(t_obs):
+            n_extreme += 1
+    assert got["n_pairs"] == 30
+    assert got["t_obs_cents"] == t_obs
+    assert got["n_extreme"] == n_extreme
+    assert got["p_fp"] == (n_extreme + 1) * 1_000_000 // 51
+
+
+# ------------------------------------------------------ MW + BH screen --
+
+
+def test_source_mannwhitney_bh_matches_python(spark):
+    import math
+
+    from lab3_spark.operators.profile import bh_zcrit_fp, source_mannwhitney_bh
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # srcA shifted distribution (should reject), others exchangeable
+    for i in range(150):
+        rows.append((i, "srcA", rng.randint(200, 400)))
+    for i in range(150, 300):
+        rows.append((i, "srcB", rng.randint(100, 300)))
+    for i in range(300, 450):
+        rows.append((i, "srcC", rng.randint(100, 300)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    got = {
+        r["grp"]: (r["n1"], r["n2"], r["z_fp"], r["bh_rank"], r["bh_reject"])
+        for r in source_mannwhitney_bh(df).collect()
+    }
+
+    # brute force: tie-averaged ranks over the pooled values
+    vals = sorted(r[2] for r in rows)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    rank2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n = len(vals)
+    tie_t = sum(t**3 - t for t in cnt.values())
+    exp = {}
+    for src in ("srcA", "srcB", "srcC"):
+        mine = [r[2] for r in rows if r[1] == src]
+        n1 = len(mine)
+        n2 = n - n1
+        r1x2 = sum(rank2[v] for v in mine)
+        numx2 = r1x2 - n1 * (n1 + 1) - n1 * n2
+        var = n1 * n2 / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+        z_fp = math.floor(numx2 * 1_000_000 / (2 * math.sqrt(var)))
+        exp[src] = (n1, n2, z_fp)
+    crit = bh_zcrit_fp(3)
+    order = sorted(exp, key=lambda s: (-abs(exp[s][2]), s))
+    kstar = 0
+    for k, s in enumerate(order, 1):
+        if abs(exp[s][2]) >= crit[k - 1]:
+            kstar = k
+    for k, s in enumerate(order, 1):
+        assert got[s] == (*exp[s], k, k <= kstar), s
+    # the shifted source must be the top, FDR-rejected discovery
+    assert got["srcA"][4] is True

@@ -120,6 +120,18 @@ QUERIES = [
     # (its selectivity comes from Zipfian rare-shingle prefixes; real
     # corpora have them, this generator does not).  Running it here
     # would measure the generator's degeneracy, not the operator.
+    # round-8 additions (streaming_incremental_pagerank excluded with
+    # the other StreamingQuery gates — checkpoint machinery, and its
+    # dataflow is priced via pagerank_candidates)
+    "bpe_merges_k",
+    "bpe_apply_compression",
+    "source_winsorized_stats",
+    "orders_mannwhitney_by_status",
+    "lineitem_spearman",
+    "orders_kendall_tau",
+    "orders_paired_permutation",
+    "source_drift_bh_screen",
+    "pagerank_candidates",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
