@@ -250,6 +250,7 @@ HEADLINE = [
     "orders_kendall_tau",
     "orders_paired_permutation",
     "source_drift_bh_screen",
+    "source_ks_matrix",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

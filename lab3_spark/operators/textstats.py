@@ -2239,3 +2239,92 @@ def quality_pr_curve(
             F.expr("CAST(n_tp * 1000000 DIV (n_tp + n_fn) AS BIGINT)"),
         ).otherwise(million).alias("recall_fp"),
     ).orderBy("t_fp")
+
+
+def source_ks_matrix(
+    documents: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, d_num, d_fp) for every UNORDERED source
+    pair (src_a < src_b): the two-sample Kolmogorov-Smirnov distance
+    between each pair's value distributions — the full drift MATRIX
+    behind length_ks_test's single pair, the "which pairs of my 20
+    sources disagree" screen.
+
+    All m·(m−1)/2 statistics priced by ONE corpus scan: the (value,
+    source) histogram densifies to a |Y|×m CDF grid (distinct values ×
+    broadcast m-row source list, zeros filled), per-source CDFs come
+    from the GROUPED distributed prefix sum, and the pairwise max
+    deviation is a y-equi self-join of the grid (|Y|·m² rows — linear
+    in distinct values, quadratic only in the metadata-scale source
+    count) into one groupBy(src_a, src_b) max.  Exact integers
+    throughout: d_num = max|cum_a·n_b − cum_b·n_a|, one division at
+    the end (cum·n ≤ n² — bigint-safe)."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.operators.rank import with_grouped_running_sum
+
+    hist = persist_latest(
+        "textstats.ks_matrix.hist",
+        documents.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("y"),
+        )
+        .groupBy("y", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+    )
+    ys = hist.select("y").distinct()
+    srcs = hist.select("grp").distinct()
+    grid = (
+        ys.crossJoin(F.broadcast(srcs))  # m-row side: metadata-scale
+        .join(hist, ["y", "grp"], "left")
+        .select(
+            "y", "grp", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+        )
+    )
+    cum = persist_latest(
+        "textstats.ks_matrix.cum",
+        with_grouped_running_sum(
+            grid, ["grp"], ["y"], "cnt", out_col="cum",
+            memo_key="textstats.ks_matrix",
+        ).select("y", "grp", "cum"),
+    )
+    tot = hist.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
+    a = cum.select(
+        "y", F.col("grp").alias("src_a"), F.col("cum").alias("ca")
+    )
+    b = cum.select(
+        "y", F.col("grp").alias("src_b"), F.col("cum").alias("cb")
+    )
+    ta = tot.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "y")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)"),
+            ).alias("d_fp"),
+        )
+        .orderBy("src_a", "src_b")
+    )

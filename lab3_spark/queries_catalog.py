@@ -12414,6 +12414,54 @@ def q_source_drift_bh_screen(spark, sf_dir):
 
 
 @query(
+    "source_ks_matrix",
+    """
+    WITH hist AS (
+      SELECT source AS grp, CAST(n_chars AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT ys.y, ss.grp, coalesce(h.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT y FROM hist) ys
+      CROSS JOIN (SELECT DISTINCT grp FROM hist) ss
+      LEFT JOIN hist h ON h.y = ys.y AND h.grp = ss.grp
+    ),
+    cum AS (
+      SELECT y, grp,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY y) AS cum
+      FROM grid
+    ),
+    tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY grp),
+    pairs AS (
+      SELECT a.grp AS src_a, b.grp AS src_b, ta.n AS n_a, tb.n AS n_b,
+             CAST(max(abs(a.cum * tb.n - b.cum * ta.n)) AS BIGINT) AS d_num
+      FROM cum a JOIN cum b ON a.y = b.y AND a.grp < b.grp
+      JOIN tot ta ON ta.grp = a.grp
+      JOIN tot tb ON tb.grp = b.grp
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT src_a, src_b, n_a, n_b, d_num,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0
+                THEN d_num * 1000000 // (n_a * n_b)
+                ELSE NULL END AS BIGINT) AS d_fp
+    FROM pairs ORDER BY src_a, src_b
+    """,
+)
+def q_source_ks_matrix(spark, sf_dir):
+    """Pairwise KS drift matrix (textstats.source_ks_matrix): the
+    two-sample KS distance for EVERY source pair — 190 statistics for
+    20 sources — priced by ONE corpus scan: (value, source) histogram
+    → densified |Y|×m CDF grid → grouped distributed prefix sum →
+    y-equi self-join + one max agg.  Exact integers; one division at
+    the end.  The matrix screen feeding source_drift_bh_screen's
+    one-vs-rest summary."""
+    from lab3_spark.operators.textstats import source_ks_matrix
+
+    return source_ks_matrix(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "streaming_incremental_pagerank",
     f"""
     WITH {_DUCK_MINHASH_CTES},
@@ -12534,6 +12582,7 @@ ROUND8_NEW = [
     "bpe_apply_compression",
     "orders_paired_permutation",
     "source_drift_bh_screen",
+    "source_ks_matrix",
     "streaming_incremental_pagerank",
 ]
 

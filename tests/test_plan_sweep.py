@@ -133,6 +133,10 @@ BNLJ_ALLOWED = {
     # #groups-row cutoff broadcasts
     "orders_mannwhitney_by_status",  # grouped prefix-sum offsets broadcast
     "lineitem_spearman",  # rank-machinery offsets broadcasts (x and y)
+    "source_drift_bh_screen",  # 1-row (N, ties) scalar broadcast
+    "source_ks_matrix",  # |Y| × broadcast m-row source list densify
+    "orders_paired_permutation",  # 1-row t_obs / n_extreme broadcasts
+    "bpe_apply_compression",  # 1-row 1-char-word-count aggregate broadcast
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

@@ -516,3 +516,79 @@ def test_source_mannwhitney_bh_matches_python(spark):
         assert got[s] == (*exp[s], k, k <= kstar), s
     # the shifted source must be the top, FDR-rejected discovery
     assert got["srcA"][4] is True
+
+
+# ---------------------------------------------------------- KS matrix --
+
+
+def test_source_ks_matrix_matches_pairwise_scalar(spark):
+    """Every matrix cell must equal the single-pair operator run on
+    that pair (restricted to the pair's rows, same integer contract)."""
+    import itertools
+    import random
+
+    from lab3_spark.operators.textstats import (
+        length_ks_test,
+        source_ks_matrix,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        base = {"s0": 100, "s1": 150, "s2": 100}[src]
+        rows.append((i, src, base + rng.randint(0, 80)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["d_num"], r["d_fp"])
+        for r in source_ks_matrix(df).collect()
+    }
+    assert len(got) == 3
+    for a, b in itertools.combinations(["s0", "s1", "s2"], 2):
+        (exp,) = length_ks_test(
+            df.where(F.col("source").isin(a, b)), source_a=a, source_b=b
+        ).collect()
+        assert got[(a, b)] == (
+            exp["n_a"], exp["n_b"], exp["d_num"], exp["d_fp"]
+        ), (a, b)
+
+
+# ------------------------------------------------ window partition key --
+
+
+def test_one_window_partition_survives_optimizer(spark):
+    """The whole point of one_window_partition(): a plain literal
+    partition key is constant-folded OUT of the window spec (leaving
+    it empty → the WindowExec all-to-one-partition warning), while
+    pmod(spark_partition_id(), 1) must survive optimization."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import one_window_partition
+
+    df = spark.range(100)
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plan = (
+        df.withColumn("c", F.sum("id").over(w))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "pmod" in plan.lower()
+    # counter-example: lit(0) folds away (the r6 sites all still warned)
+    w2 = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plan2 = (
+        df.withColumn("c", F.sum("id").over(w2))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the folded spec starts directly with the order column
+    assert "windowspecdefinition(id" in plan2

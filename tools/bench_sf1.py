@@ -131,6 +131,7 @@ QUERIES = [
     "orders_kendall_tau",
     "orders_paired_permutation",
     "source_drift_bh_screen",
+    "source_ks_matrix",
     "pagerank_candidates",
     # fact-table shapes
     "q1_pricing_summary",
