@@ -987,3 +987,77 @@ def source_mannwhitney_bh(
         )
         .orderBy("grp")
     )
+
+
+def grouped_bootstrap_ci(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    n_boot: int = BOOT_B,
+) -> DataFrame:
+    """(grp, n, point, ci_lo, ci_hi): the per-GROUP mean with a 95%
+    Poisson-bootstrap CI — :func:`poisson_bootstrap_ci` lifted to one
+    row per group, the "how sure are we about each source's average"
+    companion to grouped_winsorized_stats.
+
+    Identical deterministic machinery (ONE md5 per row, salt 'boot';
+    the (h, b) cubic-residue mix; inverse-CDF Poisson(1) weights as
+    literal thresholds; truncating integer division), but the resample
+    means group by (grp, b) and the CI picks rank WITHIN each group's
+    B-row means frame — a partitioned window over a #groups·B-row
+    metadata frame (non-degenerate partition spec: no single-partition
+    move, no warning).  Values must be non-negative integers
+    (n_chars); the scalar operator's cents scaling is the caller's
+    job if needed."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.text import md5_long
+
+    P = 2147483647  # 2^31 - 1
+    y = F.col(value_col).cast("bigint")
+    hashed = persist_latest(
+        "profile.grouped_boot.hashed",
+        df.select(
+            F.col(group_col).alias("grp"),
+            y.alias("y"),
+            md5_long(F.col(key_col).cast("string"), salt="boot").alias("h"),
+        ),
+    )
+    blits = F.array(*[F.lit(b) for b in range(n_boot)])
+    x = (F.col("h") + F.col("b") * F.lit(2654435761)) % P + 1
+    x2 = (x * x) % P
+    x3 = (x2 * x) % P
+    u = ((x3 * 48271) % P) % 1_000_000
+    w = F.lit(len(_POISSON1_CDF_FP))
+    for lvl in range(len(_POISSON1_CDF_FP) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF_FP[lvl], F.lit(lvl)).otherwise(w)
+    means = (
+        hashed.select("grp", "y", "h", F.explode(blits).alias("b"))
+        .select("grp", "b", "y", w.cast("bigint").alias("w"))
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("sy"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select("grp", "b", F.expr("CAST(sy DIV sw AS BIGINT)").alias("m"))
+    )
+    rk = F.row_number().over(Window.partitionBy("grp").orderBy("m", "b"))
+    ranked = means.withColumn("rk", rk)
+    pts = hashed.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(y) DIV count(*) AS BIGINT)").alias("point"),
+    )
+    lo = ranked.where(F.col("rk") == 1).select(
+        "grp", F.col("m").alias("ci_lo")
+    )
+    hi = ranked.where(F.col("rk") == n_boot - 1).select(
+        "grp", F.col("m").alias("ci_hi")
+    )
+    return (
+        pts.join(F.broadcast(lo), "grp", "left")
+        .join(F.broadcast(hi), "grp", "left")
+        .orderBy("grp")
+    )

@@ -12462,6 +12462,71 @@ def q_source_ks_matrix(spark, sf_dir):
 
 
 @query(
+    "source_mean_bootstrap_ci",
+    f"""
+    WITH hashed AS (
+      SELECT source AS grp, CAST(n_chars AS BIGINT) AS y,
+             {_h2l("substring(md5(concat('boot', '|', CAST(doc_id AS VARCHAR))), 1, 15)")} AS h
+      FROM documents
+    ),
+    mixed AS (
+      SELECT grp, b.b, y,
+             ((h + b.b * 2654435761) % 2147483647 + 1) AS x
+      FROM hashed, (SELECT unnest(range(0, 40)) AS b) b
+    ),
+    uni AS (
+      SELECT grp, b, y,
+             ((((x * x) % 2147483647) * x % 2147483647) * 48271
+              % 2147483647) % 1000000 AS u
+      FROM mixed
+    ),
+    weighted AS (
+      SELECT grp, b, y,
+             CASE
+               WHEN u < 367879 THEN 0
+               WHEN u < 735758 THEN 1
+               WHEN u < 919698 THEN 2
+               WHEN u < 981011 THEN 3
+               WHEN u < 996340 THEN 4
+               WHEN u < 999405 THEN 5
+               WHEN u < 999916 THEN 6
+               WHEN u < 999989 THEN 7
+               ELSE 8 END AS w
+      FROM uni
+    ),
+    means AS (
+      SELECT grp, b, CAST(sum(w * y) // sum(w) AS BIGINT) AS m
+      FROM weighted GROUP BY grp, b HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT grp, m,
+             row_number() OVER (PARTITION BY grp ORDER BY m, b) AS rk
+      FROM means
+    ),
+    pts AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) // count(*) AS BIGINT) AS point
+      FROM hashed GROUP BY grp
+    )
+    SELECT pts.grp, n, point, lo.m AS ci_lo, hi.m AS ci_hi
+    FROM pts
+    LEFT JOIN (SELECT grp, m FROM ranked WHERE rk = 1) lo ON pts.grp = lo.grp
+    LEFT JOIN (SELECT grp, m FROM ranked WHERE rk = 39) hi ON pts.grp = hi.grp
+    ORDER BY pts.grp
+    """,
+)
+def q_source_mean_bootstrap_ci(spark, sf_dir):
+    """Per-source mean doc length with a 95% Poisson-bootstrap CI
+    (profile.grouped_bootstrap_ci) — orders_mean_bootstrap_ci lifted
+    to one row per source: same deterministic md5+cubic-mix weights,
+    resample means grouped by (source, b), CI picks ranked WITHIN each
+    source's B-row means frame (metadata-scale partitioned window)."""
+    from lab3_spark.operators.profile import grouped_bootstrap_ci
+
+    return grouped_bootstrap_ci(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "streaming_incremental_pagerank",
     f"""
     WITH {_DUCK_MINHASH_CTES},
@@ -12583,6 +12648,7 @@ ROUND8_NEW = [
     "orders_paired_permutation",
     "source_drift_bh_screen",
     "source_ks_matrix",
+    "source_mean_bootstrap_ci",
     "streaming_incremental_pagerank",
 ]
 

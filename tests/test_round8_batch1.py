@@ -592,3 +592,54 @@ def test_one_window_partition_survives_optimizer(spark):
     )
     # the folded spec starts directly with the order column
     assert "windowspecdefinition(id" in plan2
+
+
+# --------------------------------------------------- grouped bootstrap --
+
+
+def test_grouped_bootstrap_matches_scalar_per_group(spark):
+    """Each group's CI must equal the scalar poisson_bootstrap_ci run
+    on that group's slice (same hashes — keys are group-disjoint)."""
+    from lab3_spark.operators.profile import (
+        grouped_bootstrap_ci,
+        poisson_bootstrap_ci,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, f"s{i % 2}", rng.randint(50, 500)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    got = {
+        r["grp"]: (r["n"], r["point"], r["ci_lo"], r["ci_hi"])
+        for r in grouped_bootstrap_ci(df).collect()
+    }
+    # exact Python recomputation of the same deterministic draws
+    import hashlib
+
+    P = 2147483647
+    CDF = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+    for src in ("s0", "s1"):
+        mine = [(i, v) for i, s, v in rows if s == src]
+        n = len(mine)
+        exp_point = sum(v for _, v in mine) // n
+        ms = []
+        for b in range(40):
+            sy = sw = 0
+            for key, v in mine:
+                h = int(
+                    hashlib.md5(f"boot|{key}".encode()).hexdigest()[:15], 16
+                )
+                x = (h + b * 2654435761) % P + 1
+                u = (pow(x, 3, P) * 48271 % P) % 1_000_000
+                w = next(
+                    (lvl for lvl, t in enumerate(CDF) if u < t), len(CDF)
+                )
+                sy += w * v
+                sw += w
+            if sw > 0:
+                ms.append((sy // sw, b))
+        ms.sort()
+        assert got[src] == (n, exp_point, ms[0][0], ms[38][0]), src

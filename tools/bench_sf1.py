@@ -132,6 +132,7 @@ QUERIES = [
     "orders_paired_permutation",
     "source_drift_bh_screen",
     "source_ks_matrix",
+    "source_mean_bootstrap_ci",
     "pagerank_candidates",
     # fact-table shapes
     "q1_pricing_summary",
