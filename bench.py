@@ -252,6 +252,7 @@ HEADLINE = [
     "source_drift_bh_screen",
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
+    "packing_fragmentation_curve",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

@@ -632,3 +632,105 @@ def dataset_split_manifest(
         )
         .orderBy(stratum_col, "split")
     )
+
+
+def packing_fragmentation_curve(
+    documents: DataFrame,
+    budgets: tuple[int, ...] = (128, 256, 512, 1024),
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(budget, n_docs, n_split_docs, n_fragments, frag_rate_fp,
+    n_bins, fill_rate_fp): how concat-style sequence packing behaves
+    across a context-length ladder — the packing diagnostic a training
+    pipeline reads before choosing max_len.  Under :func:`pack_sequences`'
+    offset model (documents laid end-to-end per group, bins of
+    ``budget`` tokens), a document crossing a bin boundary is SPLIT:
+    n_fragments counts its pieces (floor((before+len−1)/L) −
+    floor(before/L) + 1), frag_rate_fp the fraction of documents split,
+    fill_rate_fp = total_tokens·10⁶ DIV (n_bins·L) the capacity
+    utilization (per-group tails are the only slack in the offset
+    model).
+
+    ONE corpus scan + one per-group cumsum shuffle prices the whole
+    ladder: the |budgets|-row ladder explodes per document (|L|×
+    row amplification of the id/offset projection only, not the text),
+    then two combinable aggs.  Empty documents pack zero fragments.
+    All integers; truncating division both engines."""
+    n_tokens = F.size(tokenize(text_col))
+    w = Window.partitionBy("grp").orderBy("k")
+    base = (
+        documents.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("k"),
+            n_tokens.alias("nt"),
+        )
+        .withColumn(
+            "before",
+            F.coalesce(F.sum("nt").over(w) - F.col("nt"), F.lit(0)),
+        )
+        .select(
+            "grp",
+            "nt",
+            "before",
+            F.explode(
+                F.array(*[F.lit(b) for b in budgets])
+            ).alias("budget"),
+        )
+    )
+    frag = F.when(
+        F.col("nt") > 0,
+        F.expr("(before + nt - 1) DIV budget - before DIV budget + 1"),
+    ).otherwise(F.lit(0))
+    per_doc = base.select(
+        "budget",
+        "grp",
+        "nt",
+        "before",
+        frag.cast("bigint").alias("frag"),
+    )
+    per_group = per_doc.groupBy("budget", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.when(F.col("frag") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nsplit"),
+        F.sum("frag").cast("bigint").alias("nfrag"),
+        F.sum("nt").cast("bigint").alias("toks"),
+        # bins this group occupies = last fragment index of its final
+        # token + 1 (0 for an all-empty group)
+        F.max(
+            F.when(
+                F.col("nt") > 0,
+                F.expr("(before + nt - 1) DIV budget + 1"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bins"),
+    )
+    return (
+        per_group.groupBy("budget")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("nsplit").cast("bigint").alias("n_split_docs"),
+            F.sum("nfrag").cast("bigint").alias("n_fragments"),
+            F.sum("toks").alias("_toks"),
+            F.sum("bins").cast("bigint").alias("n_bins"),
+        )
+        .select(
+            F.col("budget").cast("bigint").alias("budget"),
+            "n_docs",
+            "n_split_docs",
+            "n_fragments",
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN CAST(n_split_docs * 1000000"
+                " DIV n_docs AS BIGINT) ELSE NULL END"
+            ).alias("frag_rate_fp"),
+            "n_bins",
+            F.expr(
+                "CASE WHEN n_bins > 0 THEN CAST(_toks * 1000000"
+                " DIV (n_bins * budget) AS BIGINT) ELSE NULL END"
+            ).alias("fill_rate_fp"),
+        )
+        .orderBy("budget")
+    )

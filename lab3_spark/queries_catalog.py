@@ -12527,6 +12527,70 @@ def q_source_mean_bootstrap_ci(spark, sf_dir):
 
 
 @query(
+    "packing_fragmentation_curve",
+    f"""
+    WITH d AS (
+      SELECT source AS grp, doc_id AS k,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT grp, nt,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY grp ORDER BY k)
+                  - nt, 0) AS BIGINT) AS before
+      FROM d
+    ),
+    e AS (
+      SELECT grp, nt, before,
+             unnest([128, 256, 512, 1024]) AS budget
+      FROM c
+    ),
+    pd AS (
+      SELECT budget, grp, nt, before,
+             CASE WHEN nt > 0
+                  THEN (before + nt - 1) // budget - before // budget + 1
+                  ELSE 0 END AS frag
+      FROM e
+    ),
+    pg AS (
+      SELECT budget, grp, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN frag > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nsplit,
+             CAST(sum(frag) AS BIGINT) AS nfrag,
+             CAST(sum(nt) AS BIGINT) AS toks,
+             CAST(max(CASE WHEN nt > 0
+                      THEN (before + nt - 1) // budget + 1
+                      ELSE 0 END) AS BIGINT) AS bins
+      FROM pd GROUP BY budget, grp
+    )
+    SELECT CAST(budget AS BIGINT) AS budget,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
+           CAST(sum(nfrag) AS BIGINT) AS n_fragments,
+           CAST(CASE WHEN sum(nd) > 0
+                THEN sum(nsplit) * 1000000 // sum(nd)
+                ELSE NULL END AS BIGINT) AS frag_rate_fp,
+           CAST(sum(bins) AS BIGINT) AS n_bins,
+           CAST(CASE WHEN sum(bins) > 0
+                THEN sum(toks) * 1000000 // (sum(bins) * budget)
+                ELSE NULL END AS BIGINT) AS fill_rate_fp
+    FROM pg GROUP BY budget ORDER BY budget
+    """,
+)
+def q_packing_fragmentation_curve(spark, sf_dir):
+    """Context-length packing diagnostic (sampling.
+    packing_fragmentation_curve): across a 128/256/512/1024 budget
+    ladder, how many documents concat-style packing SPLITS across bin
+    boundaries, total fragments, and capacity utilization — the table
+    a training pipeline reads before fixing max_len.  One scan + one
+    per-group cumsum shuffle prices the whole ladder (the ladder
+    explodes the id/offset projection only, never the text)."""
+    from lab3_spark.operators.sampling import packing_fragmentation_curve
+
+    return packing_fragmentation_curve(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "streaming_incremental_pagerank",
     f"""
     WITH {_DUCK_MINHASH_CTES},
@@ -12649,6 +12713,7 @@ ROUND8_NEW = [
     "source_drift_bh_screen",
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
+    "packing_fragmentation_curve",
     "streaming_incremental_pagerank",
 ]
 

@@ -643,3 +643,51 @@ def test_grouped_bootstrap_matches_scalar_per_group(spark):
                 ms.append((sy // sw, b))
         ms.sort()
         assert got[src] == (n, exp_point, ms[0][0], ms[38][0]), src
+
+
+# ------------------------------------------------------- packing curve --
+
+
+def test_packing_fragmentation_curve_matches_python(spark):
+    from lab3_spark.operators.sampling import packing_fragmentation_curve
+
+    rows = [
+        (1, "a", "x " * 10),    # 10 tokens
+        (2, "a", "x " * 7),     # 7
+        (3, "a", ""),           # empty
+        (4, "b", "x " * 25),    # 25 (longer than budget 8)
+        (5, "b", "x " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["budget"]: (
+            r["n_docs"], r["n_split_docs"], r["n_fragments"],
+            r["frag_rate_fp"], r["n_bins"], r["fill_rate_fp"],
+        )
+        for r in packing_fragmentation_curve(df, budgets=(8, 16)).collect()
+    }
+    for L in (8, 16):
+        n_docs = n_split = n_frag = n_bins = toks = 0
+        for grp in ("a", "b"):
+            before = 0
+            last_bin = 0
+            any_tok = False
+            for _, g, t in sorted(rows):
+                if g != grp:
+                    continue
+                nt = len(t.split())
+                n_docs += 1
+                if nt > 0:
+                    frag = (before + nt - 1) // L - before // L + 1
+                    n_frag += frag
+                    if frag > 1:
+                        n_split += 1
+                    last_bin = (before + nt - 1) // L + 1
+                    any_tok = True
+                before += nt
+                toks += nt
+            n_bins += last_bin if any_tok else 0
+        assert got[L] == (
+            n_docs, n_split, n_frag, n_split * 1_000_000 // n_docs,
+            n_bins, toks * 1_000_000 // (n_bins * L),
+        ), L

@@ -133,6 +133,7 @@ QUERIES = [
     "source_drift_bh_screen",
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
+    "packing_fragmentation_curve",
     "pagerank_candidates",
     # fact-table shapes
     "q1_pricing_summary",
