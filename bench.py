@@ -253,6 +253,7 @@ HEADLINE = [
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
     "packing_fragmentation_curve",
+    "source_importance_ess",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

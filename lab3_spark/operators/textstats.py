@@ -2328,3 +2328,45 @@ def source_ks_matrix(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def source_importance_ess(
+    documents: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(grp, n, ess_ratio_fp): the EFFECTIVE SAMPLE SIZE ratio of each
+    source under DSIR importance weights — (Σw)²/(n·Σw²), the standard
+    diagnostic for "if I importance-resample this source, how many
+    docs do I effectively keep?" (1 = uniform weights, →0 = the weight
+    mass sits on a few documents and resampling will collapse the
+    source).  The go/no-go check before trusting any reweighted
+    mixture.
+
+    Weights are exp(mean log-ratio) from
+    :func:`dsir_log_ratio_weights`, fixed-pointed per document
+    (floor(exp(·)·10⁶) — one identical double op in both engines) so
+    the group sums are EXACT integers (decimal(38,0)/HUGEINT; Σw² is
+    the overflow risk a double sum would hide order-dependence in).
+    Only documents with ≥1 hashed feature carry weights (empty docs
+    drop, both engines).  One corpus scan via the dsir machinery + one
+    doc_id equi-join + one combinable agg."""
+    w = dsir_log_ratio_weights(documents, text_col=text_col)
+    per = documents.select(
+        "doc_id", F.col(group_col).alias("grp")
+    ).join(w.select("doc_id", "mean_fp"), "doc_id")
+    w_fp = F.floor(
+        F.exp(F.col("mean_fp").cast("double") / 1_000_000) * 1_000_000
+    ).cast("bigint")
+    d38 = "decimal(38,0)"
+    agg = per.select("grp", w_fp.alias("w")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("w").cast(d38)).alias("sw"),
+        F.sum((F.col("w").cast(d38) * F.col("w"))).alias("sww"),
+    )
+    ess = F.expr(
+        "CASE WHEN sww > 0 THEN CAST(FLOOR(CAST(sw * sw AS DOUBLE)"
+        " * 1000000 / (CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)))"
+        " AS BIGINT) ELSE NULL END"
+    )
+    return agg.select("grp", "n", ess.alias("ess_ratio_fp")).orderBy("grp")

@@ -12591,6 +12591,41 @@ def q_packing_fragmentation_curve(spark, sf_dir):
 
 
 @query(
+    "source_importance_ess",
+    f"""
+    WITH perdoc AS ({{dsir_inner}}),
+    wts AS (
+      SELECT d.source AS grp,
+             CAST(floor(exp(CAST(mean_fp AS DOUBLE) / 1000000)
+                  * 1000000) AS BIGINT) AS w
+      FROM perdoc JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(w AS HUGEINT)) AS sw,
+             sum(CAST(w AS HUGEINT) * w) AS sww
+      FROM wts GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST(CASE WHEN sww > 0
+                THEN FLOOR(CAST(sw * sw AS DOUBLE) * 1000000
+                     / (CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)))
+                ELSE NULL END AS BIGINT) AS ess_ratio_fp
+    FROM agg ORDER BY grp
+    """.format(dsir_inner=ORACLES["doc_dsir_weights"]),
+)
+def q_source_importance_ess(spark, sf_dir):
+    """Per-source effective-sample-size ratio under DSIR importance
+    weights (textstats.source_importance_ess): (Σw)²/(n·Σw²) with
+    per-doc fixed-point weights so the group sums stay exact integers
+    — the resampling go/no-go diagnostic for every reweighted mixture
+    (ratio → 0 means the source's weight mass sits on a few docs)."""
+    from lab3_spark.operators.textstats import source_importance_ess
+
+    return source_importance_ess(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "streaming_incremental_pagerank",
     f"""
     WITH {_DUCK_MINHASH_CTES},
@@ -12714,6 +12749,7 @@ ROUND8_NEW = [
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
     "packing_fragmentation_curve",
+    "source_importance_ess",
     "streaming_incremental_pagerank",
 ]
 

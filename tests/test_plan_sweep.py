@@ -138,6 +138,7 @@ BNLJ_ALLOWED = {
     "orders_paired_permutation",  # 1-row t_obs / n_extreme broadcasts
     "bpe_apply_compression",  # 1-row 1-char-word-count aggregate broadcast
     "source_mean_bootstrap_ci",  # #groups-row CI-pick broadcasts
+    "source_importance_ess",  # inherits the dsir 1-row totals broadcast
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

@@ -691,3 +691,55 @@ def test_packing_fragmentation_curve_matches_python(spark):
             n_docs, n_split, n_frag, n_split * 1_000_000 // n_docs,
             n_bins, toks * 1_000_000 // (n_bins * L),
         ), L
+
+
+# ------------------------------------------------------------- ESS --
+
+
+def test_source_importance_ess_matches_python(spark):
+    """ESS recomputed from the operator's own per-doc weights (pins
+    the (Σw)²/(n·Σw²) arithmetic and the fixed-point weight step);
+    uniform weights → ratio 10⁶ exactly."""
+    import math
+
+    from lab3_spark.operators.textstats import (
+        dsir_log_ratio_weights,
+        source_importance_ess,
+    )
+
+    rows = [
+        (1, "en", "a0", "spark rows merge " * 3),
+        (2, "en", "a0", "table scan value batch"),
+        (3, "fr", "a0", "spark spark spark spark"),
+        (4, "fr", "a1", "merge sort rows value scan"),
+        (5, "en", "a1", "batch value table spark merge"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    per_doc = {
+        r["doc_id"]: r["mean_fp"]
+        for r in dsir_log_ratio_weights(df).collect()
+    }
+    got = {
+        r["grp"]: (r["n"], r["ess_ratio_fp"])
+        for r in source_importance_ess(df).collect()
+    }
+    for grp in ("a0", "a1"):
+        ws = [
+            math.floor(math.exp(per_doc[i] / 1e6) * 1e6)
+            for i, _, s, _ in rows
+            if s == grp and i in per_doc
+        ]
+        n = len(ws)
+        exp_ess = math.floor(
+            sum(ws) * sum(ws) * 1_000_000 / (n * sum(w * w for w in ws))
+        )
+        assert got[grp] == (n, exp_ess), grp
+    # degenerate check: identical docs -> identical weights -> ratio 1
+    same = spark.createDataFrame(
+        [(i, "en", "u", "same words here") for i in range(4)],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    (r,) = source_importance_ess(same).collect()
+    assert r["ess_ratio_fp"] == 1_000_000

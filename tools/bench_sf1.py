@@ -134,6 +134,7 @@ QUERIES = [
     "source_ks_matrix",
     "source_mean_bootstrap_ci",
     "packing_fragmentation_curve",
+    "source_importance_ess",
     "pagerank_candidates",
     # fact-table shapes
     "q1_pricing_summary",
