@@ -254,6 +254,8 @@ HEADLINE = [
     "source_mean_bootstrap_ci",
     "packing_fragmentation_curve",
     "source_importance_ess",
+    "source_spearman",
+    "split_leakage_neardup",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

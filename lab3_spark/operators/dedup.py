@@ -392,6 +392,73 @@ def cross_source_near_dups(
     )
 
 
+def split_leakage_neardup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """(split_a, split_b, n_pairs, n_docs): verified near-duplicate
+    pairs bucketed by the train/val/test splits their two sides land
+    in — the contamination audit a dataset release runs BEFORE
+    publishing ("does any test document have a near-dup in train?").
+    Any row with split_a != split_b is leakage the hash split cannot
+    see on its own: the 90/5/5 assignment is doc-id-uniform, and
+    near-duplicates carry different ids.
+
+    Reuses the full candidate→verify machinery (banded MinHash LSH →
+    exact shingle Jaccard on candidates only) and the sampling
+    module's pure md5-expression split assignment; both label joins
+    run on the VERIFIED pair list (candidate scale), never the corpus
+    pair space.  (split_a, split_b) is the lexicographic unordered
+    canonicalization; n_docs counts distinct documents involved per
+    bucket (a doc near-dup'd across buckets counts once per bucket)."""
+    from lab3_spark.functions.text import md5_long
+
+    pairs = ngram_jaccard_pairs(documents, text_col, min_jaccard)
+    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    labels = documents.select(F.col(id_col), split.alias("split"))
+    la = labels.select(
+        F.col(id_col).alias("doc_a"), F.col("split").alias("sa")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("doc_b"), F.col("split").alias("sb")
+    )
+    lab = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    n_docs = (
+        lab.select(
+            "split_a",
+            "split_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .join(n_docs, ["split_a", "split_b"])
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def _simhash_bitsum_partials(occurrences: DataFrame) -> DataFrame:
     """Per-Arrow-batch partial SimHash bit sums: (doc_id, s0..s59),
     one row per document PER BATCH (not per token occurrence).

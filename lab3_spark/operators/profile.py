@@ -673,6 +673,83 @@ def spearman_rho(
     return agg.select("n", rho_fp.alias("rho_fp"))
 
 
+def grouped_spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+    memo_prefix: str = "profile.grouped_spearman",
+) -> DataFrame:
+    """Per-GROUP Spearman — :func:`spearman_rho` lifted to one row per
+    group (grp, n, rho_fp), ordered by grp.
+
+    Ranks are per-group tie-averaged ×2 integers (2·rank = 2·cum_below
+    + cnt + 1) from each column's per-(group, value) histogram; the
+    cumulative count is the GROUPED distributed prefix sum
+    (operators/rank.py with_grouped_running_sum) — one ranged shuffle
+    ordered by (group, value), per-group starting totals broadcast
+    back, never a per-group single-partition window, so a skewed group
+    cannot stall an executor.  Rank tables join back to the fact rows
+    as (group, value)→rank lookups; per-group moment sums accumulate
+    in decimal(38,0) (exact to n ≈ 1.3·10⁹ rows per group, the scalar
+    bound); the final rho is the SAME single double expression as the
+    scalar operator, mirrored in the oracle.  Degenerate (constant)
+    column within a group → NULL rho_fp.  ``x``/``y`` must already be
+    exact integer expressions (the caller fixes the point)."""
+    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        with_grouped_running_sum,
+    )
+
+    vals = persist_latest(
+        f"{memo_prefix}.vals",
+        df.select(
+            F.col(group_col).alias("grp"),
+            x.cast("bigint").alias("x"),
+            y.cast("bigint").alias("y"),
+        ),
+    )
+
+    def rank_table(col: str, memo: str) -> DataFrame:
+        hist = vals.groupBy("grp", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        cum = drop_rank_internals(
+            with_grouped_running_sum(
+                hist, ["grp"], [col], "_c", out_col="_cum", memo_key=memo
+            )
+        )
+        return cum.select(
+            "grp",
+            col,
+            (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1).alias(
+                f"r{col}"
+            ),
+        )
+
+    ranked = vals.join(rank_table("x", f"{memo_prefix}.x"), ["grp", "x"]).join(
+        rank_table("y", f"{memo_prefix}.y"), ["grp", "y"]
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx").cast(d38)).alias("sx"),
+        F.sum(F.col("ry").cast(d38)).alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d38)).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d38)).alias("sxy"),
+    )
+    rho_fp = F.expr(
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000 /"
+        " SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        " ELSE NULL END"
+    )
+    return agg.select("grp", "n", rho_fp.alias("rho_fp")).orderBy("grp")
+
+
 def kendall_tau_b(
     df: DataFrame,
     x_ord: Column | str,

@@ -12691,6 +12691,135 @@ def q_streaming_incremental_pagerank(spark, sf_dir):
     )
 
 
+@query(
+    "source_spearman",
+    f"""
+    WITH v AS (
+      SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS y
+      FROM documents
+    ),
+    xh AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+           FROM v GROUP BY 1, 2),
+    xr AS (SELECT grp, x,
+                  2 * (sum(c) OVER (PARTITION BY grp ORDER BY x) - c)
+                    + c + 1 AS rx
+           FROM xh),
+    yh AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS c
+           FROM v GROUP BY 1, 2),
+    yr AS (SELECT grp, y,
+                  2 * (sum(c) OVER (PARTITION BY grp ORDER BY y) - c)
+                    + c + 1 AS ry
+           FROM yh),
+    j AS (SELECT grp, rx, ry
+          FROM v JOIN xr USING (grp, x) JOIN yr USING (grp, y)),
+    agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx AS HUGEINT)) AS sx,
+             sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM j GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000 /
+                     SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+                ELSE NULL END AS BIGINT) AS rho_fp
+    FROM agg ORDER BY grp
+    """,
+)
+def q_source_spearman(spark, sf_dir):
+    """Per-source Spearman between document length and lexical
+    diversity (profile.grouped_spearman_rho): does a longer document
+    keep introducing new token types, per source? — the lexical-
+    diversity drift diagnostic of a mixture audit (a source whose rho
+    collapses is boilerplate- or template-heavy).  lineitem_spearman's
+    exact-integer recipe lifted to one row per group: per-(source,
+    value) histograms, tie-averaged ×2 ranks via the GROUPED
+    distributed prefix sum (rank.py), decimal(38,0)/HUGEINT moments,
+    one shared double expression for rho."""
+    from lab3_spark.functions.text import tokenize
+    from lab3_spark.operators.profile import grouped_spearman_rho
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_spearman_rho(
+        docs,
+        "source",
+        F.col("n_chars"),
+        F.size(F.array_distinct(tokenize("text"))),
+    )
+
+
+@query(
+    "split_leakage_neardup",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000)
+              / 10000 >= 0.2
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+                     % 100 AS h
+            FROM documents)
+    ),
+    lab AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b,
+             j.doc_a, j.doc_b
+      FROM jac j
+      JOIN s sa ON sa.doc_id = j.doc_a
+      JOIN s sb ON sb.doc_id = j.doc_b
+    ),
+    nd AS (
+      SELECT split_a, split_b, count(DISTINCT d) AS n_docs
+      FROM (SELECT split_a, split_b, doc_a AS d FROM lab
+            UNION ALL
+            SELECT split_a, split_b, doc_b AS d FROM lab)
+      GROUP BY 1, 2
+    )
+    SELECT l.split_a, l.split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(nd.n_docs AS BIGINT) AS n_docs
+    FROM lab l JOIN nd USING (split_a, split_b)
+    GROUP BY l.split_a, l.split_b, nd.n_docs
+    ORDER BY split_a, split_b
+    """,
+)
+def q_split_leakage_neardup(spark, sf_dir):
+    """Near-duplicate leakage across the train/val/test hash split
+    (dedup.split_leakage_neardup): verified near-dup pairs bucketed by
+    the splits their sides land in — the contamination audit a release
+    runs before publishing (any split_a != split_b row is a test/val
+    document with a near-twin in train, invisible to the id-uniform
+    hash split).  Composes two already-verified pipelines: the
+    candidate→verify dedup machinery (banded LSH → exact Jaccard on
+    candidates only) and the pure-expression 90/5/5 split; both label
+    joins run on the candidate-scale verified pair list."""
+    from lab3_spark.operators.dedup import split_leakage_neardup
+
+    return split_leakage_neardup(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -12751,6 +12880,8 @@ ROUND8_NEW = [
     "packing_fragmentation_curve",
     "source_importance_ess",
     "streaming_incremental_pagerank",
+    "source_spearman",
+    "split_leakage_neardup",
 ]
 
 _DRIVER_PRIORITY = [

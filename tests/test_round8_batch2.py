@@ -1,0 +1,122 @@
+"""Round-8 batch 2: grouped Spearman + near-dup split-leakage audit."""
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+# ------------------------------------------------ grouped Spearman ----
+
+
+def test_grouped_spearman_matches_per_group_scalar(spark):
+    """The grouped operator must equal the corpus-global operator run
+    on each group's slice (the grouped-MW test pattern)."""
+    from lab3_spark.operators.profile import (
+        grouped_spearman_rho,
+        spearman_rho,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        g = "ABC"[i % 3]
+        x = round(rng.uniform(1, 50), 2)
+        y = round(x * (1 + rng.uniform(-0.5, 0.5)), 2)  # noisy monotone
+        rows.append((g, x, y))
+    df = spark.createDataFrame(
+        rows, "source string, l_quantity double, l_extendedprice double"
+    )
+    got = {
+        r["grp"]: (r["n"], r["rho_fp"])
+        for r in grouped_spearman_rho(
+            df,
+            "source",
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5)),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        ).collect()
+    }
+    for g in "ABC":
+        (exp,) = spearman_rho(df.where(F.col("source") == g)).collect()
+        assert got[g] == (exp["n"], exp["rho_fp"]), g
+
+
+def test_grouped_spearman_degenerate_and_perfect(spark):
+    """Constant column within a group → NULL rho_fp for THAT group
+    only; a perfectly monotone group hits exactly 10⁶."""
+    from lab3_spark.operators.profile import grouped_spearman_rho
+
+    rows = [("K", 5, i) for i in range(10)] + [
+        ("L", i, i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "source string, x bigint, y bigint")
+    got = {
+        r["grp"]: (r["n"], r["rho_fp"])
+        for r in grouped_spearman_rho(
+            df, "source", F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert got["K"] == (10, None)
+    assert got["L"] == (10, 1000000)
+
+
+# --------------------------------------------- split-leakage audit ----
+
+
+def _py_split(doc_id: int) -> str:
+    """The pure-Python twin of sampling's md5 90/5/5 split expression."""
+    h = int(
+        hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:15], 16
+    ) % 100
+    return "train" if h < 90 else ("val" if h < 95 else "test")
+
+
+@pytest.fixture()
+def leak_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single morning"
+    )
+    rows = []
+    for i in range(24):  # 8 near-dup triples (copy / 1-edit / copy)
+        fam = i // 3
+        text = base.replace("morning", f"morning family{fam}")
+        if i % 3 == 1:
+            text = text.replace("warm", "cold")
+        rows.append((i, text))
+    for i in range(24, 40):  # singletons — no verified pairs
+        rows.append(
+            (i, f"unique filler document number {i} about topic {i * 7} " * 3)
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_leakage_matches_python(spark, leak_corpus):
+    """Bucket counts must equal a pure-Python rebucketing of the
+    verified pair list under the md5 split — pins the canonicalization
+    (split_a <= split_b), the pair counts, and the distinct-doc
+    counts in one shot."""
+    from lab3_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        split_leakage_neardup,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(leak_corpus).collect()
+    ]
+    assert pairs, "fixture must plant verified near-dup pairs"
+    exp_pairs: dict = {}
+    exp_docs: dict = {}
+    for a, b in pairs:
+        key = tuple(sorted((_py_split(a), _py_split(b))))
+        exp_pairs[key] = exp_pairs.get(key, 0) + 1
+        exp_docs.setdefault(key, set()).update((a, b))
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_docs"])
+        for r in split_leakage_neardup(leak_corpus).collect()
+    }
+    assert got == {
+        k: (n, len(exp_docs[k])) for k, n in exp_pairs.items()
+    }
+    assert all(a <= b for a, b in got)
