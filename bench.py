@@ -256,6 +256,9 @@ HEADLINE = [
     "source_importance_ess",
     "source_spearman",
     "split_leakage_neardup",
+    "decontaminate_train",
+    "dedup_similarity_histogram",
+    "source_token_fertility",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

@@ -310,7 +310,10 @@ def _minhash_candidates_build(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, text_col: str = "text", min_jaccard: float = 0.2
+    documents: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.2,
+    keep_counts: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): EXACT shingle-set Jaccard, evaluated
     only on MinHash-LSH candidate pairs (verify step of the classic
@@ -349,10 +352,19 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    cols = ["doc_a", "doc_b", trunc(jac, 4).alias("jaccard")]
+    if keep_counts:
+        # exact integer set sizes, for consumers that derive ratios in
+        # bigint arithmetic instead of re-dividing the truncated double
+        cols += [
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        ]
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
-        .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
+        .select(*cols)
         .where(F.col("jaccard") >= min_jaccard)
         .orderBy("doc_a", "doc_b")
     )
@@ -456,6 +468,88 @@ def split_leakage_neardup(
             F.col("n_docs").cast("bigint").alias("n_docs"),
         )
         .orderBy("split_a", "split_b")
+    )
+
+
+def decontaminate_train(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "source",
+    salt: str = "split",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """(doc_id, source): the DECONTAMINATED train split — train-split
+    documents with NO verified near-duplicate in the held-out (val or
+    test) splits.  The action paired with :func:`split_leakage_neardup`'s
+    audit: the audit counts cross-split near-dup pairs; this operator
+    removes the train-side member of every train↔held-out pair, so a
+    model trained on the survivors cannot memorize a held-out document
+    through its near-twin.
+
+    The contaminated-id list is candidate-scale (one side of the
+    verified pair list), so the removal is a LEFT ANTI join of the
+    train slice against a small frame — broadcastable at any corpus
+    size where the near-dup rate is sane.  Train-internal duplicates
+    are the exact/minhash dedup stages' job, deliberately untouched
+    here."""
+    from lab3_spark.functions.text import md5_long
+
+    pairs = ngram_jaccard_pairs(documents, text_col, min_jaccard)
+    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    labels = documents.select(F.col(id_col), split.alias("split"))
+    la = labels.select(
+        F.col(id_col).alias("doc_a"), F.col("split").alias("sa")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("doc_b"), F.col("split").alias("sb")
+    )
+    sided = pairs.join(la, "doc_a").join(lb, "doc_b")
+    contaminated = (
+        sided.where((F.col("sa") == "train") & (F.col("sb") != "train"))
+        .select(F.col("doc_a").alias(id_col))
+        .unionAll(
+            sided.where(
+                (F.col("sb") == "train") & (F.col("sa") != "train")
+            ).select(F.col("doc_b").alias(id_col))
+        )
+        .distinct()
+    )
+    return (
+        documents.where(split == "train")
+        .join(contaminated, id_col, "left_anti")
+        .select(id_col, label_col)
+        .orderBy(id_col)
+    )
+
+
+def pair_similarity_histogram(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(bucket_x10, n_pairs): histogram of EXACT shingle-Jaccard over
+    ALL MinHash-LSH candidate pairs (no verify threshold) in 0.1-wide
+    buckets — the threshold-tuning curve a dedup pipeline reads before
+    fixing its verify cutoff ("how many pairs does 0.2 vs 0.5 keep?",
+    "is the candidate set mostly false positives?").
+
+    Runs the shared candidate→verify machinery once with the verify
+    filter at 0 and folds the candidate-scale pair list into ≤11
+    bucket rows: bucket_x10 = floor(jaccard·10) (1.0 lands in its own
+    bucket 10); the bucket is EXACT bigint arithmetic over the integer
+    set sizes ((10·n_inter) DIV union) — never a re-division of the
+    truncated double, so no float-boundary flicker between engines."""
+    jac = ngram_jaccard_pairs(
+        documents, text_col, min_jaccard=0.0, keep_counts=True
+    )
+    bucket = F.expr(
+        "CAST((10 * n_inter) DIV (n_a + n_b - n_inter) AS BIGINT)"
+    )
+    return (
+        jac.select(bucket.alias("bucket_x10"))
+        .groupBy("bucket_x10")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("bucket_x10")
     )
 
 

@@ -1096,6 +1096,60 @@ def bpe_token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_token_fertility(
+    documents: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, ws_tokens, bpe_tokens, fertility_fp,
+    chars_per_bpe_fp): per-source tokenizer fertility — BPE-ish pieces
+    per whitespace word (fertility_fp = bpe·10⁶ DIV ws) and characters
+    per piece (chars·10⁶ DIV bpe) — the "which sources tokenize
+    poorly" diagnostic behind per-source token budgeting (a source
+    whose fertility spikes is code/punctuation-heavy and costs more
+    context window per word than its character share suggests).
+
+    Same pre-tokenizer expressions as :func:`bpe_token_counts`, folded
+    per source: ONE scan, one |sources|-row shuffle, every aggregate
+    combinable map-side; the divisions are exact bigint DIV (no
+    doubles anywhere).  A source with zero whitespace or BPE tokens
+    → NULL ratio."""
+    lowered = F.lower(F.col(text_col))
+    bpe = F.size(
+        F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    )
+    ws = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    ).otherwise(F.lit(0))
+    return (
+        documents.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+            F.sum(F.length(text_col)).cast("bigint").alias("_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr(
+                "CASE WHEN ws_tokens > 0 THEN"
+                " CAST(bpe_tokens * 1000000 DIV ws_tokens AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("fertility_fp"),
+            F.expr(
+                "CASE WHEN bpe_tokens > 0 THEN"
+                " CAST(_chars * 1000000 DIV bpe_tokens AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("chars_per_bpe_fp"),
+        )
+        .orderBy(group_col)
+    )
+
+
 WINNOW_K = 3  # k-gram length (tokens) per hash
 WINNOW_W = 4  # winnowing window (hashes)
 

@@ -12820,6 +12820,144 @@ def q_split_leakage_neardup(spark, sf_dir):
     return split_leakage_neardup(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "decontaminate_train",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000)
+              / 10000 >= 0.2
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+                     % 100 AS h
+            FROM documents)
+    ),
+    cont AS (
+      SELECT DISTINCT d AS doc_id FROM (
+        SELECT j.doc_a AS d
+        FROM jac j
+        JOIN s sa ON sa.doc_id = j.doc_a
+        JOIN s sb ON sb.doc_id = j.doc_b
+        WHERE sa.split = 'train' AND sb.split != 'train'
+        UNION ALL
+        SELECT j.doc_b AS d
+        FROM jac j
+        JOIN s sa ON sa.doc_id = j.doc_a
+        JOIN s sb ON sb.doc_id = j.doc_b
+        WHERE sb.split = 'train' AND sa.split != 'train'
+      )
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN s ON s.doc_id = d.doc_id
+    WHERE s.split = 'train'
+      AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    ORDER BY d.doc_id
+    """,
+)
+def q_decontaminate_train(spark, sf_dir):
+    """The decontaminated train split (dedup.decontaminate_train):
+    train-split documents with NO verified near-dup in the held-out
+    splits — the ACTION paired with split_leakage_neardup's audit (the
+    audit counts cross-split pairs; this removes the train-side member
+    of each, so a model cannot memorize a held-out doc through its
+    near-twin).  The removal is one LEFT ANTI join of the train slice
+    against the candidate-scale contaminated-id list."""
+    from lab3_spark.operators.dedup import decontaminate_train
+
+    return decontaminate_train(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_similarity_histogram",
+    f"""
+    WITH {_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT CAST((10 * n_inter) // (na.n_sh + nb.n_sh - n_inter)
+                AS BIGINT) AS bucket_x10,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dedup_similarity_histogram(spark, sf_dir):
+    """Exact-Jaccard histogram over ALL LSH candidate pairs in
+    0.1-wide buckets (dedup.pair_similarity_histogram) — the
+    threshold-tuning curve read before fixing the verify cutoff.  The
+    bucket is exact bigint arithmetic over the integer shingle-set
+    sizes ((10·n_inter) DIV union), never a re-division of the
+    truncated double — no float-boundary flicker between engines."""
+    from lab3_spark.operators.dedup import pair_similarity_histogram
+
+    return pair_similarity_histogram(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_token_fertility",
+    """
+    WITH t AS (
+      SELECT source,
+             CASE WHEN len(trim(text)) > 0
+                  THEN len(regexp_extract_all(trim(text), '\\S+'))
+                  ELSE 0 END AS ws,
+             len(regexp_extract_all(lower(text),
+                 $$'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\\s']+$$))
+               AS bpe,
+             length(text) AS ch
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(CASE WHEN sum(ws) > 0
+                THEN sum(bpe) * 1000000 // sum(ws)
+                ELSE NULL END AS BIGINT) AS fertility_fp,
+           CAST(CASE WHEN sum(bpe) > 0
+                THEN sum(ch) * 1000000 // sum(bpe)
+                ELSE NULL END AS BIGINT) AS chars_per_bpe_fp
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def q_source_token_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility (textstats.source_token_fertility):
+    BPE-ish pieces per whitespace word and characters per piece — the
+    "which sources tokenize poorly" diagnostic behind per-source token
+    budgeting (high fertility = code/punctuation-heavy text that costs
+    more context window per word).  doc_bpe_token_counts' pre-tokenizer
+    expressions folded per source: one scan, one |sources|-row shuffle,
+    all aggregates combinable; ratios are exact bigint DIV."""
+    from lab3_spark.operators.textstats import source_token_fertility
+
+    return source_token_fertility(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -12882,6 +13020,9 @@ ROUND8_NEW = [
     "streaming_incremental_pagerank",
     "source_spearman",
     "split_leakage_neardup",
+    "decontaminate_train",
+    "dedup_similarity_histogram",
+    "source_token_fertility",
 ]
 
 _DRIVER_PRIORITY = [

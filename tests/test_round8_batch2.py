@@ -120,3 +120,97 @@ def test_split_leakage_matches_python(spark, leak_corpus):
         k: (n, len(exp_docs[k])) for k, n in exp_pairs.items()
     }
     assert all(a <= b for a, b in got)
+
+
+def test_decontaminate_train_matches_python(spark, leak_corpus):
+    """Survivors = train docs minus the train-side member of every
+    train↔held-out verified pair (Python rebucketing of the same pair
+    list); held-out docs never appear in the output."""
+    from lab3_spark.operators.dedup import (
+        decontaminate_train,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(leak_corpus).collect()
+    ]
+    all_ids = [r["doc_id"] for r in leak_corpus.select("doc_id").collect()]
+    contaminated = set()
+    for a, b in pairs:
+        sa, sb = _py_split(a), _py_split(b)
+        if sa == "train" and sb != "train":
+            contaminated.add(a)
+        if sb == "train" and sa != "train":
+            contaminated.add(b)
+    expected = sorted(
+        i for i in all_ids
+        if _py_split(i) == "train" and i not in contaminated
+    )
+    docs = leak_corpus.withColumn("source", F.lit("s"))
+    got = [r["doc_id"] for r in decontaminate_train(docs).collect()]
+    assert got == expected
+
+
+def test_similarity_histogram_matches_pair_list(spark, leak_corpus):
+    """The ≤11-bucket fold must equal a Python regrouping of the
+    unthresholded pair list's exact integer set sizes, and bucket 10
+    must exist (the fixture plants exact duplicates)."""
+    from lab3_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pair_similarity_histogram,
+    )
+
+    counts: dict = {}
+    for r in ngram_jaccard_pairs(
+        leak_corpus, min_jaccard=0.0, keep_counts=True
+    ).collect():
+        b = (10 * r["n_inter"]) // (r["n_a"] + r["n_b"] - r["n_inter"])
+        counts[b] = counts.get(b, 0) + 1
+    got = {
+        r["bucket_x10"]: r["n_pairs"]
+        for r in pair_similarity_histogram(leak_corpus).collect()
+    }
+    assert got == counts
+    assert 10 in got  # planted exact duplicates land in bucket 10
+
+
+def test_ngram_jaccard_keep_counts_is_additive(spark, leak_corpus):
+    """keep_counts only APPENDS columns — (doc_a, doc_b, jaccard) stay
+    identical, and jaccard re-derives from the integer counts."""
+    from lab3_spark.operators.dedup import ngram_jaccard_pairs
+
+    plain = ngram_jaccard_pairs(leak_corpus).collect()
+    kept = ngram_jaccard_pairs(leak_corpus, keep_counts=True).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in plain] == [
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in kept
+    ]
+    import math
+
+    for r in kept:
+        union = r["n_a"] + r["n_b"] - r["n_inter"]
+        assert r["jaccard"] == math.floor(
+            r["n_inter"] / union * 10000
+        ) / 10000
+
+
+def test_source_token_fertility_hand_computed(spark):
+    from lab3_spark.operators.textstats import source_token_fertility
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world", "a"),      # ws 2, bpe 2, ch 11
+            (1, "it's a test!", "a"),     # ws 3, bpe 5 (it 's a test !), ch 12
+            (2, "", "b"),                 # ws 0, bpe 0, ch 0
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["ws_tokens"], r["bpe_tokens"],
+            r["fertility_fp"], r["chars_per_bpe_fp"],
+        )
+        for r in source_token_fertility(df).collect()
+    }
+    assert got["a"] == (2, 5, 7, 7 * 10**6 // 5, 23 * 10**6 // 7)
+    assert got["b"] == (1, 0, 0, None, None)
