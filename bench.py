@@ -259,6 +259,8 @@ HEADLINE = [
     "decontaminate_train",
     "dedup_similarity_histogram",
     "source_token_fertility",
+    "quality_quantile_by_source",
+    "dedup_copy_spectrum",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

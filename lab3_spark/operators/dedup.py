@@ -60,6 +60,33 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def copy_spectrum(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_copies, n_groups, n_docs): the corpus duplication SPECTRUM —
+    how many distinct contents exist at each copy count (1 = unique,
+    2 = one duplicate, …) and how many documents they bind.  The
+    one-table duplication health profile a curation run reads before
+    dedup ("is duplication a few hot templates or a long tail?") and
+    re-reads after to prove the spectrum collapsed to n_copies = 1.
+
+    Two combinable aggregations: fingerprint groupBy (map-side
+    partial), then a ≤|spectrum|-row regroup — no windows, no joins,
+    the cheapest possible dedup diagnostic at any corpus size."""
+    norm = F.concat_ws(" ", tokenize(text_col))
+    groups = (
+        documents.select(F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    )
+    return (
+        groups.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("n_copies")
+    )
+
+
 def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp, quality, n_copies, keep): QUALITY-AWARE exact dedup
     — within each content-fingerprint group keep the doc with the

@@ -1096,6 +1096,60 @@ def bpe_token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_quantile_by_source(
+    documents: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, quality, quantile_fp): each document's quality
+    score plus its WITHIN-SOURCE quantile — rank-based (quantile)
+    normalization, the cross-source-comparable form of the quality
+    signal.  A single global threshold over raw scores keeps whole
+    easy sources and drops whole hard ones; cutting each source at the
+    same PERCENTILE ("drop every source's bottom 20%") needs exactly
+    this column.
+
+    rank = the GROUPED distributed row number (operators/rank.py)
+    ordered by (quality, doc_id) — deterministic under quality ties,
+    one ranged shuffle, per-group offsets broadcast back, never a
+    per-group single-partition window; quantile_fp = rank·10⁶ DIV
+    group_n, exact bigint.  quality is :func:`quality_expr` — the same
+    truncated expression every other quality gate shares, so both
+    engines sort identical doubles."""
+    from lab3_spark.operators.rank import (
+        drop_rank_internals,
+        group_rows_col,
+        with_grouped_row_number,
+    )
+
+    scored = spread(documents).select(
+        "doc_id",
+        F.col(group_col),
+        # truncated like every other quality gate (quality_expr is the
+        # raw blend; the 4-decimal floor is what the oracle sorts)
+        trunc(quality_expr(text_col), RATIO).alias("quality"),
+    )
+    ranked = with_grouped_row_number(
+        scored,
+        [group_col],
+        ["quality", "doc_id"],
+        out_col="rn",
+        memo_key="textstats.quality_quantile",
+    ).withColumn("_gn", group_rows_col())
+    return (
+        drop_rank_internals(ranked)
+        .select(
+            "doc_id",
+            group_col,
+            "quality",
+            F.expr("CAST(rn * 1000000 DIV _gn AS BIGINT)").alias(
+                "quantile_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def source_token_fertility(
     documents: DataFrame,
     text_col: str = "text",

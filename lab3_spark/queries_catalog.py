@@ -12958,6 +12958,73 @@ def q_source_token_fertility(spark, sf_dir):
     return source_token_fertility(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "quality_quantile_by_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+        floor((0.4 * least(len(toks) / 50.0, 1.0)
+          + 0.3 * (1 - CASE WHEN length(text) > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                / length(text) ELSE 0.0 END)
+          + 0.3 * (CASE WHEN len(toks) > 0 THEN
+              len(list_distinct(toks)) / len(toks) ELSE 0.0 END))
+          * 10000) / 10000 AS quality
+      FROM (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks
+            FROM documents)
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS gn
+      FROM t
+    )
+    SELECT doc_id, source, quality,
+           CAST(rn * 1000000 // gn AS BIGINT) AS quantile_fp
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_quality_quantile_by_source(spark, sf_dir):
+    """Within-source quantile normalization of the quality score
+    (textstats.quality_quantile_by_source): the cross-source-comparable
+    quality column — cutting every source at the same PERCENTILE
+    ("drop each source's bottom 20%") instead of one global raw-score
+    threshold that keeps whole easy sources and drops whole hard ones.
+    Rank is the GROUPED distributed row number ordered by (quality,
+    doc_id); quantile_fp = rank·10⁶ DIV group_n, exact bigint.  (The
+    oracle's PARTITION BY window is DuckDB-local shorthand for the
+    same semantics.)"""
+    from lab3_spark.operators.textstats import quality_quantile_by_source
+
+    return quality_quantile_by_source(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_copy_spectrum",
+    f"""
+    WITH g AS (
+      SELECT md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dedup_copy_spectrum(spark, sf_dir):
+    """The corpus duplication spectrum (dedup.copy_spectrum): distinct
+    contents and bound documents at each exact-copy count — the
+    duplication health profile read before dedup ("hot templates or
+    long tail?") and after (everything at n_copies = 1).  Two
+    combinable aggregations, map-side partial both times; no windows,
+    no joins."""
+    from lab3_spark.operators.dedup import copy_spectrum
+
+    return copy_spectrum(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13023,6 +13090,8 @@ ROUND8_NEW = [
     "decontaminate_train",
     "dedup_similarity_histogram",
     "source_token_fertility",
+    "quality_quantile_by_source",
+    "dedup_copy_spectrum",
 ]
 
 _DRIVER_PRIORITY = [

@@ -194,6 +194,67 @@ def test_ngram_jaccard_keep_counts_is_additive(spark, leak_corpus):
         ) / 10000
 
 
+def test_quality_quantile_by_source_matches_python_rank(spark):
+    """quantile_fp must equal rank·10⁶ DIV group_n under a Python sort
+    of the same (quality, doc_id) keys — pins the grouped rank
+    machinery and the exact-bigint division."""
+    from lab3_spark.operators.textstats import quality_quantile_by_source
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spark spark spark spark spark",
+        "a much longer document with many varied distinct tokens "
+        "covering several different topics and themes entirely",
+        "short",
+        "!!! ??? ...",
+    ]
+    rows = [
+        (i * 10 + j, t, "AB"[j % 2])
+        for i, t in enumerate(texts)
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = quality_quantile_by_source(df).collect()
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, members in by_src.items():
+        order = sorted(members, key=lambda r: (r["quality"], r["doc_id"]))
+        gn = len(order)
+        for rank, r in enumerate(order, start=1):
+            assert r["quantile_fp"] == rank * 10**6 // gn, (src, r)
+
+
+def test_copy_spectrum_matches_python(spark, leak_corpus):
+    """Spectrum must equal a Python regrouping under the SAME token
+    normalization (fingerprints see tokens, not raw bytes — the filler
+    docs differ only in digits, which the tokenizer strips, so they
+    form one big group; the 8 planted triples each hold 2 exact
+    copies)."""
+    import re
+    from collections import Counter
+
+    from lab3_spark.operators.dedup import copy_spectrum
+
+    texts = [r["text"] for r in leak_corpus.select("text").collect()]
+    fps = Counter(
+        " ".join(re.findall(r"[a-z][a-z']*", t.lower())) for t in texts
+    )
+    expected: dict = {}
+    for n in fps.values():
+        g, d = expected.get(n, (0, 0))
+        expected[n] = (g + 1, d + n)
+    got = {
+        r["n_copies"]: (r["n_groups"], r["n_docs"])
+        for r in copy_spectrum(leak_corpus).collect()
+    }
+    assert got == expected
+    # the digit-stripping collapse is total here: all 16 family copies
+    # tokenize identically (fam digits vanish), as do all 16 fillers
+    # and all 8 edited docs — a deliberately extreme spectrum
+    assert got == {16: (2, 32), 8: (1, 8)}
+
+
 def test_source_token_fertility_hand_computed(spark):
     from lab3_spark.operators.textstats import source_token_fertility
 
