@@ -388,13 +388,20 @@ def ngram_jaccard_pairs(
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
         ]
-    return (
+    # the VERIFIED pair list itself is memoized (keyed by params, one
+    # entry each): four catalog consumers share the default-threshold
+    # list (near-dup view, cross-source linkage, split-leakage audit,
+    # train decontamination) — without this each re-runs the whole
+    # candidate→verify stage.  Memo sits BEFORE the orderBy so
+    # consumers that join/regroup don't inherit a wasted sort.
+    pairs = memo_persist(
+        f"dedup.ngram_jaccard.pairs.{min_jaccard}.{int(keep_counts)}",
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(*cols)
-        .where(F.col("jaccard") >= min_jaccard)
-        .orderBy("doc_a", "doc_b")
+        .where(F.col("jaccard") >= min_jaccard),
     )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def cross_source_near_dups(
