@@ -261,6 +261,9 @@ HEADLINE = [
     "source_token_fertility",
     "quality_quantile_by_source",
     "dedup_copy_spectrum",
+    "lang_source_residuals",
+    "split_fertility_drift",
+    "source_length_percentiles_approx",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

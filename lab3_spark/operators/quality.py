@@ -212,6 +212,93 @@ def chi_square_independence(
     return scored.unionByName(total_row).orderBy(row_col, col_col)
 
 
+def cramers_v_residuals(
+    documents: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+) -> DataFrame:
+    """(source, lang, observed, residual_fp, v_fp) per contingency
+    cell: the ANALYSIS step past :func:`chi_square_independence` — the
+    standardized residual (O−E)/√E says WHICH cells drive the
+    association (|resid| ≳ 2 is a cell-level anomaly: "this source is
+    unexpectedly heavy in that language"), and Cramér's V
+    √(χ²/(N·(min(r,c)−1))) normalizes the χ² into a [0,1] effect size
+    comparable across tables.  v_fp is the one global V repeated per
+    row (constant column — keeps the grain per-cell).
+
+    Same scale shape as the χ² operator: one combinable count agg to
+    the metadata-scale contingency table, margins rejoined broadcast,
+    one 1-row (N, chi2_fp, r_cats, c_cats) stats broadcast.  χ² is the
+    exact bigint SUM of per-cell floored contributions (the χ² gate's
+    order-insensitivity contract), so V derives from exact integers;
+    residual and V are each ONE double expression mirrored in the
+    oracle."""
+    cells = persist_latest(
+        "quality.cramers.cells",
+        documents.groupBy(
+            F.col(row_col).alias("r"), F.col(col_col).alias("c")
+        ).agg(F.count(F.lit(1)).alias("o")),
+    )
+    rmarg = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cmarg = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    d = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        - F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
+    contrib = (d * d) / (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        * F.col("n").cast("double")
+    )
+    total = cells.agg(F.sum("o").alias("n"))
+    scored = (
+        cells.join(F.broadcast(rmarg), "r")
+        .join(F.broadcast(cmarg), "c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "c",
+            "o",
+            "rt",
+            "ct",
+            "n",
+            F.floor(contrib * 1_000_000).cast("bigint").alias("contrib_fp"),
+        )
+    )
+    stats = scored.agg(
+        F.first("n").alias("n"),
+        F.sum("contrib_fp").alias("chi2_fp"),
+        F.countDistinct("r").alias("r_cats"),
+        F.countDistinct("c").alias("c_cats"),
+    )
+    resid = F.expr(
+        "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / SQRT(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    # a 1×c or r×1 table has no independence structure — NULL V
+    v_fp = F.expr(
+        "CASE WHEN LEAST(r_cats, c_cats) > 1 THEN"
+        " CAST(FLOOR(SQRT((CAST(chi2_fp AS DOUBLE) / 1000000)"
+        " / (CAST(n AS DOUBLE)"
+        " * CAST(LEAST(r_cats, c_cats) - 1 AS DOUBLE))) * 1000000)"
+        " AS BIGINT) ELSE NULL END"
+    )
+    return (
+        scored.drop("n")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            F.col("o").cast("bigint").alias("observed"),
+            F.floor(resid * 10_000).cast("bigint").alias("residual_fp"),
+            v_fp.alias("v_fp"),
+        )
+        .orderBy(row_col, col_col)
+    )
+
+
 def quality_dup_calibration(
     documents: DataFrame, text_col: str = "text", n_bins: int = 10
 ) -> DataFrame:

@@ -1204,6 +1204,77 @@ def source_token_fertility(
     )
 
 
+def split_fertility_drift(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """(split, n_docs, ws_tokens, bpe_tokens, fertility_fp, drift_fp):
+    tokenizer fertility per train/val/test split plus each split's
+    delta vs TRAIN — "does the held-out data tokenize like the
+    training data?".  A val/test split whose fertility drifts from
+    train's means held-out perplexity is measured on text with a
+    different tokens-per-word economy than the model was trained on —
+    a split-construction artifact worth catching at release time.
+
+    Same pre-tokenizer expressions as :func:`source_token_fertility`,
+    grouped by the pure md5 90/5/5 split expression; the train
+    reference is a 1-row broadcast.  All ratios exact bigint DIV;
+    drift is an exact bigint difference (NULL if either side has no
+    whitespace tokens).  Result is empty when no train split exists
+    (both engines agree — the split always exists on real data)."""
+    from lab3_spark.functions.text import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    lowered = F.lower(F.col(text_col))
+    bpe = F.size(
+        F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    )
+    ws = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    ).otherwise(F.lit(0))
+    per = (
+        documents.select(split.alias("split"), ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr(
+                "CASE WHEN ws_tokens > 0 THEN"
+                " CAST(bpe_tokens * 1000000 DIV ws_tokens AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("fertility_fp"),
+        )
+    )
+    train = per.where(F.col("split") == "train").select(
+        F.col("fertility_fp").alias("_train_fert")
+    )
+    return (
+        per.crossJoin(F.broadcast(train))
+        .select(
+            "split",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "fertility_fp",
+            (F.col("fertility_fp") - F.col("_train_fert"))
+            .cast("bigint")
+            .alias("drift_fp"),
+        )
+        .orderBy("split")
+    )
+
+
 WINNOW_K = 3  # k-gram length (tokens) per hash
 WINNOW_W = 4  # winnowing window (hashes)
 

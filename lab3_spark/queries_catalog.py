@@ -13025,6 +13025,181 @@ def q_dedup_copy_spectrum(spark, sf_dir):
     return copy_spectrum(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "lang_source_residuals",
+    """
+    WITH cells AS (
+      SELECT source AS r, lang AS c, count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rmarg AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+    cmarg AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+    total AS (SELECT sum(o) AS n FROM cells),
+    scored AS (
+      SELECT cells.r, cells.c, cells.o, rmarg.rt, cmarg.ct, total.n,
+             CAST(floor(
+               ((CAST(cells.o AS DOUBLE) * CAST(total.n AS DOUBLE)
+                 - CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE))
+                * (CAST(cells.o AS DOUBLE) * CAST(total.n AS DOUBLE)
+                   - CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE)))
+               / (CAST(rmarg.rt AS DOUBLE) * CAST(cmarg.ct AS DOUBLE)
+                  * CAST(total.n AS DOUBLE)) * 1000000
+             ) AS BIGINT) AS contrib_fp
+      FROM cells
+      JOIN rmarg USING (r) JOIN cmarg USING (c), total
+    ),
+    stats AS (
+      SELECT CAST(max(n) AS BIGINT) AS sn, sum(contrib_fp) AS chi2_fp,
+             count(DISTINCT r) AS r_cats, count(DISTINCT c) AS c_cats
+      FROM scored
+    )
+    SELECT scored.r AS source, scored.c AS lang,
+           CAST(scored.o AS BIGINT) AS observed,
+           CAST(floor(
+             (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+              / CAST(scored.n AS DOUBLE))
+             / SQRT(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(scored.n AS DOUBLE)) * 10000
+           ) AS BIGINT) AS residual_fp,
+           CAST(CASE WHEN LEAST(r_cats, c_cats) > 1 THEN
+             FLOOR(SQRT((CAST(chi2_fp AS DOUBLE) / 1000000)
+               / (CAST(sn AS DOUBLE)
+                  * CAST(LEAST(r_cats, c_cats) - 1 AS DOUBLE))) * 1000000)
+             ELSE NULL END AS BIGINT) AS v_fp
+    FROM scored, stats ORDER BY source, lang
+    """,
+)
+def q_lang_source_residuals(spark, sf_dir):
+    """Standardized residuals + Cramér's V for the source × lang
+    contingency (quality.cramers_v_residuals): the analysis step past
+    source_lang_chi2 — (O−E)/√E says WHICH cells drive the association
+    (|resid| ≳ 2 = "this source is unexpectedly heavy in that
+    language"), and V = √(χ²/(N·(min(r,c)−1))) is the [0,1] effect
+    size comparable across tables.  χ² enters as the exact bigint sum
+    of floored per-cell contributions (the χ² gate's contract), so V
+    derives from exact integers; residual and V are ONE double
+    expression each, mirrored here."""
+    from lab3_spark.operators.quality import cramers_v_residuals
+
+    return cramers_v_residuals(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "split_fertility_drift",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split, text
+      FROM (SELECT text,
+                   {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+                     % 100 AS h
+            FROM documents)
+    ),
+    per AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN len(trim(text)) > 0
+                  THEN len(regexp_extract_all(trim(text), '\\S+'))
+                  ELSE 0 END) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(lower(text),
+                 $$'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\\s']+$$)))
+               AS BIGINT) AS bpe_tokens
+      FROM s GROUP BY split
+    ),
+    f AS (
+      SELECT split, n_docs, ws_tokens, bpe_tokens,
+             CAST(CASE WHEN ws_tokens > 0
+                  THEN bpe_tokens * 1000000 // ws_tokens
+                  ELSE NULL END AS BIGINT) AS fertility_fp
+      FROM per
+    ),
+    t AS (SELECT fertility_fp AS tf FROM f WHERE split = 'train')
+    SELECT f.split, f.n_docs, f.ws_tokens, f.bpe_tokens, f.fertility_fp,
+           CAST(f.fertility_fp - t.tf AS BIGINT) AS drift_fp
+    FROM f, t ORDER BY f.split
+    """,
+)
+def q_split_fertility_drift(spark, sf_dir):
+    """Tokenizer fertility per train/val/test split + delta vs train
+    (textstats.split_fertility_drift): does held-out data tokenize
+    like training data?  A drifting val/test fertility means held-out
+    perplexity runs on a different tokens-per-word economy than
+    training saw — a split-construction artifact caught at release
+    time.  source_token_fertility's expressions grouped by the pure
+    md5 split; the train reference is a 1-row broadcast; exact bigint
+    DIV/difference throughout."""
+    from lab3_spark.operators.textstats import split_fertility_drift
+
+    return split_fertility_drift(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_length_percentiles_approx",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol,
+           TRUE AS p99_within_rank_tol
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_source_length_percentiles_approx(spark, sf_dir):
+    """Per-source GK (approx_percentile) doc-length quantiles, gated
+    as the bounded-RANK-error contract the sketch actually guarantees:
+    the returned value's rank interval [#{x<v}+1, #{x≤v}] must
+    intersect [⌈(p−0.01)·n⌉, ⌈(p+0.01)·n⌉] — checked by COUNTING
+    (one extra pass + broadcast join), not by comparing against
+    interpolated value-space percentiles, because with a small group
+    the ±0.01 interpolated band falls between adjacent order
+    statistics and contains no data point at all (the failure mode
+    the events-table twin never sees at its group sizes).  The oracle
+    emits per-source counts + literal TRUE booleans — estimator drift
+    past the rank bound flips the hash.  Production reads only the
+    approx aggregate (mergeable bounded state per source)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    a = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(n_chars, 0.5)").alias("a50"),
+        F.expr("approx_percentile(n_chars, 0.9)").alias("a90"),
+        F.expr("approx_percentile(n_chars, 0.99)").alias("a99"),
+    )
+    j = (
+        docs.join(F.broadcast(a), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                F.sum(
+                    (F.col("n_chars") <= F.col(f"a{t}")).cast("long")
+                ).alias(f"le{t}")
+                for t in (50, 90, 99)
+            ],
+            *[
+                F.sum(
+                    (F.col("n_chars") < F.col(f"a{t}")).cast("long")
+                ).alias(f"lt{t}")
+                for t in (50, 90, 99)
+            ],
+        )
+    )
+
+    def ok(p: float, t: int, name: str):
+        lo = F.expr(f"GREATEST(1, CAST(CEIL(({p} - 0.01) * n) AS BIGINT))")
+        hi = F.expr(
+            f"LEAST(n, GREATEST(1, CAST(CEIL(({p} + 0.01) * n) AS BIGINT)))"
+        )
+        return ((F.col(f"le{t}") >= lo) & (F.col(f"lt{t}") < hi)).alias(name)
+
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        ok(0.5, 50, "p50_within_rank_tol"),
+        ok(0.9, 90, "p90_within_rank_tol"),
+        ok(0.99, 99, "p99_within_rank_tol"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13092,6 +13267,9 @@ ROUND8_NEW = [
     "source_token_fertility",
     "quality_quantile_by_source",
     "dedup_copy_spectrum",
+    "lang_source_residuals",
+    "split_fertility_drift",
+    "source_length_percentiles_approx",
 ]
 
 _DRIVER_PRIORITY = [

@@ -139,6 +139,9 @@ BNLJ_ALLOWED = {
     "bpe_apply_compression",  # 1-row 1-char-word-count aggregate broadcast
     "source_mean_bootstrap_ci",  # #groups-row CI-pick broadcasts
     "source_importance_ess",  # inherits the dsir 1-row totals broadcast
+    "lang_source_residuals",  # 1-row (N, chi2, r_cats, c_cats) stats
+    # broadcast over the metadata-scale contingency cells
+    "split_fertility_drift",  # 1-row train-fertility reference broadcast
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

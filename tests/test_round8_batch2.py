@@ -255,6 +255,124 @@ def test_copy_spectrum_matches_python(spark, leak_corpus):
     assert got == {16: (2, 32), 8: (1, 8)}
 
 
+def test_cramers_v_residuals_hand_computed(spark):
+    """2×2 table with known χ²: O = [[30, 10], [20, 40]].
+    E = [[20, 20], [30, 30]]; χ² = 5+5+10/3+10/3 = 50/3 ≈ 16.667;
+    V = √(χ²/(100·1)) ≈ 0.40825; residuals = ±√5, ±√(10/3)."""
+    import math
+
+    from lab3_spark.operators.quality import cramers_v_residuals
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(
+        [(i, r, c) for i, (r, c) in enumerate(rows)],
+        "doc_id bigint, source string, lang string",
+    )
+    got = {
+        (r["source"], r["lang"]): (r["observed"], r["residual_fp"], r["v_fp"])
+        for r in cramers_v_residuals(df).collect()
+    }
+    exp_resid = {
+        ("a", "x"): math.sqrt(5),
+        ("a", "y"): -math.sqrt(5),
+        ("b", "x"): -math.sqrt(10 / 3),
+        ("b", "y"): math.sqrt(10 / 3),
+    }
+    # chi2_fp is the sum of per-cell floored contributions
+    chi2_fp = sum(
+        math.floor(x * 1_000_000)
+        for x in (5.0, 10 / 3, 5.0, 10 / 3)
+    )
+    exp_v = math.floor(
+        math.sqrt((chi2_fp / 1_000_000) / (100 * 1)) * 1_000_000
+    )
+    for (rr, cc), (o, res, v) in got.items():
+        assert res == math.floor(exp_resid[(rr, cc)] * 10_000), (rr, cc)
+        assert v == exp_v
+    assert got[("a", "x")][0] == 30 and got[("b", "y")][0] == 40
+
+
+def test_cramers_v_degenerate_single_column_null(spark):
+    from lab3_spark.operators.quality import cramers_v_residuals
+
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], "only") for i in range(20)],
+        "doc_id bigint, source string, lang string",
+    )
+    for r in cramers_v_residuals(df).collect():
+        assert r["v_fp"] is None
+
+
+def test_split_fertility_drift_matches_python(spark):
+    """Per-split sums must equal a Python regrouping under the md5
+    split; the train row's drift is exactly 0."""
+    from lab3_spark.operators.textstats import split_fertility_drift
+
+    texts = {
+        i: f"it's test number {i} with punctuation!!! and words " * 2
+        for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["split"]: (r["n_docs"], r["fertility_fp"], r["drift_fp"])
+        for r in split_fertility_drift(df).collect()
+    }
+    by_split: dict = {}
+    import re
+
+    bpe_re = r"'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+    for i, t in texts.items():
+        s = _py_split(i)
+        n, ws, bpe = by_split.get(s, (0, 0, 0))
+        by_split[s] = (
+            n + 1,
+            ws + len(t.split()),
+            bpe + len(re.findall(bpe_re, t.lower())),
+        )
+    train_fert = (
+        by_split["train"][2] * 10**6 // by_split["train"][1]
+    )
+    for s, (n, ws, bpe) in by_split.items():
+        fert = bpe * 10**6 // ws
+        assert got[s] == (n, fert, fert - train_fert), s
+    assert got["train"][2] == 0
+
+
+def test_source_percentile_rank_contract_small_groups(spark):
+    """25 distinct values per group — the shape whose interpolated
+    ±0.01 VALUE band contains no data point at all; the rank-interval
+    contract must still hold (GK is exact at this size)."""
+    from lab3_spark.queries_catalog import QUERIES
+
+    rows = [
+        (g * 100 + i, f"src{g}", (i + 1) * (g + 7))
+        for g in range(3)
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    df.createOrReplaceTempView("_tmp_docs")
+    # drive the gate's logic directly on a temp frame via its builder
+    import lab3_spark.queries_catalog as qc
+
+    orig = qc._t
+    try:
+        qc._t = lambda spark, sf_dir, name: df  # noqa: ARG005
+        out = QUERIES["source_length_percentiles_approx"](spark, "unused")
+        got = out.collect()
+    finally:
+        qc._t = orig
+    assert len(got) == 3
+    for r in got:
+        assert r["p50_within_rank_tol"], r
+        assert r["p90_within_rank_tol"], r
+        assert r["p99_within_rank_tol"], r
+
+
 def test_source_token_fertility_hand_computed(spark):
     from lab3_spark.operators.textstats import source_token_fertility
 
