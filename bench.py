@@ -264,6 +264,7 @@ HEADLINE = [
     "lang_source_residuals",
     "split_fertility_drift",
     "source_length_percentiles_approx",
+    "test_substring_contamination",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation
     # policy now live in BASELINE.md §bench-coverage

@@ -2352,6 +2352,68 @@ def ngram_novelty(
     )
 
 
+def substring_contamination(
+    documents: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, max_run_tokens) per TEST-split doc:
+    the exact-substring contamination audit — the longest CONSECUTIVE
+    run of positional word n-grams that all appear somewhere in TRAIN,
+    reported in tokens (run_len + n − 1).  ngram_novelty answers "what
+    fraction of test grams are novel" corpus-wide; this answers the
+    per-document question an eval-decontamination pass actually asks:
+    "does this test document share a ≥13-token verbatim span with
+    training data?" (the classic 13-gram rule is max_run_tokens ≥ 13).
+
+    Shape: positional grams for the 5% test slice, a map-side-distinct
+    TRAIN gram table, one semi-join on the gram (the irreducible
+    membership probe), then the gaps-and-islands fold (pos −
+    row_number per doc) to maximal runs.  The islands window is
+    per-document — bounded by document length, the per-entity window
+    class (sessionize, rolling revenue), never corpus-wide.  Docs with
+    fewer than n tokens have no grams and no row, in both engines."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.text import md5_long
+
+    h = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    base = spread(documents).select(
+        "doc_id",
+        h.alias("h"),
+        F.posexplode(_word_ngrams(tokenize(text_col), n)).alias(
+            "pos", "gram"
+        ),
+    )
+    train_grams = base.where(F.col("h") < 90).select("gram").distinct()
+    test_grams = base.where(F.col("h") >= 95).select("doc_id", "pos", "gram")
+    hits = test_grams.join(train_grams, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per = test_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hs = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    mr = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    return (
+        per.join(hs, "doc_id", "left")
+        .join(mr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.coalesce(F.col("max_run") + (n - 1), F.lit(0))
+            .cast("bigint")
+            .alias("max_run_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_pr_curve(
     documents: DataFrame,
     text_col: str = "text",

@@ -13200,6 +13200,66 @@ def q_source_length_percentiles_approx(spark, sf_dir):
     ).orderBy("source")
 
 
+@query(
+    "test_substring_contamination",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+               % 100 AS h,
+             {_DUCK_TOKS} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, h, i AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM (SELECT doc_id, h, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3)
+    ),
+    train_g AS (SELECT DISTINCT gram FROM g WHERE h < 90),
+    test_g AS (SELECT doc_id, pos, gram FROM g WHERE h >= 95),
+    hits AS (
+      SELECT doc_id, pos FROM test_g
+      WHERE gram IN (SELECT gram FROM train_g)
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM (SELECT doc_id,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM hits)
+      GROUP BY doc_id, grp
+    ),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM test_g GROUP BY doc_id),
+    hs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+           FROM hits GROUP BY doc_id),
+    mr AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id)
+    SELECT per.doc_id, per.n_grams,
+           CAST(COALESCE(hs.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(mr.max_run + 2, 0) AS BIGINT) AS max_run_tokens
+    FROM per
+    LEFT JOIN hs ON hs.doc_id = per.doc_id
+    LEFT JOIN mr ON mr.doc_id = per.doc_id
+    ORDER BY per.doc_id
+    """,
+)
+def q_test_substring_contamination(spark, sf_dir):
+    """Exact-substring contamination per TEST-split document
+    (textstats.substring_contamination): the longest consecutive run
+    of positional 3-grams all present in TRAIN, in tokens — the
+    per-document eval-decontamination question ("does this test doc
+    share a ≥13-token verbatim span with training data?") that
+    corpus_ngram_novelty's corpus-wide fraction cannot answer.
+    Positional test grams semi-join the map-side-distinct train gram
+    table; maximal runs come from the gaps-and-islands fold with a
+    PER-DOCUMENT window (bounded by doc length)."""
+    from lab3_spark.operators.textstats import substring_contamination
+
+    return substring_contamination(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13270,6 +13330,7 @@ ROUND8_NEW = [
     "lang_source_residuals",
     "split_fertility_drift",
     "source_length_percentiles_approx",
+    "test_substring_contamination",
 ]
 
 _DRIVER_PRIORITY = [

@@ -373,6 +373,36 @@ def test_source_percentile_rank_contract_small_groups(spark):
         assert r["p99_within_rank_tol"], r
 
 
+def test_substring_contamination_hand_run(spark):
+    """A planted 6-token verbatim span shared train→test must yield
+    exactly 4 consecutive hit 3-grams → max_run_tokens 6; a clean test
+    doc reports zeros; train docs emit no rows."""
+    from lab3_spark.operators.textstats import substring_contamination
+
+    test_ids = [i for i in range(200) if _py_split(i) == "test"]
+    train_ids = [i for i in range(200) if _py_split(i) == "train"]
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (train_ids[0], f"prefix words here {shared} suffix tail words"),
+        (train_ids[1], "filler unrelated content entirely different"),
+        (
+            test_ids[0],
+            f"totally different opening {shared} closing remarks"
+            " now unrelated ending",
+        ),
+        (test_ids[1], "pristine heldout material nothing borrowed here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["max_run_tokens"])
+        for r in substring_contamination(df).collect()
+    }
+    assert set(got) == {test_ids[0], test_ids[1]}
+    # 14 test tokens → 12 grams; 4 hit grams inside the span → 6 tokens
+    assert got[test_ids[0]] == (12, 4, 6)
+    assert got[test_ids[1]] == (4, 0, 0)
+
+
 def test_source_token_fertility_hand_computed(spark):
     from lab3_spark.operators.textstats import source_token_fertility
 
