@@ -13260,6 +13260,55 @@ def q_test_substring_contamination(spark, sf_dir):
     return substring_contamination(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "streaming_incremental_lsh",
+    f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b
+    """,
+)
+def q_streaming_incremental_lsh(spark, sf_dir):
+    """A REAL incremental near-dup-index maintenance run (streaming/
+    incremental_lsh_index.py): the documents table split into 3
+    mtime-ordered delta batches, each micro-batch banding ONLY its new
+    docs (signatures are per-document — old ones are never recomputed)
+    and extending the candidate list with exactly the new×new and
+    new×old band collisions (delta-proportional pair work; old×old
+    pairs carry over).  Merged-equals-batch contract: the final
+    candidate version must equal the ONE-SHOT batch minhash_candidates
+    over all delivered docs — the oracle IS dedup_minhash_lsh's oracle
+    verbatim."""
+    import os as _os
+
+    from lab3_spark.streaming.incremental_lsh_index import (
+        latest_cands,
+        start_incremental_lsh_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _scratch_dir("stream_lsh_")
+    flat = _mtime_ordered_batches(
+        docs.withColumn("_b", F.col("doc_id") % 3), root, "_b"
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string, _b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_lsh_index(
+        src, store, _os.path.join(root, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental lsh availableNow run timed out")
+    return (
+        latest_cands(spark, store)
+        .select("doc_a", "doc_b", F.col("n_bands").cast("bigint").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13331,6 +13380,7 @@ ROUND8_NEW = [
     "split_fertility_drift",
     "source_length_percentiles_approx",
     "test_substring_contamination",
+    "streaming_incremental_lsh",
 ]
 
 _DRIVER_PRIORITY = [

@@ -23,6 +23,8 @@ SKIP = {
     "streaming_sessionize_stateful",
     "streaming_view_purchase_join",
     "streaming_incremental_dedup",
+    "streaming_incremental_pagerank",  # runs the stream on construction
+    "streaming_incremental_lsh",  # runs the stream on construction
     "streaming_cms_heavy_hitters",
     "jsonl_roundtrip_docs",
     "orc_roundtrip_events",

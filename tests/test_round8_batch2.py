@@ -403,6 +403,97 @@ def test_substring_contamination_hand_run(spark):
     assert got[test_ids[1]] == (4, 0, 0)
 
 
+# --------------------------------------- streaming incremental LSH ----
+
+
+def _doc_feed(spark, tmp_path, batches):
+    import os
+    import time
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    existing = len(os.listdir(feed))
+    for i, docs in enumerate(batches, start=existing):
+        part = str(tmp_path / f"dpart{i}")
+        spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(feed, f"{i:02d}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (time.time() + i * 10,) * 2)
+    return feed
+
+
+def _drain_lsh(spark, feed, store, ck):
+    from lab3_spark.streaming.incremental_lsh_index import (
+        start_incremental_lsh_index,
+    )
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = start_incremental_lsh_index(src, store, ck)
+    if not q.awaitTermination(300):  # pragma: no cover
+        q.stop()
+        raise AssertionError("incremental lsh stream timed out")
+
+
+def test_incremental_lsh_merged_equals_batch(spark, tmp_path, leak_corpus):
+    """The maintained candidate store's final version must equal the
+    one-shot batch minhash_candidates over every delivered doc —
+    including new×old collisions across batch boundaries (the planted
+    triples are split across batches by doc_id % 3)."""
+    import os
+
+    from lab3_spark.operators.dedup import minhash_candidates
+    from lab3_spark.streaming.incremental_lsh_index import latest_cands
+
+    docs = [(r["doc_id"], r["text"]) for r in leak_corpus.collect()]
+    batches = [
+        [d for d in docs if d[0] % 3 == b] for b in range(3)
+    ]
+    feed = _doc_feed(spark, tmp_path, batches)
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    _drain_lsh(spark, feed, store, ck)
+
+    exp = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in minhash_candidates(leak_corpus).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in latest_cands(spark, store).collect()
+    }
+    assert got == exp and exp  # non-trivial: the triples plant pairs
+    # every intermediate version exists (consistent snapshot pairs)
+    assert sorted(os.listdir(os.path.join(store, "cands"))) == [
+        "version=0", "version=1", "version=2",
+    ]
+
+
+def test_incremental_lsh_refuses_wiped_store(spark, tmp_path):
+    """A wiped band store under a kept checkpoint must fail the stream
+    (the cdc.py guard contract)."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat"
+        " watches from the warm windowsill every single morning"
+    )
+    feed = _doc_feed(spark, tmp_path, [[(0, base), (1, base)]])
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    _drain_lsh(spark, feed, store, ck)
+    shutil.rmtree(store)
+    _doc_feed(spark, tmp_path, [[(2, base.replace("warm", "cold"))]])
+    with pytest.raises(StreamingQueryException, match="refusing"):
+        _drain_lsh(spark, feed, store, ck)
+
+
 def test_source_token_fertility_hand_computed(spark):
     from lab3_spark.operators.textstats import source_token_fertility
 
