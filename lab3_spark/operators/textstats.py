@@ -2033,6 +2033,121 @@ def _bpe_loop(
     return rows, seg
 
 
+def grouped_bpe_merges(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, it, pair, cnt): :func:`bpe_merges` PER SOURCE — each
+    source learns its own merge table, k rounds of the same wrapped-
+    symbol greedy loop.  The per-domain vocabulary-induction view: two
+    sources whose first merges diverge tokenize differently enough
+    that a shared vocabulary taxes one of them (the fertility
+    diagnostic's upstream cause).
+
+    Scale: the corpus folds once to the (source, word TYPE) table;
+    every round's pair count and argmax run over that vocabulary-scale
+    frame (per-source pair tables are type-bounded regardless of
+    corpus size — the scalar loop's argument, once per group).  Per
+    round: ONE #sources-row driver collect (the kmeans-centroid
+    pattern, metadata-scale) and one broadcast merges join; the
+    argmax window partitions by source over the type-scale pair table.
+    Ties break (cnt DESC, pair ASC), mirrored in the oracle's unrolled
+    per-source CTE rounds.  A source whose words are fully merged
+    simply stops contributing rows (LEFT join keeps its segmentation
+    frozen), identically in both engines."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import memo_persist
+
+    spark = documents.sparkSession
+    words = (
+        spread(documents)
+        .select(
+            F.col(group_col).alias("source"),
+            F.explode(tokenize(text_col)).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("word") >= 2)
+    )
+    seg = words.select(
+        "source",
+        "wcnt",
+        F.concat(
+            F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
+        ).alias("seg"),
+    )
+    out_rows: list[tuple[str, int, str, int]] = []
+    for it in range(1, k + 1):
+        seg = memo_persist(f"textstats.bpe_grouped.seg_k{k}_it{it}", seg)
+        pairs = (
+            seg.select(
+                "source",
+                "wcnt",
+                F.split(F.expr("trim(BOTH '|' FROM seg)"), "\\|\\|").alias(
+                    "syms"
+                ),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "source",
+                "wcnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(syms[i-1], ' ', syms[i]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("source", "pair")
+            .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.desc("cnt"), F.asc("pair")
+        )
+        best = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # #sources-row argmax collect per round — metadata-scale
+        rows = best.collect()
+        if not rows:
+            break
+        out_rows += [
+            (r["source"], it, r["pair"], int(r["cnt"])) for r in rows
+        ]
+        merges = spark.createDataFrame(
+            [
+                (r["source"], *r["pair"].split(" ", 1))
+                for r in rows
+            ],
+            "source string, a string, b string",
+        )
+        seg = seg.join(F.broadcast(merges), "source", "left").select(
+            "source",
+            "wcnt",
+            F.when(
+                F.col("a").isNotNull(),
+                F.replace(
+                    F.col("seg"),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"),
+                        F.lit("|"),
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ),
+            )
+            .otherwise(F.col("seg"))
+            .alias("seg"),
+        )
+    return spark.createDataFrame(
+        sorted(out_rows), "source string, it bigint, pair string, cnt bigint"
+    ).orderBy("source", "it")
+
+
 def bpe_apply_compression(
     documents: DataFrame, text_col: str = "text", k: int = 8
 ) -> DataFrame:

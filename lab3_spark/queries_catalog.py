@@ -12019,6 +12019,66 @@ def _duck_bpe_merges_sql(k: int) -> str:
     )
 
 
+def _duck_bpe_grouped_sql(k: int) -> str:
+    """Per-SOURCE unrolled BPE rounds: the _duck_bpe_ctes chain with a
+    group key — argmax becomes a per-source row_number, the replace
+    joins each source's own merge (LEFT: a fully-merged source keeps
+    its segmentation frozen)."""
+    ctes = [
+        f"""w AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS wcnt
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ),
+    seg0 AS (
+      SELECT source, wcnt,
+             '|' || array_to_string(regexp_split_to_array(word, ''), '||')
+                 || '|' AS seg
+      FROM w WHERE length(word) >= 2
+    )"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT source, syms[i] || ' ' || syms[i + 1] AS pair, wcnt
+      FROM (SELECT source, wcnt, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT source, wcnt,
+                         string_split(trim(seg, '|'), '||') AS syms
+                  FROM seg{r - 1})
+            WHERE len(syms) >= 2)
+    ),
+    b{r} AS (
+      SELECT source, pair, cnt FROM (
+        SELECT source, pair, CAST(sum(wcnt) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY sum(wcnt) DESC, pair ASC) AS rn
+        FROM p{r} GROUP BY source, pair)
+      WHERE rn = 1
+    ),
+    seg{r} AS (
+      SELECT s.source, s.wcnt,
+             CASE WHEN m.t IS NULL THEN s.seg
+                  ELSE replace(s.seg, m.t, m.m) END AS seg
+      FROM seg{r - 1} s
+      LEFT JOIN (SELECT source,
+                        '|' || replace(pair, ' ', '||') || '|' AS t,
+                        '|' || replace(pair, ' ', '') || '|' AS m
+                 FROM b{r}) m ON m.source = s.source
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT source, CAST({r} AS BIGINT) AS it, pair, cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT source, it, pair, cnt FROM ({union})"
+        " ORDER BY source, it"
+    )
+
+
 @query("bpe_merges_k", _duck_bpe_merges_sql(8))
 def q_bpe_merges_k(spark, sf_dir):
     """Iterated BPE vocabulary induction (textstats.bpe_merges): the
@@ -13260,6 +13320,21 @@ def q_test_substring_contamination(spark, sf_dir):
     return substring_contamination(_t(spark, sf_dir, "documents"))
 
 
+@query("source_bpe_merges", _duck_bpe_grouped_sql(4))
+def q_source_bpe_merges(spark, sf_dir):
+    """Per-source BPE vocabulary induction (textstats.
+    grouped_bpe_merges): each source learns its own 4-round merge
+    table — the per-domain view of bpe_merges_k ("which sources need
+    their own tokenizer?", the upstream cause of fertility drift).
+    Same wrapped-symbol greedy loop over the (source, word TYPE)
+    table; per round one #sources-row argmax collect + one broadcast
+    merges join; the oracle unrolls the same rounds with per-source
+    row_number argmax and LEFT-join replace."""
+    from lab3_spark.operators.textstats import grouped_bpe_merges
+
+    return grouped_bpe_merges(_t(spark, sf_dir, "documents"), k=4)
+
+
 @query(
     "streaming_incremental_lsh",
     f"""
@@ -13380,6 +13455,7 @@ ROUND8_NEW = [
     "split_fertility_drift",
     "source_length_percentiles_approx",
     "test_substring_contamination",
+    "source_bpe_merges",
     "streaming_incremental_lsh",
 ]
 

@@ -46,6 +46,7 @@ SKIP = {
     "ann_sq8_top5",  # collects the d-row min/max quantizer state
     "dedup_semantic",  # trains k-means
     "dedup_clusters",  # driver-looped fixpoint
+    "source_bpe_merges",  # driver-looped merge rounds (per-round collects)
     "ppr_seed_proximity",  # driver-looped fixpoint (per-iteration checkpoints)
     "dedup_cluster_representatives",
     "pagerank_candidates",

@@ -403,6 +403,35 @@ def test_substring_contamination_hand_run(spark):
     assert got[test_ids[1]] == (4, 0, 0)
 
 
+def test_grouped_bpe_matches_per_group_scalar(spark):
+    """Each source's merge sequence must equal the scalar bpe_merges
+    run on that source's slice alone (groups are fully independent)."""
+    from lab3_spark.operators.textstats import bpe_merges, grouped_bpe_merges
+
+    texts = {
+        "A": ["the theft theme then the the", "low lower lowest"],
+        "B": ["banana bananas bandana", "aaaaaaaa aaaa aa"],
+        "C": ["zip zap zop", "zip zip zap"],
+    }
+    rows = [
+        (i * 10 + j, t, src)
+        for i, (src, ts) in enumerate(sorted(texts.items()))
+        for j, t in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got: dict = {}
+    for r in grouped_bpe_merges(df, k=3).collect():
+        got.setdefault(r["source"], []).append((r["it"], r["pair"], r["cnt"]))
+    for src in texts:
+        exp = [
+            (r["it"], r["pair"], r["cnt"])
+            for r in bpe_merges(
+                df.where(F.col("source") == src), k=3
+            ).collect()
+        ]
+        assert got[src] == exp, src
+
+
 # --------------------------------------- streaming incremental LSH ----
 
 
