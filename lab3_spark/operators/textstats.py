@@ -2498,8 +2498,18 @@ def substring_contamination(
             "pos", "gram"
         ),
     )
+    from lab3_spark.functions.partitioning import memo_persist
+
     train_grams = base.where(F.col("h") < 90).select("gram").distinct()
-    test_grams = base.where(F.col("h") >= 95).select("doc_id", "pos", "gram")
+    # persist the 5% TEST slice: its positional grams feed both the
+    # membership probe and the per-doc totals — without the persist
+    # each consumer re-tokenizes the corpus (the slice is 5% of token
+    # occurrences, cheap to hold; the 90% train side stays one
+    # straight scan into the map-side-distinct aggregate)
+    test_grams = memo_persist(
+        "textstats.substr_contam.test_grams",
+        base.where(F.col("h") >= 95).select("doc_id", "pos", "gram"),
+    )
     hits = test_grams.join(train_grams, "gram", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
