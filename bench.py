@@ -265,6 +265,7 @@ HEADLINE = [
     "split_fertility_drift",
     "source_length_percentiles_approx",
     "test_substring_contamination",
+    "padding_waste_by_bucket",
     "source_bpe_merges",
     # round-8 rotation: previously never-benched gates, one per family
     # (VERDICT r7 item 8) — the standing exclusion list and rotation

@@ -634,6 +634,56 @@ def dataset_split_manifest(
     )
 
 
+def padding_waste_by_bucket(
+    documents: DataFrame,
+    text_col: str = "text",
+    granularity: int = 64,
+) -> DataFrame:
+    """(bucket_len, n_docs, real_tokens, padded_tokens, waste_fp): the
+    PADDING-regime batching economics — the complement of
+    :func:`packing_fragmentation_curve`'s concat packing.  Under
+    length bucketing every document pads up to its bucket's length
+    (buckets at ``granularity``-token granularity, the production
+    trick that bounds per-doc padding waste to < granularity instead
+    of max_len − len); this table prices that waste per bucket so a
+    pipeline can choose bucket granularity — or decide packing beats
+    padding for its length distribution.
+
+    bucket_len = ceil(n_tok / g)·g in pure integer arithmetic
+    ((n_tok + g − 1) DIV g · g); waste_fp = (padded − real)·10⁶ DIV
+    padded, exact bigint.  ONE scan + one ≤(max_len/g)-row shuffle,
+    both aggregates combinable; empty documents pad nothing and are
+    excluded (identically in the oracle)."""
+    from lab3_spark.functions.text import tokenize
+
+    g = granularity
+    n_tok = F.size(tokenize(text_col))
+    bucket = F.expr(f"CAST((n_tok + {g - 1}) DIV {g} * {g} AS BIGINT)")
+    return (
+        documents.select(n_tok.alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .select(bucket.alias("bucket_len"), "n_tok")
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_len"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.expr(
+                "CAST((n_docs * bucket_len - real_tokens) * 1000000"
+                " DIV (n_docs * bucket_len) AS BIGINT)"
+            ).alias("waste_fp"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
 def packing_fragmentation_curve(
     documents: DataFrame,
     budgets: tuple[int, ...] = (128, 256, 512, 1024),

@@ -13320,6 +13320,41 @@ def q_test_substring_contamination(spark, sf_dir):
     return substring_contamination(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "padding_waste_by_bucket",
+    f"""
+    WITH t AS (
+      SELECT len({_DUCK_TOKS}) AS n_tok FROM documents
+    ),
+    b AS (
+      SELECT CAST((n_tok + 63) // 64 * 64 AS BIGINT) AS bucket_len, n_tok
+      FROM t WHERE n_tok > 0
+    ),
+    agg AS (
+      SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS real_tokens
+      FROM b GROUP BY bucket_len
+    )
+    SELECT bucket_len, n_docs, real_tokens,
+           CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+           CAST((n_docs * bucket_len - real_tokens) * 1000000
+                // (n_docs * bucket_len) AS BIGINT) AS waste_fp
+    FROM agg ORDER BY bucket_len
+    """,
+)
+def q_padding_waste_by_bucket(spark, sf_dir):
+    """Length-bucketed PADDING economics (sampling.
+    padding_waste_by_bucket): the complement of
+    packing_fragmentation_curve's concat regime — every doc pads to
+    its 64-token bucket, and the table prices the waste per bucket so
+    a pipeline can pick bucket granularity or decide packing beats
+    padding for its length distribution.  One scan + one
+    ≤(max_len/64)-row shuffle; pure integer arithmetic both engines."""
+    from lab3_spark.operators.sampling import padding_waste_by_bucket
+
+    return padding_waste_by_bucket(_t(spark, sf_dir, "documents"))
+
+
 @query("source_bpe_merges", _duck_bpe_grouped_sql(4))
 def q_source_bpe_merges(spark, sf_dir):
     """Per-source BPE vocabulary induction (textstats.
@@ -13455,6 +13490,7 @@ ROUND8_NEW = [
     "split_fertility_drift",
     "source_length_percentiles_approx",
     "test_substring_contamination",
+    "padding_waste_by_bucket",
     "source_bpe_merges",
     "streaming_incremental_lsh",
 ]

@@ -403,6 +403,32 @@ def test_substring_contamination_hand_run(spark):
     assert got[test_ids[1]] == (4, 0, 0)
 
 
+def test_padding_waste_hand_computed(spark):
+    """Buckets at 64-token granularity: 10 and 64 tokens share bucket
+    64; 65 rounds to 128; 130 to 192; the empty doc is excluded."""
+    from lab3_spark.operators.sampling import padding_waste_by_bucket
+
+    rows = [
+        (0, "tok " * 10),
+        (1, "tok " * 64),
+        (2, "tok " * 65),
+        (3, "tok " * 130),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["bucket_len"]: (
+            r["n_docs"], r["real_tokens"], r["padded_tokens"], r["waste_fp"]
+        )
+        for r in padding_waste_by_bucket(df).collect()
+    }
+    assert got == {
+        64: (2, 74, 128, 54 * 10**6 // 128),
+        128: (1, 65, 128, 63 * 10**6 // 128),
+        192: (1, 130, 192, 62 * 10**6 // 192),
+    }
+
+
 def test_grouped_bpe_matches_per_group_scalar(spark):
     """Each source's merge sequence must equal the scalar bpe_merges
     run on that source's slice alone (groups are fully independent)."""
