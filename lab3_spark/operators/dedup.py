@@ -441,7 +441,6 @@ def cross_source_near_dups(
 def split_leakage_neardup(
     documents: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     salt: str = "split",
     min_jaccard: float = 0.2,
 ) -> DataFrame:
@@ -462,15 +461,18 @@ def split_leakage_neardup(
     bucket (a doc near-dup'd across buckets counts once per bucket)."""
     from lab3_spark.functions.text import md5_long
 
+    # id is pinned to doc_id: ngram_jaccard_pairs keys its pair list on
+    # doc_id, so a configurable id_col would silently join pair ids
+    # against a different column (ADVICE r8)
     pairs = ngram_jaccard_pairs(documents, text_col, min_jaccard)
-    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    h = md5_long(F.col("doc_id").cast("string"), salt=salt) % 100
     split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
-    labels = documents.select(F.col(id_col), split.alias("split"))
+    labels = documents.select(F.col("doc_id"), split.alias("split"))
     la = labels.select(
-        F.col(id_col).alias("doc_a"), F.col("split").alias("sa")
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
     )
     lb = labels.select(
-        F.col(id_col).alias("doc_b"), F.col("split").alias("sb")
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
     )
     lab = (
         pairs.join(la, "doc_a")
@@ -508,7 +510,6 @@ def split_leakage_neardup(
 def decontaminate_train(
     documents: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     label_col: str = "source",
     salt: str = "split",
     min_jaccard: float = 0.2,
@@ -529,32 +530,33 @@ def decontaminate_train(
     here."""
     from lab3_spark.functions.text import md5_long
 
+    # id pinned to doc_id — see split_leakage_neardup (ADVICE r8)
     pairs = ngram_jaccard_pairs(documents, text_col, min_jaccard)
-    h = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    h = md5_long(F.col("doc_id").cast("string"), salt=salt) % 100
     split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
-    labels = documents.select(F.col(id_col), split.alias("split"))
+    labels = documents.select(F.col("doc_id"), split.alias("split"))
     la = labels.select(
-        F.col(id_col).alias("doc_a"), F.col("split").alias("sa")
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
     )
     lb = labels.select(
-        F.col(id_col).alias("doc_b"), F.col("split").alias("sb")
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
     )
     sided = pairs.join(la, "doc_a").join(lb, "doc_b")
     contaminated = (
         sided.where((F.col("sa") == "train") & (F.col("sb") != "train"))
-        .select(F.col("doc_a").alias(id_col))
+        .select(F.col("doc_a").alias("doc_id"))
         .unionAll(
             sided.where(
                 (F.col("sb") == "train") & (F.col("sa") != "train")
-            ).select(F.col("doc_b").alias(id_col))
+            ).select(F.col("doc_b").alias("doc_id"))
         )
         .distinct()
     )
     return (
         documents.where(split == "train")
-        .join(contaminated, id_col, "left_anti")
-        .select(id_col, label_col)
-        .orderBy(id_col)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", label_col)
+        .orderBy("doc_id")
     )
 
 

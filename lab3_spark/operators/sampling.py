@@ -703,23 +703,32 @@ def packing_fragmentation_curve(
     utilization (per-group tails are the only slack in the offset
     model).
 
-    ONE corpus scan + one per-group cumsum shuffle prices the whole
-    ladder: the |budgets|-row ladder explodes per document (|L|×
-    row amplification of the id/offset projection only, not the text),
+    ONE corpus scan + one RANGED cumsum shuffle prices the whole
+    ladder: the 'before' offsets come from rank.with_grouped_running_sum
+    (one global ranged prefix sum + broadcast per-group starting
+    totals) — NOT a per-group single-partition window, which would
+    move a skewed source entirely onto one partition (ADVICE r8); the
+    |budgets|-row ladder then explodes per document (|L|× row
+    amplification of the id/offset projection only, not the text),
     then two combinable aggs.  Empty documents pack zero fragments.
     All integers; truncating division both engines."""
+    from lab3_spark.operators.rank import with_grouped_running_sum
+
     n_tokens = F.size(tokenize(text_col))
-    w = Window.partitionBy("grp").orderBy("k")
     base = (
-        documents.select(
-            F.col(group_col).alias("grp"),
-            F.col(id_col).alias("k"),
-            n_tokens.alias("nt"),
+        with_grouped_running_sum(
+            documents.select(
+                F.col(group_col).alias("grp"),
+                F.col(id_col).alias("k"),
+                n_tokens.alias("nt"),
+            ),
+            ["grp"],
+            ["k"],
+            "nt",
+            out_col="_cum",
+            memo_key="sampling.packing_curve.cum",
         )
-        .withColumn(
-            "before",
-            F.coalesce(F.sum("nt").over(w) - F.col("nt"), F.lit(0)),
-        )
+        .withColumn("before", F.col("_cum") - F.col("nt"))
         .select(
             "grp",
             "nt",

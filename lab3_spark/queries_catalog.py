@@ -11993,11 +11993,13 @@ def _duck_bpe_ctes(k: int) -> str:
       ORDER BY cnt DESC, pair ASC LIMIT 1
     ),
     seg{r} AS (
-      SELECT wcnt, replace(seg, m.t, m.m) AS seg
-      FROM seg{r - 1},
-           (SELECT '|' || replace(pair, ' ', '||') || '|' AS t,
-                   '|' || replace(pair, ' ', '') || '|' AS m
-            FROM b{r}) m
+      SELECT wcnt,
+             CASE WHEN m.t IS NULL THEN seg
+                  ELSE replace(seg, m.t, m.m) END AS seg
+      FROM seg{r - 1}
+      LEFT JOIN (SELECT '|' || replace(pair, ' ', '||') || '|' AS t,
+                        '|' || replace(pair, ' ', '') || '|' AS m
+                 FROM b{r}) m ON TRUE
     )"""
         )
     return ",\n    ".join(ctes)

@@ -55,6 +55,10 @@ def latest_cands(spark: SparkSession, store_path: str) -> DataFrame:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/cands")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # fs.exists first: listStatus on a missing store raises a raw py4j
+    # Java FileNotFoundException, not the Python contract (ADVICE r8)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"no candidate versions under {store_path}")
     versions = [
         int(st.getPath().getName().split("=", 1)[1])
         for st in fs.listStatus(hpath)
