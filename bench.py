@@ -282,11 +282,52 @@ HEADLINE = [
     "events_props_from_json",
     "top_words_per_source",
     "hourly_spine_recursive",
-    # streaming_cdc_apply excluded with the StreamingQuery gates below
-    # streaming_curated_ingest excluded like the other StreamingQuery
-    # gates: wall-clock is checkpoint machinery, not dataflow
-    # excluded like the streaming queries: udtf_token_positions and
-    # pysource_synthetic_docs measure Python-worker setup, not dataflow
+    # round-9 additions
+    "dedup_exact_substring_spans",
+    "doc_bigram_logprob",
+    "doc_bigram_ppl_buckets",
+    "packing_bfd_bound",
+    # round-9 rotation: the FINAL never-benched batch (VERDICT r8
+    # item 1) — every catalog gate is now priced except the 16
+    # documented exclusions in BASELINE.md §bench-coverage
+    # (13 streaming_* + udtf_token_positions + pysource_synthetic_docs
+    # + inverted_index_parity)
+    "order_priority_check",
+    "monthly_revenue_trend",
+    "mktsegment_rollup",
+    "nations_without_suppliers",
+    "distinct_part_types",
+    "events_daily_active_users",
+    "events_props_stats",
+    "doc_token_stats",
+    "doc_lang_id",
+    "jsonl_roundtrip_docs",
+    "multimodal_frame_sample",
+    "order_status_cube",
+    "nation_status_pivot",
+    "events_value_percentiles",
+    "nations_with_both",
+    "parties_per_nation",
+    "events_geomean_value",
+    "events_retention",
+    "supplier_coverage",
+    "fuzzy_part_names",
+    "posting_pairs_scale_form",
+    "promo_revenue_share",
+    "above_avg_spenders",
+    "word_count_antijoin",
+    "customers_without_orders",
+    "events_props_variant",
+    "user_running_totals",
+    "events_weekday_hour_profile",
+    "data_quality_report",
+    "pipeline_dedup_to_packing",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_latency_priority",
+    "q16_supplier_variety",
+    "q20_excess_shippers",
+    "orc_roundtrip_events",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

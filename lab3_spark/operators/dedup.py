@@ -195,6 +195,82 @@ def repeated_chunks(
     )
 
 
+def exact_substring_spans(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_span_tokens: int = 50,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal per-document
+    token spans (end exclusive, 0-based token positions) every one of
+    whose positional word n-grams occurs at ≥ 2 (doc, position) sites
+    corpus-wide, kept when the span reaches ``min_span_tokens`` — the
+    TRAIN-internal exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), whose
+    ExactSubstr pass finds verbatim repeated substrings ≥ 50 tokens;
+    the emitted [span_start, span_end) token range IS the paper's
+    remove-span action.
+
+    Gram CHAINING is the standard distributed approximation of the
+    paper's suffix array (the fixed-window regime belongs to
+    :func:`repeated_chunks`; this is its maximal-span upgrade): a
+    chained run guarantees every n-token sub-window of the span is
+    duplicated somewhere, not that a single partner holds the whole
+    span contiguously — so spans are supersets of the exact
+    suffix-array spans and nothing is missed (every verbatim repeated
+    span of ≥ n tokens chains by construction).  Within-document
+    repetition counts toward duplication exactly as in the paper: a
+    document repeating its own 50-token block is dedup-worthy
+    boilerplate.
+
+    Shape: positional grams (ONE corpus scan), a map-side-distinct
+    duplicated-gram table (``count ≥ 2`` over occurrences — the
+    wordCount aggregate, wordCount.cpp:67-86, applied to grams), ONE
+    semi-join on the gram (the irreducible membership probe, never
+    all-pairs), then the per-document gaps-and-islands fold
+    (pos − row_number) to maximal runs.  The islands window is
+    per-document — bounded by document length, the per-entity window
+    class (sessionize, rolling revenue) — never corpus-wide."""
+    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.operators.textstats import _word_ngrams
+
+    grams = memo_persist(
+        f"dedup.exact_substring_spans.grams.{n}",
+        spread(documents).select(
+            "doc_id",
+            F.posexplode(_word_ngrams(tokenize(text_col), n)).alias(
+                "pos", "gram"
+            ),
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + (n - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            (F.col("span_start") + F.col("span_tokens"))
+            .cast("bigint")
+            .alias("span_end"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
     < SHINGLE_N tokens are excluded — no shingle exists)."""

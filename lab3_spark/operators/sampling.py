@@ -793,3 +793,78 @@ def packing_fragmentation_curve(
         )
         .orderBy("budget")
     )
+
+
+def packing_bfd_bound(
+    documents: DataFrame,
+    budgets: tuple[int, ...] = (128, 256, 512, 1024),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(budget, total_tokens, n_bins, lb_bins, extra_bins,
+    efficiency_fp): the bin-packing LOWER BOUND next to the offset
+    model's actual bin count, per budget-ladder rung — so
+    :func:`packing_fragmentation_curve`'s packing efficiency is judged
+    against an oracle-expressible optimum instead of read in a vacuum.
+
+    lb_bins = ceil(Σlen / L) is the capacity (size) bound: no packer —
+    first-fit, best-fit-decreasing, or optimal — can emit fewer bins
+    than the token mass requires, and because :func:`pack_sequences`'
+    offset model SPLITS documents at bin boundaries, the size bound is
+    the exact optimum for it (splitting removes the item-indivisibility
+    slack that makes classical BFD exceed the bound).  n_bins =
+    Σ_groups ceil(toks_g / L) is what the per-group offset model
+    actually uses (each group packs contiguously from offset 0), so
+    extra_bins = n_bins − lb_bins is EXACTLY the per-group tail waste
+    — bounded by #groups − 1 rungwise, independent of corpus size.
+    efficiency_fp = lb_bins·10⁶ DIV n_bins.
+
+    ONE corpus scan folds to #groups token totals; the |budgets|-row
+    ladder explodes over that metadata-scale frame only.  All integer
+    arithmetic (ceil(a/b) = (a + b − 1) DIV b); truncating division
+    both engines."""
+    from lab3_spark.functions.text import tokenize
+
+    per_group = (
+        documents.select(
+            F.col(group_col).alias("grp"),
+            F.size(tokenize(text_col)).alias("nt"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("nt").cast("bigint").alias("toks"))
+    )
+    ladder = F.explode(
+        F.array(*[F.lit(b) for b in budgets])
+    ).alias("budget")
+    return (
+        per_group.select("toks", ladder)
+        .groupBy("budget")
+        .agg(
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("(toks + budget - 1) DIV budget"))
+            .cast("bigint")
+            .alias("n_bins"),
+        )
+        .select(
+            F.col("budget").cast("bigint").alias("budget"),
+            "total_tokens",
+            "n_bins",
+            F.expr(
+                "CAST((total_tokens + budget - 1) DIV budget AS BIGINT)"
+            ).alias("lb_bins"),
+        )
+        .select(
+            "budget",
+            "total_tokens",
+            "n_bins",
+            "lb_bins",
+            (F.col("n_bins") - F.col("lb_bins"))
+            .cast("bigint")
+            .alias("extra_bins"),
+            F.expr(
+                "CASE WHEN n_bins > 0 THEN CAST(lb_bins * 1000000"
+                " DIV n_bins AS BIGINT) ELSE NULL END"
+            ).alias("efficiency_fp"),
+        )
+        .orderBy("budget")
+    )

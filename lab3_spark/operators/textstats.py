@@ -625,6 +625,151 @@ def perplexity_buckets(documents: DataFrame, text_col: str = "text") -> DataFram
     ).orderBy("doc_id")
 
 
+def bigram_backoff_surprisal(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_surprisal_fp): per-document surprisal
+    under a stupid-backoff BIGRAM LM (Brants et al. 2007, "Large
+    Language Models in Machine Translation") trained on the corpus's
+    own CLEAN slice — the documents passing the Gopher rule
+    conjunction — and scored over every document.  This is the CCNet
+    recipe proper (Wenzek et al. 2020 train a LM on a clean reference
+    corpus and score the crawl with it), upgrading
+    :func:`unigram_surprisal`'s self-trained unigram model: context
+    now matters, and gibberish with a plausible unigram profile but
+    improbable transitions scores high.
+
+    Model, per scored bigram (w1, w2):
+
+    - seen in clean:  s = c(w1 w2) / c(w1)
+    - backoff:        s = α · (c(w2) + 1) / (N + V + 1),  α = 0.4
+
+    with c(·) clean-slice occurrence counts, N clean token count, V
+    clean vocabulary size (the +1s make the backoff Laplace-proof for
+    OOV words and an empty clean slice).  Surprisal −log2 s is the
+    ONLY float arithmetic, evaluated once per DISTINCT corpus bigram
+    TYPE and immediately fixed-pointed (floor ·10⁶ → bigint); per-doc
+    totals are exact bigint sums + one integer division, so summation
+    order cannot perturb the result (the unigram_surprisal contract).
+
+    Scale shape: clean counts are wordCount-style hash aggs with
+    map-side combine; the scoring table is built over bigram TYPES
+    (vocabulary-scale) via term-keyed equi-joins; the corpus bigram
+    stream then equi-joins the scoring table on the gram — two
+    combine-compressed shuffles plus the vocabulary joins, no
+    broadcast of anything corpus-scaled.  Docs with < 2 tokens have no
+    bigrams and no row, in both engines."""
+    from lab3_spark.functions.partitioning import memo_persist
+
+    alpha_inv_fp = F.lit(2.5)  # 1/α, α = 0.4 exactly
+    clean_ids = (
+        gopher_quality(documents, text_col)
+        .where("gopher_pass")
+        .select("doc_id")
+    )
+    toks = spread(documents).select(
+        "doc_id", tokenize(text_col).alias("toks")
+    )
+    stream = toks.select(
+        "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+    )
+    clean_stream = stream.join(clean_ids, "doc_id", "left_semi")
+    big = clean_stream.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        toks.join(clean_ids, "doc_id", "left_semi")
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nv = uni.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n_clean"),
+        F.count(F.lit(1)).alias("v_clean"),
+    )
+    types = stream.select("gram").distinct()
+    w1 = F.element_at(F.split("gram", " "), 1)
+    w2 = F.element_at(F.split("gram", " "), 2)
+    scored = (
+        types.join(big, "gram", "left")
+        .select("gram", "c2", w1.alias("w1"), w2.alias("w2"))
+        .join(uni.withColumnRenamed("term", "w1"), "w1", "left")
+        .join(
+            uni.withColumnRenamed("term", "w2").withColumnRenamed(
+                "c1", "cw2"
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "gram",
+            F.floor(
+                F.when(
+                    F.col("c2").isNotNull(),
+                    F.log(F.col("c1").cast("double") / F.col("c2")),
+                ).otherwise(
+                    F.log(
+                        (F.col("n_clean") + F.col("v_clean") + 1).cast(
+                            "double"
+                        )
+                        * alpha_inv_fp
+                        / (F.coalesce(F.col("cw2"), F.lit(0)) + 1)
+                    )
+                )
+                / F.log(F.lit(2.0))
+                * SURPRISAL_SCALE
+            )
+            .cast("bigint")
+            .alias("s_fp"),
+        )
+    )
+    out = (
+        stream.join(scored, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_fp").alias("total_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("total_fp div n_bigrams").alias("mean_surprisal_fp"),
+        )
+        .orderBy("doc_id")
+    )
+    # memoized like unigram_surprisal: the logprob gate AND the bucket
+    # gate consume this exact n_docs-row frame
+    return memo_persist("textstats.bigram_backoff_surprisal", out)
+
+
+def bigram_ppl_buckets(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mean_surprisal_fp, ppl_bucket): CCNet head/middle/tail
+    thirds under the stupid-backoff bigram LM
+    (:func:`bigram_backoff_surprisal`) — the contextual upgrade of
+    :func:`perplexity_buckets`, same distributed global-order ntile
+    (operators/rank.py), deterministic doc_id tie-break."""
+    from lab3_spark.operators.rank import with_global_order_stats
+
+    s = bigram_backoff_surprisal(documents, text_col).select(
+        "doc_id", "mean_surprisal_fp"
+    )
+    ranked = with_global_order_stats(
+        s,
+        ["mean_surprisal_fp", "doc_id"],
+        ntile=3,
+        memo_key="rank.bigram_ppl_buckets",
+    )
+    bucket = (
+        F.when(F.col("ntile") == 1, "head")
+        .when(F.col("ntile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "mean_surprisal_fp", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")
+
+
 IDF_SCALE = 1_000
 
 

@@ -13421,6 +13421,183 @@ def q_streaming_incremental_lsh(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round 9 additions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    runs AS (
+      SELECT doc_id, min(pos) AS s, count(*) + 4 AS st
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM g WHERE gram IN (SELECT gram FROM dup))
+      GROUP BY doc_id, grp
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+           CAST(s + st AS BIGINT) AS span_end,
+           CAST(st AS BIGINT) AS span_tokens
+    FROM runs WHERE st >= 50 ORDER BY doc_id, span_start
+    """,
+)
+def q_dedup_exact_substring_spans(spark, sf_dir):
+    """TRAIN-internal exact-substring span dedup (dedup.
+    exact_substring_spans): per-document maximal token spans of
+    chained duplicated 5-grams reaching the Lee et al. 2022 50-token
+    bar, with the remove-span [start, end) action — the maximal-span
+    generalization of test_substring_contamination's machinery from
+    test-vs-train to train-vs-train, and the exact-substring dedup
+    the chunk form (dedup.repeated_chunks) approximates."""
+    from lab3_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_span_tokens=50
+    )
+
+
+_DUCK_BIGRAM_LM_CTES = f"""{_DUCK_GOPHER_CTES},
+    clean AS (SELECT doc_id FROM gf WHERE {_DUCK_GOPHER_PASS}),
+    dt AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+             toks[i] || ' ' || toks[i + 1] AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM dt WHERE len(toks) >= 2)
+    ),
+    cbig AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c2
+      FROM bs WHERE doc_id IN (SELECT doc_id FROM clean)
+      GROUP BY gram
+    ),
+    cuni AS (
+      SELECT word AS term, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT doc_id, unnest(toks) AS word FROM dt) u
+      WHERE doc_id IN (SELECT doc_id FROM clean)
+      GROUP BY word
+    ),
+    nv AS (
+      SELECT coalesce(sum(c1), 0) AS n_clean, count(*) AS v_clean
+      FROM cuni
+    ),
+    scored AS (
+      SELECT t.gram,
+             CAST(floor(
+               CASE WHEN b.c2 IS NOT NULL
+                 THEN ln(CAST(u1.c1 AS DOUBLE) / b.c2)
+                 ELSE ln(CAST(nv.n_clean + nv.v_clean + 1 AS DOUBLE)
+                         * 2.5 / (coalesce(u2.c1, 0) + 1)) END
+               / ln(2) * 1000000) AS BIGINT) AS s_fp
+      FROM (SELECT DISTINCT gram, w1, w2 FROM bs) t
+      LEFT JOIN cbig b ON b.gram = t.gram
+      LEFT JOIN cuni u1 ON u1.term = t.w1
+      LEFT JOIN cuni u2 ON u2.term = t.w2
+      CROSS JOIN nv
+    ),
+    per_doc AS (
+      SELECT bs.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s.s_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+      FROM bs JOIN scored s ON bs.gram = s.gram
+      GROUP BY bs.doc_id
+    )"""
+
+
+@query(
+    "doc_bigram_logprob",
+    f"""
+    WITH {_DUCK_BIGRAM_LM_CTES}
+    SELECT doc_id, n_bigrams, mean_surprisal_fp
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Stupid-backoff bigram-LM surprisal per document (textstats.
+    bigram_backoff_surprisal) — the CCNet recipe proper: LM trained on
+    the Gopher-clean slice, scored over the whole corpus; one
+    fixed-pointed float expression per DISTINCT bigram type, exact
+    bigint per-doc sums (the unigram_surprisal contract)."""
+    from lab3_spark.operators.textstats import bigram_backoff_surprisal
+
+    return bigram_backoff_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_bigram_ppl_buckets",
+    f"""
+    WITH {_DUCK_BIGRAM_LM_CTES},
+    bucketed AS (
+      SELECT doc_id, mean_surprisal_fp,
+             ntile(3) OVER (ORDER BY mean_surprisal_fp ASC,
+                            doc_id ASC) AS nt
+      FROM per_doc
+    )
+    SELECT doc_id, mean_surprisal_fp,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+    FROM bucketed ORDER BY doc_id
+    """,
+)
+def q_doc_bigram_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail thirds under the stupid-backoff bigram
+    LM (textstats.bigram_ppl_buckets) — the contextual upgrade of
+    doc_ppl_buckets, thirds assigned by the distributed global-rank
+    ntile (no unpartitioned window)."""
+    from lab3_spark.operators.textstats import bigram_ppl_buckets
+
+    return bigram_ppl_buckets(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "packing_bfd_bound",
+    f"""
+    WITH pg AS (
+      SELECT source AS grp, CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    agg AS (
+      SELECT budget,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(sum((toks + budget - 1) // budget) AS BIGINT) AS n_bins
+      FROM pg CROSS JOIN
+           (SELECT unnest([128, 256, 512, 1024]) AS budget)
+      GROUP BY budget
+    )
+    SELECT CAST(budget AS BIGINT) AS budget, total_tokens, n_bins,
+           CAST((total_tokens + budget - 1) // budget AS BIGINT)
+             AS lb_bins,
+           CAST(n_bins - (total_tokens + budget - 1) // budget AS BIGINT)
+             AS extra_bins,
+           CAST(CASE WHEN n_bins > 0
+                THEN (total_tokens + budget - 1) // budget
+                     * 1000000 // n_bins
+                ELSE NULL END AS BIGINT) AS efficiency_fp
+    FROM agg ORDER BY budget
+    """,
+)
+def q_packing_bfd_bound(spark, sf_dir):
+    """Bin-packing lower bound per budget rung (sampling.
+    packing_bfd_bound): ceil(Σlen/L) capacity bound vs the offset
+    model's actual per-group bin count — the oracle-expressible
+    optimum packing_fragmentation_curve's efficiency is judged
+    against; extra_bins is exactly the per-group tail waste."""
+    from lab3_spark.operators.sampling import packing_bfd_bound
+
+    return packing_bfd_bound(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13460,11 +13637,20 @@ def q_streaming_incremental_lsh(spark, sf_dir):
 #          offsets windows) — results are unchanged by construction,
 #          fresh rows confirm it.
 #
-# ROUND-9 HANDOFF: if CORRECTNESS_r08 is green, budget next round the
-# same way — changed gates first, then new, then the oldest-row
-# re-confirmations (run `python tools/window_age.py` if added, or diff
-# the CORRECTNESS archives).  Update
-# test_driver_window_leads_with_round8_priorities when reordering.
+# ROUND-9 CURATION (the r8 handoff executed): CORRECTNESS_r08 came
+# back 50/50 green.  The 50 slots: the 4 new round-9 gates, the 2
+# gates whose shared BPE oracle CTEs gained the ADVICE-r8 exhaustion
+# guard, the 3 gates whose operator changed (ranged packing offsets /
+# pinned doc_id), then the 41 OLDEST green rows (r1 + the whole r2 era
+# + the first r3 slice, straight from tools/window_age.py).
+#
+# ROUND-10 HANDOFF: if CORRECTNESS_r09 is green, budget the same way —
+# new gates first, then changed oracles/operators, then the oldest-row
+# re-confirmations from `python tools/window_age.py` (next up: the
+# remaining r3 era — events_props_from_json, events_props_variant,
+# events_sessionize, events_zorder_cells, hourly_spine_recursive,
+# mapreduce_facade_wordcount, multimodal_features, …).  Update
+# test_driver_window_leads_with_round9_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
 ROUND8_NEW = [
@@ -13497,21 +13683,82 @@ ROUND8_NEW = [
     "streaming_incremental_lsh",
 ]
 
+#: the round-9 additions, in window order — same lint contract.
+ROUND9_NEW = [
+    "dedup_exact_substring_spans",
+    "doc_bigram_logprob",
+    "doc_bigram_ppl_buckets",
+    "packing_bfd_bound",
+]
+
 _DRIVER_PRIORITY = [
-    # -- new round-8 gates (no driver row yet) ------------------------
-    *ROUND8_NEW,
-    # -- oracle SQL changed this round (ADVICE r7 guards) -------------
+    # ROUND-9 WINDOW (CORRECTNESS_r08 came back 50/50 green; budgeted
+    # with tools/window_age.py per the r8 handoff):
+    # -- new round-9 gates (no driver row yet) ------------------------
+    *ROUND9_NEW,
+    # -- oracle SQL changed this round (ADVICE r8: the seg{r} LEFT-JOIN
+    #    exhaustion guard rewrites _duck_bpe_ctes, shared by both) ----
+    "bpe_merges_k",
+    "bpe_apply_compression",
+    # -- operator changed this round (ADVICE r8: ranged offsets rewrite
+    #    / pinned doc_id signature); values unchanged by construction -
+    "packing_fragmentation_curve",
+    "split_leakage_neardup",
+    "decontaminate_train",
+    # -- oldest-green re-confirmations (window_age.py oldest-first:
+    #    the r1/r2 era + the first r3 slice; fills the window to 50) --
+    "top_words_per_source",
+    "ann_bruteforce_top5",
+    "ann_ivf_top5",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "distinct_part_types",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_token_stats",
+    "events_daily_active_users",
+    "events_props_stats",
+    "events_retention",
+    "events_session_window_native",
+    "events_tumbling_5min",
+    "events_value_percentiles",
+    "lineitem_grouping_sets",
+    "mktsegment_rollup",
+    "multimodal_frame_sample",
+    "nation_status_pivot",
+    "nations_with_both",
+    "nations_without_suppliers",
+    "order_priority_check",
+    "order_status_cube",
+    "parties_per_nation",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "salted_wordcount",
+    "supplier_coverage",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "top_customers_per_nation",
+    "ann_lsh_buckets",
+    "bucketed_fact_join",
+    "cross_source_contamination",
+    "data_quality_report",
+    "doc_gopher_quality",
+    "events_asof_join",
+    "events_funnel",
+    "events_geomean_value",
+    # -- beyond: the standing re-confirmation order (driver may check
+    #    more than 50 someday; nothing dropped, only reordered).  The
+    #    r8 window head keeps its r8-green order here -----------------
     "dedup_blocking_quality",
     "orders_mannwhitney",
     "source_length_ks",
-    # -- §2 parity core re-confirmations (rows were r5) ---------------
     "word_count",
     "top50_words",
     "inverted_index",
     "word_count_parity",
     "inverted_index_parity",
-    # -- plan changed this round (one_window_partition sweep + rank.py
-    #    offsets windows); values unchanged by construction ----------
     "orders_winsorized_stats",
     "orders_mean_bootstrap_ci",
     "weighted_sample_docs",
@@ -13536,8 +13783,6 @@ _DRIVER_PRIORITY = [
     "dedup_sorted_neighborhood",
     "corpus_shuffle_shards",
     "customer_rfm_segments",
-    # -- beyond: the standing re-confirmation order (driver may check
-    #    more than 50 someday; nothing dropped, only reordered) -------
     "dedup_minhash_lsh",
     "events_approx_dau",
     "events_hll_daily_merge",

@@ -21,31 +21,29 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_round8_priorities():
-    """Round-8 curation contract: the window leads with (1) the new
-    round-8 gates (no driver row anywhere), (2) the 3 gates whose
-    oracle SQL gained ADVICE-r7 guards, (3) the §2 parity core
-    re-confirmations, then the plan-changed gates from the
-    one_window_partition sweep — everything needing a FIRST or FRESH
-    driver row sits inside the 50-slot window."""
+def test_driver_window_leads_with_round9_priorities():
+    """Round-9 curation contract: the window leads with (1) the new
+    round-9 gates (no driver row anywhere), (2) the 2 gates whose
+    shared BPE oracle CTEs gained the ADVICE-r8 exhaustion guard,
+    (3) the 3 gates whose operator changed (ranged packing offsets /
+    pinned doc_id), then the oldest-green re-confirmations —
+    everything needing a FIRST or FRESH driver row sits inside the
+    50-slot window."""
     import __spark_entry__ as entrymod
-    from lab3_spark.queries_catalog import ROUND8_NEW
+    from lab3_spark.queries_catalog import ROUND9_NEW
 
     order = list(entrymod.queries())
-    n_new = len(ROUND8_NEW)
-    assert order[:n_new] == ROUND8_NEW
-    assert order[n_new : n_new + 3] == [
-        "dedup_blocking_quality",
-        "orders_mannwhitney",
-        "source_length_ks",
+    n_new = len(ROUND9_NEW)
+    assert order[:n_new] == ROUND9_NEW
+    assert order[n_new : n_new + 5] == [
+        "bpe_merges_k",
+        "bpe_apply_compression",
+        "packing_fragmentation_curve",
+        "split_leakage_neardup",
+        "decontaminate_train",
     ]
-    assert order[n_new + 3 : n_new + 8] == [
-        "word_count",
-        "top50_words",
-        "inverted_index",
-        "word_count_parity",
-        "inverted_index_parity",
-    ]
+    # oldest-green refill begins immediately after the changed gates
+    assert order[n_new + 5] == "top_words_per_source"
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50
@@ -89,3 +87,53 @@ def test_bench_headline_names_resolve():
     qs = set(entrymod.queries())
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == [], missing
+
+
+#: the complete standing bench exclusion list (BASELINE.md
+#: §bench-coverage) — 13 StreamingQuery gates whose wall-clock is
+#: checkpoint machinery (dataflow priced via batch twins), the two
+#: Python-worker-setup gates, and the byte-parity twin priced via its
+#: sibling.  Extend ONLY with a rationale in BASELINE.md.
+BENCH_EXCLUSIONS = {
+    "streaming_tumbling_5min",
+    "streaming_sliding_10m",
+    "streaming_sessionize_stateful",
+    "streaming_incremental_dedup",
+    "streaming_cms_heavy_hitters",
+    "streaming_kmv_distinct",
+    "streaming_lsh_flagging",
+    "streaming_cdc_apply",
+    "streaming_view_purchase_join",
+    "streaming_curated_ingest",
+    "streaming_activity_bitmap",
+    "streaming_incremental_pagerank",
+    "streaming_incremental_lsh",
+    "udtf_token_positions",
+    "pysource_synthetic_docs",
+    "inverted_index_parity",
+}
+
+
+def test_bench_rotation_complete():
+    """VERDICT r8 item 1, done in round 9: the headline prices EVERY
+    catalog gate except the 16 documented exclusions — a new gate
+    registered without a bench entry (or a silent exclusion) fails
+    here, keeping the rotation finished as the catalog grows."""
+    import bench
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    unpriced = qs - set(bench.HEADLINE)
+    assert unpriced == BENCH_EXCLUSIONS
+
+
+def test_readme_quotes_current_headline_count():
+    """VERDICT r8 item 7: one authoritative bench quote — the README's
+    headline-count sentence must track len(HEADLINE)."""
+    import bench
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    assert f"{len(bench.HEADLINE)} headline queries" in readme

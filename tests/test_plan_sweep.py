@@ -145,6 +145,10 @@ BNLJ_ALLOWED = {
     "lang_source_residuals",  # 1-row (N, chi2, r_cats, c_cats) stats
     # broadcast over the metadata-scale contingency cells
     "split_fertility_drift",  # 1-row train-fertility reference broadcast
+    # 1-row (n_clean, v_clean) LM-normalizer broadcast over the
+    # bigram-TYPE table (vocabulary scale, not corpus scale)
+    "doc_bigram_logprob",
+    "doc_bigram_ppl_buckets",
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

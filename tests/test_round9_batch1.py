@@ -142,3 +142,186 @@ def test_packing_curve_values_unchanged_by_offset_rewrite(spark):
         "n_bins": 3,
         "fill_rate_fp": 1000000,
     }
+
+
+# --------------------------------- exact-substring span dedup (r9) --
+
+
+def test_exact_substring_spans_planted(spark):
+    """Two documents share a planted verbatim 12-token span; a third
+    is all-unique.  With n=3, min_span=10: exactly one maximal span
+    per sharing doc covering the planted range, nothing for the
+    unique doc."""
+    from lab3_spark.operators.dedup import exact_substring_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, "xx1 yy1 " + span + " zz1"),
+            (2, span + " ww2 vv2 uu2"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            exact_substring_spans(docs, n=3, min_span_tokens=10).collect(),
+        )
+    )
+    # doc 1: span occupies token positions 2..13 (end exclusive 14)
+    # doc 2: positions 0..11 (end exclusive 12); both 12 tokens long
+    assert rows == [(1, 2, 14, 12), (2, 0, 12, 12)]
+
+
+def test_exact_substring_spans_within_doc_repetition_counts(spark):
+    """A document repeating its OWN block is dedup-worthy (Lee et al.
+    count any corpus repetition, including within one doc)."""
+    from lab3_spark.operators.dedup import exact_substring_spans
+
+    block = "r1 r2 r3 r4 r5"
+    docs = spark.createDataFrame(
+        [(7, block + " mid1 mid2 " + block)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            exact_substring_spans(docs, n=5, min_span_tokens=5).collect(),
+        )
+    )
+    assert rows == [(7, 0, 5, 5), (7, 7, 12, 5)]
+
+
+def test_exact_substring_spans_merges_overlapping_runs(spark):
+    """Chained duplicated grams fold into ONE maximal span, not one
+    row per gram: two docs sharing an 8-token span with n=3 produce a
+    single span row each (6 chained grams), never 6 rows."""
+    from lab3_spark.operators.dedup import exact_substring_spans
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [(1, span), (2, "pre " + span)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            exact_substring_spans(docs, n=3, min_span_tokens=8).collect(),
+        )
+    )
+    assert rows == [(1, 0, 8, 8), (2, 1, 9, 8)]
+
+
+# ------------------------------------- stupid-backoff bigram LM (r9) --
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Hand-check the stupid-backoff scoring on a corpus where the
+    clean slice is forced by construction: one Gopher-passing doc
+    (60 alpha words, sane stats) trains the LM; a two-token doc is
+    scored with one seen bigram."""
+    import math
+
+    from lab3_spark.operators.textstats import (
+        bigram_backoff_surprisal,
+        gopher_quality,
+    )
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima",
+    ]
+    # 60 tokens, 12 distinct alpha words (top ratio 5/60 passes the
+    # 0.2 rule; the letters-only tokenizer keeps them whole)
+    clean_text = " ".join(vocab[i % 12] for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, clean_text), (2, "alpha bravo")],
+        "doc_id long, text string",
+    )
+    gp = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality(docs).collect()
+    }
+    assert gp[1] and not gp[2], "construction: doc 1 clean, doc 2 not"
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_surprisal_fp"])
+        for r in bigram_backoff_surprisal(docs).collect()
+    }
+    # clean slice counts: tokens of doc 1 only
+    toks = clean_text.split()
+    from collections import Counter
+
+    uni = Counter(toks)
+    big = Counter(zip(toks, toks[1:]))
+    n, v = sum(uni.values()), len(uni)
+
+    def s_fp(w1, w2):
+        if (w1, w2) in big:
+            p = math.log(uni[w1] / big[(w1, w2)])
+        else:
+            p = math.log((n + v + 1) * 2.5 / (uni.get(w2, 0) + 1))
+        return math.floor(p / math.log(2) * 1_000_000)
+
+    # doc 2 = one bigram ("alpha", "bravo"), seen in clean
+    assert got[2] == (1, s_fp("alpha", "bravo"))
+    expected_total = sum(s_fp(a, b) for a, b in zip(toks, toks[1:]))
+    assert got[1] == (59, expected_total // 59)
+
+
+def test_bigram_backoff_short_docs_have_no_row(spark):
+    """< 2 tokens -> no bigram -> no row (both engines)."""
+    from lab3_spark.operators.textstats import bigram_backoff_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    assert [
+        r["doc_id"] for r in bigram_backoff_surprisal(docs).collect()
+    ] == [3]
+
+
+# --------------------------------------------- packing bound (r9) --
+
+
+def test_packing_bfd_bound_hand_computed(spark):
+    """Two groups, 10 and 6 tokens, budget 8: per-group bins
+    ceil(10/8) + ceil(6/8) = 3; capacity bound ceil(16/8) = 2;
+    one extra bin of per-group tail waste."""
+    from lab3_spark.operators.sampling import packing_bfd_bound
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "g1"),
+            (2, "k l m n o p", "g2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = packing_bfd_bound(docs, budgets=(8,)).collect()[0].asDict()
+    assert row == {
+        "budget": 8,
+        "total_tokens": 16,
+        "n_bins": 3,
+        "lb_bins": 2,
+        "extra_bins": 1,
+        "efficiency_fp": 666666,
+    }
+
+
+def test_packing_bound_consistent_with_fragmentation_curve(spark, sf_dir):
+    """The two ladders must tell one story: identical n_bins per
+    budget (both derive from the same offset model)."""
+    from lab3_spark.queries_catalog import QUERIES
+
+    curve = {
+        r["budget"]: r["n_bins"]
+        for r in QUERIES["packing_fragmentation_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    bound = {
+        r["budget"]: r["n_bins"]
+        for r in QUERIES["packing_bfd_bound"](spark, sf_dir).collect()
+    }
+    assert curve == bound

@@ -136,6 +136,16 @@ QUERIES = [
     "packing_fragmentation_curve",
     "source_importance_ess",
     "pagerank_candidates",
+    # round-9: the standing slowest-10 without a measured ×10 point
+    # (VERDICT r8 item 6) + the round-9 additions
+    "ann_ivfpq_residual_top5",
+    "benchmark_decontamination",
+    "events_approx_dau",
+    "dedup_cluster_representatives",
+    "dedup_exact_substring_spans",
+    "doc_bigram_logprob",
+    "doc_bigram_ppl_buckets",
+    "packing_bfd_bound",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
