@@ -271,6 +271,95 @@ def exact_substring_spans(
     )
 
 
+def span_removal_by_source(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_span_tokens: int = 50,
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_flagged, total_tokens, removed_tokens,
+    removed_frac_fp): what the :func:`exact_substring_spans` remove
+    action actually DELETES, per source — the headline accounting of
+    Lee et al. 2022 ("what fraction of the corpus is verbatim
+    duplicate text?"), the number a curator reads before enabling
+    span removal.
+
+    Two islands of duplicated grams can OVERLAP in token space when
+    their gram-position gap is smaller than n (island i covers tokens
+    [p_i, q_i + n), the next starts at gram q_i + 2), so summing
+    span_tokens double-counts: removed_tokens is the measure of the
+    INTERVAL UNION, merged per document with the classic
+    running-max-of-ends fold (a new merged group starts when a span's
+    start clears every previous end).  The merge window is
+    per-document over the spans frame — candidate scale (documents
+    with a ≥ min_span duplicated run), bounded by doc length.
+    removed_frac_fp = removed·10⁶ DIV total, exact bigint."""
+    spans = exact_substring_spans(documents, text_col, n, min_span_tokens)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn("prev_max_end", F.max("span_end").over(w))
+        .withColumn(
+            "new_grp",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("span_start") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(
+                Window.partitionBy("doc_id")
+                .orderBy("span_start")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            (F.max("span_end") - F.min("span_start")).alias("covered")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("covered").cast("bigint").alias("removed"))
+    )
+    per_doc = spread(documents).select(
+        "doc_id",
+        F.col(group_col).alias("source"),
+        F.size(tokenize(text_col)).cast("bigint").alias("nt"),
+    )
+    return (
+        per_doc.join(merged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("removed").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("removed"), F.lit(0))
+            .cast("bigint")
+            .alias("removed_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "total_tokens",
+            "removed_tokens",
+            F.expr(
+                "CASE WHEN total_tokens > 0 THEN CAST(removed_tokens"
+                " * 1000000 DIV total_tokens AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("removed_frac_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
     < SHINGLE_N tokens are excluded — no shingle exists)."""

@@ -770,6 +770,56 @@ def bigram_ppl_buckets(
     ).orderBy("doc_id")
 
 
+def bigram_ppl_filter_by_source(
+    documents: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_kept, kept_rate_fp): the CCNet filtering
+    ACTION per source — keep the head and middle perplexity thirds,
+    drop the tail (Wenzek et al. 2020 train preferentially on
+    head/middle; the tail is the gibberish bucket).  The per-source
+    keep rate is the mixture-shift report a curator reads before
+    enabling the filter: a source whose documents land mostly in the
+    tail is about to shrink.
+
+    Documents with < 2 tokens have no bigram and no LM score — CCNet
+    cannot rate them, so they count in n_docs but never in n_kept
+    (identically in the oracle).  One broadcast-joinable n_docs-row
+    bucket frame against the per-source totals; all integers."""
+    buckets = bigram_ppl_buckets(documents, text_col).where(
+        F.col("ppl_bucket") != "tail"
+    )
+    per_doc = spread(documents).select(
+        "doc_id", F.col(group_col).alias("source")
+    )
+    kept = (
+        per_doc.join(buckets.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN CAST(n_kept * 1000000"
+                " DIV n_docs AS BIGINT) ELSE NULL END"
+            ).alias("kept_rate_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 IDF_SCALE = 1_000
 
 

@@ -149,6 +149,10 @@ BNLJ_ALLOWED = {
     # bigram-TYPE table (vocabulary scale, not corpus scale)
     "doc_bigram_logprob",
     "doc_bigram_ppl_buckets",
+    "pipeline_bigram_ppl_filter",  # inherits the LM normalizer BNLJ
+    # name-TYPE × name-TYPE levenshtein table (vocabulary scale —
+    # the r9 rewrite that took the gate 28.6 s -> 1.0 s)
+    "fuzzy_part_names",
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

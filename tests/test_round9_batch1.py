@@ -325,3 +325,57 @@ def test_packing_bound_consistent_with_fragmentation_curve(spark, sf_dir):
         for r in QUERIES["packing_bfd_bound"](spark, sf_dir).collect()
     }
     assert curve == bound
+
+
+# ------------------------------------ span-removal accounting (r9) --
+
+
+def test_span_removal_unions_overlapping_islands(spark):
+    """Two duplicated-gram islands separated by ONE unique gram
+    position overlap in token space (gap < n): doc 1's spans [0,3) and
+    [2,5) must union to 5 removed tokens, not sum to 6.  Corpus total:
+    11 of 14 tokens removed — a naive span_tokens sum would claim 12
+    and push the fraction past 10^6."""
+    from lab3_spark.operators.dedup import span_removal_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t", "g1"),
+            (2, "p q r", "g1"),
+            (3, "r s t", "g1"),
+            (4, "u v w", "g1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = (
+        span_removal_by_source(docs, n=3, min_span_tokens=3)
+        .collect()[0]
+        .asDict()
+    )
+    assert row == {
+        "source": "g1",
+        "n_docs": 4,
+        "n_flagged": 3,
+        "total_tokens": 14,
+        "removed_tokens": 11,
+        "removed_frac_fp": 11 * 1_000_000 // 14,
+    }
+
+
+def test_bigram_ppl_filter_keeps_scored_thirds(spark, sf_dir):
+    """Per-source totals must reconcile with the bucket frame: kept =
+    head+middle scored docs, n_docs = every doc (unscored short docs
+    count in the denominator only)."""
+    from lab3_spark.operators.textstats import (
+        bigram_ppl_buckets,
+        bigram_ppl_filter_by_source,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_ppl_filter_by_source(docs).collect()
+    buckets = bigram_ppl_buckets(docs)
+    n_hm = buckets.where("ppl_bucket != 'tail'").count()
+    assert sum(r["n_kept"] for r in out) == n_hm
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert all(0 <= r["kept_rate_fp"] <= 1_000_000 for r in out)

@@ -146,6 +146,8 @@ QUERIES = [
     "doc_bigram_logprob",
     "doc_bigram_ppl_buckets",
     "packing_bfd_bound",
+    "dedup_span_removal_by_source",
+    "pipeline_bigram_ppl_filter",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
