@@ -289,6 +289,7 @@ HEADLINE = [
     "packing_bfd_bound",
     "dedup_span_removal_by_source",
     "pipeline_bigram_ppl_filter",
+    "fuzzy_name_value_pairs",
     # round-9 rotation: the FINAL never-benched batch (VERDICT r8
     # item 1) — every catalog gate is now priced except the 16
     # documented exclusions in BASELINE.md §bench-coverage

@@ -271,6 +271,151 @@ def exact_substring_spans(
     )
 
 
+def edit_distance_value_pairs(
+    values: DataFrame, col: str, d: int = 2
+) -> DataFrame:
+    """(val_a, val_b, edit_dist): every UNORDERED pair of distinct
+    strings within edit distance ``d``, via PassJoin segment filtering
+    (Li, Deng, Feng 2011, "PASS-JOIN: a partition-based method for
+    similarity joins" — the published equi-join-shaped exact
+    edit-distance join).  This is the scale path the type-level
+    crossJoin in fuzzy_part_names documents: its |V|² compare is right
+    while the value vocabulary broadcasts; PassJoin is LINEAR in |V|.
+
+    Pigeonhole: partition each indexed string x into d+1 disjoint
+    segments — d edits cannot touch them all, and the untouched
+    segment survives VERBATIM in any y with ed(x, y) ≤ d, at a
+    position shifted by at most d (the net indel count to its left).
+    So candidates are an EQUI-JOIN: the indexed side emits its d+1
+    (length, segment_index, segment) keys; the probe side emits, for
+    every indexed length l ∈ [|y|−d, |y|] and every segment slot, the
+    |y|-substrings of that slot's length within the ±d position
+    window (≤ (d+1)²·(2d+1) keys per value — constant).  Matches
+    dedupe to unordered pairs and verify with THRESHOLD levenshtein
+    (banded O(d·n)); no |V|² anywhere.
+
+    Strings shorter than d+1 characters cannot be segmented; they (and
+    their feasible ≤ 2d+1-char partners) route through a bounded
+    short-string block — a vocabulary-of-tiny-strings compare, not a
+    data-scale one.  Self-pairs are excluded (a caller wanting the
+    reflexive dist-0 rows unions them trivially).  Exactness is
+    property-tested against a brute-force DP over random strings
+    including empties (tests/test_round9_batch1.py)."""
+    n = d + 1
+    v = values.select(F.col(col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+    lv = F.length("v")
+
+    # ---- segmented path: indexed strings of length >= d+1 ----------
+    # even partition: base-length segments first, the l % n trailing
+    # segments one char longer; start_i = i*base + max(0, i-(n-rem))
+    def seg_len(l, i):
+        return F.floor(l / n) + F.when(
+            F.lit(i) >= n - (l % n), 1
+        ).otherwise(0)
+
+    def seg_start(l, i):
+        return (F.lit(i) * F.floor(l / n)) + F.greatest(
+            F.lit(0), F.lit(i) - (n - (l % n))
+        )
+
+    idx = None
+    for i in range(n):
+        part_i = v.where(lv >= n).select(
+            F.col("v").alias("x"),
+            lv.cast("bigint").alias("l"),
+            F.lit(i).alias("i"),
+            F.substring(
+                F.col("v"),
+                (seg_start(lv, i) + 1).cast("int"),
+                seg_len(lv, i).cast("int"),
+            ).alias("seg"),
+        )
+        idx = part_i if idx is None else idx.unionAll(part_i)
+
+    # probe side: for each candidate indexed length lp in
+    # [max(n, |y|-d), |y|], each slot i, positions within +-d of the
+    # slot's start (always a nonempty window: |y| >= lp >= s_i+len_i)
+    probes = v.select(
+        "v",
+        F.explode(
+            F.when(
+                lv >= n,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.greatest(lv - d, F.lit(n)), lv),
+                        lambda lp: F.flatten(
+                            F.array(
+                                *[
+                                    F.transform(
+                                        F.sequence(
+                                            F.greatest(
+                                                seg_start(lp, i) - d,
+                                                F.lit(0),
+                                            ),
+                                            F.least(
+                                                lv - seg_len(lp, i),
+                                                seg_start(lp, i) + d,
+                                            ),
+                                        ),
+                                        lambda p: F.struct(
+                                            lp.alias("l"),
+                                            F.lit(i).alias("i"),
+                                            F.substring(
+                                                F.col("v"),
+                                                (p + 1).cast("int"),
+                                                seg_len(lp, i).cast(
+                                                    "int"
+                                                ),
+                                            ).alias("seg"),
+                                        ),
+                                    )
+                                    for i in range(n)
+                                ]
+                            )
+                        ),
+                    )
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<l:bigint,i:int,seg:string>>"
+                )
+            )
+        ).alias("pr"),
+    ).select(F.col("v").alias("y"), "pr.l", "pr.i", "pr.seg")
+
+    seg_cands = (
+        idx.join(probes, ["l", "i", "seg"])
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("val_a"),
+            F.greatest("x", "y").alias("val_b"),
+        )
+    )
+
+    # ---- short-string block: one side shorter than d+1 -------------
+    xs = v.where(lv < n).select(F.col("v").alias("x"))
+    ys = v.where(lv <= 2 * d + 1).select(F.col("v").alias("y"))
+    short_cands = (
+        xs.crossJoin(F.broadcast(ys))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("val_a"),
+            F.greatest("x", "y").alias("val_b"),
+        )
+    )
+
+    banded = F.levenshtein(F.col("val_a"), F.col("val_b"), d)
+    return (
+        seg_cands.unionAll(short_cands)
+        .distinct()
+        .where(banded >= 0)
+        .select("val_a", "val_b", banded.alias("edit_dist"))
+        .orderBy("val_a", "val_b")
+    )
+
+
 def span_removal_by_source(
     documents: DataFrame,
     text_col: str = "text",

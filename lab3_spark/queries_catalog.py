@@ -13730,6 +13730,35 @@ def q_pipeline_bigram_ppl_filter(spark, sf_dir):
     return bigram_ppl_filter_by_source(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "fuzzy_name_value_pairs",
+    """
+    WITH v AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS val_a, b.p_name AS val_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM v a JOIN v b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY val_a, val_b
+    """,
+)
+def q_fuzzy_name_value_pairs(spark, sf_dir):
+    """PassJoin segment-filtered edit-distance self-join (dedup.
+    edit_distance_value_pairs, Li et al. 2011) over the distinct part
+    names — the LINEAR-in-|V| scale rung of the edit-distance ladder
+    next to fuzzy_part_names' broadcast |V|² type table (right while
+    the vocabulary broadcasts; this gate is the path when it does
+    not).  Candidates are an equi-join on (length, segment-slot,
+    segment-substring) keys; the oracle states the plain quadratic
+    compare.  Property-tested exact against a brute-force DP over
+    random strings (tests/test_round9_batch1.py)."""
+    from lab3_spark.operators.dedup import edit_distance_value_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return edit_distance_value_pairs(
+        part.select("p_name").distinct(), "p_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13823,6 +13852,7 @@ ROUND9_NEW = [
     "packing_bfd_bound",
     "dedup_span_removal_by_source",
     "pipeline_bigram_ppl_filter",
+    "fuzzy_name_value_pairs",
 ]
 
 _DRIVER_PRIORITY = [
@@ -13878,9 +13908,9 @@ _DRIVER_PRIORITY = [
     "bucketed_fact_join",
     "cross_source_contamination",
     "data_quality_report",
-    "doc_gopher_quality",
-    # (events_asof_join / events_funnel displaced to r10 by the two
-    # late r9 gates — the window holds exactly 50; both are r3-green)
+    # (events_asof_join / events_funnel / doc_gopher_quality displaced
+    # to r10 by the three late r9 gates — the window holds exactly 50;
+    # all three are r3-green)
     "events_geomean_value",
     # -- beyond: the standing re-confirmation order (driver may check
     #    more than 50 someday; nothing dropped, only reordered).  The

@@ -153,6 +153,11 @@ BNLJ_ALLOWED = {
     # name-TYPE × name-TYPE levenshtein table (vocabulary scale —
     # the r9 rewrite that took the gate 28.6 s -> 1.0 s)
     "fuzzy_part_names",
+    # PassJoin's short-string block: strings shorter than d+1 chars
+    # cannot be segmented; they compare against the <= 2d+1-char
+    # vocabulary slice — a bounded tiny-string set (empty for part
+    # names), never data-scale
+    "fuzzy_name_value_pairs",
     # the brute-force ANN baselines ARE a broadcast nested loop by
     # definition (Q broadcast queries × corpus scan, the documented
     # correct-but-unscalable ground truth the quantized paths are

@@ -379,3 +379,88 @@ def test_bigram_ppl_filter_keeps_scored_thirds(spark, sf_dir):
     assert sum(r["n_kept"] for r in out) == n_hm
     assert sum(r["n_docs"] for r in out) == docs.count()
     assert all(0 <= r["kept_rate_fp"] <= 1_000_000 for r in out)
+
+
+# --------------------------------------- PassJoin edit-distance (r9) --
+
+
+def _ed(a: str, b: str) -> int:
+    """Plain Wagner-Fischer reference DP."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_passjoin_matches_bruteforce_on_random_strings(spark):
+    """PassJoin candidate generation must be EXACT: every unordered
+    pair at edit distance <= 2 over 180 fixed-seed random strings
+    (alphabet of 4, lengths 0-12 — includes empties, singletons, and
+    sub-segment-length strings) equals the brute-force DP's pair set,
+    with identical distances."""
+    import random
+
+    from lab3_spark.operators.dedup import edit_distance_value_pairs
+
+    rng = random.Random(421)
+    vals = list(
+        {
+            "".join(
+                rng.choice("abcd") for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(180)
+        }
+    )
+    want = {}
+    for i, x in enumerate(vals):
+        for y in vals[i + 1 :]:
+            dd = _ed(x, y)
+            if dd <= 2:
+                a, b = sorted((x, y))
+                want[(a, b)] = dd
+    got = {
+        (r["val_a"], r["val_b"]): r["edit_dist"]
+        for r in edit_distance_value_pairs(
+            spark.createDataFrame([(v,) for v in vals], "s string"), "s"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_passjoin_agrees_with_type_crossjoin_on_part_names(spark, sf_dir):
+    """The two rungs of the edit-distance ladder must agree: PassJoin
+    over the distinct part names == the |V|² type-table compare that
+    fuzzy_part_names uses."""
+    from lab3_spark.operators.dedup import edit_distance_value_pairs
+    from lab3_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    banded = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 2)
+    want = {
+        (r["val_a"], r["val_b"]): r["edit_dist"]
+        for r in names.alias("na")
+        .crossJoin(F.broadcast(names.alias("nb")))
+        .where(
+            (banded >= 0) & (F.col("na.p_name") < F.col("nb.p_name"))
+        )
+        .select(
+            F.col("na.p_name").alias("val_a"),
+            F.col("nb.p_name").alias("val_b"),
+            banded.alias("edit_dist"),
+        )
+        .collect()
+    }
+    got = {
+        (r["val_a"], r["val_b"]): r["edit_dist"]
+        for r in edit_distance_value_pairs(names, "p_name").collect()
+    }
+    assert got == want

@@ -148,6 +148,7 @@ QUERIES = [
     "packing_bfd_bound",
     "dedup_span_removal_by_source",
     "pipeline_bigram_ppl_filter",
+    "fuzzy_name_value_pairs",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
