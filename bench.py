@@ -291,9 +291,9 @@ HEADLINE = [
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
     # round-9 rotation: the FINAL never-benched batch (VERDICT r8
-    # item 1) — every catalog gate is now priced except the 16
+    # item 1) — every catalog gate is now priced except the 17
     # documented exclusions in BASELINE.md §bench-coverage
-    # (13 streaming_* + udtf_token_positions + pysource_synthetic_docs
+    # (14 streaming_* + udtf_token_positions + pysource_synthetic_docs
     # + inverted_index_parity)
     "order_priority_check",
     "monthly_revenue_trend",

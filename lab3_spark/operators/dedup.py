@@ -249,7 +249,21 @@ def exact_substring_spans(
         .where(F.col("occ") >= 2)
         .select("gram")
     )
-    hits = grams.join(dup, "gram", "left_semi")
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    return spans_from_hits(hits, n, min_span_tokens).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def spans_from_hits(
+    hits: DataFrame, n: int, min_span_tokens: int
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) from (doc_id, pos)
+    duplicated-gram hits — the gaps-and-islands fold of
+    :func:`exact_substring_spans`, factored out so the streaming
+    incremental store (streaming/incremental_spans.py) shares it
+    VERBATIM and cannot drift from the batch semantics.  The islands
+    window is per-document (bounded by doc length)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -267,7 +281,6 @@ def exact_substring_spans(
             .alias("span_end"),
             F.col("span_tokens").cast("bigint").alias("span_tokens"),
         )
-        .orderBy("doc_id", "span_start")
     )
 
 

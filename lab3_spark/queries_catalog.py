@@ -13759,6 +13759,71 @@ def q_fuzzy_name_value_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_incremental_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    runs AS (
+      SELECT doc_id, min(pos) AS s, count(*) + 4 AS st
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM g WHERE gram IN (SELECT gram FROM dup))
+      GROUP BY doc_id, grp
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+           CAST(s + st AS BIGINT) AS span_end,
+           CAST(st AS BIGINT) AS span_tokens
+    FROM runs WHERE st >= 50 ORDER BY doc_id, span_start
+    """,
+)
+def q_streaming_incremental_spans(spark, sf_dir):
+    """A REAL incremental exact-substring span-store maintenance run
+    (streaming/incremental_spans.py): the documents table split into 3
+    mtime-ordered delta batches; each micro-batch appends only its NEW
+    docs' positional grams, merges gram counts, and re-evaluates
+    exactly the docs touched by grams that crossed the duplication
+    threshold this batch (monotone counts: spans only ever appear —
+    the first copy of a block becomes dedup-worthy when the second
+    arrives, and the OLD doc gains its span without re-delivery).
+    Merged-equals-batch contract: the final span version must equal
+    the ONE-SHOT batch exact_substring_spans over all delivered docs —
+    the oracle IS dedup_exact_substring_spans' oracle verbatim."""
+    import os as _os
+
+    from lab3_spark.streaming.incremental_spans import (
+        latest_spans,
+        start_incremental_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _scratch_dir("stream_spans_")
+    flat = _mtime_ordered_batches(
+        docs.withColumn("_b", F.col("doc_id") % 3), root, "_b"
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string, _b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_spans(
+        src, store, _os.path.join(root, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental spans availableNow run timed out")
+    return latest_spans(spark, store).orderBy("doc_id", "span_start")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13853,6 +13918,7 @@ ROUND9_NEW = [
     "dedup_span_removal_by_source",
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
+    "streaming_incremental_spans",
 ]
 
 _DRIVER_PRIORITY = [
@@ -13907,10 +13973,9 @@ _DRIVER_PRIORITY = [
     "ann_lsh_buckets",
     "bucketed_fact_join",
     "cross_source_contamination",
-    "data_quality_report",
-    # (events_asof_join / events_funnel / doc_gopher_quality displaced
-    # to r10 by the three late r9 gates — the window holds exactly 50;
-    # all three are r3-green)
+    # (events_asof_join / events_funnel / doc_gopher_quality /
+    # data_quality_report displaced to r10 by the four late r9 gates —
+    # the window holds exactly 50; all four are r3-green)
     "events_geomean_value",
     # -- beyond: the standing re-confirmation order (driver may check
     #    more than 50 someday; nothing dropped, only reordered).  The

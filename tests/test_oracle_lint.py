@@ -108,6 +108,7 @@ BENCH_EXCLUSIONS = {
     "streaming_activity_bitmap",
     "streaming_incremental_pagerank",
     "streaming_incremental_lsh",
+    "streaming_incremental_spans",
     "udtf_token_positions",
     "pysource_synthetic_docs",
     "inverted_index_parity",

@@ -25,6 +25,7 @@ SKIP = {
     "streaming_incremental_dedup",
     "streaming_incremental_pagerank",  # runs the stream on construction
     "streaming_incremental_lsh",  # runs the stream on construction
+    "streaming_incremental_spans",  # runs the stream on construction
     "streaming_cms_heavy_hitters",
     "jsonl_roundtrip_docs",
     "orc_roundtrip_events",
