@@ -770,6 +770,128 @@ def bigram_ppl_buckets(
     ).orderBy("doc_id")
 
 
+def kn_bigram_surprisal(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_surprisal_fp): per-document surprisal
+    under an INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995;
+    the Chen & Goodman 1998 interpolated form with fixed discount
+    D = 0.75) trained on the Gopher-clean slice — the canonical
+    n-gram smoothing, completing the engine's LM ladder above
+    :func:`unigram_surprisal` (no context) and
+    :func:`bigram_backoff_surprisal` (stupid backoff):
+
+        p(w2 | w1) = (max(c(w1 w2) − D, 0)
+                      + D · N1+(w1 ·) · p_cont(w2)) / c_ctx(w1)
+
+    with c_ctx(w1) = Σ_w c(w1 w) (occurrences of w1 AS A CONTEXT —
+    doc-final tokens are not contexts), N1+(w1 ·) the number of
+    distinct continuations of w1, and the continuation probability
+    p_cont(w2) = (N1+(· w2) + 1) / (T + V + 1) over T distinct bigram
+    types and V clean vocabulary size (the +1s are the OOV/empty-slice
+    floor, the bigram_backoff convention — an unseen continuation
+    still scores finitely).  A bigram whose CONTEXT is unseen in
+    clean backs off to p_cont(w2) alone.
+
+    Fixed-point discipline as the whole LM family: counts are exact
+    integers; the ONLY float arithmetic is one expression per DISTINCT
+    corpus bigram type, mirrored operation-for-operation in the
+    oracle and floored to ×10⁶ bigint before any per-doc summation.
+    Same two-shuffle scale shape as bigram_backoff_surprisal — every
+    statistic is a hash agg over the clean bigram stream (type scale),
+    scoring is a term-keyed equi-join."""
+    from lab3_spark.functions.partitioning import memo_persist
+
+    clean_ids = (
+        gopher_quality(documents, text_col)
+        .where("gopher_pass")
+        .select("doc_id")
+    )
+    toks = spread(documents).select(
+        "doc_id", tokenize(text_col).alias("toks")
+    )
+    stream = toks.select(
+        "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+    )
+    clean_stream = memo_persist(
+        "textstats.kn_bigram.clean_stream",
+        stream.join(clean_ids, "doc_id", "left_semi"),
+    )
+    w1 = F.element_at(F.split("gram", " "), 1)
+    w2 = F.element_at(F.split("gram", " "), 2)
+    big = clean_stream.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    ctx = (
+        clean_stream.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cctx"))
+    )
+    n1f = (
+        big.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1f"))
+    )
+    n1r = (
+        big.select(w2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n1r"))
+    )
+    vocab = (
+        toks.join(clean_ids, "doc_id", "left_semi")
+        .select(F.explode("toks").alias("term"))
+        .distinct()
+    )
+    tv = big.agg(F.count(F.lit(1)).alias("t_types")).crossJoin(
+        F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v_clean")))
+    )
+    types = stream.select("gram").distinct()
+    d_disc = F.lit(0.75)
+    pc = (F.coalesce(F.col("n1r"), F.lit(0)) + 1).cast("double") / (
+        F.col("t_types") + F.col("v_clean") + 1
+    )
+    p_seen_ctx = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d_disc,
+            F.lit(0.0),
+        )
+        + d_disc * F.coalesce(F.col("n1f"), F.lit(0)).cast("double") * pc
+    ) / F.col("cctx")
+    p = F.when(F.col("cctx").isNotNull(), p_seen_ctx).otherwise(pc)
+    scored = (
+        types.select("gram", w1.alias("w1"), w2.alias("w2"))
+        .join(big, "gram", "left")
+        .join(ctx, "w1", "left")
+        .join(n1f, "w1", "left")
+        .join(n1r, "w2", "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "gram",
+            F.floor(-F.log(p) / F.log(F.lit(2.0)) * SURPRISAL_SCALE)
+            .cast("bigint")
+            .alias("s_fp"),
+        )
+    )
+    out = (
+        stream.join(scored, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_fp").alias("total_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # s_fp >= 0 provably (p < 1 strictly: even a deterministic
+            # continuation keeps 1 - D(1-pc)/cctx < 1), so truncating
+            # div == floor div in both engines
+            F.expr("total_fp div n_bigrams").alias("mean_surprisal_fp"),
+        )
+        .orderBy("doc_id")
+    )
+    return memo_persist("textstats.kn_bigram_surprisal", out)
+
+
 def bigram_ppl_filter_by_source(
     documents: DataFrame,
     text_col: str = "text",

@@ -13824,6 +13824,80 @@ def q_streaming_incremental_spans(spark, sf_dir):
     return latest_spans(spark, store).orderBy("doc_id", "span_start")
 
 
+@query(
+    "doc_kn_bigram_logprob",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    clean AS (SELECT doc_id FROM gf WHERE {_DUCK_GOPHER_PASS}),
+    dt AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+             toks[i] || ' ' || toks[i + 1] AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM dt WHERE len(toks) >= 2)
+    ),
+    cs AS (
+      SELECT * FROM bs WHERE doc_id IN (SELECT doc_id FROM clean)
+    ),
+    cbig AS (
+      SELECT gram, w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM cs GROUP BY gram, w1, w2
+    ),
+    ctx AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS cctx FROM cs GROUP BY w1
+    ),
+    nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM cbig GROUP BY w1),
+    nr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cbig GROUP BY w2),
+    tv AS (
+      SELECT (SELECT count(*) FROM cbig) AS t_types,
+             (SELECT count(DISTINCT word)
+              FROM (SELECT unnest(toks) AS word FROM dt
+                    WHERE doc_id IN (SELECT doc_id FROM clean))) AS v_clean
+    ),
+    scored AS (
+      SELECT t.gram,
+             CAST(floor(-ln(
+               CASE WHEN x.cctx IS NOT NULL
+                 THEN (greatest(CAST(coalesce(b.c2, 0) AS DOUBLE) - 0.75,
+                                0.0)
+                       + 0.75 * CAST(coalesce(f.n1f, 0) AS DOUBLE)
+                         * (CAST(coalesce(r.n1r, 0) + 1 AS DOUBLE)
+                            / (tv.t_types + tv.v_clean + 1)))
+                      / x.cctx
+                 ELSE CAST(coalesce(r.n1r, 0) + 1 AS DOUBLE)
+                      / (tv.t_types + tv.v_clean + 1) END
+               ) / ln(2) * 1000000) AS BIGINT) AS s_fp
+      FROM (SELECT DISTINCT gram, w1, w2 FROM bs) t
+      LEFT JOIN cbig b ON b.gram = t.gram
+      LEFT JOIN ctx x ON x.w1 = t.w1
+      LEFT JOIN nf f ON f.w1 = t.w1
+      LEFT JOIN nr r ON r.w2 = t.w2
+      CROSS JOIN tv
+    )
+    SELECT bs.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s.s_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+    FROM bs JOIN scored s ON bs.gram = s.gram
+    GROUP BY bs.doc_id ORDER BY doc_id
+    """,
+)
+def q_doc_kn_bigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram surprisal per document
+    (textstats.kn_bigram_surprisal): the canonical n-gram smoothing
+    (Kneser & Ney 1995, Chen & Goodman 1998's interpolated form,
+    D = 0.75) trained on the Gopher-clean slice — completing the LM
+    ladder above the unigram and stupid-backoff gates.  Context
+    counts, continuation counts (N1+ forward/reverse), and the type
+    total are all exact-integer hash aggs over the clean bigram
+    stream; the single smoothed-probability expression runs once per
+    distinct corpus bigram type, mirrored operation-for-operation in
+    the oracle, fixed-pointed before any per-doc sum."""
+    from lab3_spark.operators.textstats import kn_bigram_surprisal
+
+    return kn_bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13919,6 +13993,7 @@ ROUND9_NEW = [
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
     "streaming_incremental_spans",
+    "doc_kn_bigram_logprob",
 ]
 
 _DRIVER_PRIORITY = [
@@ -13972,10 +14047,10 @@ _DRIVER_PRIORITY = [
     "top_customers_per_nation",
     "ann_lsh_buckets",
     "bucketed_fact_join",
-    "cross_source_contamination",
     # (events_asof_join / events_funnel / doc_gopher_quality /
-    # data_quality_report displaced to r10 by the four late r9 gates —
-    # the window holds exactly 50; all four are r3-green)
+    # data_quality_report / cross_source_contamination displaced to r10
+    # by the five late r9 gates — the window holds exactly 50; all
+    # five are r3-green)
     "events_geomean_value",
     # -- beyond: the standing re-confirmation order (driver may check
     #    more than 50 someday; nothing dropped, only reordered).  The

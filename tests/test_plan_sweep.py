@@ -151,6 +151,7 @@ BNLJ_ALLOWED = {
     "doc_bigram_logprob",
     "doc_bigram_ppl_buckets",
     "pipeline_bigram_ppl_filter",  # inherits the LM normalizer BNLJ
+    "doc_kn_bigram_logprob",  # 1-row (T, V) KN normalizer broadcast
     # name-TYPE × name-TYPE levenshtein table (vocabulary scale —
     # the r9 rewrite that took the gate 28.6 s -> 1.0 s)
     "fuzzy_part_names",

@@ -135,3 +135,96 @@ def test_latest_spans_missing_store_raises_python_error(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no span versions"):
         latest_spans(spark, str(tmp_path / "never_written"))
+
+
+# ------------------------------------------ Kneser-Ney bigram LM (r9) --
+
+
+def test_kn_bigram_hand_computed(spark):
+    """Interpolated KN checked against an independent Python
+    computation: clean slice forced by construction (one Gopher-pass
+    doc trains), a two-token doc scores one seen bigram, and the
+    KN identities (discount mass redistribution, continuation
+    probabilities) are reproduced from raw counts."""
+    import math
+    from collections import Counter
+
+    from lab3_spark.operators.textstats import (
+        gopher_quality,
+        kn_bigram_surprisal,
+    )
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima",
+    ]
+    clean_text = " ".join(vocab[i % 12] for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, clean_text), (2, "alpha bravo"), (3, "alpha zebra")],
+        "doc_id long, text string",
+    )
+    gp = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality(docs).collect()
+    }
+    assert gp[1] and not gp[2] and not gp[3]
+
+    toks = clean_text.split()
+    big = Counter(zip(toks, toks[1:]))
+    ctx = Counter(toks[:-1])
+    n1f = Counter(a for a, _ in big)
+    n1r = Counter(b for _, b in big)
+    t_types, v_clean = len(big), len(set(toks))
+    d = 0.75
+
+    def p(w1, w2):
+        pc = (n1r.get(w2, 0) + 1) / (t_types + v_clean + 1)
+        if w1 in ctx:
+            return (
+                max(big.get((w1, w2), 0) - d, 0.0)
+                + d * n1f.get(w1, 0) * pc
+            ) / ctx[w1]
+        return pc
+
+    def s_fp(w1, w2):
+        return math.floor(-math.log(p(w1, w2)) / math.log(2) * 1_000_000)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_surprisal_fp"])
+        for r in kn_bigram_surprisal(docs).collect()
+    }
+    # doc 2: seen bigram; doc 3: seen context, UNSEEN continuation
+    # (exercises the discount-mass backoff branch)
+    assert got[2] == (1, s_fp("alpha", "bravo"))
+    assert got[3] == (1, s_fp("alpha", "zebra"))
+    total = sum(s_fp(a, b) for a, b in zip(toks, toks[1:]))
+    assert got[1] == (59, total // 59)
+
+
+def test_kn_probabilities_sum_to_one_over_clean_vocab(spark):
+    """KN is a proper distribution over seen contexts: for a trained
+    context w1, sum over the CLEAN VOCABULARY of p(w2 | w1) stays
+    below 1 (the +1 OOV floor in p_cont reserves the remaining mass
+    for unseen continuations) and above 0.9 for this tiny vocab —
+    the discount mass is redistributed, not lost."""
+    from collections import Counter
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    text = "aa bb cc aa bb dd aa cc dd bb"
+    toks = text.split()
+    big = Counter(zip(toks, toks[1:]))
+    ctx = Counter(toks[:-1])
+    n1f = Counter(a for a, _ in big)
+    n1r = Counter(b for _, b in big)
+    t_types, v_clean = len(big), len(set(toks))
+    d = 0.75
+
+    def p(w1, w2):
+        pc = (n1r.get(w2, 0) + 1) / (t_types + v_clean + 1)
+        return (
+            max(big.get((w1, w2), 0) - d, 0.0) + d * n1f.get(w1, 0) * pc
+        ) / ctx[w1]
+
+    for w1 in ctx:
+        s = sum(p(w1, w2) for w2 in vocab)
+        assert 0.9 < s < 1.0, (w1, s)

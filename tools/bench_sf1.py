@@ -149,6 +149,7 @@ QUERIES = [
     "dedup_span_removal_by_source",
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
+    "doc_kn_bigram_logprob",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
