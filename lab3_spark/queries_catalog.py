@@ -13946,9 +13946,12 @@ def q_doc_kn_bigram_logprob(spark, sf_dir):
 #
 # ROUND-10 HANDOFF: if CORRECTNESS_r09 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
-# re-confirmations from `python tools/window_age.py` (next up: the
-# remaining r3 era — events_props_from_json, events_props_variant,
-# events_sessionize, events_zorder_cells, hourly_spine_recursive,
+# re-confirmations from `python tools/window_age.py` (next up: the 5
+# gates the late r9 additions displaced — events_asof_join,
+# events_funnel, doc_gopher_quality, data_quality_report,
+# cross_source_contamination — then the remaining r3 era:
+# events_props_from_json, events_props_variant, events_sessionize,
+# events_zorder_cells, hourly_spine_recursive,
 # mapreduce_facade_wordcount, multimodal_features, …).  Update
 # test_driver_window_leads_with_round9_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
