@@ -291,6 +291,8 @@ HEADLINE = [
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
     "doc_kn_bigram_logprob",
+    "quality_logreg_train",
+    "quality_logreg_accuracy",
     # round-9 rotation: the FINAL never-benched batch (VERDICT r8
     # item 1) — every catalog gate is now priced except the 17
     # documented exclusions in BASELINE.md §bench-coverage

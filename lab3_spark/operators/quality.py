@@ -546,3 +546,136 @@ def quality_feature_correlations(
         .select("pr.feat_a", "pr.feat_b", "pr.corr_fp")
         .orderBy("feat_a", "feat_b")
     )
+
+
+LOGREG_FEATURES = ("bias", "n_words", "mean_word_len",
+                   "top_word_ratio", "alpha_word_frac")
+
+
+def _logreg_feature_frame(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, label, x0..x4): fixed-point integer features from the
+    Gopher signal frame.  The signals arrive as floor(raw·10⁴)/10⁴
+    doubles, so ROUND (not floor) recovers the underlying integer
+    exactly in both engines; n_words is capped at 1000 so one epic
+    document cannot dominate the gradient."""
+    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.operators.textstats import gopher_quality
+
+    g = gopher_quality(documents, text_col)
+    return memo_persist(
+        "quality.logreg.features",
+        g.select(
+            "doc_id",
+            F.col("gopher_pass").cast("int").alias("label"),
+            F.lit(10000).cast("bigint").alias("x0"),
+            (F.least(F.col("n_words"), F.lit(1000)) * 10)
+            .cast("bigint")
+            .alias("x1"),
+            F.round(F.col("mean_word_len") * 10000)
+            .cast("bigint")
+            .alias("x2"),
+            F.round(F.col("top_word_ratio") * 10000)
+            .cast("bigint")
+            .alias("x3"),
+            F.round(F.col("alpha_word_frac") * 10000)
+            .cast("bigint")
+            .alias("x4"),
+        ),
+    )
+
+
+def _logreg_weights(
+    documents: DataFrame, text_col: str, rounds: int
+) -> tuple[list[int], DataFrame]:
+    """Run ``rounds`` of exact-integer batch gradient descent and
+    return (final weights ×10⁶, the persisted feature frame).
+
+    The float boundary is ONE sigmoid per row per round, and its
+    gradient contribution floor(err · x_i) is fixed-pointed PER ROW
+    before the sum — so the five gradient totals are exact bigints in
+    any partition order (the paired-permutation discipline).  The
+    weight update runs in driver Python on exact ints (the k-means
+    collect-per-round pattern: one 1-row collect per round, never
+    data):  w_i += sign · (|G_i| · 10) // n   (lr = 0.1 given the
+    ×10⁴ feature / ×10⁶ weight scales; truncation toward zero,
+    mirrored by the oracle's sign-split CASE)."""
+    feats = _logreg_feature_frame(documents, text_col)
+    n = feats.count()
+    w = [0] * len(LOGREG_FEATURES)
+    xs = ["x0", "x1", "x2", "x3", "x4"]
+    for _ in range(rounds):
+        z_fp = reduce(
+            lambda a, b: a + b,
+            [F.col(x) * F.lit(int(wi)) for x, wi in zip(xs, w)],
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(z_fp.cast("double") / F.lit(1e10)))
+        )
+        err = F.col("label").cast("double") - p
+        sums = feats.agg(
+            *[
+                F.sum(F.floor(err * F.col(x)).cast("bigint")).alias(x)
+                for x in xs
+            ]
+        ).collect()[0]
+        for i, x in enumerate(xs):
+            g = int(sums[x])
+            step = (abs(g) * 10) // n
+            w[i] += step if g >= 0 else -step
+    return w, feats
+
+
+def train_quality_logreg(
+    documents: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """(feature, w_fp): a logistic-regression quality scorer TRAINED
+    inside the engine — batch gradient descent distilling the Gopher
+    rule CONJUNCTION (the label) into a soft linear scorer over the
+    rule's own continuous signals (the model-based quality filter of
+    the fastText/CCNet lineage, reduced to its linear core so every
+    training step is oracle-expressible).
+
+    Scale shape: the feature frame is one Gopher pass (already a
+    catalog cost); each GD round is ONE combinable aggregate over it
+    (five conditional sums) + a 1-row collect — rounds × one scan,
+    the k-means shape, nothing corpus-scaled leaves the executors.
+    The oracle unrolls the same rounds as CTEs, weight arithmetic
+    sign-split so truncation matches Python's int division."""
+    w, feats = _logreg_weights(documents, text_col, rounds)
+    spark = feats.sparkSession
+    return spark.createDataFrame(
+        [(f, int(wi)) for f, wi in zip(LOGREG_FEATURES, w)],
+        "feature string, w_fp bigint",
+    ).orderBy("feature")
+
+
+def quality_logreg_accuracy(
+    documents: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """(n_docs, n_correct, accuracy_fp): training-set accuracy of the
+    :func:`train_quality_logreg` scorer (predict pass iff z ≥ 0) —
+    the one-number acceptance check that the distilled linear model
+    actually reproduces the rule conjunction it was trained on.
+    Exact integers end-to-end: z_fp is a bigint dot product against
+    the collected weights, the comparison is integer, accuracy is
+    ·10⁶ DIV."""
+    w, feats = _logreg_weights(documents, text_col, rounds)
+    xs = ["x0", "x1", "x2", "x3", "x4"]
+    z_fp = reduce(
+        lambda a, b: a + b,
+        [F.col(x) * F.lit(int(wi)) for x, wi in zip(xs, w)],
+    )
+    pred = (z_fp >= 0).cast("int")
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((pred == F.col("label")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "n_docs",
+        "n_correct",
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN CAST(n_correct * 1000000"
+            " DIV n_docs AS BIGINT) ELSE NULL END"
+        ).alias("accuracy_fp"),
+    )

@@ -13824,6 +13824,121 @@ def q_streaming_incremental_spans(spark, sf_dir):
     return latest_spans(spark, store).orderBy("doc_id", "span_start")
 
 
+def _duck_logreg_ctes(rounds: int) -> str:
+    """Unrolled exact-integer logistic-regression training rounds
+    mirroring operators/quality._logreg_weights: fixed-point integer
+    features from the Gopher frame, ONE sigmoid per row per round with
+    the gradient contribution floored PER ROW (exact bigint sums in
+    any order), weight updates sign-split so // truncation matches
+    Python's int division.  Yields CTEs ft, n, and w{rounds} holding
+    the final weights (w0..w4, fp ×10⁶)."""
+    xs = ["x0", "x1", "x2", "x3", "x4"]
+    ctes = [
+        f"""ft AS (
+      SELECT doc_id,
+             CAST({_DUCK_GOPHER_PASS} AS INT) AS label,
+             CAST(10000 AS BIGINT) AS x0,
+             CAST(least(n_words, 1000) * 10 AS BIGINT) AS x1,
+             CAST(round(mean_word_len * 10000) AS BIGINT) AS x2,
+             CAST(round(top_word_ratio * 10000) AS BIGINT) AS x3,
+             CAST(round(alpha_word_frac * 10000) AS BIGINT) AS x4
+      FROM gf
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ft),
+    w0r AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+                   CAST(0 AS BIGINT) AS w4)"""
+    ]
+    for r in range(1, rounds + 1):
+        z = " + ".join(f"ft.{x} * w.w{i}" for i, x in enumerate(xs))
+        err = (
+            "(CAST(label AS DOUBLE) - 1.0 / (1.0 + exp(-("
+            f"CAST({z} AS DOUBLE) / 1e10))))"
+        )
+        gsums = ",\n             ".join(
+            f"CAST(sum(floor({err} * ft.{x})) AS BIGINT) AS g{i}"
+            for i, x in enumerate(xs)
+        )
+        upds = ",\n             ".join(
+            f"w.w{i} + CASE WHEN g.g{i} >= 0"
+            f" THEN (g.g{i} * 10) // nn.n"
+            f" ELSE -((-g.g{i} * 10) // nn.n) END AS w{i}"
+            for i in range(len(xs))
+        )
+        ctes.append(
+            f"""g{r}r AS (
+      SELECT {gsums}
+      FROM ft, w{r - 1}r w
+    ),
+    w{r}r AS (
+      SELECT {upds}
+      FROM w{r - 1}r w, g{r}r g, nn
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "quality_logreg_train",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    {_duck_logreg_ctes(3)}
+    SELECT feature, w_fp FROM (
+      SELECT 'bias' AS feature, w0 AS w_fp FROM w3r
+      UNION ALL SELECT 'n_words', w1 FROM w3r
+      UNION ALL SELECT 'mean_word_len', w2 FROM w3r
+      UNION ALL SELECT 'top_word_ratio', w3 FROM w3r
+      UNION ALL SELECT 'alpha_word_frac', w4 FROM w3r)
+    ORDER BY feature
+    """,
+)
+def q_quality_logreg_train(spark, sf_dir):
+    """A quality classifier TRAINED inside the engine (quality.
+    train_quality_logreg): 3 rounds of exact-integer batch gradient
+    descent distilling the Gopher rule conjunction into a soft linear
+    scorer over its own continuous signals — the model-based quality
+    filter of the fastText/CCNet lineage reduced to its linear core so
+    EVERY training step is value-hash oracled (per-row gradient
+    contributions fixed-pointed before summation; weight updates in
+    exact ints, one 1-row collect per round — the k-means shape)."""
+    from lab3_spark.operators.quality import train_quality_logreg
+
+    return train_quality_logreg(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_logreg_accuracy",
+    f"""
+    WITH {_DUCK_GOPHER_CTES},
+    {_duck_logreg_ctes(3)},
+    scored AS (
+      SELECT ft.label,
+             CASE WHEN ft.x0 * w.w0 + ft.x1 * w.w1 + ft.x2 * w.w2
+                       + ft.x3 * w.w3 + ft.x4 * w.w4 >= 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM ft, w3r w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(CASE WHEN count(*) > 0
+                THEN sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                     * 1000000 // count(*)
+                ELSE NULL END AS BIGINT) AS accuracy_fp
+    FROM scored
+    """,
+)
+def q_quality_logreg_accuracy(spark, sf_dir):
+    """Training-set accuracy of the distilled linear quality scorer
+    (quality.quality_logreg_accuracy): exact-integer dot product
+    against the trained weights, predict pass iff z >= 0 — the
+    acceptance check that the in-engine-trained model reproduces the
+    rule conjunction."""
+    from lab3_spark.operators.quality import quality_logreg_accuracy
+
+    return quality_logreg_accuracy(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_kn_bigram_logprob",
     f"""
@@ -13997,6 +14112,8 @@ ROUND9_NEW = [
     "fuzzy_name_value_pairs",
     "streaming_incremental_spans",
     "doc_kn_bigram_logprob",
+    "quality_logreg_train",
+    "quality_logreg_accuracy",
 ]
 
 _DRIVER_PRIORITY = [
@@ -14048,12 +14165,11 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "top_bigrams",
     "top_customers_per_nation",
-    "ann_lsh_buckets",
-    "bucketed_fact_join",
     # (events_asof_join / events_funnel / doc_gopher_quality /
-    # data_quality_report / cross_source_contamination displaced to r10
-    # by the five late r9 gates — the window holds exactly 50; all
-    # five are r3-green)
+    # data_quality_report / cross_source_contamination /
+    # ann_lsh_buckets / bucketed_fact_join displaced to r10 by the
+    # seven late r9 gates — the window holds exactly 50; all are
+    # r3-green)
     "events_geomean_value",
     # -- beyond: the standing re-confirmation order (driver may check
     #    more than 50 someday; nothing dropped, only reordered).  The

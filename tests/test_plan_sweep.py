@@ -32,6 +32,8 @@ SKIP = {
     "bucketed_fact_join",  # builds the bucketed catalog tables
     "events_zorder_cells",  # writes the clustered layout
     "kmeans_centroids",
+    "quality_logreg_train",  # runs the GD collect loop on construction
+    "quality_logreg_accuracy",  # same
     "ann_ivf_trained",
     "ann_ivf_probe2",
     "ann_ivf_recall",

@@ -228,3 +228,30 @@ def test_kn_probabilities_sum_to_one_over_clean_vocab(spark):
     for w1 in ctx:
         s = sum(p(w1, w2) for w2 in vocab)
         assert 0.9 < s < 1.0, (w1, s)
+
+
+# ----------------------------------- in-engine quality logreg (r9) --
+
+
+def test_quality_logreg_learns_the_conjunction(spark, sf_dir):
+    """Sanity of the distilled scorer: 3 GD rounds must already beat
+    the majority-class baseline on its own training set, and the
+    weight vector must be nonzero and deterministic across runs."""
+    from lab3_spark.operators.quality import (
+        quality_logreg_accuracy,
+        train_quality_logreg,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w1 = {r["feature"]: r["w_fp"] for r in train_quality_logreg(docs).collect()}
+    w2 = {r["feature"]: r["w_fp"] for r in train_quality_logreg(docs).collect()}
+    assert w1 == w2 and any(v != 0 for v in w1.values())
+    acc = quality_logreg_accuracy(docs).collect()[0]
+    base = docs.count()
+    from lab3_spark.operators.textstats import gopher_quality
+
+    n_pass = gopher_quality(docs).where("gopher_pass").count()
+    majority_fp = max(n_pass, base - n_pass) * 1_000_000 // base
+    assert acc["n_docs"] == base
+    assert acc["accuracy_fp"] >= majority_fp

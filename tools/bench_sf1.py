@@ -150,6 +150,7 @@ QUERIES = [
     "pipeline_bigram_ppl_filter",
     "fuzzy_name_value_pairs",
     "doc_kn_bigram_logprob",
+    "quality_logreg_train",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
