@@ -601,6 +601,13 @@ def _logreg_weights(
     mirrored by the oracle's sign-split CASE)."""
     feats = _logreg_feature_frame(documents, text_col)
     n = feats.count()
+    if n == 0:
+        # the engine's empty-input contract (kmeans.py:206): fail
+        # loudly instead of the raw ZeroDivisionError the step
+        # divisor would raise (ADVICE r9) — the oracle's CTE form
+        # yields NULL weights on the same degenerate input, so no
+        # trained model exists for either engine to agree on
+        raise ValueError("empty documents frame: nothing to train on")
     w = [0] * len(LOGREG_FEATURES)
     xs = ["x0", "x1", "x2", "x3", "x4"]
     for _ in range(rounds):

@@ -93,11 +93,25 @@ def start_incremental_spans(
             ["doc_id"]
         )
         jvm = spark._jvm
-        hprev = jvm.org.apache.hadoop.fs.Path(
-            f"{store_path}/gramcounts/version={batch_id - 1}"
+        fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
         )
-        fs = hprev.getFileSystem(spark._jsc.hadoopConfiguration())
-        if batch_id > 0 and not fs.exists(hprev):
+        # wipe guard over ALL THREE prior version dirs (ADVICE r9): a
+        # PARTIAL wipe — say docgrams/ or spans/ deleted while
+        # gramcounts survives — must surface as the documented
+        # refusing-to-dedup RuntimeError, not a raw py4j
+        # FileNotFoundException from spark.read.parquet below
+        missing = [
+            part
+            for part in ("docgrams", "gramcounts", "spans")
+            if batch_id > 0
+            and not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{store_path}/{part}/version={batch_id - 1}"
+                )
+            )
+        ]
+        if missing:
             hstore = jvm.org.apache.hadoop.fs.Path(
                 f"{store_path}/gramcounts"
             )
@@ -111,10 +125,11 @@ def start_incremental_spans(
                 else []
             )
             raise RuntimeError(
-                f"span gram store {store_path}/gramcounts holds versions "
-                f"{existing} but not version={batch_id - 1} expected by "
-                f"incoming batch_id={batch_id}; refusing to dedup against "
-                "lost prior state — start over with a fresh checkpoint "
+                f"span store {store_path} is missing "
+                f"version={batch_id - 1} under {missing} (gramcounts "
+                f"holds versions {existing}) expected by incoming "
+                f"batch_id={batch_id}; refusing to dedup against lost "
+                "prior state — start over with a fresh checkpoint "
                 "(full replay) or restore the store"
             )
         if batch_id > 0:

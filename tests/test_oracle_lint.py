@@ -90,10 +90,11 @@ def test_bench_headline_names_resolve():
 
 
 #: the complete standing bench exclusion list (BASELINE.md
-#: §bench-coverage) — 13 StreamingQuery gates whose wall-clock is
+#: §bench-coverage) — the StreamingQuery gates whose wall-clock is
 #: checkpoint machinery (dataflow priced via batch twins), the two
 #: Python-worker-setup gates, and the byte-parity twin priced via its
-#: sibling.  Extend ONLY with a rationale in BASELINE.md.
+#: sibling.  Counts are derived below (ADVICE r9: hard-coded counts
+#: drifted twice).  Extend ONLY with a rationale in BASELINE.md.
 BENCH_EXCLUSIONS = {
     "streaming_tumbling_5min",
     "streaming_sliding_10m",
@@ -117,7 +118,8 @@ BENCH_EXCLUSIONS = {
 
 def test_bench_rotation_complete():
     """VERDICT r8 item 1, done in round 9: the headline prices EVERY
-    catalog gate except the 16 documented exclusions — a new gate
+    catalog gate except the documented exclusions (len(BENCH_EXCLUSIONS)
+    of them — derived, not hard-coded, per ADVICE r9) — a new gate
     registered without a bench entry (or a silent exclusion) fails
     here, keeping the rotation finished as the catalog grows."""
     import bench
@@ -127,6 +129,11 @@ def test_bench_rotation_complete():
     qs = set(entrymod.queries())
     unpriced = qs - set(bench.HEADLINE)
     assert unpriced == BENCH_EXCLUSIONS
+    n_streaming = sum(
+        1 for n in BENCH_EXCLUSIONS if n.startswith("streaming_")
+    )
+    # the set IS the count authority; bench.py/BASELINE.md quote these
+    assert n_streaming == len(BENCH_EXCLUSIONS) - 3
 
 
 def test_readme_quotes_current_headline_count():
@@ -138,3 +145,34 @@ def test_readme_quotes_current_headline_count():
         os.path.join(os.path.dirname(__file__), "..", "README.md")
     ).read()
     assert f"{len(bench.HEADLINE)} headline queries" in readme
+
+
+def test_readme_quotes_latest_bench_artifact():
+    """VERDICT r9 item 7: the README's authoritative-total sentence
+    must quote the NEWEST archived BENCH_rN.json (round and total),
+    not a stale round's number."""
+    import glob
+    import json
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    arts = sorted(glob.glob(os.path.join(root, "BENCH_r0*.json")))
+    if not arts:
+        pytest.skip("no archived BENCH files")
+    latest = arts[-1]
+    n = int(re.search(r"BENCH_r0*(\d+)\.json", latest).group(1))
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"latest: BENCH_r0*(\d+) = ([\d.]+) s", readme)
+    assert m, "README lost its authoritative-bench quote sentence"
+    assert int(m.group(1)) == n, (
+        f"README quotes BENCH_r{m.group(1)} but the newest artifact "
+        f"is round {n}"
+    )
+    # the quoted total must match the artifact's tail value
+    tail = json.load(open(latest)).get("tail", "")
+    vm = re.search(r'"value": ([\d.]+)', tail)
+    if vm:
+        assert abs(float(m.group(2)) - float(vm.group(1))) < 0.15, (
+            f"README quotes {m.group(2)} s but BENCH_r{n:02d} records "
+            f"{vm.group(1)} s"
+        )
