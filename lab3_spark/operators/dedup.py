@@ -284,6 +284,117 @@ def spans_from_hits(
     )
 
 
+def merge_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, a, b): the INTERVAL UNION of a (doc_id, span_start,
+    span_end) frame — overlapping/adjacent-overlap islands merged with
+    the classic running-max-of-ends fold (a new merged group starts
+    when a span's start clears every previous end).  Shared by the
+    removal ACCOUNTING (:func:`span_removal_by_source`) and the
+    removal APPLY (:func:`apply_span_removal`) so the two can never
+    disagree on what token range "the remove action" covers.  The
+    merge window is per-document over the spans frame — candidate
+    scale, bounded by spans-per-doc."""
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        spans.withColumn("prev_max_end", F.max("span_end").over(w))
+        .withColumn(
+            "new_grp",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("span_start") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(
+                Window.partitionBy("doc_id")
+                .orderBy("span_start")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("span_start").cast("bigint").alias("a"),
+            F.max("span_end").cast("bigint").alias("b"),
+        )
+        .select("doc_id", "a", "b")
+    )
+
+
+def apply_span_removal(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_span_tokens: int = 50,
+) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, removed_tokens, clean_text):
+    the exact-substring remove action APPLIED — Lee et al. 2022 §3's
+    deduplicated corpus, re-emitted.  :func:`exact_substring_spans`
+    finds the ≥ min_span_tokens duplicated token ranges,
+    :func:`merge_spans` unions overlaps, and every token whose
+    0-based position falls inside a merged [a, b) interval is excised;
+    the survivors are re-joined into ``clean_text`` (the frame a
+    downstream packing / LM-training stage consumes — the ExactSubstr
+    analogue of :func:`decontaminate_train`).
+
+    Scale shape: spans are candidate scale (docs holding a duplicated
+    run), so the per-doc interval array is tiny and the docs↔intervals
+    equi-join broadcasts at corpus scale; the excision itself is ONE
+    row-local higher-order-function pass (filter over (token, pos)
+    pairs against the bounded interval array) — no extra shuffle, no
+    per-token explode.  Docs with no span pass through verbatim
+    (kept_tokens = n_tokens); a fully-covered doc survives as an
+    empty string, the paper's remove-don't-drop semantics (dropping
+    whole documents would discard the unique prefix/suffix text)."""
+    spans = exact_substring_spans(documents, text_col, n, min_span_tokens)
+    iv = (
+        merge_spans(spans)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("a", "b")).alias("iv"))
+    )
+    toks = tokenize(text_col)
+    docs = spread(documents).select("doc_id", toks.alias("toks"))
+    # coalesce to an EMPTY interval array: a NULL iv (doc never
+    # flagged) would make exists() NULL and the filter lambda would
+    # silently drop every token of every clean document
+    empty = F.array().cast("array<struct<a:bigint,b:bigint>>")
+    ivc = F.coalesce(F.col("iv"), empty)
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.struct(t.alias("t"), i.cast("bigint").alias("i")),
+        ),
+        lambda s: ~F.exists(
+            ivc, lambda sp: (s["i"] >= sp["a"]) & (s["i"] < sp["b"])
+        ),
+    )
+    return (
+        docs.join(iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("bigint").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept"))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.array_join(
+                F.transform(F.col("kept"), lambda s: s["t"]), " "
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def edit_distance_value_pairs(
     values: DataFrame, col: str, d: int = 2
 ) -> DataFrame:
@@ -454,35 +565,12 @@ def span_removal_by_source(
     with a ≥ min_span duplicated run), bounded by doc length.
     removed_frac_fp = removed·10⁶ DIV total, exact bigint."""
     spans = exact_substring_spans(documents, text_col, n, min_span_tokens)
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("span_start")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     merged = (
-        spans.withColumn("prev_max_end", F.max("span_end").over(w))
-        .withColumn(
-            "new_grp",
-            F.when(
-                F.col("prev_max_end").isNull()
-                | (F.col("span_start") > F.col("prev_max_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "grp",
-            F.sum("new_grp").over(
-                Window.partitionBy("doc_id")
-                .orderBy("span_start")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("doc_id", "grp")
-        .agg(
-            (F.max("span_end") - F.min("span_start")).alias("covered")
-        )
+        merge_spans(spans)
         .groupBy("doc_id")
-        .agg(F.sum("covered").cast("bigint").alias("removed"))
+        .agg(
+            F.sum(F.col("b") - F.col("a")).cast("bigint").alias("removed")
+        )
     )
     per_doc = spread(documents).select(
         "doc_id",
@@ -518,8 +606,12 @@ def span_removal_by_source(
     )
 
 
-def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, shingle): DISTINCT word n-grams per doc (docs with
+def _doc_shingles(
+    documents: DataFrame,
+    text_col: str,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*key_cols, shingle): DISTINCT word n-grams per unit (units with
     < SHINGLE_N tokens are excluded — no shingle exists)."""
     # repartition first: shingling + salting + md5 are the CPU hot
     # path and the testdata parquet is a single row group (one scan
@@ -533,7 +625,9 @@ def _doc_shingles(documents: DataFrame, text_col: str) -> DataFrame:
     return (
         spread(documents)
         .where(F.size(toks) >= SHINGLE_N)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            *key_cols, F.explode(F.array_distinct(grams)).alias("shingle")
+        )
     )
 
 
@@ -541,27 +635,36 @@ def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """(doc_id, sig array<string>): N_HASHES lexicographic-min md5
+    """(*key_cols, sig array<string>): N_HASHES lexicographic-min md5
     minhashes, one per salt.  min(md5(salt|shingle)) over a uniformly
     hashed shingle set is a valid permutation-min — and portable, so
     the DuckDB oracle computes the identical signature.
 
     `shingles` lets callers share one (ideally persisted) shingle
     DataFrame across pipeline stages instead of re-tokenizing the
-    corpus per stage."""
-    sh = shingles if shingles is not None else _doc_shingles(documents, text_col)
+    corpus per stage.  `key_cols` generalizes the signature unit from
+    documents to any finer grain — (doc_id, para_idx) gives the
+    paragraph-level dedup of the RefinedWeb/Dolma recipe — without
+    touching the doc-level callers (default unchanged)."""
+    keys = list(key_cols)
+    sh = (
+        shingles
+        if shingles is not None
+        else _doc_shingles(documents, text_col, key_cols=key_cols)
+    )
     salted = sh.select(
-        "doc_id",
+        *keys,
         F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("salt"),
         "shingle",
     )
-    mh = salted.groupBy("doc_id", "salt").agg(
+    mh = salted.groupBy(*keys, "salt").agg(
         F.min(
             F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
         ).alias("mh")
     )
-    return mh.groupBy("doc_id").agg(
+    return mh.groupBy(*keys).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("salt", "mh"))), lambda s: s["mh"]
         ).alias("sig")
@@ -606,18 +709,23 @@ def minhash_band_keys(
     documents: DataFrame,
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """(doc_id, band, band_key): each doc's LSH band bucket keys —
+    """(*key_cols, band, band_key): each unit's LSH band bucket keys —
     the unit of blocking shared by batch candidate generation
-    (`minhash_candidates`) and the streaming near-dup flagging store
-    (`streaming/lsh_flag.py`)."""
-    sig = minhash_signatures(documents, text_col, shingles=shingles)
+    (`minhash_candidates`), the streaming near-dup flagging store
+    (`streaming/lsh_flag.py`), and the paragraph-grain dedup
+    (`paragraph_minhash_duplicates`, key_cols=(doc_id, para_idx))."""
+    keys = list(key_cols)
+    sig = minhash_signatures(
+        documents, text_col, shingles=shingles, key_cols=key_cols
+    )
     return sig.select(
-        "doc_id",
+        *keys,
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
         "sig",
     ).select(
-        "doc_id",
+        *keys,
         "band",
         F.md5(
             F.concat_ws(
@@ -656,6 +764,125 @@ def _minhash_candidates_build(
         )
         .agg(F.count("*").alias("n_bands"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def paragraph_frame(
+    documents: DataFrame,
+    text_col: str = "text",
+    delimiter: str | None = None,
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, para_idx, para_text): sub-document units for
+    paragraph-grain dedup.  ``delimiter`` (a regex, e.g. ``'\\n+'``)
+    is the real-corpus path — the RefinedWeb/Dolma curation standard
+    splits on newlines; ``block_tokens`` cuts the token stream into
+    fixed-size blocks instead — the stand-in grain for corpora
+    WITHOUT newline structure (the synthetic testdata has none; the
+    planted-boilerplate tests exercise the delimiter path).  Exactly
+    one must be given.  para_idx is the 0-based ORIGINAL position
+    (post-drop renumbering would misalign against the source doc);
+    empty/whitespace-only paragraphs are dropped.  Pure in-row
+    explode — no shuffle."""
+    if (delimiter is None) == (block_tokens is None):
+        raise ValueError("give exactly one of delimiter / block_tokens")
+    base = spread(documents)
+    if delimiter is not None:
+        return (
+            base.select(
+                "doc_id",
+                F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+                    "para_idx", "para_text"
+                ),
+            )
+            .where(F.length(F.trim("para_text")) > 0)
+            .select(
+                "doc_id",
+                F.col("para_idx").cast("bigint").alias("para_idx"),
+                "para_text",
+            )
+        )
+    toks = tokenize(text_col)
+    nblocks = F.ceil(F.size(toks) / F.lit(block_tokens))
+    return (
+        base.where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (nblocks - 1).cast("int")),
+                    lambda b: F.concat_ws(
+                        " ", F.slice(toks, b * block_tokens + 1, block_tokens)
+                    ),
+                )
+            ).alias("para_idx", "para_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("bigint").alias("para_idx"),
+            "para_text",
+        )
+    )
+
+
+def paragraph_minhash_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    delimiter: str | None = None,
+    block_tokens: int | None = None,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """(doc_a, para_a, doc_b, para_b, n_bands): near-duplicate
+    PARAGRAPH pairs via banded MinHash-LSH at (doc_id, para_idx)
+    grain — the below-document boilerplate-removal pass of the
+    RefinedWeb/Dolma curation standard (repeated headers, footers,
+    navigation blocks that document-level MinHash cannot see because
+    the surrounding text differs).
+
+    Reuses the document-level LSH machinery VERBATIM
+    (minhash_band_keys with key_cols=(doc_id, para_idx)): same
+    shingling, same salted-md5 permutation-min, same band hashing —
+    so candidate generation stays a banded EQUI-join on
+    (band, band_key), never all-pairs, with the same ``max_bucket``
+    degenerate-bucket guard.  Within-document pairs are kept (a doc
+    repeating its own boilerplate is dedup-worthy); the pair order is
+    lexicographic on (doc_id, para_idx).  Paragraphs shorter than
+    SHINGLE_N tokens have no shingle and drop out, exactly as
+    sub-shingle documents do at doc grain."""
+    paras = paragraph_frame(
+        documents, text_col, delimiter=delimiter, block_tokens=block_tokens
+    )
+    bands = minhash_band_keys(
+        paras, "para_text", key_cols=("doc_id", "para_idx")
+    )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n"),
+            ["band", "band_key"],
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    lt = (F.col("a.doc_id") < F.col("b.doc_id")) | (
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.para_idx") < F.col("b.para_idx"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & lt,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.para_idx").alias("para_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.para_idx").alias("para_b"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+        .orderBy("doc_a", "para_a", "doc_b", "para_b")
     )
 
 

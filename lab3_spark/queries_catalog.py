@@ -14013,6 +14013,161 @@ def q_doc_kn_bigram_logprob(spark, sf_dir):
     return kn_bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "pipeline_span_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    runs AS (
+      SELECT doc_id, min(pos) AS s, count(*) + 4 AS st
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM g WHERE gram IN (SELECT gram FROM dup))
+      GROUP BY doc_id, grp
+    ),
+    spans AS (
+      SELECT doc_id, s AS a, s + st AS b FROM runs WHERE st >= 50
+    ),
+    flg AS (
+      SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS ng
+      FROM (SELECT doc_id, a, b,
+                   max(b) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM spans)
+    ),
+    mi AS (
+      SELECT doc_id, min(a) AS a, max(b) AS b
+      FROM (SELECT doc_id, a, b,
+                   sum(ng) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS grp
+            FROM flg)
+      GROUP BY doc_id, grp
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 1)
+    ),
+    keptpos AS (
+      SELECT pos.doc_id, p, tok FROM pos
+      WHERE NOT EXISTS (SELECT 1 FROM mi
+                        WHERE mi.doc_id = pos.doc_id
+                          AND p >= mi.a AND p < mi.b)
+    ),
+    clean AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS cmd5
+      FROM keptpos GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(clean.kept, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(toks) - coalesce(clean.kept, 0) AS BIGINT)
+             AS removed_tokens,
+           coalesce(clean.cmd5, md5('')) AS clean_md5
+    FROM t LEFT JOIN clean USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_span_removal(spark, sf_dir):
+    """The exact-substring remove action APPLIED (dedup.
+    apply_span_removal, VERDICT r9 item 4): merged ≥50-token
+    duplicated spans are excised from every document's token stream
+    and the survivors re-emitted as the cleaned corpus — Lee et al.
+    2022 §3's deduplicated TRAIN set, the ExactSubstr analogue of
+    decontaminate_train.  clean_md5 hashes the re-emitted text
+    itself, so the gate pins the excision byte-for-byte (not just the
+    counts); overlapping islands go through the shared merge_spans
+    interval union, and removed_tokens here must equal
+    dedup_span_removal_by_source's accounting by construction (same
+    fold, test-pinned)."""
+    from lab3_spark.operators.dedup import apply_span_removal
+
+    return apply_span_removal(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
+    "dedup_paragraph_minhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    pt AS (
+      SELECT doc_id, CAST(b AS BIGINT) AS para_idx,
+             toks[b*32+1:(b+1)*32] AS ptoks
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks)/32.0) AS BIGINT))) AS b
+            FROM t WHERE len(toks) >= 1)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, para_idx,
+             array_to_string(ptoks[j:j+2], ' ') AS shingle
+      FROM (SELECT doc_id, para_idx, ptoks,
+                   unnest(generate_series(1, len(ptoks) - 2)) AS j
+            FROM pt WHERE len(ptoks) >= 3)
+    ),
+    mh AS (
+      SELECT doc_id, para_idx, salt,
+             min(md5(concat(salt, '|', shingle))) AS mh
+      FROM sh, (SELECT unnest(range(0, 16)) AS salt) salts
+      GROUP BY doc_id, para_idx, salt
+    ),
+    sig AS (SELECT doc_id, para_idx, list(mh ORDER BY salt) AS sig
+            FROM mh GROUP BY doc_id, para_idx),
+    bands AS (
+      SELECT doc_id, para_idx, b,
+             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
+    ),
+    sized AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY b, band_key) <= 64
+    )
+    SELECT a.doc_id AS doc_a, a.para_idx AS para_a,
+           bb.doc_id AS doc_b, bb.para_idx AS para_b,
+           CAST(count(*) AS BIGINT) AS n_bands
+    FROM sized a JOIN sized bb
+      ON a.b = bb.b AND a.band_key = bb.band_key
+     AND (a.doc_id < bb.doc_id
+          OR (a.doc_id = bb.doc_id AND a.para_idx < bb.para_idx))
+    GROUP BY 1, 2, 3, 4
+    ORDER BY doc_a, para_a, doc_b, para_b
+    """,
+)
+def q_dedup_paragraph_minhash(spark, sf_dir):
+    """Paragraph-grain MinHash-LSH near-dup pairs (dedup.
+    paragraph_minhash_duplicates, VERDICT r9 item 5): the
+    RefinedWeb/Dolma below-document boilerplate pass, reusing the
+    doc-level LSH machinery verbatim via key_cols=(doc_id, para_idx)
+    — same shingles, salted-md5 permutation-min, 4×4 banding, and
+    max_bucket=64 degenerate guard; candidates stay a banded
+    EQUI-join, never all-pairs.  The synthetic corpus has no newline
+    structure, so the gate uses the 32-token block grain
+    (paragraph_frame(block_tokens=32)); the delimiter path is pinned
+    by the planted-boilerplate tests (test_round10_batch1)."""
+    from lab3_spark.operators.dedup import paragraph_minhash_duplicates
+
+    return paragraph_minhash_duplicates(
+        _t(spark, sf_dir, "documents"), block_tokens=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

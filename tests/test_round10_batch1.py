@@ -17,6 +17,141 @@ def test_logreg_empty_documents_raises_value_error(spark):
         train_quality_logreg(empty).collect()
 
 
+def test_apply_span_removal_excises_planted_block(spark):
+    """VERDICT r9 item 4: the remove action applied.  Docs 1/2 share
+    an 8-token block (n=3, min_span=6): doc 1 keeps only its unique
+    tail, doc 2 (block only) survives as an empty string (remove-not-
+    drop), doc 3 (all unique) passes through verbatim."""
+    from lab3_spark.operators.dedup import apply_span_removal
+
+    block = "sa sb sc sd se sf sg sh"
+    docs = spark.createDataFrame(
+        [
+            (1, block + " taila tailb"),
+            (2, block),
+            (3, "ua ub uc ud ue uf ug"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in apply_span_removal(
+            docs, n=3, min_span_tokens=6
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "taila tailb"
+    assert (got[1]["n_tokens"], got[1]["kept_tokens"]) == (10, 2)
+    assert got[2]["clean_text"] == "" and got[2]["kept_tokens"] == 0
+    assert got[3]["clean_text"] == "ua ub uc ud ue uf ug"
+    assert got[3]["removed_tokens"] == 0
+
+
+def test_apply_span_removal_matches_accounting(spark, sf_dir):
+    """apply_span_removal's per-doc removed_tokens must sum to exactly
+    what span_removal_by_source's interval-union accounting reports —
+    the two share merge_spans, and this pins that they stay shared."""
+    from lab3_spark.operators.dedup import (
+        apply_span_removal,
+        span_removal_by_source,
+    )
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    applied = apply_span_removal(docs)
+    total_removed = applied.agg(
+        F.sum("removed_tokens").cast("bigint")
+    ).collect()[0][0]
+    accounted = (
+        span_removal_by_source(docs)
+        .agg(F.sum("removed_tokens").cast("bigint"))
+        .collect()[0][0]
+    )
+    assert total_removed == accounted
+    # excision really re-emits text: kept == tokens of clean_text
+    bad = applied.where(
+        F.size(F.split(F.col("clean_text"), " "))
+        - F.when(F.col("clean_text") == "", 1).otherwise(0)
+        != F.col("kept_tokens")
+    ).count()
+    assert bad == 0
+
+
+def test_merge_spans_overlapping_islands(spark):
+    """Interval union on overlapping + touching + disjoint spans."""
+    from lab3_spark.operators.dedup import merge_spans
+
+    spans = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 12), (1, 12, 20),  # overlap then touch
+            (1, 30, 40),                          # disjoint
+            (2, 3, 7),
+        ],
+        "doc_id bigint, span_start bigint, span_end bigint",
+    )
+    got = sorted(
+        (r["doc_id"], r["a"], r["b"]) for r in merge_spans(spans).collect()
+    )
+    # touching at 12: span [12,20) starts at prev max end 12, NOT
+    # strictly greater -> merged (tokens 0..19 contiguous removal)
+    assert got == [(1, 0, 20), (1, 30, 40), (2, 3, 7)]
+
+
+def test_paragraph_frame_semantics(spark):
+    from lab3_spark.operators.dedup import paragraph_frame
+
+    docs = spark.createDataFrame(
+        [(1, "first para here\n\n  \nthird para here")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r["para_idx"], r["para_text"])
+        for r in paragraph_frame(docs, delimiter="\n").collect()
+    )
+    # whitespace-only paragraph dropped; ORIGINAL indices kept
+    assert rows == [(0, "first para here"), (3, "third para here")]
+    blocks = sorted(
+        (r["para_idx"], r["para_text"])
+        for r in paragraph_frame(docs, block_tokens=4).collect()
+    )
+    assert blocks == [
+        (0, "first para here third"),
+        (1, "para here"),
+    ]
+    with pytest.raises(ValueError, match="exactly one"):
+        paragraph_frame(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        paragraph_frame(docs, delimiter="\n", block_tokens=4)
+
+
+def test_paragraph_minhash_planted_boilerplate(spark):
+    """RefinedWeb-style: three docs share a verbatim boilerplate
+    paragraph while their body paragraphs are disjoint — the pairs
+    must be exactly the boilerplate cross-pairs, all 4 bands, and a
+    within-doc repeat must also surface."""
+    from lab3_spark.operators.dedup import paragraph_minhash_duplicates
+
+    bp = "subscribe to our newsletter for updates every single week"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon\n" + bp),
+            (2, bp + "\nzeta eta theta iota kappa"),
+            (3, "lam mu nu xi omicron\n" + bp + "\n" + bp),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        ((r["doc_a"], r["para_a"]), (r["doc_b"], r["para_b"])): r["n_bands"]
+        for r in paragraph_minhash_duplicates(docs, delimiter="\n").collect()
+    }
+    bp_units = [(1, 1), (2, 0), (3, 1), (3, 2)]
+    expected = {
+        (u, v): 4
+        for i, u in enumerate(bp_units)
+        for v in bp_units[i + 1 :]
+    }
+    assert got == expected
+
+
 def test_incremental_spans_refuses_partially_wiped_store(spark, tmp_path):
     """ADVICE r9: a PARTIAL wipe (spans/ deleted, gramcounts/ intact)
     must surface the documented refusing-to-dedup RuntimeError, not a
