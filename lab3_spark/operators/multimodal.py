@@ -216,6 +216,124 @@ def byte_chunks(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     )
 
 
+DHASH_GRID = 72  # 8 rows x 9 cols of cell brightnesses -> 64 bits
+DHASH_CHUNKS = 7  # pigeonhole: hamming <= 6 => >= 1 equal chunk
+
+
+def dhash_chunks(media: DataFrame) -> DataFrame:
+    """(doc_id, dhash, c, cv): the difference hash (dHash, public —
+    the standard perceptual image hash: downsample to a 9×8 grid,
+    emit one bit per horizontally adjacent cell pair, brighter-right
+    = 1) over the DECODED pixel surface, plus its 7 pigeonhole chunk
+    values for hamming-≤6 blocking.
+
+    The "pixels" are the fake-decode stand-in: cell (r, c) brightness
+    is the byte-sum of the content slice [j·n/72, (j+1)·n/72),
+    j = r·9+c — exactly what a real decoder produces after grayscale
+    downsampling to the 9×8 grid, with the byte stream standing in
+    for the pixel stream (the documented Pillow-absence contract;
+    the payload is utf-8 text so a SQL oracle recomputes every bit).
+    Brightness comparison is exact-integer cross-multiplied means
+    (s₂·l₁ > s₁·l₂ — slice lengths differ when n ∤ 72, and an empty
+    slice compares false deterministically).  The packed hash is
+    two's-complement 64-bit (bit 63 subtracts 2⁶³) so Spark BIGINT
+    xor/bit_count and the oracle agree bit-for-bit."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, dhs, cs, cvs = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(b)
+                bounds = [(j * n) // DHASH_GRID for j in range(DHASH_GRID + 1)]
+                s = [
+                    int(b[bounds[j] : bounds[j + 1]].sum())
+                    for j in range(DHASH_GRID)
+                ]
+                ln = [bounds[j + 1] - bounds[j] for j in range(DHASH_GRID)]
+                bits = []
+                for r in range(8):
+                    for c in range(8):
+                        i1, i2 = r * 9 + c, r * 9 + c + 1
+                        bits.append(
+                            1 if s[i2] * ln[i1] > s[i1] * ln[i2] else 0
+                        )
+                h = sum(bits[i] << i for i in range(63)) - (bits[63] << 63)
+                for ci in range(DHASH_CHUNKS):
+                    lo = (ci * 64) // DHASH_CHUNKS
+                    hi = ((ci + 1) * 64) // DHASH_CHUNKS
+                    cv = sum(bits[i] << (i - lo) for i in range(lo, hi))
+                    ids.append(doc_id)
+                    dhs.append(h)
+                    cs.append(ci)
+                    cvs.append(cv)
+            yield pd.DataFrame(
+                {"doc_id": ids, "dhash": dhs, "c": cs, "cv": cvs}
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id bigint, dhash bigint, c int, cv bigint"
+    )
+
+
+def dhash_near_dups(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, n_equal_chunks, hamming, is_near): perceptual
+    dHash image near-dup for the multimodal column (VERDICT r9 item
+    6).  Candidate generation is the SimHash-style pigeonhole chunk
+    EQUI-join: hamming(a, b) ≤ 6 flips at most 6 of the 7 chunks, so
+    every near pair shares ≥ 1 exact (c, cv) bucket — provably never
+    all-pairs; verification is one bit_count(xor) on the packed
+    64-bit hashes.  ALL bucket-sharing candidates are emitted with
+    their exact hamming and the is_near ≤ max_hamming verdict, so
+    the gate value-checks the complete candidate surface, not just
+    the (possibly empty) near set; ``max_bucket`` drops degenerate
+    buckets exactly as dedup.minhash_candidates does."""
+    ch = dhash_chunks(attach_media(documents))
+    if max_bucket is not None:
+        sizes = ch.groupBy("c", "cv").agg(F.count("*").alias("_n"))
+        ch = ch.join(
+            sizes.where(F.col("_n") <= max_bucket).drop("_n"), ["c", "cv"]
+        )
+    a, b = ch.alias("a"), ch.alias("b")
+    ham = F.bit_count(
+        F.col("dhash_a").bitwiseXOR(F.col("dhash_b"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_equal_chunks"),
+            F.min("a.dhash").alias("dhash_a"),
+            F.min("b.dhash").alias("dhash_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_equal_chunks",
+            ham.alias("hamming"),
+            F.when(ham <= max_hamming, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_near"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 PHASH_CHUNKS = 16
 PHASH_HEX = 3  # 12-bit chunk values: 4096 buckets per position
 

@@ -14168,6 +14168,96 @@ def q_dedup_paragraph_minhash(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH n AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+    cells AS (
+      SELECT doc_id, j, (j*nb)//72 AS lo, ((j+1)*nb)//72 AS hi
+      FROM n, (SELECT unnest(range(0, 72)) AS j) js
+    ),
+    byt AS (
+      SELECT doc_id, i - 1 AS p,
+             ord(substr(text, CAST(i AS INT), 1)) AS v
+      FROM (SELECT doc_id, text, unnest(generate_series(1, nb)) AS i
+            FROM n)
+    ),
+    bysum AS (
+      SELECT c.doc_id, c.j, CAST(sum(v) AS BIGINT) AS s
+      FROM cells c JOIN byt ON byt.doc_id = c.doc_id
+                           AND byt.p >= c.lo AND byt.p < c.hi
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT c.doc_id, c.j, CAST(c.hi - c.lo AS BIGINT) AS l,
+             CAST(coalesce(s, 0) AS BIGINT) AS s
+      FROM cells c LEFT JOIN bysum USING (doc_id, j)
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit,
+             CASE WHEN b.s * a.l > a.s * b.l THEN 1 ELSE 0 END AS v
+      FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+      WHERE a.j % 9 < 8
+    ),
+    hsh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 63
+                      THEN v * (-9223372036854775807 - 1)
+                      ELSE v * (CAST(1 AS BIGINT) << CAST(bit AS INT)) END)
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, c,
+             CAST(sum(v * (CAST(1 AS BIGINT)
+                           << CAST(bit - (c * 64) // 7 AS INT)))
+                  AS BIGINT) AS cv
+      FROM bits, (SELECT unnest(range(0, 7)) AS c) cc
+      WHERE bit >= (c * 64) // 7 AND bit < ((c + 1) * 64) // 7
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT * FROM chunks
+      QUALIFY count(*) OVER (PARTITION BY c, cv) <= 64
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_equal_chunks
+      FROM sized a JOIN sized b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_equal_chunks,
+           CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN bit_count(xor(ha.dhash, hb.dhash)) <= 6
+                THEN 1 ELSE 0 END AS BIGINT) AS is_near
+    FROM cand JOIN hsh ha ON ha.doc_id = cand.doc_a
+              JOIN hsh hb ON hb.doc_id = cand.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash (dHash) image near-dup over the DECODED pixel
+    surface (multimodal.dhash_near_dups, VERDICT r9 item 6) — the
+    classic difference hash: 9×8 grayscale grid, one bit per
+    horizontally adjacent cell pair, hamming ≤ 6 complete via the
+    SimHash-pigeonhole 7-chunk equi-join (never all-pairs), verified
+    with ONE bit_count(xor) on the packed two's-complement hash.
+    The grid cells come from the fake-decode byte stream (the
+    Pillow-absence contract: byte-slice sums stand in for grayscale
+    downsampling, keeping every bit SQL-recomputable); the full
+    candidate surface is emitted with exact hamming + is_near
+    verdict, so the gate value-checks thousands of rows even when the
+    synthetic corpus has no true near-dup image (planted near-dup
+    pairs are pinned in tests/test_round10_batch1.py).  Distinct
+    from multimodal_phash_near_dup (r6): that gate block-hashes the
+    RAW BYTES positionally; this one hashes the decoded-surface
+    GRADIENT, the real dHash contract."""
+    from lab3_spark.operators.multimodal import dhash_near_dups
+
+    return dhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -14214,16 +14304,22 @@ def q_dedup_paragraph_minhash(spark, sf_dir):
 # pinned doc_id), then the 41 OLDEST green rows (r1 + the whole r2 era
 # + the first r3 slice, straight from tools/window_age.py).
 #
-# ROUND-10 HANDOFF: if CORRECTNESS_r09 is green, budget the same way —
+# ROUND-10 CURATION (the r9 handoff executed): CORRECTNESS_r09 came
+# back 50/50 green.  The 50 slots: the 3 new round-10 gates, the 7
+# gates whose operator changed (ADVICE r9 guards, minhash key_cols
+# generalization, merge_spans factoring), then the ENTIRE remaining
+# r3 era — 40 gates straight from tools/window_age.py, leaving r4 as
+# the oldest surviving driver-row era.
+#
+# ROUND-11 HANDOFF: if CORRECTNESS_r10 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
-# re-confirmations from `python tools/window_age.py` (next up: the 5
-# gates the late r9 additions displaced — events_asof_join,
-# events_funnel, doc_gopher_quality, data_quality_report,
-# cross_source_contamination — then the remaining r3 era:
-# events_props_from_json, events_props_variant, events_sessionize,
-# events_zorder_cells, hourly_spine_recursive,
-# mapreduce_facade_wordcount, multimodal_features, …).  Update
-# test_driver_window_leads_with_round9_priorities when reordering.
+# re-confirmations from `python tools/window_age.py` (next up: the r4
+# era — above_avg_spenders, ann_bruteforce_l2_top5,
+# ann_hash_embedding_top5, ann_ivf_probe2, ann_ivf_recall,
+# ann_pq_adc_top5, ann_pq_recall, ann_pq_rerank, bm25_top_docs,
+# customers_without_orders, dedup_keep_best, dedup_repeated_chunks,
+# doc_chunks, doc_dsir_weights, …).  Update
+# test_driver_window_leads_with_round10_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
 ROUND8_NEW = [
@@ -14256,6 +14352,13 @@ ROUND8_NEW = [
     "streaming_incremental_lsh",
 ]
 
+#: the round-10 additions, in window order — same lint contract.
+ROUND10_NEW = [
+    "pipeline_span_removal",
+    "dedup_paragraph_minhash",
+    "multimodal_phash_dedup",
+]
+
 #: the round-9 additions, in window order — same lint contract.
 ROUND9_NEW = [
     "dedup_exact_substring_spans",
@@ -14272,9 +14375,68 @@ ROUND9_NEW = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-9 WINDOW (CORRECTNESS_r08 came back 50/50 green; budgeted
-    # with tools/window_age.py per the r8 handoff):
-    # -- new round-9 gates (no driver row yet) ------------------------
+    # ROUND-10 WINDOW (CORRECTNESS_r09 came back 50/50 green; budgeted
+    # with tools/window_age.py per the r9 handoff):
+    # -- new round-10 gates (no driver row yet) -----------------------
+    *ROUND10_NEW,
+    # -- operator changed this round (ADVICE r9 empty-input /
+    #    wipe-guard fixes + the key_cols generalization of the minhash
+    #    machinery + the merge_spans factoring); results unchanged by
+    #    construction, fresh rows confirm it ---------------------------
+    "quality_logreg_train",
+    "quality_logreg_accuracy",
+    "streaming_incremental_spans",
+    "dedup_span_removal_by_source",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "streaming_incremental_lsh",
+    # -- oldest-green re-confirmations (window_age.py oldest-first):
+    #    the ENTIRE remaining r3 era — 40 gates, filling the window to
+    #    exactly 50 and leaving r4 as the oldest surviving era ---------
+    "ann_lsh_buckets",
+    "bucketed_fact_join",
+    "cross_source_contamination",
+    "data_quality_report",
+    "doc_gopher_quality",
+    "events_asof_join",
+    "events_funnel",
+    "events_props_from_json",
+    "events_props_variant",
+    "events_sessionize",
+    "events_zorder_cells",
+    "hourly_spine_recursive",
+    "mapreduce_facade_wordcount",
+    "multimodal_features",
+    "order_total_deciles",
+    "pack_training_sequences",
+    "pagerank_candidates",
+    "pipeline_dedup_to_packing",
+    "pmi_collocations",
+    "posting_pairs_scale_form",
+    "profile_orders",
+    "q10_returned_customers",
+    "q11_important_parts",
+    "q12_latency_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_bracket_revenue",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "stratified_sample_documents",
+    "streaming_tumbling_5min",
+    "train_val_test_split",
+    "word_count_antijoin",
+    # -- beyond: the r9 window order then the standing tail (driver
+    #    may check more than 50 someday; nothing dropped, only
+    #    reordered — duplicate names below collapse to their first
+    #    position in the dict rebuild) --------------------------------
     *ROUND9_NEW,
     # -- oracle SQL changed this round (ADVICE r8: the seg{r} LEFT-JOIN
     #    exhaustion guard rewrites _duck_bpe_ctes, shared by both) ----

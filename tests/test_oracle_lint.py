@@ -21,29 +21,32 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_round9_priorities():
-    """Round-9 curation contract: the window leads with (1) the new
-    round-9 gates (no driver row anywhere), (2) the 2 gates whose
-    shared BPE oracle CTEs gained the ADVICE-r8 exhaustion guard,
-    (3) the 3 gates whose operator changed (ranged packing offsets /
-    pinned doc_id), then the oldest-green re-confirmations —
+def test_driver_window_leads_with_round10_priorities():
+    """Round-10 curation contract: the window leads with (1) the new
+    round-10 gates (no driver row anywhere), (2) the 7 gates whose
+    operator changed (ADVICE r9 guards, minhash key_cols
+    generalization, merge_spans factoring), then (3) the oldest-green
+    re-confirmations — the ENTIRE remaining r3 driver-row era —
     everything needing a FIRST or FRESH driver row sits inside the
     50-slot window."""
     import __spark_entry__ as entrymod
-    from lab3_spark.queries_catalog import ROUND9_NEW
+    from lab3_spark.queries_catalog import ROUND10_NEW
 
     order = list(entrymod.queries())
-    n_new = len(ROUND9_NEW)
-    assert order[:n_new] == ROUND9_NEW
-    assert order[n_new : n_new + 5] == [
-        "bpe_merges_k",
-        "bpe_apply_compression",
-        "packing_fragmentation_curve",
-        "split_leakage_neardup",
-        "decontaminate_train",
+    n_new = len(ROUND10_NEW)
+    assert order[:n_new] == ROUND10_NEW
+    assert order[n_new : n_new + 7] == [
+        "quality_logreg_train",
+        "quality_logreg_accuracy",
+        "streaming_incremental_spans",
+        "dedup_span_removal_by_source",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "streaming_incremental_lsh",
     ]
     # oldest-green refill begins immediately after the changed gates
-    assert order[n_new + 5] == "top_words_per_source"
+    assert order[n_new + 7] == "ann_lsh_buckets"
+    assert order[49] == "word_count_antijoin"  # r3 era fully cleared
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

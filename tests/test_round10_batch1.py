@@ -152,6 +152,49 @@ def test_paragraph_minhash_planted_boilerplate(spark):
     assert got == expected
 
 
+def test_dhash_near_dup_planted_pair(spark):
+    """dHash semantics: a one-character edit moves one grid cell's
+    brightness, flipping at most 2 of the 64 gradient bits — the pair
+    must surface through the pigeonhole join with is_near=1; an
+    unrelated doc must not be near either."""
+    from lab3_spark.operators.multimodal import dhash_near_dups
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards quietly mix bright vexing potions in the old tower "
+        "basement near the river bend just after midnight strikes"
+    )
+    edited = base.replace("midnight", "midnighx")
+    other = "z" * 30 + "a" * 40 + "m" * 50 + "q" * 60
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dhash_near_dups(docs, max_bucket=None).collect()
+    }
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12["hamming"] <= 2 and r12["is_near"] == 1
+    assert r12["n_equal_chunks"] >= 5  # >= 7 - 2 flipped bits
+    for pair in ((1, 3), (2, 3)):
+        assert pair not in rows or rows[pair]["is_near"] == 0
+
+
+def test_dhash_identical_content_hamming_zero(spark):
+    from lab3_spark.operators.multimodal import dhash_near_dups
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id bigint, text string"
+    )
+    (r,) = dhash_near_dups(docs, max_bucket=None).collect()
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["hamming"] == 0 and r["n_equal_chunks"] == 7
+    assert r["is_near"] == 1
+
+
 def test_incremental_spans_refuses_partially_wiped_store(spark, tmp_path):
     """ADVICE r9: a PARTIAL wipe (spans/ deleted, gramcounts/ intact)
     must surface the documented refusing-to-dedup RuntimeError, not a
