@@ -338,6 +338,7 @@ HEADLINE = [
     "pipeline_span_removal",
     "dedup_paragraph_minhash",
     "multimodal_phash_dedup",
+    "pipeline_paragraph_dedup",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

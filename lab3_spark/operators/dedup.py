@@ -886,6 +886,95 @@ def paragraph_minhash_duplicates(
     )
 
 
+def apply_paragraph_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    delimiter: str | None = None,
+    block_tokens: int | None = None,
+    min_bands: int = N_BANDS,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """(doc_id, n_paras, kept_paras, removed_paras, clean_text): the
+    paragraph near-dup removal ACTION — Dolma/RefinedWeb's boilerplate
+    pass applied, completing the paragraph family exactly as
+    :func:`apply_span_removal` completes the span family.
+
+    Keep-first semantics on the candidate PAIR list: a paragraph is
+    removed iff it has a near-dup partner (≥ ``min_bands`` shared LSH
+    bands — default ALL bands, the near-certain tier) at a
+    lexicographically SMALLER (doc_id, para_idx).  This is the
+    LSH-practice rule (every bucket member but the earliest drops)
+    stated on pairs, so it is deterministic and SQL-expressible;
+    transitive chains (A~B~C without A~C) remove both B and C — the
+    aggressive reading, right for boilerplate.  Survivors are
+    re-joined in original paragraph order ('\\n' on the delimiter
+    path, ' ' on the block path — the delimiter regex is not
+    invertible, documented).  Docs never flagged pass through; a doc
+    whose every paragraph was removed survives as an empty string
+    (remove-not-drop, the span-apply contract).
+
+    Scale shape: one extra anti-join of the paragraph frame against
+    the DISTINCT removed-unit list (candidate scale, broadcastable)
+    + one per-doc collect_list bounded by paragraphs-per-doc — the
+    per-entity aggregation class; everything upstream is the banded
+    equi-join of :func:`paragraph_minhash_duplicates`."""
+    paras = paragraph_frame(
+        documents, text_col, delimiter=delimiter, block_tokens=block_tokens
+    )
+    pairs = paragraph_minhash_duplicates(
+        documents,
+        text_col,
+        delimiter=delimiter,
+        block_tokens=block_tokens,
+        max_bucket=max_bucket,
+    )
+    removed = (
+        pairs.where(F.col("n_bands") >= min_bands)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("para_b").alias("para_idx"),
+        )
+        .distinct()
+    )
+    joiner = "\n" if delimiter is not None else " "
+    kept = paras.join(removed, ["doc_id", "para_idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para_text"))
+                ),
+                lambda s: s["para_text"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    tot = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras")
+    )
+    return (
+        documents.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("kept_paras", F.lit(0))
+            .cast("bigint")
+            .alias("kept_paras"),
+            (
+                F.coalesce("n_paras", F.lit(0))
+                - F.coalesce("kept_paras", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("removed_paras"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     text_col: str = "text",

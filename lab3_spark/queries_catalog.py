@@ -14104,10 +14104,10 @@ def q_pipeline_span_removal(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_paragraph_minhash",
-    f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+# Shared paragraph-LSH CTEs (pt = 32-token block paragraphs, cand =
+# banded candidate pairs) — interpolated by dedup_paragraph_minhash
+# AND pipeline_paragraph_dedup so the two oracles cannot drift.
+_DUCK_PARA_LSH_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     pt AS (
       SELECT doc_id, CAST(b AS BIGINT) AS para_idx,
              toks[b*32+1:(b+1)*32] AS ptoks
@@ -14138,15 +14138,24 @@ def q_pipeline_span_removal(spark, sf_dir):
     sized AS (
       SELECT * FROM bands
       QUALIFY count(*) OVER (PARTITION BY b, band_key) <= 64
-    )
-    SELECT a.doc_id AS doc_a, a.para_idx AS para_a,
-           bb.doc_id AS doc_b, bb.para_idx AS para_b,
-           CAST(count(*) AS BIGINT) AS n_bands
-    FROM sized a JOIN sized bb
-      ON a.b = bb.b AND a.band_key = bb.band_key
-     AND (a.doc_id < bb.doc_id
-          OR (a.doc_id = bb.doc_id AND a.para_idx < bb.para_idx))
-    GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, a.para_idx AS para_a,
+             bb.doc_id AS doc_b, bb.para_idx AS para_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM sized a JOIN sized bb
+        ON a.b = bb.b AND a.band_key = bb.band_key
+       AND (a.doc_id < bb.doc_id
+            OR (a.doc_id = bb.doc_id AND a.para_idx < bb.para_idx))
+      GROUP BY 1, 2, 3, 4
+    )"""
+
+
+@query(
+    "dedup_paragraph_minhash",
+    f"""
+    WITH {_DUCK_PARA_LSH_CTES}
+    SELECT doc_a, para_a, doc_b, para_b, n_bands FROM cand
     ORDER BY doc_a, para_a, doc_b, para_b
     """,
 )
@@ -14165,6 +14174,59 @@ def q_dedup_paragraph_minhash(spark, sf_dir):
 
     return paragraph_minhash_duplicates(
         _t(spark, sf_dir, "documents"), block_tokens=32
+    )
+
+
+@query(
+    "pipeline_paragraph_dedup",
+    f"""
+    WITH {_DUCK_PARA_LSH_CTES},
+    rm AS (SELECT DISTINCT doc_b AS doc_id, para_b AS para_idx
+           FROM cand WHERE n_bands >= 4),
+    keptp AS (
+      SELECT pt.doc_id, pt.para_idx,
+             array_to_string(pt.ptoks, ' ') AS para_text
+      FROM pt ANTI JOIN rm USING (doc_id, para_idx)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             md5(string_agg(para_text, ' ' ORDER BY para_idx)) AS cmd5
+      FROM keptp GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS np
+            FROM pt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(kept, 0) AS BIGINT) AS kept_paras,
+           CAST(coalesce(np, 0) - coalesce(kept, 0) AS BIGINT)
+             AS removed_paras,
+           coalesce(cmd5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN tot USING (doc_id)
+                     LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_paragraph_dedup(spark, sf_dir):
+    """The paragraph near-dup removal ACTION applied (dedup.
+    apply_paragraph_dedup): every paragraph with an all-bands LSH
+    partner at a lexicographically earlier (doc_id, para_idx) is
+    dropped keep-first, survivors re-joined in original order — the
+    Dolma/RefinedWeb boilerplate-removal pass, completing the
+    paragraph family exactly as pipeline_span_removal completes the
+    span family.  clean_md5 pins the re-emitted text byte-for-byte;
+    the removal list derives from the SHARED cand CTE
+    (_DUCK_PARA_LSH_CTES), so the action provably agrees with the
+    dedup_paragraph_minhash pair surface."""
+    from lab3_spark.operators.dedup import apply_paragraph_dedup
+
+    return apply_paragraph_dedup(
+        _t(spark, sf_dir, "documents"), block_tokens=32
+    ).select(
+        "doc_id",
+        "n_paras",
+        "kept_paras",
+        "removed_paras",
+        F.md5("clean_text").alias("clean_md5"),
     )
 
 
@@ -14305,11 +14367,14 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 # + the first r3 slice, straight from tools/window_age.py).
 #
 # ROUND-10 CURATION (the r9 handoff executed): CORRECTNESS_r09 came
-# back 50/50 green.  The 50 slots: the 3 new round-10 gates, the 7
+# back 50/50 green.  The 50 slots: the 4 new round-10 gates, the 6
 # gates whose operator changed (ADVICE r9 guards, minhash key_cols
-# generalization, merge_spans factoring), then the ENTIRE remaining
-# r3 era — 40 gates straight from tools/window_age.py, leaving r4 as
-# the oldest surviving driver-row era.
+# generalization, merge_spans factoring — streaming_incremental_lsh
+# shares that machinery but its own store logic is untouched and the
+# two doc-level minhash gates re-confirm the shared path, so it keeps
+# its r8 row), then the ENTIRE remaining r3 era — 40 gates straight
+# from tools/window_age.py, leaving r4 as the oldest surviving
+# driver-row era.
 #
 # ROUND-11 HANDOFF: if CORRECTNESS_r10 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
@@ -14357,6 +14422,7 @@ ROUND10_NEW = [
     "pipeline_span_removal",
     "dedup_paragraph_minhash",
     "multimodal_phash_dedup",
+    "pipeline_paragraph_dedup",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -14389,7 +14455,6 @@ _DRIVER_PRIORITY = [
     "dedup_span_removal_by_source",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "streaming_incremental_lsh",
     # -- oldest-green re-confirmations (window_age.py oldest-first):
     #    the ENTIRE remaining r3 era — 40 gates, filling the window to
     #    exactly 50 and leaving r4 as the oldest surviving era ---------

@@ -152,6 +152,40 @@ def test_paragraph_minhash_planted_boilerplate(spark):
     assert got == expected
 
 
+def test_apply_paragraph_dedup_keep_first(spark):
+    """Dolma-style keep-first: the earliest copy of the boilerplate
+    paragraph survives, every later copy (cross-doc AND within-doc)
+    is removed, bodies pass through, and clean_text preserves the
+    original paragraph order."""
+    from lab3_spark.operators.dedup import apply_paragraph_dedup
+
+    bp = "subscribe to our newsletter for updates every single week"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon\n" + bp),
+            (2, bp + "\nzeta eta theta iota kappa"),
+            (3, bp + "\n" + bp),
+            (4, "lam mu nu xi omicron"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in apply_paragraph_dedup(docs, delimiter="\n").collect()
+    }
+    # doc 1 holds the earliest copy (1,1): everything kept
+    assert got[1]["clean_text"] == "alpha beta gamma delta epsilon\n" + bp
+    assert got[1]["removed_paras"] == 0
+    # doc 2's copy (2,0) has earlier partner (1,1): removed, body kept
+    assert got[2]["clean_text"] == "zeta eta theta iota kappa"
+    assert (got[2]["n_paras"], got[2]["kept_paras"]) == (2, 1)
+    # doc 3: both copies have earlier partners -> empty survivor
+    assert got[3]["clean_text"] == "" and got[3]["kept_paras"] == 0
+    # doc 4: untouched
+    assert got[4]["clean_text"] == "lam mu nu xi omicron"
+    assert got[4]["removed_paras"] == 0
+
+
 def test_dhash_near_dup_planted_pair(spark):
     """dHash semantics: a one-character edit moves one grid cell's
     brightness, flipping at most 2 of the 64 gradient bits — the pair
