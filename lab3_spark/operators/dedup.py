@@ -848,7 +848,30 @@ def paragraph_minhash_duplicates(
     repeating its own boilerplate is dedup-worthy); the pair order is
     lexicographic on (doc_id, para_idx).  Paragraphs shorter than
     SHINGLE_N tokens have no shingle and drop out, exactly as
-    sub-shingle documents do at doc grain."""
+    sub-shingle documents do at doc grain.
+
+    Warm path: result-memoized on the input frame (the
+    minhash_candidates pattern) — the pair gate and the APPLY capstone
+    (:func:`apply_paragraph_dedup`) share one candidate computation."""
+    from lab3_spark.functions.partitioning import memo_result
+
+    return memo_result(
+        f"dedup.para_minhash.{text_col}.{delimiter!r}.{block_tokens}"
+        f".b{max_bucket}",
+        documents,
+        lambda: _paragraph_minhash_build(
+            documents, text_col, delimiter, block_tokens, max_bucket
+        ),
+    )
+
+
+def _paragraph_minhash_build(
+    documents: DataFrame,
+    text_col: str,
+    delimiter: str | None,
+    block_tokens: int | None,
+    max_bucket: int | None,
+) -> DataFrame:
     paras = paragraph_frame(
         documents, text_col, delimiter=delimiter, block_tokens=block_tokens
     )

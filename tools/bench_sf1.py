@@ -151,6 +151,12 @@ QUERIES = [
     "fuzzy_name_value_pairs",
     "doc_kn_bigram_logprob",
     "quality_logreg_train",
+    # round-10 additions: the two APPLY capstones, paragraph LSH, and
+    # the decoded-surface dHash
+    "pipeline_span_removal",
+    "dedup_paragraph_minhash",
+    "pipeline_paragraph_dedup",
+    "multimodal_phash_dedup",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
