@@ -294,9 +294,9 @@ HEADLINE = [
     "quality_logreg_train",
     "quality_logreg_accuracy",
     # round-9 rotation: the FINAL never-benched batch (VERDICT r8
-    # item 1) — every catalog gate is now priced except the 17
+    # item 1) — every catalog gate is now priced except the 18
     # documented exclusions in BASELINE.md §bench-coverage
-    # (14 streaming_* + udtf_token_positions + pysource_synthetic_docs
+    # (15 streaming_* + udtf_token_positions + pysource_synthetic_docs
     # + inverted_index_parity)
     "order_priority_check",
     "monthly_revenue_trend",

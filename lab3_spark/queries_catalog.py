@@ -14105,9 +14105,25 @@ def q_pipeline_span_removal(spark, sf_dir):
 
 
 # Shared paragraph-LSH CTEs (pt = 32-token block paragraphs, cand =
-# banded candidate pairs) — interpolated by dedup_paragraph_minhash
-# AND pipeline_paragraph_dedup so the two oracles cannot drift.
-_DUCK_PARA_LSH_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+# banded candidate pairs) — interpolated by dedup_paragraph_minhash,
+# pipeline_paragraph_dedup AND (guard-free form) the streaming
+# incremental paragraph store so the oracles cannot drift.
+def _duck_para_lsh_ctes(max_bucket: int | None) -> str:
+    """The paragraph-LSH CTE chain; ``max_bucket`` None drops the
+    degenerate-bucket QUALIFY (the incremental store emits pairs as
+    buckets GROW, so a global size guard would break
+    merged-equals-batch — its contract is the guard-free batch op)."""
+    if max_bucket is not None:
+        sized = f"""sized AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY b, band_key) <= {max_bucket}
+    ),"""
+    else:
+        sized = "sized AS (SELECT * FROM bands),"
+    return _DUCK_PARA_LSH_BASE.replace("__SIZED__,", sized)
+
+
+_DUCK_PARA_LSH_BASE = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     pt AS (
       SELECT doc_id, CAST(b AS BIGINT) AS para_idx,
              toks[b*32+1:(b+1)*32] AS ptoks
@@ -14135,10 +14151,7 @@ _DUCK_PARA_LSH_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documen
              md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_key
       FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
     ),
-    sized AS (
-      SELECT * FROM bands
-      QUALIFY count(*) OVER (PARTITION BY b, band_key) <= 64
-    ),
+    __SIZED__,
     cand AS (
       SELECT a.doc_id AS doc_a, a.para_idx AS para_a,
              bb.doc_id AS doc_b, bb.para_idx AS para_b,
@@ -14149,6 +14162,8 @@ _DUCK_PARA_LSH_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documen
             OR (a.doc_id = bb.doc_id AND a.para_idx < bb.para_idx))
       GROUP BY 1, 2, 3, 4
     )"""
+
+_DUCK_PARA_LSH_CTES = _duck_para_lsh_ctes(64)
 
 
 @query(
@@ -14227,6 +14242,67 @@ def q_pipeline_paragraph_dedup(spark, sf_dir):
         "kept_paras",
         "removed_paras",
         F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
+    "streaming_incremental_paragraph_lsh",
+    f"""
+    WITH {_duck_para_lsh_ctes(None)}
+    SELECT doc_a, para_a, doc_b, para_b, n_bands FROM cand
+    ORDER BY doc_a, para_a, doc_b, para_b
+    """,
+)
+def q_streaming_incremental_paragraph_lsh(spark, sf_dir):
+    """A REAL incremental PARAGRAPH-index maintenance run (streaming/
+    incremental_paragraph_lsh.py): the documents table split into 3
+    mtime-ordered delta batches, each micro-batch banding only its
+    new docs' paragraphs (the batch machinery verbatim —
+    paragraph_frame → minhash_band_keys at (doc_id, para_idx) grain)
+    and extending the candidate list with exactly the new×new and
+    new×old band collisions.  Merged-equals-batch contract: the final
+    version must equal the ONE-SHOT
+    paragraph_minhash_duplicates(max_bucket=None) over all delivered
+    docs — the oracle IS the guard-free paragraph pair SQL (the
+    store emits pairs as buckets grow, so the batch gate's bucket
+    cap is an ingest-time knob applied downstream, not index
+    state)."""
+    import os as _os
+
+    from lab3_spark.streaming.incremental_paragraph_lsh import (
+        latest_cands,
+        start_incremental_paragraph_lsh,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _scratch_dir("stream_para_lsh_")
+    flat = _mtime_ordered_batches(
+        docs.withColumn("_b", F.col("doc_id") % 3), root, "_b"
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string, _b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_incremental_paragraph_lsh(
+        src, store, _os.path.join(root, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "incremental paragraph lsh availableNow run timed out"
+        )
+    return (
+        latest_cands(spark, store)
+        .select(
+            "doc_a",
+            "para_a",
+            "doc_b",
+            "para_b",
+            F.col("n_bands").cast("bigint").alias("n_bands"),
+        )
+        .orderBy("doc_a", "para_a", "doc_b", "para_b")
     )
 
 
@@ -14367,12 +14443,14 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 # + the first r3 slice, straight from tools/window_age.py).
 #
 # ROUND-10 CURATION (the r9 handoff executed): CORRECTNESS_r09 came
-# back 50/50 green.  The 50 slots: the 4 new round-10 gates, the 6
+# back 50/50 green.  The 50 slots: the 5 new round-10 gates, the 5
 # gates whose operator changed (ADVICE r9 guards, minhash key_cols
 # generalization, merge_spans factoring — streaming_incremental_lsh
 # shares that machinery but its own store logic is untouched and the
 # two doc-level minhash gates re-confirm the shared path, so it keeps
-# its r8 row), then the ENTIRE remaining r3 era — 40 gates straight
+# its r8 row; dedup_span_removal_by_source's merge_spans refactor is
+# pinned by the apply==accounting test and its driver row is fresh
+# r9), then the ENTIRE remaining r3 era — 40 gates straight
 # from tools/window_age.py, leaving r4 as the oldest surviving
 # driver-row era.
 #
@@ -14423,6 +14501,7 @@ ROUND10_NEW = [
     "dedup_paragraph_minhash",
     "multimodal_phash_dedup",
     "pipeline_paragraph_dedup",
+    "streaming_incremental_paragraph_lsh",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -14452,7 +14531,6 @@ _DRIVER_PRIORITY = [
     "quality_logreg_train",
     "quality_logreg_accuracy",
     "streaming_incremental_spans",
-    "dedup_span_removal_by_source",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     # -- oldest-green re-confirmations (window_age.py oldest-first):

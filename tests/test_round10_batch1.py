@@ -246,3 +246,108 @@ def test_incremental_spans_refuses_partially_wiped_store(spark, tmp_path):
     _doc_feed(spark, tmp_path, [[(3, BLOCK)]])
     with pytest.raises(StreamingQueryException, match="refusing"):
         _drain_spans(spark, feed, store, ck)
+
+
+# ------------------- streaming incremental paragraph LSH (r10) --------
+
+
+def _para_feed(spark, tmp_path, batches):
+    import os
+    import time
+
+    feed = str(tmp_path / "pfeed")
+    os.makedirs(feed, exist_ok=True)
+    existing = len(os.listdir(feed))
+    for i, docs in enumerate(batches, start=existing):
+        part = str(tmp_path / f"ppart{i}")
+        spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dst = os.path.join(feed, f"{i:02d}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (time.time() + i * 10,) * 2)
+    return feed
+
+
+def _drain_para_lsh(spark, feed, store, ck):
+    from lab3_spark.streaming.incremental_paragraph_lsh import (
+        start_incremental_paragraph_lsh,
+    )
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = start_incremental_paragraph_lsh(
+        src, store, ck, delimiter="\n", block_tokens=None
+    )
+    if not q.awaitTermination(300):  # pragma: no cover
+        q.stop()
+        raise AssertionError("paragraph lsh stream timed out")
+
+
+BOILER = "subscribe to our newsletter for updates every single week"
+
+
+def test_incremental_paragraph_lsh_merged_equals_batch(spark, tmp_path):
+    """The maintained candidate store's final version must equal the
+    one-shot guard-free paragraph_minhash_duplicates over the union
+    of every delivered document — including the new×old case: batch
+    1's boilerplate copy must pair with batch 0's WITHOUT batch 0
+    being re-banded, and a re-delivered doc is idempotent."""
+    from lab3_spark.operators.dedup import paragraph_minhash_duplicates
+    from lab3_spark.streaming.incremental_paragraph_lsh import (
+        cands_snapshot,
+        latest_cands,
+    )
+
+    b0 = [(1, "alpha beta gamma delta epsilon\n" + BOILER)]
+    b1 = [(2, BOILER + "\nzeta eta theta iota kappa"), (1, "ignored")]
+    b2 = [(3, BOILER + "\n" + BOILER)]
+    feed = _para_feed(spark, tmp_path, [b0, b1, b2])
+    store, ck = str(tmp_path / "pstore"), str(tmp_path / "pck")
+    _drain_para_lsh(spark, feed, store, ck)
+
+    all_docs = spark.createDataFrame(
+        [b0[0], b1[0], b2[0]], "doc_id bigint, text string"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            paragraph_minhash_duplicates(
+                all_docs, delimiter="\n", max_bucket=None
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, latest_cands(spark, store).collect()))
+    assert got == exp
+    # delta-proportionality is visible in the versions: v0 has no
+    # pairs (one doc), v1 adds exactly the (1,1)x(2,0) collision
+    assert cands_snapshot(spark, store, 0).count() == 0
+    v1 = sorted(map(tuple, cands_snapshot(spark, store, 1).collect()))
+    assert v1 == [(1, 1, 2, 0, 4)]
+
+
+def test_incremental_paragraph_lsh_refuses_partial_wipe(spark, tmp_path):
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    feed = _para_feed(
+        spark, tmp_path, [[(1, BOILER), (2, BOILER)]]
+    )
+    store, ck = str(tmp_path / "pstore"), str(tmp_path / "pck")
+    _drain_para_lsh(spark, feed, store, ck)
+    shutil.rmtree(store + "/cands")
+    _para_feed(spark, tmp_path, [[(3, BOILER)]])
+    with pytest.raises(StreamingQueryException, match="refusing"):
+        _drain_para_lsh(spark, feed, store, ck)
+
+
+def test_latest_para_cands_missing_store_raises(spark, tmp_path):
+    from lab3_spark.streaming.incremental_paragraph_lsh import latest_cands
+
+    with pytest.raises(FileNotFoundError, match="no paragraph candidate"):
+        latest_cands(spark, str(tmp_path / "never"))
