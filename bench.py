@@ -339,6 +339,7 @@ HEADLINE = [
     "dedup_paragraph_minhash",
     "multimodal_phash_dedup",
     "pipeline_paragraph_dedup",
+    "pipeline_decontaminate_spans",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -352,6 +352,20 @@ def apply_span_removal(
     empty string, the paper's remove-don't-drop semantics (dropping
     whole documents would discard the unique prefix/suffix text)."""
     spans = exact_substring_spans(documents, text_col, n, min_span_tokens)
+    return excise_spans(documents, spans, text_col)
+
+
+def excise_spans(
+    documents: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, removed_tokens, clean_text):
+    the generic token-range excision — any (doc_id, span_start,
+    span_end) frame goes through the SHARED :func:`merge_spans`
+    interval union and a row-local higher-order filter over
+    (token, pos) pairs.  Factored out of :func:`apply_span_removal`
+    so the train-internal dedup apply and the eval-decontamination
+    apply (:func:`decontaminate_train_spans`) provably excise the
+    same way.  Docs absent from ``spans`` pass through verbatim."""
     iv = (
         merge_spans(spans)
         .groupBy("doc_id")
@@ -393,6 +407,59 @@ def apply_span_removal(
         )
         .orderBy("doc_id")
     )
+
+
+def decontaminate_train_spans(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_span_tokens: int = 13,
+    salt: str = "split",
+) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, removed_tokens, clean_text):
+    SURGICAL eval-decontamination — for every TRAIN-split document,
+    excise the maximal token spans whose every positional n-gram
+    appears anywhere in the held-out splits, and re-emit the cleaned
+    text.  This is the "≥13-token verbatim overlap" decontamination
+    rule applied as span REMOVAL instead of :func:`decontaminate_train`'s
+    whole-document drop: the drop forfeits every clean token of a
+    contaminated doc, the excision keeps them — the Lee et al. 2022
+    remove-span action pointed at test-vs-train instead of
+    train-vs-train.
+
+    Shape: the held-out gram table is a DISTINCT n-gram set
+    (eval-corpus scale — small by construction, broadcastable exactly
+    like benchmark_decontamination's eval table); train positional
+    grams semi-join it (ONE membership probe, never all-pairs), chain
+    through the shared gaps-and-islands fold (:func:`spans_from_hits`),
+    and the excision is the shared :func:`excise_spans` path.  Splits
+    are the engine's salted 90/5/5 manifest (the decontaminate_train /
+    dataset_split_manifest convention), so the two decontamination
+    actions agree on what "train" and "held-out" mean."""
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.textstats import _word_ngrams
+
+    h = md5_long(F.col("doc_id").cast("string"), salt=salt) % 100
+    is_train = h < 90
+    train = spread(documents).where(is_train)
+    held = spread(documents).where(~is_train)
+    ev_grams = (
+        held.select(
+            F.explode(_word_ngrams(tokenize(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(tokenize(text_col), n)).alias(
+            "pos", "gram"
+        ),
+    )
+    hits = train_grams.join(ev_grams, "gram", "left_semi").select(
+        "doc_id", "pos"
+    )
+    spans = spans_from_hits(hits, n, min_span_tokens)
+    return excise_spans(train, spans, text_col)
 
 
 def edit_distance_value_pairs(

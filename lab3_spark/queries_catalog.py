@@ -14246,6 +14246,111 @@ def q_pipeline_paragraph_dedup(spark, sf_dir):
 
 
 @query(
+    "pipeline_decontaminate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             {_h2l("substring(md5(concat('split', '|', CAST(doc_id AS VARCHAR))), 1, 15)")}
+               % 100 < 90 AS is_train
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5) t
+    ),
+    ev AS (
+      SELECT DISTINCT gram FROM g JOIN s USING (doc_id)
+      WHERE NOT is_train
+    ),
+    hits AS (
+      SELECT g.doc_id, pos FROM g JOIN s USING (doc_id)
+      WHERE is_train AND gram IN (SELECT gram FROM ev)
+    ),
+    runs AS (
+      SELECT doc_id, min(pos) AS a, min(pos) + count(*) + 4 AS b
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM hits)
+      GROUP BY doc_id, grp
+      HAVING count(*) + 4 >= 13
+    ),
+    flg AS (
+      SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS ng
+      FROM (SELECT doc_id, a, b,
+                   max(b) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM runs)
+    ),
+    mi AS (
+      SELECT doc_id, min(a) AS a, max(b) AS b
+      FROM (SELECT doc_id, a, b,
+                   sum(ng) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS grp
+            FROM flg)
+      GROUP BY doc_id, grp
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM t WHERE len(toks) >= 1)
+      WHERE doc_id IN (SELECT doc_id FROM s WHERE is_train)
+    ),
+    keptpos AS (
+      SELECT pos.doc_id, p, tok FROM pos
+      WHERE NOT EXISTS (SELECT 1 FROM mi
+                        WHERE mi.doc_id = pos.doc_id
+                          AND p >= mi.a AND p < mi.b)
+    ),
+    clean AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS cmd5
+      FROM keptpos GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(clean.kept, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(toks) - coalesce(clean.kept, 0) AS BIGINT)
+             AS removed_tokens,
+           coalesce(clean.cmd5, md5('')) AS clean_md5
+    FROM t JOIN s USING (doc_id) LEFT JOIN clean USING (doc_id)
+    WHERE s.is_train
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_decontaminate_spans(spark, sf_dir):
+    """Surgical eval-decontamination (dedup.decontaminate_train_spans):
+    every TRAIN doc's maximal ≥13-token spans whose 5-grams all appear
+    in the held-out splits are EXCISED (the verbatim-overlap
+    decontamination rule as span removal, not doc drop — keeping the
+    contaminated doc's clean tokens that decontaminate_train's drop
+    forfeits).  Held-out grams are one DISTINCT broadcastable set, the
+    train probe is ONE semi-join, spans chain through the shared
+    gaps-and-islands fold, and excision is the shared excise_spans
+    path; clean_md5 pins the re-emitted text byte-for-byte over every
+    train doc."""
+    from lab3_spark.operators.dedup import decontaminate_train_spans
+
+    return decontaminate_train_spans(
+        _t(spark, sf_dir, "documents")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
     "streaming_incremental_paragraph_lsh",
     f"""
     WITH {_duck_para_lsh_ctes(None)}
@@ -14443,14 +14548,17 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 # + the first r3 slice, straight from tools/window_age.py).
 #
 # ROUND-10 CURATION (the r9 handoff executed): CORRECTNESS_r09 came
-# back 50/50 green.  The 50 slots: the 5 new round-10 gates, the 5
-# gates whose operator changed (ADVICE r9 guards, minhash key_cols
+# back 50/50 green.  The 50 slots: the 6 new round-10 gates, the 4
+# gates whose operator changed (ADVICE r9 logreg guard, minhash
+# key_cols
 # generalization, merge_spans factoring — streaming_incremental_lsh
-# shares that machinery but its own store logic is untouched and the
-# two doc-level minhash gates re-confirm the shared path, so it keeps
-# its r8 row; dedup_span_removal_by_source's merge_spans refactor is
-# pinned by the apply==accounting test and its driver row is fresh
-# r9), then the ENTIRE remaining r3 era — 40 gates straight
+# shares the minhash machinery but its own store logic is untouched
+# and the two doc-level minhash gates re-confirm the shared path;
+# dedup_span_removal_by_source's merge_spans refactor is pinned by
+# the apply==accounting test; streaming_incremental_spans' wipe-guard
+# fix is failure-path-only and test-pinned — all three keep their
+# fresh r8/r9 rows), then the ENTIRE remaining r3 era — 40 gates
+# straight
 # from tools/window_age.py, leaving r4 as the oldest surviving
 # driver-row era.
 #
@@ -14502,6 +14610,7 @@ ROUND10_NEW = [
     "multimodal_phash_dedup",
     "pipeline_paragraph_dedup",
     "streaming_incremental_paragraph_lsh",
+    "pipeline_decontaminate_spans",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -14530,7 +14639,6 @@ _DRIVER_PRIORITY = [
     #    construction, fresh rows confirm it ---------------------------
     "quality_logreg_train",
     "quality_logreg_accuracy",
-    "streaming_incremental_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     # -- oldest-green re-confirmations (window_age.py oldest-first):

@@ -23,7 +23,7 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 def test_driver_window_leads_with_round10_priorities():
     """Round-10 curation contract: the window leads with (1) the new
-    round-10 gates (no driver row anywhere), (2) the 5 gates whose
+    round-10 gates (no driver row anywhere), (2) the 4 gates whose
     operator changed (ADVICE r9 guards, minhash key_cols
     generalization, merge_spans factoring), then (3) the oldest-green
     re-confirmations — the ENTIRE remaining r3 driver-row era —
@@ -35,15 +35,14 @@ def test_driver_window_leads_with_round10_priorities():
     order = list(entrymod.queries())
     n_new = len(ROUND10_NEW)
     assert order[:n_new] == ROUND10_NEW
-    assert order[n_new : n_new + 5] == [
+    assert order[n_new : n_new + 4] == [
         "quality_logreg_train",
         "quality_logreg_accuracy",
-        "streaming_incremental_spans",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
     ]
     # oldest-green refill begins immediately after the changed gates
-    assert order[n_new + 5] == "ann_lsh_buckets"
+    assert order[n_new + 4] == "ann_lsh_buckets"
     assert order[49] == "word_count_antijoin"  # r3 era fully cleared
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)

@@ -351,3 +351,46 @@ def test_latest_para_cands_missing_store_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no paragraph candidate"):
         latest_cands(spark, str(tmp_path / "never"))
+
+
+# ------------------------ surgical decontamination (r10) --------------
+
+
+def test_decontaminate_train_spans_excises_planted_leak(spark):
+    """A train doc embedding a >=13-token verbatim run from a held-out
+    doc keeps exactly its prefix/suffix; an all-clean train doc passes
+    through verbatim; held-out docs never appear in the output."""
+    from lab3_spark.functions.text import md5_long
+    from lab3_spark.operators.dedup import decontaminate_train_spans
+
+    # recover the salted 90/5/5 assignment for small ids
+    probe = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        (md5_long(F.col("id").cast("string"), salt="split") % 100).alias(
+            "h"
+        ),
+    )
+    hs = {r["doc_id"]: r["h"] for r in probe.collect()}
+    train_ids = [i for i, h in hs.items() if h < 90]
+    held_ids = [i for i, h in hs.items() if h >= 90]
+    assert len(train_ids) >= 2 and held_ids, hs
+    t1, t2, h1 = train_ids[0], train_ids[1], held_ids[0]
+
+    leak = " ".join(f"w{c}" for c in "abcdefghijklmno")  # 15 tokens
+    docs = spark.createDataFrame(
+        [
+            (t1, "prea preb " + leak + " posta postb"),
+            (t2, "ua ub uc ud ue uf ug"),
+            (h1, "held head " + leak + " held tail"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_train_spans(docs).collect()
+    }
+    assert set(got) == {t1, t2}  # held-out docs never emitted
+    assert got[t1]["clean_text"] == "prea preb posta postb"
+    assert got[t1]["removed_tokens"] == 15
+    assert got[t2]["clean_text"] == "ua ub uc ud ue uf ug"
+    assert got[t2]["removed_tokens"] == 0

@@ -157,6 +157,7 @@ QUERIES = [
     "dedup_paragraph_minhash",
     "pipeline_paragraph_dedup",
     "multimodal_phash_dedup",
+    "pipeline_decontaminate_spans",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
