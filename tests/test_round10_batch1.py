@@ -394,3 +394,77 @@ def test_decontaminate_train_spans_excises_planted_leak(spark):
     assert got[t1]["removed_tokens"] == 15
     assert got[t2]["clean_text"] == "ua ub uc ud ue uf ug"
     assert got[t2]["removed_tokens"] == 0
+
+
+# ---------------------- property tests (hypothesis) -------------------
+
+
+from hypothesis import given, settings, strategies as st
+
+SPANS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # doc_id
+        st.integers(min_value=0, max_value=40),   # start
+        st.integers(min_value=1, max_value=15),   # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(SPANS)
+def test_merge_spans_matches_bruteforce_interval_union(spark, raw):
+    """merge_spans must equal a brute-force per-doc interval union on
+    arbitrary overlapping/nested/touching spans (the fold both APPLY
+    capstones and the accounting share)."""
+    from lab3_spark.operators.dedup import merge_spans
+
+    rows = [(d, s, s + ln) for d, s, ln in raw]
+    spans = spark.createDataFrame(
+        rows, "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    got = sorted(
+        (r["doc_id"], r["a"], r["b"]) for r in merge_spans(spans).collect()
+    )
+    # brute force: mark covered positions, read off maximal runs
+    exp = []
+    for d in sorted({r[0] for r in rows}):
+        covered = set()
+        for dd, s, e in rows:
+            if dd == d:
+                covered.update(range(s, e))
+        run = None
+        for p in range(min(covered), max(covered) + 2):
+            if p in covered and run is None:
+                run = p
+            elif p not in covered and run is not None:
+                exp.append((d, run, p))
+                run = None
+    assert got == sorted(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_dhash_chunks_reconstruct_packed_hash(spark, payload):
+    """The 7 pigeonhole chunk values must reassemble to the packed
+    two's-complement dhash exactly — on arbitrary byte payloads."""
+    import pandas as pd
+
+    from lab3_spark.operators.multimodal import dhash_chunks
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "media_type": ["x"], "content": [payload]}
+        )
+    )
+    rows = dhash_chunks(media).collect()
+    assert len(rows) == 7
+    h = rows[0]["dhash"]
+    assert all(r["dhash"] == h for r in rows)
+    acc = 0
+    for r in rows:
+        lo = (r["c"] * 64) // 7
+        acc += r["cv"] << lo
+    # undo two's complement for comparison
+    assert acc == (h if h >= 0 else h + (1 << 64))
