@@ -468,3 +468,24 @@ def test_dhash_chunks_reconstruct_packed_hash(spark, payload):
         acc += r["cv"] << lo
     # undo two's complement for comparison
     assert acc == (h if h >= 0 else h + (1 << 64))
+
+
+def test_round10_applies_empty_corpus_contract(spark):
+    """The three round-10 APPLY operators must return EMPTY frames
+    (same schema) on an empty documents frame — the engine's
+    pass-through empty-input contract, no crashes, no NULL rows."""
+    from lab3_spark.operators.dedup import (
+        apply_paragraph_dedup,
+        apply_span_removal,
+        decontaminate_train_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    for fn, kw in (
+        (apply_span_removal, {}),
+        (apply_paragraph_dedup, {"block_tokens": 32}),
+        (decontaminate_train_spans, {}),
+    ):
+        out = fn(empty, **kw)
+        assert out.count() == 0, fn.__name__
+        assert "clean_text" in out.columns, fn.__name__
