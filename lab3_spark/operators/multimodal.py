@@ -295,6 +295,13 @@ def dhash_near_dups(
     the gate value-checks the complete candidate surface, not just
     the (possibly empty) near set; ``max_bucket`` drops degenerate
     buckets exactly as dedup.minhash_candidates does."""
+    if max_hamming > DHASH_CHUNKS - 1:
+        # the pigeonhole only covers <= chunks-1 flipped bits; a wider
+        # radius would silently MISS pairs whose every chunk differs
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {DHASH_CHUNKS}-chunk "
+            f"pigeonhole's complete radius of {DHASH_CHUNKS - 1}"
+        )
     ch = dhash_chunks(attach_media(documents))
     if max_bucket is not None:
         sizes = ch.groupBy("c", "cv").agg(F.count("*").alias("_n"))

@@ -88,6 +88,12 @@ def start_incremental_paragraph_lsh(
         paragraph_frame,
     )
 
+    # validate the paragraph-grain args EAGERLY: inside foreachBatch
+    # the same ValueError would surface as an opaque
+    # StreamingQueryException on the first micro-batch
+    if (delimiter is None) == (block_tokens is None):
+        raise ValueError("give exactly one of delimiter / block_tokens")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_docs = batch_df.select("doc_id", text_col).dropDuplicates(

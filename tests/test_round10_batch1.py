@@ -489,3 +489,33 @@ def test_round10_applies_empty_corpus_contract(spark):
         out = fn(empty, **kw)
         assert out.count() == 0, fn.__name__
         assert "clean_text" in out.columns, fn.__name__
+
+
+def test_dhash_rejects_incomplete_radius(spark):
+    from lab3_spark.operators.multimodal import dhash_near_dups
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dups(docs, max_hamming=7)
+
+
+def test_incremental_paragraph_lsh_rejects_bad_grain_args_eagerly(
+    spark, tmp_path
+):
+    from lab3_spark.streaming.incremental_paragraph_lsh import (
+        start_incremental_paragraph_lsh,
+    )
+
+    feed = _para_feed(spark, tmp_path, [[(1, BOILER)]])
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(feed)
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        start_incremental_paragraph_lsh(
+            src,
+            str(tmp_path / "s"),
+            str(tmp_path / "c"),
+            delimiter="\n",
+            block_tokens=32,
+        )
