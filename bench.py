@@ -340,6 +340,7 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "pipeline_paragraph_dedup",
     "pipeline_decontaminate_spans",
+    "pipeline_span_removal_packing",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -833,6 +833,16 @@ def packing_bfd_bound(
         .groupBy("grp")
         .agg(F.sum("nt").cast("bigint").alias("toks"))
     )
+    return packing_bound_ladder(per_group, budgets)
+
+
+def packing_bound_ladder(
+    per_group: DataFrame, budgets: tuple[int, ...] = (128, 256, 512, 1024)
+) -> DataFrame:
+    """The budget-ladder bound arithmetic of :func:`packing_bfd_bound`
+    over ANY (grp, toks) token-total frame — factored out so cleaned
+    corpora (e.g. dedup.apply_span_removal's survivors) price their
+    packing against the same oracle-expressible optimum."""
     ladder = F.explode(
         F.array(*[F.lit(b) for b in budgets])
     ).alias("budget")

@@ -14246,6 +14246,94 @@ def q_pipeline_paragraph_dedup(spark, sf_dir):
 
 
 @query(
+    "pipeline_span_removal_packing",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    runs AS (
+      SELECT doc_id, min(pos) AS s, count(*) + 4 AS st
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM g WHERE gram IN (SELECT gram FROM dup))
+      GROUP BY doc_id, grp
+    ),
+    spans AS (
+      SELECT doc_id, s AS a, s + st AS b FROM runs WHERE st >= 50
+    ),
+    flg AS (
+      SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS ng
+      FROM (SELECT doc_id, a, b,
+                   max(b) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM spans)
+    ),
+    mi AS (
+      SELECT doc_id, min(a) AS a, max(b) AS b
+      FROM (SELECT doc_id, a, b,
+                   sum(ng) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS grp
+            FROM flg)
+      GROUP BY doc_id, grp
+    ),
+    rm AS (
+      SELECT doc_id, CAST(sum(b - a) AS BIGINT) AS removed
+      FROM mi GROUP BY doc_id
+    ),
+    pg AS (
+      SELECT source AS grp,
+             CAST(sum(len(toks) - coalesce(removed, 0)) AS BIGINT)
+               AS toks
+      FROM t LEFT JOIN rm USING (doc_id)
+      GROUP BY source
+    ),
+    agg AS (
+      SELECT budget,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(sum((toks + budget - 1) // budget) AS BIGINT) AS n_bins
+      FROM pg CROSS JOIN
+           (SELECT unnest([128, 256, 512, 1024]) AS budget)
+      GROUP BY budget
+    )
+    SELECT CAST(budget AS BIGINT) AS budget, total_tokens, n_bins,
+           CAST((total_tokens + budget - 1) // budget AS BIGINT)
+             AS lb_bins,
+           CAST(n_bins - (total_tokens + budget - 1) // budget AS BIGINT)
+             AS extra_bins,
+           CAST(CASE WHEN n_bins > 0
+                THEN (total_tokens + budget - 1) // budget
+                     * 1000000 // n_bins
+                ELSE NULL END AS BIGINT) AS efficiency_fp
+    FROM agg ORDER BY budget
+    """,
+)
+def q_pipeline_span_removal_packing(spark, sf_dir):
+    """The span-CLEANED corpus fed downstream into the packing budget
+    ladder (dedup.span_removal_packing_bound): apply_span_removal's
+    survivors priced by the same capacity bound as the raw corpus
+    (sampling.packing_bound_ladder, shared arithmetic) — the number a
+    curator reads after enabling span removal ("how many training
+    bins does the cleaned corpus pack into?"), and rung-by-rung the
+    packing dividend vs packing_bfd_bound's raw totals.  The oracle
+    derives kept tokens from the merged-interval removal directly
+    (interval-union lengths), pinning that excision and accounting
+    agree through the downstream consumer too."""
+    from lab3_spark.operators.dedup import span_removal_packing_bound
+
+    return span_removal_packing_bound(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "pipeline_decontaminate_spans",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
@@ -14548,17 +14636,17 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 # + the first r3 slice, straight from tools/window_age.py).
 #
 # ROUND-10 CURATION (the r9 handoff executed): CORRECTNESS_r09 came
-# back 50/50 green.  The 50 slots: the 6 new round-10 gates, the 4
-# gates whose operator changed (ADVICE r9 logreg guard, minhash
-# key_cols
+# back 50/50 green.  The 50 slots: the 7 new round-10 gates, the 3
+# gates whose operator changed (the packing_bound_ladder factoring,
+# minhash key_cols
 # generalization, merge_spans factoring — streaming_incremental_lsh
 # shares the minhash machinery but its own store logic is untouched
 # and the two doc-level minhash gates re-confirm the shared path;
 # dedup_span_removal_by_source's merge_spans refactor is pinned by
-# the apply==accounting test; streaming_incremental_spans' wipe-guard
-# fix is failure-path-only and test-pinned — all three keep their
-# fresh r8/r9 rows), then the ENTIRE remaining r3 era — 40 gates
-# straight
+# the apply==accounting test; the quality_logreg and
+# streaming_incremental_spans ADVICE guards are failure-path-only and
+# test-pinned — all keep their fresh r8/r9 rows), then the ENTIRE
+# remaining r3 era — 40 gates straight
 # from tools/window_age.py, leaving r4 as the oldest surviving
 # driver-row era.
 #
@@ -14611,6 +14699,7 @@ ROUND10_NEW = [
     "pipeline_paragraph_dedup",
     "streaming_incremental_paragraph_lsh",
     "pipeline_decontaminate_spans",
+    "pipeline_span_removal_packing",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -14637,8 +14726,7 @@ _DRIVER_PRIORITY = [
     #    wipe-guard fixes + the key_cols generalization of the minhash
     #    machinery + the merge_spans factoring); results unchanged by
     #    construction, fresh rows confirm it ---------------------------
-    "quality_logreg_train",
-    "quality_logreg_accuracy",
+    "packing_bfd_bound",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     # -- oldest-green re-confirmations (window_age.py oldest-first):

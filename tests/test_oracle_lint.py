@@ -23,9 +23,9 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 def test_driver_window_leads_with_round10_priorities():
     """Round-10 curation contract: the window leads with (1) the new
-    round-10 gates (no driver row anywhere), (2) the 4 gates whose
-    operator changed (ADVICE r9 guards, minhash key_cols
-    generalization, merge_spans factoring), then (3) the oldest-green
+    round-10 gates (no driver row anywhere), (2) the 3 gates whose
+    operator changed (packing_bound_ladder factoring, minhash key_cols
+    generalization), then (3) the oldest-green
     re-confirmations — the ENTIRE remaining r3 driver-row era —
     everything needing a FIRST or FRESH driver row sits inside the
     50-slot window."""
@@ -35,14 +35,13 @@ def test_driver_window_leads_with_round10_priorities():
     order = list(entrymod.queries())
     n_new = len(ROUND10_NEW)
     assert order[:n_new] == ROUND10_NEW
-    assert order[n_new : n_new + 4] == [
-        "quality_logreg_train",
-        "quality_logreg_accuracy",
+    assert order[n_new : n_new + 3] == [
+        "packing_bfd_bound",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
     ]
     # oldest-green refill begins immediately after the changed gates
-    assert order[n_new + 4] == "ann_lsh_buckets"
+    assert order[n_new + 3] == "ann_lsh_buckets"
     assert order[49] == "word_count_antijoin"  # r3 era fully cleared
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)

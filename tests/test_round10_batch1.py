@@ -519,3 +519,30 @@ def test_incremental_paragraph_lsh_rejects_bad_grain_args_eagerly(
             delimiter="\n",
             block_tokens=32,
         )
+
+
+def test_span_removal_packing_equals_raw_minus_removed(spark, sf_dir):
+    """The cleaned ladder's total_tokens must equal the raw ladder's
+    total minus the interval-union removal accounting, rung by rung —
+    the packing dividend is exactly what the accounting says was
+    removed."""
+    from lab3_spark.operators.dedup import (
+        span_removal_by_source,
+        span_removal_packing_bound,
+    )
+    from lab3_spark.operators.sampling import packing_bfd_bound
+    from lab3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {r["budget"]: r["total_tokens"]
+           for r in packing_bfd_bound(docs).collect()}
+    cleaned = {r["budget"]: r["total_tokens"]
+               for r in span_removal_packing_bound(docs).collect()}
+    removed = (
+        span_removal_by_source(docs)
+        .agg(F.sum("removed_tokens").cast("bigint"))
+        .collect()[0][0]
+    )
+    assert set(raw) == set(cleaned)
+    for b in raw:
+        assert cleaned[b] == raw[b] - removed

@@ -158,6 +158,7 @@ QUERIES = [
     "pipeline_paragraph_dedup",
     "multimodal_phash_dedup",
     "pipeline_decontaminate_spans",
+    "pipeline_span_removal_packing",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
