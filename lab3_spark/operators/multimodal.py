@@ -290,7 +290,13 @@ def dhash_near_dups(
     EQUI-join: hamming(a, b) ≤ 6 flips at most 6 of the 7 chunks, so
     every near pair shares ≥ 1 exact (c, cv) bucket — provably never
     all-pairs; verification is one bit_count(xor) on the packed
-    64-bit hashes.  ALL bucket-sharing candidates are emitted with
+    64-bit hashes.  ADVICE r10: the pigeonhole is COMPLETE only when
+    ``max_bucket is None`` — the default cap drops degenerate buckets
+    BEFORE the equi-join, so e.g. 65+ byte-identical payloads lose
+    all seven shared buckets and even hamming-0 pairs are skipped
+    (the oracle applies the same QUALIFY cap, so parity holds; the
+    cap is the documented scale trade-off, not an accident).  ALL
+    bucket-sharing candidates are emitted with
     their exact hamming and the is_near ≤ max_hamming verdict, so
     the gate value-checks the complete candidate surface, not just
     the (possibly empty) near set; ``max_bucket`` drops degenerate

@@ -8,7 +8,13 @@ Per micro-batch (foreachBatch):
 
 1. distinct the batch's (doc_id, text) rows on doc_id (documents
    arrive WHOLE; the paragraph grain is derived, never streamed
-   per-paragraph — a re-delivered doc is idempotent as a unit);
+   per-paragraph — a re-delivered doc is idempotent as a unit).
+   ADVICE r10: the store is APPEND-ONLY over IMMUTABLE documents —
+   first delivery wins, so a re-delivered doc_id with DIFFERENT text
+   is anti-joined away and its new paragraphs are never indexed
+   (updates require a fresh checkpoint / full replay, exactly like
+   recovering from a wiped store).  This is replay-idempotence, NOT
+   update support;
 2. store/checkpoint-disagreement guard over BOTH prior version dirs
    (bands, cands) — the ADVICE-r9 partial-wipe discipline: any
    missing prior dir REFUSES with the documented RuntimeError;

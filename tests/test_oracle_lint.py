@@ -156,10 +156,14 @@ def test_readme_quotes_latest_bench_artifact():
     import re
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    arts = sorted(glob.glob(os.path.join(root, "BENCH_r0*.json")))
+    # ADVICE r10: glob all rounds and pick the max NUMERIC round —
+    # 'BENCH_r0*.json' + lexicographic sorted()[-1] never saw r10+.
+    arts = glob.glob(os.path.join(root, "BENCH_r*.json"))
     if not arts:
         pytest.skip("no archived BENCH files")
-    latest = arts[-1]
+    latest = max(
+        arts, key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p).group(1))
+    )
     n = int(re.search(r"BENCH_r0*(\d+)\.json", latest).group(1))
     readme = open(os.path.join(root, "README.md")).read()
     m = re.search(r"latest: BENCH_r0*(\d+) = ([\d.]+) s", readme)
