@@ -341,6 +341,11 @@ HEADLINE = [
     "pipeline_paragraph_dedup",
     "pipeline_decontaminate_spans",
     "pipeline_span_removal_packing",
+    # round 11 additions
+    "lsh_band_planner",
+    "lsh_planner_measured_quality",
+    "contamination_max_span",
+    "mapreduce_facade_one_combiner",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

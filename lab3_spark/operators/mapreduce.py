@@ -146,3 +146,32 @@ def map_reduce_salted(
     )
     refold = {"count": F.sum}.get(combiner, agg)  # counts re-combine by SUM
     return partial.groupBy(key_name).agg(refold(F.col(value_name)).alias(value_name))
+
+
+def vocab_lengths_as_mapreduce(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's one_combiner (combiner.h:238-243) exercised
+    end-to-end through the facade (VERDICT r10 item 6 — the last §2
+    row without a dedicated oracled gate): key = token, value = the
+    token's character length.  one_combiner's contract is "all values
+    for a key are identical, keep one" (the reference uses it where
+    the value is key-functional); emitting length(token) honors that
+    contract, so the kept value is deterministic no matter which
+    occurrence the final aggregate sees — exactly the property that
+    makes the combiner safe in the reference's unordered merge.
+    Output: the corpus vocabulary with word lengths, ordered by word."""
+    from lab3_spark.functions.text import tokenize
+
+    mapper = F.transform(
+        tokenize(text_col),
+        lambda w: F.struct(
+            w.alias("key"), F.length(w).cast("long").alias("value")
+        ),
+    )
+    return map_reduce(
+        df,
+        mapper,
+        combiner="one",
+        sort=[F.col("word")],
+        key_name="word",
+        value_name="word_len",
+    )

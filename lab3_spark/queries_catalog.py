@@ -14590,6 +14590,265 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-11 gates: LSH band planner + measured quality, contamination
+# severity, and the A4 one_combiner facade gate (VERDICT r10 items
+# 4, 5, 6).
+# ---------------------------------------------------------------------------
+
+#: the exact-integer S-curve planner CTEs (shared by the planner gate
+#: and its measured-quality companion): the candidate-pair Jaccard
+#: histogram, the VALUES table of N_HASHES factorizations, and the
+#: recursive-CTE integer power (HUGEINT accumulator) that recomputes
+#: _scurve_miss_ppm from scratch -- floor(1e6*(1-s^r)^b) with s at the
+#: bucket lower edge, all integer, no pow() float anywhere.
+_DUCK_LSH_PLAN_CTES = f"""{_DUCK_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT CAST((10 * n_inter) // (na.n_sh + nb.n_sh - n_inter)
+                  AS BIGINT) AS bucket_x10,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      GROUP BY 1
+    ),
+    combos(n_bands, n_rows) AS (
+      VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)
+    ),
+    scurve_base AS (
+      SELECT n_bands, n_rows, p,
+             CAST(CASE n_rows WHEN 1 THEN 10 WHEN 2 THEN 100
+                  WHEN 4 THEN 10000 WHEN 8 THEN 100000000
+                  WHEN 16 THEN 10000000000000000 END AS BIGINT)
+             - CAST(CASE n_rows WHEN 1 THEN p WHEN 2 THEN p * p
+                    WHEN 4 THEN (p * p) * (p * p)
+                    WHEN 8 THEN ((p * p) * (p * p)) * ((p * p) * (p * p))
+                    WHEN 16 THEN (((p * p) * (p * p)) * ((p * p) * (p * p)))
+                               * (((p * p) * (p * p)) * ((p * p) * (p * p)))
+                    END AS BIGINT) AS q
+      FROM combos, (SELECT unnest(range(0, 11)) AS p) ps
+    ),
+    scurve_pow AS (
+      SELECT n_bands, n_rows, p, q, CAST(1 AS HUGEINT) AS acc, 0 AS i
+      FROM scurve_base
+      UNION ALL
+      SELECT n_bands, n_rows, p, q, acc * q, i + 1
+      FROM scurve_pow WHERE i < n_bands
+    ),
+    curve AS (
+      SELECT n_bands, n_rows, CAST(p AS BIGINT) AS bucket_x10,
+             CAST(acc // CAST(10000000000 AS HUGEINT) AS BIGINT) AS miss_ppm
+      FROM scurve_pow WHERE i = n_bands
+    ),
+    plan AS (
+      SELECT n_bands, n_rows,
+             CAST(sum(CASE WHEN c.bucket_x10 < 5
+                  THEN coalesce(h.n_pairs, 0) * (1000000 - miss_ppm)
+                  ELSE 0 END) AS BIGINT) AS fp_weight,
+             CAST(sum(CASE WHEN c.bucket_x10 >= 5
+                  THEN coalesce(h.n_pairs, 0) * miss_ppm
+                  ELSE 0 END) AS BIGINT) AS fn_weight
+      FROM curve c LEFT JOIN hist h USING (bucket_x10)
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "lsh_band_planner",
+    f"""
+    WITH RECURSIVE {_DUCK_LSH_PLAN_CTES}
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           fp_weight, fn_weight,
+           CAST(fp_weight + fn_weight AS BIGINT) AS cost,
+           CAST(CASE WHEN row_number() OVER (
+                    ORDER BY fp_weight + fn_weight, n_bands) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM plan
+    ORDER BY n_bands
+    """,
+)
+def q_lsh_band_planner(spark, sf_dir):
+    """The MMDS-ch.3 LSH band planner (dedup.lsh_band_plan, VERDICT
+    r10 item 4): expected FP+FN pair mass per (b, r) factorization of
+    the 16-hash MinHash budget at target Jaccard 0.5, evaluated
+    against the corpus's own measured pair-similarity histogram.  The
+    S-curve is EXACT integer arithmetic on the 0.1 grid
+    ((10^r - p^r)^b DIV 10^10 parts-per-million) -- the Spark side
+    computes it in driver Python ints (55-row planner metadata,
+    broadcast), the oracle recomputes it from scratch with a
+    recursive-CTE HUGEINT power -- so the argmin is deterministic
+    integer compare, never a float tie."""
+    from lab3_spark.operators.dedup import lsh_band_plan
+
+    return lsh_band_plan(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lsh_planner_measured_quality",
+    f"""
+    WITH RECURSIVE {_DUCK_LSH_PLAN_CTES},
+    win AS (
+      SELECT n_bands, n_rows FROM plan
+      ORDER BY fp_weight + fn_weight, n_bands LIMIT 1
+    ),
+    bands2 AS (
+      SELECT doc_id, bb.b,
+             md5(array_to_string(
+               sig[bb.b * win.n_rows + 1 : bb.b * win.n_rows + win.n_rows],
+               ',')) AS band_key
+      FROM sig, win, (SELECT unnest(range(0, 16)) AS b) bb
+      WHERE bb.b < win.n_bands
+    ),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands2 a
+      JOIN bands2 b ON a.b = b.b AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    fpt AS (
+      SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    truth AS (
+      SELECT CAST(sum(g * (g - 1) // 2) AS BIGINT) AS n_true,
+             CAST(sum(g) AS BIGINT) AS n_docs
+      FROM (SELECT count(*) AS g FROM fpt GROUP BY fpt.fp)
+    ),
+    nc AS (SELECT count(*) AS n_cand FROM cand2),
+    caught AS (
+      SELECT count(*) AS n_caught
+      FROM cand2
+      JOIN fpt a ON cand2.doc_a = a.doc_id
+      JOIN fpt b ON cand2.doc_b = b.doc_id
+      WHERE a.fp = b.fp
+    )
+    SELECT CAST(win.n_bands AS BIGINT) AS n_bands,
+           CAST(win.n_rows AS BIGINT) AS n_rows,
+           n_docs, n_true AS n_true_pairs,
+           CAST(n_cand AS BIGINT) AS n_cand_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(CASE WHEN n_true > 0 THEN n_caught * 1000000 // n_true
+                ELSE 1000000 END AS BIGINT) AS pc_fp,
+           CAST(CASE WHEN n_docs > 1 THEN 1000000 - n_cand * 1000000
+                // (n_docs * (n_docs - 1) // 2)
+                ELSE 1000000 END AS BIGINT) AS rr_fp
+    FROM win, truth, nc, caught
+    """,
+)
+def q_lsh_planner_measured_quality(spark, sf_dir):
+    """The planner's chosen banding MEASURED
+    (dedup.lsh_planned_blocking_quality): the winning (b, r) re-bands
+    the existing MinHash signatures (array slices, no recompute) and
+    the resulting candidate generator is scored with the same pair
+    completeness / reduction ratio as dedup_blocking_quality, so the
+    planned and shipped bandings sit on one scale.  The winner row is
+    a 1-row bounded driver collect (planner metadata, the
+    kmeans-centroid pattern)."""
+    from lab3_spark.operators.dedup import lsh_planned_blocking_quality
+
+    return lsh_planned_blocking_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_max_span",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT t.doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5) t
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT doc_id, pos FROM g
+      WHERE doc_id % 97 != 0 AND gram IN (SELECT gram FROM ev)
+    ),
+    runs AS (
+      SELECT doc_id, min(pos) AS a, min(pos) + count(*) + 4 AS b
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM hits)
+      GROUP BY doc_id, grp
+    ),
+    flg AS (
+      SELECT doc_id, a, b,
+             CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END AS ng
+      FROM (SELECT doc_id, a, b,
+                   max(b) OVER (PARTITION BY doc_id ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM runs)
+    ),
+    mi AS (
+      SELECT doc_id, min(a) AS a, max(b) AS b
+      FROM (SELECT doc_id, a, b,
+                   sum(ng) OVER (PARTITION BY doc_id ORDER BY a
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS grp
+            FROM flg)
+      GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(b - a) AS BIGINT) AS max_span_tokens,
+           CAST(sum(b - a) AS BIGINT) AS overlap_tokens,
+           CAST((max(b - a) // 10) * 10 AS BIGINT) AS len_bucket
+    FROM mi GROUP BY doc_id
+    ORDER BY max_span_tokens DESC, doc_id
+    """,
+)
+def q_contamination_max_span(spark, sf_dir):
+    """Contamination SEVERITY (dedup.contamination_max_span, VERDICT
+    r10 item 5): the benchmark_decontamination family upgraded from
+    0/1 flags to per-doc maximal-overlap-span accounting -- longest
+    merged verbatim span, total overlapped tokens, and a decade
+    length bucket, ranked worst-first the way the Lee et al. 2022 /
+    Llama contamination appendices report leak severity.  Same split
+    convention as benchmark_decontamination (doc_id % 97 == 0 is the
+    eval side), same broadcast-eval-gram + one-semi-join scan shape,
+    spans chained through the shared gaps-and-islands fold
+    (spans_from_hits) and merge_spans interval union."""
+    from lab3_spark.operators.dedup import contamination_max_span
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_max_span(train, bench)
+
+
+@query(
+    "mapreduce_facade_one_combiner",
+    f"""
+    WITH {OR.duck_tokens_cte()}
+    SELECT DISTINCT word, CAST(length(word) AS BIGINT) AS word_len
+    FROM toks ORDER BY word
+    """,
+)
+def q_mapreduce_facade_one_combiner(spark, sf_dir):
+    """A4 one_combiner (combiner.h:238-243) through the generic
+    facade (operators/mapreduce.py, VERDICT r10 item 6 -- the last §2
+    row without a dedicated oracled gate): key = token, value =
+    length(token).  one_combiner's contract is key-functional values
+    ("all equal, keep one"), so the kept value is deterministic no
+    matter which occurrence the unordered merge sees -- the same
+    reason the combiner is safe in the reference."""
+    from lab3_spark.operators.mapreduce import vocab_lengths_as_mapreduce
+
+    return vocab_lengths_as_mapreduce(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()`` —
@@ -14650,15 +14909,26 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 # from tools/window_age.py, leaving r4 as the oldest surviving
 # driver-row era.
 #
-# ROUND-11 HANDOFF: if CORRECTNESS_r10 is green, budget the same way —
+# ROUND-11 CURATION (the r10 handoff executed): CORRECTNESS_r10 came
+# back 50/50 green, clearing the r3 era.  The 50 slots: the 4 new
+# round-11 gates (LSH band planner + measured quality, contamination
+# max-span severity, the A4 one_combiner facade gate), then the
+# ENTIRE r4 driver-row era — 45 gates straight from
+# tools/window_age.py oldest-first — and the r5 era's head
+# (ann_ivf_frozen_append) to fill the window to exactly 50.  No
+# operator or oracle changed this round for any existing gate (the
+# round-11 additions are new functions only), so no changed-gate
+# re-confirmations are due; after a green CORRECTNESS_r11 no gate's
+# newest driver row predates r5.
+#
+# ROUND-12 HANDOFF: if CORRECTNESS_r11 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
-# re-confirmations from `python tools/window_age.py` (next up: the r4
-# era — above_avg_spenders, ann_bruteforce_l2_top5,
-# ann_hash_embedding_top5, ann_ivf_probe2, ann_ivf_recall,
-# ann_pq_adc_top5, ann_pq_recall, ann_pq_rerank, bm25_top_docs,
-# customers_without_orders, dedup_keep_best, dedup_repeated_chunks,
-# doc_chunks, doc_dsir_weights, …).  Update
-# test_driver_window_leads_with_round10_priorities when reordering.
+# re-confirmations from `python tools/window_age.py` (next up: the
+# remaining r5 era — ann_ivf_pq_top5, ann_ivf_trained,
+# ann_ivfpq_recall, ann_ivfpq_rerank_top5, ann_ivfpq_residual_top5,
+# ann_sq8_top5, benchmark_decontamination, cluster_balanced_sample,
+# corpus_shuffle_shards, dedup_cluster_representatives, …).  Update
+# test_driver_window_leads_with_round11_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
 ROUND8_NEW = [
@@ -14702,6 +14972,14 @@ ROUND10_NEW = [
     "pipeline_span_removal_packing",
 ]
 
+#: the round-11 additions, in window order — same lint contract.
+ROUND11_NEW = [
+    "lsh_band_planner",
+    "lsh_planner_measured_quality",
+    "contamination_max_span",
+    "mapreduce_facade_one_combiner",
+]
+
 #: the round-9 additions, in window order — same lint contract.
 ROUND9_NEW = [
     "dedup_exact_substring_spans",
@@ -14718,20 +14996,69 @@ ROUND9_NEW = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-10 WINDOW (CORRECTNESS_r09 came back 50/50 green; budgeted
-    # with tools/window_age.py per the r9 handoff):
-    # -- new round-10 gates (no driver row yet) -----------------------
+    # ROUND-11 WINDOW (CORRECTNESS_r10 came back 50/50 green; budgeted
+    # with tools/window_age.py per the r10 handoff):
+    # -- new round-11 gates (no driver row yet) -----------------------
+    *ROUND11_NEW,
+    # -- oldest-green re-confirmations (window_age.py oldest-first):
+    #    the ENTIRE r4 driver-row era — 45 gates — plus the r5 era's
+    #    head, filling the window to exactly 50 and leaving r5 as the
+    #    oldest surviving era.  No existing gate's operator or oracle
+    #    changed this round (round-11 adds new functions only) --------
+    "above_avg_spenders",
+    "ann_bruteforce_l2_top5",
+    "ann_hash_embedding_top5",
+    "ann_ivf_probe2",
+    "ann_ivf_recall",
+    "ann_pq_adc_top5",
+    "ann_pq_recall",
+    "ann_pq_rerank",
+    "bm25_top_docs",
+    "customers_without_orders",
+    "dedup_keep_best",
+    "dedup_repeated_chunks",
+    "doc_chunks",
+    "doc_dsir_weights",
+    "doc_hash_embeddings",
+    "doc_length_distribution",
+    "doc_ngram_repetition",
+    "doc_ppl_buckets",
+    "doc_redact_pii",
+    "doc_unigram_logprob",
+    "events_daily_anomalies",
+    "events_gapfill_locf",
+    "events_sliding_10m",
+    "events_weekday_hour_profile",
+    "fuzzy_part_names",
+    "jsonl_roundtrip_docs",
+    "orders_above_cust_avg",
+    "orders_rolling_7d_revenue",
+    "pipeline_clean_corpus",
+    "pipeline_dsir_select",
+    "pipeline_gopher_prune",
+    "promo_revenue_share",
+    "pysource_synthetic_docs",
+    "q21_sole_latest_supplier",
+    "q22_idle_rich_customers",
+    "robust_quality_zscore",
+    "source_mixing_weights",
+    "sparse_tfidf_pairs",
+    "stratified_fixed_n_sample",
+    "streaming_incremental_dedup",
+    "streaming_sessionize_stateful",
+    "streaming_view_purchase_join",
+    "token_budget_select",
+    "udtf_token_positions",
+    "user_running_totals",
+    "ann_ivf_frozen_append",
+    # -- beyond: the r10 window order then the standing tail (driver
+    #    may check more than 50 someday; nothing dropped, only
+    #    reordered — duplicate names below collapse to their first
+    #    position in the dict rebuild) --------------------------------
     *ROUND10_NEW,
-    # -- operator changed this round (ADVICE r9 empty-input /
-    #    wipe-guard fixes + the key_cols generalization of the minhash
-    #    machinery + the merge_spans factoring); results unchanged by
-    #    construction, fresh rows confirm it ---------------------------
     "packing_bfd_bound",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    the ENTIRE remaining r3 era — 40 gates, filling the window to
-    #    exactly 50 and leaving r4 as the oldest surviving era ---------
     "ann_lsh_buckets",
     "bucketed_fact_join",
     "cross_source_contamination",
@@ -14772,10 +15099,6 @@ _DRIVER_PRIORITY = [
     "streaming_tumbling_5min",
     "train_val_test_split",
     "word_count_antijoin",
-    # -- beyond: the r9 window order then the standing tail (driver
-    #    may check more than 50 someday; nothing dropped, only
-    #    reordered — duplicate names below collapse to their first
-    #    position in the dict rebuild) --------------------------------
     *ROUND9_NEW,
     # -- oracle SQL changed this round (ADVICE r8: the seg{r} LEFT-JOIN
     #    exhaustion guard rewrites _duck_bpe_ctes, shared by both) ----

@@ -21,28 +21,23 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_round10_priorities():
-    """Round-10 curation contract: the window leads with (1) the new
-    round-10 gates (no driver row anywhere), (2) the 3 gates whose
-    operator changed (packing_bound_ladder factoring, minhash key_cols
-    generalization), then (3) the oldest-green
-    re-confirmations — the ENTIRE remaining r3 driver-row era —
-    everything needing a FIRST or FRESH driver row sits inside the
-    50-slot window."""
+def test_driver_window_leads_with_round11_priorities():
+    """Round-11 curation contract: the window leads with (1) the new
+    round-11 gates (no driver row anywhere), then (2) the oldest-green
+    re-confirmations — the ENTIRE r4 driver-row era (45 gates) plus
+    the r5 era's head — everything needing a FIRST or FRESH driver
+    row sits inside the 50-slot window.  No existing gate's operator
+    or oracle changed this round, so no changed-gate slots are due."""
     import __spark_entry__ as entrymod
-    from lab3_spark.queries_catalog import ROUND10_NEW
+    from lab3_spark.queries_catalog import ROUND11_NEW
 
     order = list(entrymod.queries())
-    n_new = len(ROUND10_NEW)
-    assert order[:n_new] == ROUND10_NEW
-    assert order[n_new : n_new + 3] == [
-        "packing_bfd_bound",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-    ]
-    # oldest-green refill begins immediately after the changed gates
-    assert order[n_new + 3] == "ann_lsh_buckets"
-    assert order[49] == "word_count_antijoin"  # r3 era fully cleared
+    n_new = len(ROUND11_NEW)
+    assert order[:n_new] == ROUND11_NEW
+    # oldest-green refill begins immediately after the new gates
+    assert order[n_new] == "above_avg_spenders"
+    assert order[48] == "user_running_totals"  # r4 era fully cleared
+    assert order[49] == "ann_ivf_frozen_append"  # r5 era head
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50
@@ -52,15 +47,16 @@ def test_no_gate_outside_window_lacks_driver_row():
     """Window-budget discipline (ADVICE r6 item 7): a gate the driver
     has NEVER checked must sit inside the 50-slot window, else it can
     never earn a CORRECTNESS row.  Gates beyond slot 50 must each have
-    at least one row in some archived CORRECTNESS_r0*.json."""
+    at least one row in some archived CORRECTNESS_rN.json."""
     import glob
     import json
 
     import __spark_entry__ as entrymod
 
     checked: set[str] = set()
+    # ADVICE r10 class: 'r0*' never matches round 10+ — glob all rounds
     for f in glob.glob(
-        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0*.json")
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
     ):
         checked.update(json.load(open(f)))
     if not checked:
