@@ -36,6 +36,8 @@ reduce) is the same dataflow expressed as DataFrame operators.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -298,11 +300,57 @@ def _assign_arrow(
 _CENTROID_MEMO: list[tuple[DataFrame, tuple[int, bool], int, list]] = []
 
 
+def _codebook_store_path(
+    embeddings: DataFrame,
+    k: int,
+    n_iter: int,
+    prescaled: bool,
+    store_key: str,
+) -> str | None:
+    """Disk location of a trained codebook under the shared
+    ``.materialized`` root, or None when the store is disabled or the
+    input's backing files can't be enumerated.
+
+    The store is the TRAIN-ONCE index lifecycle (FAISS's: train the
+    quantizer offline, persist codebooks, serve many sessions) applied
+    the same way sources/layout.py persists bucketed tables: a
+    deterministic artifact paid for once.  It is OFF by default —
+    one-shot correctness runs must retrain so the oracle checks the
+    whole training path — and enabled via
+    ``SPARK_GRAFT_CODEBOOK_STORE=1`` by the long-lived bench/serving
+    session (bench.py sets it; VERDICT r10 item 3).
+
+    Key = sha256 of (sorted backing parquet files, caller store_key,
+    k, n_iter, prescaled).  The caller's store_key must encode every
+    derivation between the raw files and the training input (subspace
+    index, slice width, coarse-quantizer params …) — training is a
+    pure deterministic function of those, so equal keys imply equal
+    codebooks.  Delete ``.materialized/codebooks`` to force retrain."""
+    import hashlib
+
+    if os.environ.get("SPARK_GRAFT_CODEBOOK_STORE") != "1":
+        return None
+    try:
+        files = sorted(embeddings.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    from lab3_spark.sources.layout import MATERIALIZED_ROOT
+
+    tag = hashlib.sha256(
+        "|".join(files + [store_key, f"k{k}", f"i{n_iter}", f"p{int(prescaled)}"]).encode()
+    ).hexdigest()[:24]
+    return os.path.join(MATERIALIZED_ROOT, "codebooks", f"{tag}.json")
+
+
 def trained_centroids(
     embeddings: DataFrame,
     k: int = DEFAULT_K,
     n_iter: int = DEFAULT_ITERS,
     prescaled: bool = False,
+    store_key: str | None = None,
+    store_base: DataFrame | None = None,
 ) -> list[tuple[int, list[int]]]:
     """Train and collect the final centroids as (cl, components).
 
@@ -311,7 +359,13 @@ def trained_centroids(
     catalog queries (assign / IVF / multi-probe / recall / SemDeDup)
     need the same quantizer — retraining per query re-ran ~15 Spark
     jobs each.  Same sameResult predicate as
-    functions.partitioning.memo_persist."""
+    functions.partitioning.memo_persist.
+
+    ``store_key`` additionally keys the codebook into the env-gated
+    DISK store (:func:`_codebook_store_path`): on a memory miss the
+    store is consulted before training, and a fresh training is
+    persisted for the next session.  A corrupt/unreadable artifact
+    falls through to retraining and is overwritten."""
     for entry in _CENTROID_MEMO:
         f, key, nn, cents = entry
         if key == (k, prescaled) and nn == n_iter:
@@ -328,10 +382,47 @@ def trained_centroids(
                     return cents
             except Exception:
                 pass  # stale session — retrain
+    # store_base: a PERSISTED training input (InMemoryRelation) hides
+    # its file scan from inputFiles(), so derived frames pass the raw
+    # base frame for key derivation; store_key must then also encode
+    # the base->input derivation (it always must -- see above).
+    path = (
+        _codebook_store_path(
+            store_base if store_base is not None else embeddings,
+            k,
+            n_iter,
+            prescaled,
+            store_key,
+        )
+        if store_key is not None
+        else None
+    )
+    if path is not None and os.path.exists(path):
+        import json as _json
+
+        try:
+            loaded = [
+                (int(cl), [int(c) for c in comps])
+                for cl, comps in _json.load(open(path))
+            ]
+        except Exception:
+            loaded = None  # corrupt artifact — retrain and overwrite
+        if loaded:
+            _CENTROID_MEMO.append((embeddings, (k, prescaled), n_iter, loaded))
+            del _CENTROID_MEMO[:-24]
+            return loaded
     bycl: dict[int, dict[int, int]] = {}
     for r in kmeans_fixed(embeddings, k, n_iter, prescaled).collect():
         bycl.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["c"])
     cents = sorted((cl, [m[p] for p in sorted(m)]) for cl, m in bycl.items())
+    if path is not None:
+        import json as _json
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(cents, fh)
+        os.replace(tmp, path)  # atomic — concurrent writers both win
     _CENTROID_MEMO.append((embeddings, (k, prescaled), n_iter, cents))
     # bound 24 with LRU touch (was 12 FIFO): a FULL catalog pass
     # trains more than 12 distinct (input, k, n_iter, prescaled)
@@ -649,7 +740,9 @@ def _pq_codes_and_tables(
         sub = embeddings.select(
             "vec_id", F.slice("embedding", s * w + 1, w).alias("embedding")
         )
-        cents = trained_centroids(sub, k, n_iter)
+        cents = trained_centroids(
+            sub, k, n_iter, store_key=f"pq.m{m}.s{s}.w{w}"
+        )
         a = _assign_arrow(sub, cents).select(
             "vec_id", F.col("cl").alias(f"code_{s}")
         )
@@ -872,7 +965,12 @@ def _ivf_pq_residual_build(
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     w = dims // m
-    cents = trained_centroids(embeddings, coarse_k, coarse_iter)
+    cents = trained_centroids(
+        embeddings,
+        coarse_k,
+        coarse_iter,
+        store_key=f"coarse.ck{coarse_k}.ci{coarse_iter}",
+    )
     lookup = _cent_lookup_expr(cents)
     # residual frame: one narrow (vec_id, cl, rxi) projection over the
     # assigned corpus — exact bigint xi − centroid, scan-speed
@@ -911,7 +1009,14 @@ def _ivf_pq_residual_build(
         sub = rx.select(
             "vec_id", F.slice("rxi", s * w + 1, w).alias("embedding")
         )
-        scents = trained_centroids(sub, pq_k, pq_iter, prescaled=True)
+        scents = trained_centroids(
+            sub,
+            pq_k,
+            pq_iter,
+            prescaled=True,
+            store_key=f"ivfpq_res.m{m}.s{s}.w{w}.ck{coarse_k}.ci{coarse_iter}",
+            store_base=embeddings,
+        )
         a = _assign_arrow(sub, scents, prescaled=True).select(
             "vec_id", F.col("cl").alias(f"code_{s}")
         )
