@@ -76,19 +76,36 @@ def _flat_matrix(emb_chunk, dims: int):
     return flat.astype(np.float64).reshape(-1, dims)
 
 
+def _sql_bigint_array(arr: list[int]) -> str:
+    """SQL text of a literal array<bigint> — centroid metadata rendered
+    as ONE parseable string.  Building these k×d literal trees with
+    nested F.lit()/.cast() Column calls cost THOUSANDS of py4j round
+    trips per expression (round-11 profiling: the ivfpq gates spent
+    6–15 s per call in plan CONSTRUCTION, ~85% of their bench cost,
+    and py4j latency amplifies under host steal); one F.expr() parse
+    of the equivalent SQL is a single round trip.  Semantics are
+    pinned identical by tests/test_kmeans.py::test_sql_builders_match
+    _column_builders."""
+    return "array(" + ",".join(f"{int(v)}L" for v in arr) + ")"
+
+
+def _dist_struct_sql(cl: int, arr: list[int], code_field: str) -> str:
+    """named_struct('dist', Σ(xi−c)², '<code_field>', cl) — the exact
+    int64 squared distance from the fixed-point vector in column
+    ``xi`` to ONE literal centroid, as SQL text."""
+    return (
+        "named_struct('dist', aggregate(zip_with(xi, "
+        + _sql_bigint_array(arr)
+        + ", (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v), "
+        + f"'{code_field}', {int(cl)}L)"
+    )
+
+
 def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     """argmin_cl Σ (xi − c_cl)² as a pure expression over broadcast
     literal centroid arrays; ties → smallest cl via struct ordering."""
-    zero = F.lit(0).cast("bigint")
-    structs = []
-    for cl, arr in cents:
-        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
-        diff2 = F.zip_with(F.col("xi"), lits, lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(int(cl)).cast("bigint").alias("cl"))
-        )
-    return F.array_min(F.array(*structs))["cl"]
+    structs = ",".join(_dist_struct_sql(cl, arr, "cl") for cl, arr in cents)
+    return F.expr(f"array_min(array({structs}))")["cl"]
 
 
 def _iter_partials(
@@ -452,8 +469,10 @@ def _nearest_cells_expr(cents: list[tuple[int, list[int]]], nprobe: int) -> Colu
     (:func:`_dist_table_expr`, the ONE place the exact int64 distance
     structs are built) sorted lexicographically (ties → lowest cell,
     identical to the argmin), sliced to P, projected to the cell id."""
-    ordered = F.array_sort(_dist_table_expr(cents))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["code"])
+    return F.expr(
+        f"transform(slice(array_sort({_dist_table_sql(cents)}), 1, "
+        f"{int(nprobe)}), s -> s.code)"
+    )
 
 
 def ann_ivf_trained(
@@ -653,21 +672,23 @@ def semantic_near_duplicates(
     )
 
 
+def _dist_table_sql(cents: list[tuple[int, list[int]]]) -> str:
+    """SQL text of `_dist_table_expr`'s array — shared with
+    `_nearest_cells_expr` so the probe list parses as ONE expression
+    too."""
+    return (
+        "array("
+        + ",".join(_dist_struct_sql(cl, arr, "code") for cl, arr in cents)
+        + ")"
+    )
+
+
 def _dist_table_expr(cents: list[tuple[int, list[int]]]) -> Column:
     """array<struct<dist,code>> of the EXACT int64 squared distance
     from the fixed-point vector in column ``xi`` to every centroid —
     `_assign_expr`'s structs without the argmin: the per-query ADC
     distance table."""
-    zero = F.lit(0).cast("bigint")
-    structs = []
-    for cl, arr in cents:
-        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
-        diff2 = F.zip_with(F.col("xi"), lits, lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(int(cl)).cast("bigint").alias("code"))
-        )
-    return F.array(*structs)
+    return F.expr(_dist_table_sql(cents))
 
 
 def ann_pq_adc(
@@ -881,14 +902,11 @@ def _cent_lookup_expr(cents: list[tuple[int, list[int]]]) -> Column:
     """array<bigint> centroid for the cell id in column ``cl`` — a
     literal map (k×d ints, metadata-scale) so the residual subtraction
     is a pure broadcast expression, no join."""
-    keys = F.array(*[F.lit(int(cl)).cast("bigint") for cl, _ in cents])
-    vals = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
-            for _, arr in cents
-        ]
+    keys = "array(" + ",".join(f"{int(cl)}L" for cl, _ in cents) + ")"
+    vals = (
+        "array(" + ",".join(_sql_bigint_array(arr) for _, arr in cents) + ")"
     )
-    return F.element_at(F.map_from_arrays(keys, vals), F.col("cl"))
+    return F.expr(f"element_at(map_from_arrays({keys}, {vals}), cl)")
 
 
 def ann_ivf_pq_residual(

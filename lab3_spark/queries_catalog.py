@@ -14923,11 +14923,17 @@ def q_mapreduce_facade_one_combiner(spark, sf_dir):
 #
 # ROUND-12 HANDOFF: if CORRECTNESS_r11 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
-# re-confirmations from `python tools/window_age.py` (next up: the
-# remaining r5 era — ann_ivf_pq_top5, ann_ivf_trained,
-# ann_ivfpq_recall, ann_ivfpq_rerank_top5, ann_ivfpq_residual_top5,
-# ann_sq8_top5, benchmark_decontamination, cluster_balanced_sample,
-# corpus_shuffle_shards, dedup_cluster_representatives, …).  Update
+# re-confirmations from `python tools/window_age.py`.  MUST-HEAD for
+# r12: the five r5-era ANN gates whose expression CONSTRUCTION changed
+# in round 11 (the single-parse SQL builder rewrite,
+# operators/kmeans.py `_sql_bigint_array` — values pinned identical by
+# tests/test_kmeans.py::test_sql_builders_match_column_builders and a
+# 15/15 local verify_local sweep at sf0.01, but their newest driver
+# rows predate the change): ann_ivf_trained, ann_ivf_pq_top5,
+# ann_ivfpq_residual_top5, ann_ivfpq_rerank_top5, ann_ivfpq_recall.
+# Then the remaining r5 era (ann_sq8_top5, benchmark_decontamination,
+# cluster_balanced_sample, corpus_shuffle_shards,
+# dedup_cluster_representatives, …).  Update
 # test_driver_window_leads_with_round11_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.

@@ -363,3 +363,89 @@ def test_frozen_append_assigns_new_vectors_without_retraining(spark, sf_dir):
     assert any(r.neighbor_id >= limit for r in out), (
         "appended vectors must be queryable"
     )
+
+
+def test_sql_builders_match_column_builders(spark):
+    """Round-11 py4j-cost fix: the single-parse SQL forms of the
+    centroid expression builders must be value-identical to the
+    original nested-Column forms (kept here as the reference)."""
+    from pyspark.sql import functions as F
+
+    from lab3_spark.operators.kmeans import (
+        _assign_expr,
+        _cent_lookup_expr,
+        _dist_table_expr,
+        _nearest_cells_expr,
+    )
+
+    cents = [(0, [1, -2, 3]), (2, [4, 5, -6]), (5, [-7, 8, 9])]
+
+    def col_dist_table(cents):
+        zero = F.lit(0).cast("bigint")
+        structs = []
+        for cl, arr in cents:
+            lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+            diff2 = F.zip_with(
+                F.col("xi"), lits, lambda a, b: (a - b) * (a - b)
+            )
+            dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
+            structs.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(int(cl)).cast("bigint").alias("code"),
+                )
+            )
+        return F.array(*structs)
+
+    def col_assign(cents):
+        zero = F.lit(0).cast("bigint")
+        structs = []
+        for cl, arr in cents:
+            lits = F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+            diff2 = F.zip_with(
+                F.col("xi"), lits, lambda a, b: (a - b) * (a - b)
+            )
+            dist = F.aggregate(diff2, zero, lambda acc, v: acc + v)
+            structs.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(int(cl)).cast("bigint").alias("cl"),
+                )
+            )
+        return F.array_min(F.array(*structs))["cl"]
+
+    def col_lookup(cents):
+        keys = F.array(*[F.lit(int(cl)).cast("bigint") for cl, _ in cents])
+        vals = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("bigint") for v in arr])
+                for _, arr in cents
+            ]
+        )
+        return F.element_at(F.map_from_arrays(keys, vals), F.col("cl"))
+
+    def col_nearest(cents, nprobe):
+        ordered = F.array_sort(col_dist_table(cents))
+        return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["code"])
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3], 0), (1, [-4, 0, 9], 2), (2, [7, 7, 7], 5)],
+        "vec_id long, xi array<bigint>, cl long",
+    )
+    got = df.select(
+        "vec_id",
+        _dist_table_expr(cents).alias("dt"),
+        _assign_expr(cents).alias("asg"),
+        _cent_lookup_expr(cents).alias("lk"),
+        _nearest_cells_expr(cents, 2).alias("nc"),
+    ).collect()
+    want = df.select(
+        "vec_id",
+        col_dist_table(cents).alias("dt"),
+        col_assign(cents).alias("asg"),
+        col_lookup(cents).alias("lk"),
+        col_nearest(cents, 2).alias("nc"),
+    ).collect()
+    assert [r.asDict(recursive=True) for r in got] == [
+        r.asDict(recursive=True) for r in want
+    ]

@@ -159,6 +159,12 @@ QUERIES = [
     "multimodal_phash_dedup",
     "pipeline_decontaminate_spans",
     "pipeline_span_removal_packing",
+    # round-11 additions: the planner pair rides the minhash candidate
+    # machinery, contamination severity rides the gram scan
+    "lsh_band_planner",
+    "lsh_planner_measured_quality",
+    "contamination_max_span",
+    "mapreduce_facade_one_combiner",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
