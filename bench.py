@@ -346,6 +346,7 @@ HEADLINE = [
     "lsh_planner_measured_quality",
     "contamination_max_span",
     "mapreduce_facade_one_combiner",
+    "pipeline_line_dedup",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -2641,3 +2641,77 @@ def lsh_planned_blocking_quality(
         "pc_fp",
         "rr_fp",
     )
+
+
+def apply_line_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    delimiter: str | None = None,
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_lines, kept_lines, removed_lines, clean_text): EXACT
+    duplicate-LINE removal, keep-first — the RefinedWeb/Falcon exact
+    line-dedup pass (Penedo et al. 2023 §4.2, public: identical lines
+    repeated across the corpus are navigation menus, cookie banners,
+    boilerplate headers; remove every occurrence but the first).  The
+    exact-unit complement of :func:`apply_paragraph_dedup`'s near-dup
+    action: that one needs LSH because paragraphs mutate; this one is
+    a straight equality class per unit, so the keep-first rule is a
+    row_number over (unit text) ordered by (doc_id, line_idx) — no
+    bands, no verify, deterministic.
+
+    Unitization is :func:`paragraph_frame` VERBATIM (``delimiter`` =
+    the real-corpus newline path, ``block_tokens`` = the stand-in
+    grain for the newline-free synthetic corpus), so the exact and
+    near-dup passes agree on what a "line" is.  Survivors re-join in
+    original order; docs never flagged pass through; a doc whose
+    every line was removed survives as an empty string (the
+    remove-not-drop contract shared by the span/paragraph applies).
+    Within-doc repeats dedup exactly like cross-doc ones — the
+    RefinedWeb rule is corpus-global.
+
+    Scale shape: ONE hash shuffle keyed by the unit text (its
+    equality class — Spark hashes the key; at 100 TB this is the
+    canonical dedup shuffle, no pair space, no candidate generation),
+    then the same candidate-scale anti-join + per-doc bounded
+    collect_list as the paragraph apply."""
+    lines = paragraph_frame(
+        documents, text_col, delimiter=delimiter, block_tokens=block_tokens
+    )
+    w = Window.partitionBy("para_text").orderBy("doc_id", "para_idx")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joiner = "\n" if delimiter is not None else " "
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para_text"))
+                ),
+                lambda s: s["para_text"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    tot = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    n_lines = F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint")
+    kept_n = F.coalesce(F.col("kept_lines"), F.lit(0)).cast("bigint")
+    return (
+        documents.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_lines.alias("n_lines"),
+            kept_n.alias("kept_lines"),
+            (n_lines - kept_n).cast("bigint").alias("removed_lines"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

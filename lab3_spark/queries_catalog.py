@@ -14848,6 +14848,65 @@ def q_mapreduce_facade_one_combiner(spark, sf_dir):
     return vocab_lengths_as_mapreduce(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "pipeline_line_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    pt AS (
+      SELECT doc_id, CAST(b AS BIGINT) AS line_idx,
+             array_to_string(toks[b*32+1:(b+1)*32], ' ') AS line_text
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks)/32.0) AS BIGINT))) AS b
+            FROM t WHERE len(toks) >= 1)
+    ),
+    r AS (
+      SELECT doc_id, line_idx, line_text,
+             row_number() OVER (PARTITION BY line_text
+                                ORDER BY doc_id, line_idx) AS rn
+      FROM pt
+    ),
+    keptl AS (SELECT doc_id, line_idx, line_text FROM r WHERE rn = 1),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             md5(string_agg(line_text, ' ' ORDER BY line_idx)) AS cmd5
+      FROM keptl GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nl
+            FROM pt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(kept, 0) AS BIGINT) AS kept_lines,
+           CAST(coalesce(nl, 0) - coalesce(kept, 0) AS BIGINT)
+             AS removed_lines,
+           coalesce(cmd5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN tot USING (doc_id)
+                     LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_pipeline_line_dedup(spark, sf_dir):
+    """EXACT duplicate-line removal keep-first (dedup.apply_line_dedup)
+    — the RefinedWeb/Falcon exact line-dedup pass, the exact-unit
+    complement of pipeline_paragraph_dedup's LSH action: one hash
+    shuffle keyed by the unit text (no bands, no verify), every
+    occurrence but the lexicographically first (doc_id, line_idx)
+    dropped, survivors re-joined in original order.  Same 32-token
+    block grain as the paragraph gates (shared paragraph_frame
+    unitization — the two passes provably agree on what a line is);
+    clean_md5 pins the re-emitted text byte-for-byte over all docs."""
+    from lab3_spark.operators.dedup import apply_line_dedup
+
+    return apply_line_dedup(
+        _t(spark, sf_dir, "documents"), block_tokens=32
+    ).select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        "removed_lines",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -14929,8 +14988,9 @@ def q_mapreduce_facade_one_combiner(spark, sf_dir):
 # operators/kmeans.py `_sql_bigint_array` — values pinned identical by
 # tests/test_kmeans.py::test_sql_builders_match_column_builders and a
 # 15/15 local verify_local sweep at sf0.01, but their newest driver
-# rows predate the change): ann_ivf_trained, ann_ivf_pq_top5,
-# ann_ivfpq_residual_top5, ann_ivfpq_rerank_top5, ann_ivfpq_recall.
+# rows predate the change): ann_ivf_frozen_append, ann_ivf_trained,
+# ann_ivf_pq_top5, ann_ivfpq_residual_top5, ann_ivfpq_rerank_top5,
+# ann_ivfpq_recall.
 # Then the remaining r5 era (ann_sq8_top5, benchmark_decontamination,
 # cluster_balanced_sample, corpus_shuffle_shards,
 # dedup_cluster_representatives, …).  Update
@@ -14984,6 +15044,7 @@ ROUND11_NEW = [
     "lsh_planner_measured_quality",
     "contamination_max_span",
     "mapreduce_facade_one_combiner",
+    "pipeline_line_dedup",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -15056,7 +15117,9 @@ _DRIVER_PRIORITY = [
     "token_budget_select",
     "udtf_token_positions",
     "user_running_totals",
-    "ann_ivf_frozen_append",
+    # (ann_ivf_frozen_append, r5, was slot 50 until the fifth round-11
+    # gate displaced it; it heads the r12 window with the other five
+    # changed-construction ANN gates -- see the ROUND-12 HANDOFF note)
     # -- beyond: the r10 window order then the standing tail (driver
     #    may check more than 50 someday; nothing dropped, only
     #    reordered — duplicate names below collapse to their first

@@ -24,10 +24,12 @@ def test_no_hugeint_or_decimal_oracle_columns():
 def test_driver_window_leads_with_round11_priorities():
     """Round-11 curation contract: the window leads with (1) the new
     round-11 gates (no driver row anywhere), then (2) the oldest-green
-    re-confirmations — the ENTIRE r4 driver-row era (45 gates) plus
-    the r5 era's head — everything needing a FIRST or FRESH driver
-    row sits inside the 50-slot window.  No existing gate's operator
-    or oracle changed this round, so no changed-gate slots are due."""
+    re-confirmations — the ENTIRE r4 driver-row era (45 gates) —
+    everything needing a FIRST driver row sits inside the 50-slot
+    window.  The six ANN gates whose expression CONSTRUCTION changed
+    this round are value-pinned by test_sql_builders_match_column_
+    builders + a local oracle sweep and head the r12 window (the
+    catalog's ROUND-12 HANDOFF note)."""
     import __spark_entry__ as entrymod
     from lab3_spark.queries_catalog import ROUND11_NEW
 
@@ -36,8 +38,7 @@ def test_driver_window_leads_with_round11_priorities():
     assert order[:n_new] == ROUND11_NEW
     # oldest-green refill begins immediately after the new gates
     assert order[n_new] == "above_avg_spenders"
-    assert order[48] == "user_running_totals"  # r4 era fully cleared
-    assert order[49] == "ann_ivf_frozen_append"  # r5 era head
+    assert order[49] == "user_running_totals"  # r4 era fully cleared
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

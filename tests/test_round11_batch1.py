@@ -208,3 +208,75 @@ def test_one_combiner_registry_is_last():
 
     c = COMBINERS["one"](F.col("v"))
     assert "last" in str(c).lower()
+
+
+# ---------------------------------------------------------------------------
+# exact line dedup (RefinedWeb keep-first)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keep_first_cross_doc(spark):
+    from lab3_spark.operators.dedup import apply_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncookie banner text\nunique beta"),
+            (2, "cookie banner text\nunique gamma"),
+            (3, "unique delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_line_dedup(df, delimiter="\n").collect()}
+    assert out[1]["clean_text"] == (
+        "unique alpha\ncookie banner text\nunique beta"
+    )
+    assert out[1]["removed_lines"] == 0  # first occurrence kept
+    assert out[2]["clean_text"] == "unique gamma"
+    assert out[2]["removed_lines"] == 1
+    assert out[3]["removed_lines"] == 0
+
+
+def test_line_dedup_within_doc_and_empty_survivor(spark):
+    from lab3_spark.operators.dedup import apply_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line"),
+            (2, "same line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_line_dedup(df, delimiter="\n").collect()}
+    # doc 1 keeps only its first occurrence (corpus-global rule)
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (3, 1)
+    assert out[1]["clean_text"] == "same line"
+    # doc 2's only line duplicates doc 1's — survives as empty string
+    assert (out[2]["kept_lines"], out[2]["clean_text"]) == (0, "")
+
+
+def test_line_dedup_accounting_consistent(spark, sf_dir):
+    import os
+
+    from lab3_spark.operators.dedup import apply_line_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = apply_line_dedup(docs, block_tokens=32)
+    from pyspark.sql import functions as F
+
+    bad = out.where(
+        (F.col("kept_lines") + F.col("removed_lines") != F.col("n_lines"))
+        | (F.col("kept_lines") < 0)
+        | (F.col("removed_lines") < 0)
+    )
+    assert bad.count() == 0
+    # corpus-wide: kept lines == number of DISTINCT line texts
+    from lab3_spark.operators.dedup import paragraph_frame
+
+    n_distinct = (
+        paragraph_frame(docs, block_tokens=32)
+        .select("para_text")
+        .distinct()
+        .count()
+    )
+    total_kept = out.agg(F.sum("kept_lines")).collect()[0][0]
+    assert total_kept == n_distinct

@@ -165,6 +165,7 @@ QUERIES = [
     "lsh_planner_measured_quality",
     "contamination_max_span",
     "mapreduce_facade_one_combiner",
+    "pipeline_line_dedup",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
