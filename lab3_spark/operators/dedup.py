@@ -2599,11 +2599,35 @@ def lsh_planned_blocking_quality(
     re-banding slices the EXISTING signature arrays (one explode over
     b* band indices, equi-join on (band, band_key)) — no signature is
     recomputed, and the candidate join shape is identical to
-    minhash_candidates' at any corpus size."""
+    minhash_candidates' at any corpus size.
+
+    Warm path: the winner collect happens during CONSTRUCTION (the
+    driver-looped class), so the whole gate sits behind the
+    input-keyed result memo; the signature frame additionally rides
+    memo_persist so a re-run after a pass-boundary result-memo flush
+    re-bands from the persisted signatures instead of recomputing the
+    16-salt aggregation (sf1 measured: 15.6 s → re-band only)."""
+    from lab3_spark.functions.partitioning import memo_result
+
+    return memo_result(
+        f"dedup.lsh_planned_quality.{text_col}.t{t10}",
+        documents,
+        lambda: _lsh_planned_quality_build(documents, text_col, t10),
+    )
+
+
+def _lsh_planned_quality_build(
+    documents: DataFrame, text_col: str, t10: int
+) -> DataFrame:
+    from lab3_spark.functions.partitioning import memo_persist
+
     plan = lsh_band_plan(documents, text_col, t10)
     best = plan.where(F.col("is_best") == 1).collect()[0]
     bstar, rstar = int(best["n_bands"]), int(best["n_rows"])
-    sig = minhash_signatures(documents, text_col)
+    sig = memo_persist(
+        f"dedup.minhash_sig.{text_col}",
+        minhash_signatures(documents, text_col),
+    )
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bstar - 1))).alias("band"),
