@@ -2534,7 +2534,10 @@ def lsh_band_plan(
         ],
         "n_bands int, n_rows int, bucket_x10 bigint, miss_ppm bigint",
     )
-    joined = curve.join(hist, "bucket_x10", "left").select(
+    # curve is the 55-row planner-metadata side; hist is ≤11 rows but
+    # sits atop the candidate-pair machinery — broadcast it INTO the
+    # curve join so no exchange lands on the planner path
+    joined = curve.join(F.broadcast(hist), "bucket_x10", "left").select(
         "n_bands",
         "n_rows",
         "bucket_x10",

@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "events_cusum_changepoint",  # 1-row grand-mean broadcast
     "source_influence_jackknife",  # 1-row grand-total broadcast
     "dedup_blocking_quality",  # 1-row truth/cand/caught aggregates
+    "lsh_planner_measured_quality",  # same _blocking_metrics 1-row shape
     "ql_dirichlet_top_docs",  # 1-row corpus-stats broadcast (bm25 shape)
     "retrieval_rank_agreement",  # k-row heads + 1-row size broadcasts
     "quality_feature_correlations",  # 1-row 14-moment broadcast
