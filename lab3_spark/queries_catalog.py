@@ -14763,10 +14763,10 @@ def q_lsh_planner_measured_quality(spark, sf_dir):
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     g AS (
       SELECT t.doc_id, i - 1 AS pos,
-             array_to_string(toks[i:i+4], ' ') AS gram
+             array_to_string(toks[i:i+3], ' ') AS gram
       FROM (SELECT doc_id, toks,
-                   unnest(generate_series(1, len(toks) - 4)) AS i
-            FROM t WHERE len(toks) >= 5) t
+                   unnest(generate_series(1, len(toks) - 3)) AS i
+            FROM t WHERE len(toks) >= 4) t
     ),
     ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
     hits AS (
@@ -14774,7 +14774,7 @@ def q_lsh_planner_measured_quality(spark, sf_dir):
       WHERE doc_id % 97 != 0 AND gram IN (SELECT gram FROM ev)
     ),
     runs AS (
-      SELECT doc_id, min(pos) AS a, min(pos) + count(*) + 4 AS b
+      SELECT doc_id, min(pos) AS a, min(pos) + count(*) + 3 AS b
       FROM (SELECT doc_id, pos,
                    pos - row_number() OVER (PARTITION BY doc_id
                                             ORDER BY pos) AS grp
@@ -14818,13 +14818,17 @@ def q_contamination_max_span(spark, sf_dir):
     convention as benchmark_decontamination (doc_id % 97 == 0 is the
     eval side), same broadcast-eval-gram + one-semi-join scan shape,
     spans chained through the shared gaps-and-islands fold
-    (spans_from_hits) and merge_spans interval union."""
+    (spans_from_hits) and merge_spans interval union.  The gate probes
+    at n=4 (operator default stays the family's n=5): the synthetic
+    corpus's tiny vocabulary yields 8 contaminated docs at the
+    4-gram grain vs 1 at 5 — a real value-check surface; the n is an
+    audit-tightness knob, not a semantics change."""
     from lab3_spark.operators.dedup import contamination_max_span
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
-    return contamination_max_span(train, bench)
+    return contamination_max_span(train, bench, n=4)
 
 
 @query(
