@@ -98,3 +98,52 @@ def test_line_dedup_matches_python_reference(spark, corpora):
         for r in apply_line_dedup(df, delimiter="\n").collect()
     }
     assert got == _python_line_dedup(docs)
+
+
+def test_duckdb_recursive_scurve_matches_python():
+    """The ORACLE side of the planner's S-curve, checked directly: the
+    recursive-CTE HUGEINT power must reproduce _scurve_miss_ppm for
+    every (b, r, bucket) in the planner domain — independent of the
+    driver's Spark-vs-DuckDB compare, so an oracle regression is
+    caught without a gate run."""
+    import duckdb
+
+    q = """
+    WITH RECURSIVE
+    combos(n_bands, n_rows) AS (
+      VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)
+    ),
+    scurve_base AS (
+      SELECT n_bands, n_rows, p,
+             CAST(CASE n_rows WHEN 1 THEN 10 WHEN 2 THEN 100
+                  WHEN 4 THEN 10000 WHEN 8 THEN 100000000
+                  WHEN 16 THEN 10000000000000000 END AS BIGINT)
+             - CAST(CASE n_rows WHEN 1 THEN p WHEN 2 THEN p * p
+                    WHEN 4 THEN (p * p) * (p * p)
+                    WHEN 8 THEN ((p * p) * (p * p)) * ((p * p) * (p * p))
+                    WHEN 16 THEN (((p * p) * (p * p)) * ((p * p) * (p * p)))
+                               * (((p * p) * (p * p)) * ((p * p) * (p * p)))
+                    END AS BIGINT) AS q
+      FROM combos, (SELECT unnest(range(0, 11)) AS p) ps
+    ),
+    scurve_pow AS (
+      SELECT n_bands, n_rows, p, q, CAST(1 AS HUGEINT) AS acc, 0 AS i
+      FROM scurve_base
+      UNION ALL
+      SELECT n_bands, n_rows, p, q, acc * q, i + 1
+      FROM scurve_pow WHERE i < n_bands
+    )
+    SELECT n_bands, n_rows, CAST(p AS BIGINT) AS bucket_x10,
+           CAST(acc // CAST(10000000000 AS HUGEINT) AS BIGINT) AS miss_ppm
+    FROM scurve_pow WHERE i = n_bands
+    ORDER BY n_bands, bucket_x10
+    """
+    got = {
+        (b, r, p): m for b, r, p, m in duckdb.sql(q).fetchall()
+    }
+    want = {
+        (b, r, p): _scurve_miss_ppm(p, b, r)
+        for b, r in LSH_PLAN_COMBOS
+        for p in range(11)
+    }
+    assert got == want
