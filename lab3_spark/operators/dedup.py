@@ -2697,19 +2697,30 @@ def apply_line_dedup(
     Within-doc repeats dedup exactly like cross-doc ones — the
     RefinedWeb rule is corpus-global.
 
-    Scale shape: ONE hash shuffle keyed by the unit text (its
-    equality class — Spark hashes the key; at 100 TB this is the
-    canonical dedup shuffle, no pair space, no candidate generation),
-    then the same candidate-scale anti-join + per-doc bounded
-    collect_list as the paragraph apply."""
+    Scale shape — deliberately NOT a row_number window: a window
+    partitioned by unit text sends EVERY copy of a hot boilerplate
+    line (the exact thing this pass removes — cookie banners repeat
+    millions of times) to one task, and window skew has no AQE
+    mitigation.  Instead the first occurrence is a groupBy(text)
+    min(struct(doc_id, line_idx)) — map-side partial aggregation
+    collapses a hot text to ONE row per input partition before the
+    shuffle, so the agg is skew-immune — and keep/drop is one
+    equi-join back on the text (AQE skew-join splits any hot join
+    partition).  Then the same candidate-scale per-doc bounded
+    collect_list reassembly as the paragraph apply."""
     lines = paragraph_frame(
         documents, text_col, delimiter=delimiter, block_tokens=block_tokens
     )
-    w = Window.partitionBy("para_text").orderBy("doc_id", "para_idx")
+    firsts = lines.groupBy("para_text").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("_first")
+    )
     kept = (
-        lines.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        lines.join(firsts, "para_text")
+        .where(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("para_idx") == F.col("_first.para_idx"))
+        )
+        .drop("_first")
     )
     joiner = "\n" if delimiter is not None else " "
     agg = kept.groupBy("doc_id").agg(
