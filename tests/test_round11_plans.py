@@ -32,10 +32,11 @@ def test_contamination_gram_probe_is_broadcast_semi_join(spark, docs):
 
 
 def test_line_dedup_single_text_shuffle(spark, docs):
-    """apply_line_dedup's keep-first rule is ONE hash shuffle keyed by
-    the unit text (the canonical dedup shuffle) — the window's
-    partitioning must be para_text, and the per-doc reassembly adds
-    only doc_id-keyed aggregation exchanges."""
+    """apply_line_dedup's keep-first rule shuffles on the unit text
+    (the canonical dedup shuffle) via the skew-immune min-struct
+    AGGREGATE — map-side partial combine, never a window over the hot
+    key — and the per-doc reassembly adds only doc_id-keyed
+    aggregation exchanges."""
     from lab3_spark.operators.dedup import apply_line_dedup
 
     plan = formatted_plan(apply_line_dedup(docs, block_tokens=32))
