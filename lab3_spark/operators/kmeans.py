@@ -435,11 +435,15 @@ def trained_centroids(
     if path is not None:
         import json as _json
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            _json.dump(cents, fh)
-        os.replace(tmp, path)  # atomic — concurrent writers both win
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                _json.dump(cents, fh)
+            os.replace(tmp, path)  # atomic — concurrent writers both win
+        except OSError:
+            pass  # store is best-effort: a read-only/full .materialized
+            # must never fail the training path that just succeeded
     _CENTROID_MEMO.append((embeddings, (k, prescaled), n_iter, cents))
     # bound 24 with LRU touch (was 12 FIFO): a FULL catalog pass
     # trains more than 12 distinct (input, k, n_iter, prescaled)

@@ -101,3 +101,18 @@ def test_ivfpq_residual_identical_with_and_without_store(
     trained = run()  # trains + writes artifacts
     loaded = run()  # serves from the store
     assert cold == trained == loaded
+
+
+def test_unwritable_store_is_best_effort(emb, store_env, monkeypatch):
+    """A read-only .materialized must never fail the training path:
+    the store write is best-effort — training still returns."""
+    import os
+
+    os.makedirs(os.path.join(store_env, "codebooks"), exist_ok=True)
+    os.chmod(os.path.join(store_env, "codebooks"), 0o555)
+    try:
+        _fresh_memo()
+        cents = trained_centroids(emb, k=4, n_iter=1, store_key="t.ro")
+        assert cents  # trained fine despite the failed write
+    finally:
+        os.chmod(os.path.join(store_env, "codebooks"), 0o755)
