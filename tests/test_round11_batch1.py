@@ -280,3 +280,31 @@ def test_line_dedup_accounting_consistent(spark, sf_dir):
     )
     total_kept = out.agg(F.sum("kept_lines")).collect()[0][0]
     assert total_kept == n_distinct
+
+
+def test_round11_operators_empty_corpus_contract(spark):
+    """Empty documents frame: the APPLY/severity/facade operators
+    return EMPTY frames (no crashes, no NULL rows); the planner still
+    emits its 5 factorizations with all-zero weights and a
+    deterministic tie-break winner (b=1); the measured-quality
+    companion inherits _blocking_metrics' documented empty-input
+    shape (vacuously-perfect pc/rr, NULL totals) shared with
+    dedup_blocking_quality."""
+    from lab3_spark.operators.dedup import (
+        apply_line_dedup,
+        contamination_max_span,
+        lsh_band_plan,
+        lsh_planned_blocking_quality,
+    )
+    from lab3_spark.operators.mapreduce import vocab_lengths_as_mapreduce
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert apply_line_dedup(empty, block_tokens=32).count() == 0
+    assert contamination_max_span(empty, empty).count() == 0
+    assert vocab_lengths_as_mapreduce(empty).count() == 0
+    plan = lsh_band_plan(empty).collect()
+    assert len(plan) == 5
+    assert all(r["cost"] == 0 for r in plan)
+    assert [r["is_best"] for r in plan] == [1, 0, 0, 0, 0]  # tie → b=1
+    q = lsh_planned_blocking_quality(empty).collect()[0]
+    assert (q["pc_fp"], q["rr_fp"]) == (1_000_000, 1_000_000)
