@@ -2491,6 +2491,13 @@ def _scurve_miss_ppm(p10: int, n_bands: int, n_rows: int) -> int:
     (10^r − p10^r)^b ≤ 10^16 fits bigint, so the DuckDB oracle
     recomputes the identical value (recursive-CTE power) and no pow()
     float can flicker a bucket."""
+    if n_bands * n_rows < 6:
+        # 10 ** (negative) is a FLOAT in Python — the exactness claim
+        # dies silently below a 6-hash budget, so refuse eagerly
+        raise ValueError(
+            f"n_bands*n_rows = {n_bands * n_rows} < 6: ppm scaling "
+            "needs at least a 6-hash budget for exact integer floor"
+        )
     q = 10**n_rows - p10**n_rows
     return q**n_bands // 10 ** (n_bands * n_rows - 6)
 
@@ -2524,6 +2531,11 @@ def lsh_band_plan(
     ints (planner metadata, broadcast) joined against the ≤11-row
     histogram — nothing here touches corpus-scale data beyond the
     shared candidate memo."""
+    if not 0 <= t10 <= 10:
+        raise ValueError(
+            f"t10 = {t10} outside the 0..10 similarity grid — every "
+            "bucket would land on one side and the plan degenerates"
+        )
     hist = pair_similarity_histogram(documents, text_col)
     spark = documents.sparkSession
     curve = spark.createDataFrame(

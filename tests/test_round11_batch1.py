@@ -308,3 +308,14 @@ def test_round11_operators_empty_corpus_contract(spark):
     assert [r["is_best"] for r in plan] == [1, 0, 0, 0, 0]  # tie → b=1
     q = lsh_planned_blocking_quality(empty).collect()[0]
     assert (q["pc_fp"], q["rr_fp"]) == (1_000_000, 1_000_000)
+
+
+def test_scurve_refuses_sub_ppm_budget():
+    with pytest.raises(ValueError, match="6-hash budget"):
+        _scurve_miss_ppm(5, 1, 4)
+
+
+def test_band_plan_refuses_off_grid_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="similarity grid"):
+        lsh_band_plan(df, t10=11)
