@@ -105,13 +105,23 @@ def approx_dau_check(events: DataFrame, rsd: float = 0.01) -> DataFrame:
     it), but `|est − exact| ≤ 5% · exact` IS oracle-expressible: the
     oracle emits the exact counts plus literal TRUE, so a sketch whose
     error ever exceeds the bound flips the boolean and the hash.  Both
-    sides integer-exact: abs(est−exact)·20 ≤ exact avoids floats."""
+    sides integer-exact: abs(est−exact)·20 ≤ exact avoids floats.
+
+    The two aggregates run as SEPARATE groupBys joined on day — NOT
+    one agg: mixing a DISTINCT aggregate with the HLL forces
+    Catalyst's Expand multi-phase plan (rows duplicated per aggregate
+    class, 2^p-register sketch buffers carried through extra phases),
+    measured 2.71 s vs 0.41 s + 0.81 s separate at sf0.1 — and the
+    day-keyed join is group-count scale.  Values identical."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    exact = events.groupBy(day).agg(
+        F.countDistinct("user_id").alias("dau_exact")
+    )
+    est = events.groupBy(day).agg(
+        F.approx_count_distinct("user_id", rsd).alias("_est")
+    )
     return (
-        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.countDistinct("user_id").alias("dau_exact"),
-            F.approx_count_distinct("user_id", rsd).alias("_est"),
-        )
+        exact.join(est, "day")
         .select(
             "day",
             "dau_exact",

@@ -14994,7 +14994,9 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # 15/15 local verify_local sweep at sf0.01, but their newest driver
 # rows predate the change): ann_ivf_frozen_append, ann_ivf_trained,
 # ann_ivf_pq_top5, ann_ivfpq_residual_top5, ann_ivfpq_rerank_top5,
-# ann_ivfpq_recall.
+# ann_ivfpq_recall — plus events_approx_dau (the Expand-split rewrite,
+# operators/events.py approx_dau_check: two groupBys joined on day,
+# values identical, both scales re-verified, repriced 4.46→1.30 s).
 # Then the remaining r5 era (ann_sq8_top5, benchmark_decontamination,
 # cluster_balanced_sample, corpus_shuffle_shards,
 # dedup_cluster_representatives, …).  Update
