@@ -46,15 +46,27 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp, n_copies, is_dup): is_dup=1 unless the doc is the
     min-doc_id representative of its fingerprint group.
 
-    One shuffle on fp; the keep-rule (min id) is the deterministic
-    canonical-representative policy."""
+    The keep-rule (min id) is the deterministic canonical-
+    representative policy.  Shape: groupBy(fp).agg(count, min) + ONE
+    equi-join back — NOT a window over fp (round-11 skew audit, same
+    fix as apply_line_dedup's keep-first): a window co-locates every
+    copy of a hot fingerprint in one unsplittable task, while the agg
+    map-side combines a hot fp to one row per input partition and the
+    join back is the shape AQE's skew-join splits.  At 100 TB the hot
+    fingerprint is exactly what exact dedup exists to collapse."""
     norm = F.concat_ws(" ", tokenize(text_col))
-    w = Window.partitionBy("fp")
+    fps = documents.select("doc_id", F.md5(norm).alias("fp"))
+    stats = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("_keep"),
+    )
     return (
-        documents.select("doc_id", F.md5(norm).alias("fp"))
-        .withColumn("n_copies", F.count("*").over(w))
-        .withColumn(
-            "is_dup", (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+        fps.join(stats, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            "n_copies",
+            (F.col("doc_id") != F.col("_keep")).cast("int").alias("is_dup"),
         )
         .orderBy("doc_id")
     )

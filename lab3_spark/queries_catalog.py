@@ -14996,7 +14996,10 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ann_ivf_pq_top5, ann_ivfpq_residual_top5, ann_ivfpq_rerank_top5,
 # ann_ivfpq_recall — plus events_approx_dau (the Expand-split rewrite,
 # operators/events.py approx_dau_check: two groupBys joined on day,
-# values identical, both scales re-verified, repriced 4.46→1.30 s).
+# values identical, both scales re-verified, repriced 4.46→1.30 s)
+# and dedup_exact (keep-first rewritten window-over-fp →
+# groupBy+join, the round-11 skew-audit class; both scales
+# re-verified, golden tests green).
 # Then the remaining r5 era (ann_sq8_top5, benchmark_decontamination,
 # cluster_balanced_sample, corpus_shuffle_shards,
 # dedup_cluster_representatives, …).  Update
