@@ -113,25 +113,37 @@ def keep_best_duplicates(documents: DataFrame, text_col: str = "text") -> DataFr
     window), identical to min-id exact dedup; the per-doc hash/score
     projection is spread across cores first (single-row-group scans).
 
-    Degenerate-key note (100 TB): a pathological fingerprint with
-    millions of copies lands its whole group on one window task.  When
-    only the survivors are needed (not per-row flags), the combine-able
-    form — ``groupBy(fp).agg(max_by(doc_id, struct(quality, -doc_id)))``
-    — partial-aggregates map-side and has no hot-task problem; this
-    row-level variant exists for the flag/audit output shape."""
+    Degenerate-key note (100 TB): the row-level flags come from
+    groupBy(fp).agg(count, max_by) + ONE equi-join back — NOT a window
+    over fp (round-11 skew audit, the exact_duplicates /
+    apply_line_dedup fix): the agg map-side combines a pathological
+    fingerprint with millions of copies to one candidate row per input
+    partition, and the join back is the shape AQE's skew-join splits;
+    a window form landed the whole group on one unsplittable task.
+    ``dedup_survivors`` remains the survivors-only form (no join at
+    all) when per-row flags aren't needed."""
     from lab3_spark.operators.textstats import quality_expr
 
     norm = F.concat_ws(" ", tokenize(text_col))
     score = quality_expr(text_col)
-    w = Window.partitionBy("fp")
-    wr = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    fps = spread(documents).select(
+        "doc_id", F.md5(norm).alias("fp"), trunc(score, 4).alias("quality")
+    )
+    stats = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max_by(
+            "doc_id", F.struct("quality", (-F.col("doc_id")).alias("nid"))
+        ).alias("_keep"),
+    )
     return (
-        spread(documents)
+        fps.join(stats, "fp")
         .select(
-            "doc_id", F.md5(norm).alias("fp"), trunc(score, 4).alias("quality")
+            "doc_id",
+            "fp",
+            "quality",
+            "n_copies",
+            (F.col("doc_id") == F.col("_keep")).cast("int").alias("keep"),
         )
-        .withColumn("n_copies", F.count("*").over(w))
-        .withColumn("keep", (F.row_number().over(wr) == 1).cast("int"))
         .orderBy("doc_id")
     )
 
