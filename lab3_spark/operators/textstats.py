@@ -1195,14 +1195,19 @@ def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataF
     but not a median), used to compare documents ACROSS sources whose
     quality distributions differ.
 
-    Exact distributed medians: within each source the values are
-    ranked by a source-PARTITIONED window (never a global window), the
-    median is the mean of the one/two middle positions (the
-    positional rule, identical in both engines — no engine-native
-    ``median()`` whose interpolation could differ), and MAD repeats
-    the same machinery on |x − med|.  Cost: two partitioned window
-    passes + two per-source aggregates broadcast back — group count
-    never concentrates beyond a source's own rows.
+    Exact distributed medians WITHOUT a per-source row window: the
+    quality grid is truncated to 4 decimals, so the per-source VALUE
+    HISTOGRAM is bounded (≤ ~10k rows per source regardless of corpus
+    size) — the median is read off the histogram's cumulative counts
+    (smallest value whose cumulative reaches the one/two middle
+    positions, averaged; the positional rule, identical in both
+    engines — no engine-native ``median()`` whose interpolation could
+    differ), and MAD repeats the same machinery on |x − med|.  The
+    round-11 skew audit removed the earlier row-level
+    Window.partitionBy(source) rank pass: it sorted corpus/|sources|
+    rows in ONE task per source (the orders_mannwhitney
+    histogram-rank trick applied here); the only window now runs over
+    the bounded histogram.
     """
     from pyspark.sql.window import Window
 
@@ -1223,19 +1228,25 @@ def robust_quality_zscore(documents: DataFrame, text_col: str = "text") -> DataF
     )
 
     def _median_of(df: DataFrame, val: str, out: str) -> DataFrame:
-        w = Window.partitionBy("source").orderBy(val, "doc_id")
-        ranked = df.withColumn("_rn", F.row_number().over(w))
-        counts = df.groupBy("source").agg(F.count("*").alias("_n"))
-        mids = (
-            ranked.join(F.broadcast(counts), "source")
-            .where(
-                (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
-                | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
-            )
-            .groupBy("source")
-            .agg((F.sum(val) / F.count("*")).alias(out))
+        # bounded value histogram (map-side combined) + cumulative
+        # over ≤ |value grid| rows per source — skew-immune
+        h = df.groupBy("source", val).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy("source")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return mids
+        cum = h.withColumn("_cum", F.sum("_c").over(w))
+        counts = df.groupBy("source").agg(F.count("*").alias("_n"))
+        j = cum.join(F.broadcast(counts), "source")
+        k1 = F.floor((F.col("_n") + 1) / 2)
+        k2 = F.floor((F.col("_n") + 2) / 2)
+        # value at rank k = smallest value whose cumulative count
+        # reaches k; median = mean of the two middle positions (odd n
+        # picks the same value twice — (v+v)/2 == v exactly in FP)
+        v1 = F.min(F.when(F.col("_cum") >= k1, F.col(val)))
+        v2 = F.min(F.when(F.col("_cum") >= k2, F.col(val)))
+        return j.groupBy("source").agg(((v1 + v2) / 2).alias(out))
 
     med = _median_of(q, "quality", "med")
     withmed = q.join(F.broadcast(med), "source").withColumn(
