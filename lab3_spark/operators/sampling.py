@@ -281,9 +281,16 @@ def per_source_token_budget(
     (domain caps are how real mixes prevent one giant crawl source
     from swallowing the whole budget).
 
-    Scale shape: the running sum is a source-PARTITIONED window —
-    ordinary keyed shuffle, no global machinery needed; contrast with
-    the global form, which requires the ranged prefix-sum primitive.
+    Scale shape (round-11 skew audit): the running sum is TWO-LEVEL,
+    never a whole-source window — a whole-source ordered window puts
+    corpus/|sources| rows in one task.  Level 1: per-(source, quality)
+    token totals prefix-cumulated over the BOUNDED quality histogram
+    (4-decimal grid → ≤ ~10k rows per source regardless of corpus
+    size).  Level 2: a within-(source, quality) window ordered by
+    doc_id adds the same-quality prefix — partitions are the quality
+    CELLS, corpus/(|sources|·|grid|) in the worst case and tiny in
+    practice.  cum = strictly-better-quality total + same-quality
+    prefix, exactly the (quality DESC, doc_id ASC) walk, all bigint.
     """
     from lab3_spark.functions.rounding import trunc
     from lab3_spark.operators.textstats import quality_expr
@@ -294,13 +301,30 @@ def per_source_token_budget(
         trunc(quality_expr(text_col), 4).alias("quality"),
         F.size(tokenize(text_col)).cast("bigint").alias("n_tokens"),
     )
-    w = (
+    per_val = base.groupBy("source", "quality").agg(
+        F.sum("n_tokens").alias("_vt")
+    )
+    w_hist = (
         Window.partitionBy("source")
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = per_val.select(
+        "source",
+        "quality",
+        F.coalesce(F.sum("_vt").over(w_hist), F.lit(0)).alias("_prior"),
+    )
+    w_in = (
+        Window.partitionBy("source", "quality")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        base.join(prior, ["source", "quality"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("_prior") + F.sum("n_tokens").over(w_in)).cast("bigint"),
+        )
         .where(F.col("cum_tokens") <= budget)
         .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
         .orderBy("source", "doc_id")

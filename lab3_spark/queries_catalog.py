@@ -14999,7 +14999,10 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # values identical, both scales re-verified, repriced 4.46→1.30 s)
 # and dedup_exact (keep-first rewritten window-over-fp →
 # groupBy+join, the round-11 skew-audit class; both scales
-# re-verified, golden tests green).
+# re-verified, golden tests green) and per_source_token_budget (the
+# whole-source ordered window decomposed into the bounded
+# quality-histogram prefix + within-cell window, all bigint, both
+# scales re-verified).
 # Then the remaining r5 era (ann_sq8_top5, benchmark_decontamination,
 # cluster_balanced_sample, corpus_shuffle_shards,
 # dedup_cluster_representatives, …).  Update
