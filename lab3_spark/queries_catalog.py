@@ -14987,7 +14987,7 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-12 HANDOFF: if CORRECTNESS_r11 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
 # re-confirmations from `python tools/window_age.py`.  MUST-HEAD for
-# r12: the five r5-era ANN gates whose expression CONSTRUCTION changed
+# r12: the six r5-era ANN gates whose expression CONSTRUCTION changed
 # in round 11 (the single-parse SQL builder rewrite,
 # operators/kmeans.py `_sql_bigint_array` — values pinned identical by
 # tests/test_kmeans.py::test_sql_builders_match_column_builders and a
