@@ -165,10 +165,27 @@ def test_readme_quotes_latest_bench_artifact():
     readme = open(os.path.join(root, "README.md")).read()
     m = re.search(r"latest: BENCH_r0*(\d+) = ([\d.]+) s", readme)
     assert m, "README lost its authoritative-bench quote sentence"
-    assert int(m.group(1)) == n, (
-        f"README quotes BENCH_r{m.group(1)} but the newest artifact "
+    quoted = int(m.group(1))
+    # VERDICT r11 item 1: the driver drops BENCH_r{N+1}.json AFTER the
+    # builder's round N+1 closes, so for the window between rounds the
+    # newest artifact is legitimately one ahead of the README.  Accept
+    # quoted == n (normal) or quoted == n - 1 when the matching
+    # CORRECTNESS file confirms round-boundary state; anything older
+    # is a stale quote.
+    boundary = quoted == n - 1 and os.path.exists(
+        os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+    )
+    assert quoted == n or boundary, (
+        f"README quotes BENCH_r{quoted} but the newest artifact "
         f"is round {n}"
     )
+    if quoted != n:
+        # round-boundary tolerance: the value check below would compare
+        # against the wrong artifact; resolve the one the README quotes
+        latest = os.path.join(root, f"BENCH_r{quoted:02d}.json")
+        if not os.path.exists(latest):
+            latest = os.path.join(root, f"BENCH_r{quoted}.json")
+        n = quoted
     # the quoted total must match the artifact's tail value
     tail = json.load(open(latest)).get("tail", "")
     vm = re.search(r'"value": ([\d.]+)', tail)
