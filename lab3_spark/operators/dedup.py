@@ -1044,6 +1044,7 @@ def apply_paragraph_dedup(
     block_tokens: int | None = None,
     min_bands: int = N_BANDS,
     max_bucket: int | None = 64,
+    joiner: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_paras, kept_paras, removed_paras, clean_text): the
     paragraph near-dup removal ACTION — Dolma/RefinedWeb's boilerplate
@@ -1087,7 +1088,13 @@ def apply_paragraph_dedup(
         )
         .distinct()
     )
-    joiner = "\n" if delimiter is not None else " "
+    # ADVICE r11: ``delimiter`` is a REGEX (not invertible into a join
+    # string), so survivors re-join with the explicit ``joiner`` —
+    # default '\n' for the delimiter path (the newline-corpus
+    # convention this always had), ' ' for block_tokens.  Callers
+    # splitting on a custom pattern pass the matching joiner.
+    if joiner is None:
+        joiner = "\n" if delimiter is not None else " "
     kept = paras.join(removed, ["doc_id", "para_idx"], "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("kept_paras"),
@@ -2711,6 +2718,7 @@ def apply_line_dedup(
     text_col: str = "text",
     delimiter: str | None = None,
     block_tokens: int | None = None,
+    joiner: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_lines, kept_lines, removed_lines, clean_text): EXACT
     duplicate-LINE removal, keep-first — the RefinedWeb/Falcon exact
@@ -2758,7 +2766,13 @@ def apply_line_dedup(
         )
         .drop("_first")
     )
-    joiner = "\n" if delimiter is not None else " "
+    # ADVICE r11: ``delimiter`` is a REGEX (not invertible into a join
+    # string), so survivors re-join with the explicit ``joiner`` —
+    # default '\n' for the delimiter path (the newline-corpus
+    # convention this always had), ' ' for block_tokens.  Callers
+    # splitting on a custom pattern pass the matching joiner.
+    if joiner is None:
+        joiner = "\n" if delimiter is not None else " "
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("kept_lines"),
         F.array_join(

@@ -337,12 +337,16 @@ def _codebook_store_path(
     ``SPARK_GRAFT_CODEBOOK_STORE=1`` by the long-lived bench/serving
     session (bench.py sets it; VERDICT r10 item 3).
 
-    Key = sha256 of (sorted backing parquet files, caller store_key,
-    k, n_iter, prescaled).  The caller's store_key must encode every
-    derivation between the raw files and the training input (subspace
-    index, slice width, coarse-quantizer params …) — training is a
-    pure deterministic function of those, so equal keys imply equal
-    codebooks.  Delete ``.materialized/codebooks`` to force retrain."""
+    Key = sha256 of (sorted backing parquet files WITH their
+    size+mtime, caller store_key, k, n_iter, prescaled) — folding the
+    stat into the key means regenerating test data in place under the
+    same paths invalidates the artifact instead of silently serving a
+    stale codebook (ADVICE r11).  The caller's store_key must encode
+    every derivation between the raw files and the training input
+    (subspace index, slice width, coarse-quantizer params …) —
+    training is a pure deterministic function of those, so equal keys
+    imply equal codebooks.  Delete ``.materialized/codebooks`` to
+    force retrain."""
     import hashlib
 
     if os.environ.get("SPARK_GRAFT_CODEBOOK_STORE") != "1":
@@ -355,8 +359,22 @@ def _codebook_store_path(
         return None
     from lab3_spark.sources.layout import MATERIALIZED_ROOT
 
+    def _stamp(uri: str) -> str:
+        # inputFiles() returns file: URIs in local mode; stat the path
+        # when reachable, else fall back to the bare URI (remote FS —
+        # the path string still keys the artifact deterministically).
+        path = uri[7:] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            return f"{uri}#{st.st_size}#{int(st.st_mtime)}"
+        except OSError:
+            return uri
+
     tag = hashlib.sha256(
-        "|".join(files + [store_key, f"k{k}", f"i{n_iter}", f"p{int(prescaled)}"]).encode()
+        "|".join(
+            [_stamp(f) for f in files]
+            + [store_key, f"k{k}", f"i{n_iter}", f"p{int(prescaled)}"]
+        ).encode()
     ).hexdigest()[:24]
     return os.path.join(MATERIALIZED_ROOT, "codebooks", f"{tag}.json")
 

@@ -30,11 +30,23 @@ from lab3_spark.sources.tables import TABLES, load_table
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     passes = 5
-    for a in sys.argv[1:]:
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
+            # accept both '--passes=N' and '--passes N' (ADVICE r11)
+            if "=" in a:
+                passes = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                passes = int(argv[i])
+        elif not a.startswith("--"):
+            rest.append(a)
+        i += 1
+    args = rest
     unknown = [g for g in args if g not in QUERIES]
     if unknown or not args:
         raise SystemExit(f"unknown/missing gates: {unknown}")
