@@ -2361,6 +2361,34 @@ def _bpe_loop(
     return rows, seg
 
 
+def _grouped_pair_argmax(pairs: DataFrame) -> DataFrame:
+    """(source, pair, cnt): per-source best merge pair — max cnt, ties
+    to the lexicographically smallest pair — as a single COMBINABLE
+    ``min_by`` aggregate over the (source, pair, cnt) frame.  The
+    struct ordering (-cnt, pair) encodes (cnt DESC, pair ASC) so one
+    declarative agg replaces the row_number window; min_by partials
+    combine map-side, so a hot source collapses to one row per input
+    partition before the shuffle (the skew property the window
+    lacked).  Plan-pinned window-free by tests/test_round12_plans."""
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.min_by(
+                F.struct("pair", "cnt"),
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("pair").alias("pair"),
+                ),
+            ).alias("_best")
+        )
+        .select(
+            "source",
+            F.col("_best.pair").alias("pair"),
+            F.col("_best.cnt").alias("cnt"),
+        )
+    )
+
+
 def grouped_bpe_merges(
     documents: DataFrame,
     text_col: str = "text",
@@ -2380,13 +2408,19 @@ def grouped_bpe_merges(
     corpus size — the scalar loop's argument, once per group).  Per
     round: ONE #sources-row driver collect (the kmeans-centroid
     pattern, metadata-scale) and one broadcast merges join; the
-    argmax window partitions by source over the type-scale pair table.
-    Ties break (cnt DESC, pair ASC), mirrored in the oracle's unrolled
-    per-source CTE rounds.  A source whose words are fully merged
-    simply stops contributing rows (LEFT join keeps its segmentation
-    frozen), identically in both engines."""
-    from pyspark.sql.window import Window
-
+    per-source argmax is a ``min_by(struct(pair, cnt), struct(-cnt,
+    pair))`` COMBINABLE aggregate — NOT a row_number window.  A window
+    partitioned by source would send every pair row of a hot source to
+    one unsplittable task each round (the iterated cousin of the
+    exact-dedup hot-fingerprint window retired in round 11); the agg
+    map-side combines each partition to one candidate per source
+    before the shuffle, so a source with a billion-token vocabulary
+    costs the shuffle one row per input partition (VERDICT r11 item
+    3).  Ties break (cnt DESC, pair ASC) via the (-cnt, pair) struct
+    ordering, mirrored in the oracle's unrolled per-source CTE rounds.
+    A source whose words are fully merged simply stops contributing
+    rows (LEFT join keeps its segmentation frozen), identically in
+    both engines."""
     from lab3_spark.functions.partitioning import memo_persist
 
     spark = documents.sparkSession
@@ -2432,14 +2466,7 @@ def grouped_bpe_merges(
             .groupBy("source", "pair")
             .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
         )
-        w = Window.partitionBy("source").orderBy(
-            F.desc("cnt"), F.asc("pair")
-        )
-        best = (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        best = _grouped_pair_argmax(pairs)
         # #sources-row argmax collect per round — metadata-scale
         rows = best.collect()
         if not rows:
