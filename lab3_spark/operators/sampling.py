@@ -73,6 +73,7 @@ def pack_sequences(
     text_col: str = "text",
     group_col: str = "source",
     id_col: str = "doc_id",
+    shard_width: int | None = None,
 ) -> DataFrame:
     """(doc_id, group, n_tokens, bin_id): greedy fixed-budget packing.
 
@@ -80,18 +81,66 @@ def pack_sequences(
     a document starts in bin floor(tokens_before_it / budget).  (A doc
     longer than the budget overflows its bin — the real pipeline would
     split it; bin assignment stays by start offset, the standard greedy
-    approximation.)  Cost: one window cumsum per group = one shuffle on
-    the group key."""
+    approximation.)
+
+    Scale contract (VERDICT r11 item 4).  Default path: one window
+    cumsum per group = one shuffle on the group key; a group's whole
+    doc list sorts in ONE task, fine while groups are modest (the
+    sf catalogs' sources) but corpus/|groups| rows per task at 100 TB.
+    ``shard_width`` is the sharded variant real pipelines use: ids are
+    bucketed into MONOTONE ranges (shard = floor(id / shard_width) —
+    order-preserving, so prefix sums decompose exactly), the running
+    total becomes (sum of all EARLIER shards in the group, a
+    #shards-row window joined back broadcast) + (within-shard window
+    cumsum, ≤ shard_width docs per task).  Identical bin_ids to the
+    default path — pinned by tests/test_round12_batch1 — with the hot
+    task capped at shard_width rows regardless of corpus size.  Pick
+    shard_width so one shard's docs fit a task comfortably (1e6 is a
+    sane production default for dense ids)."""
     n_tokens = F.size(tokenize(text_col))
-    w = Window.partitionBy(group_col).orderBy(id_col)
-    before = F.coalesce(
-        F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+    base = documents.select(
+        id_col, group_col, n_tokens.alias("n_tokens")
+    )
+    if shard_width is None:
+        w = Window.partitionBy(group_col).orderBy(id_col)
+        before = F.coalesce(
+            F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+        )
+        return base.withColumn("bin_id", F.floor(before / budget)).orderBy(
+            group_col, id_col
+        )
+    # two-level exact prefix sum: monotone id-range shards
+    sharded = base.withColumn(
+        "_shard", F.floor(F.col(id_col) / F.lit(int(shard_width)))
+    )
+    # per-(group, shard) totals -> running total of strictly-earlier
+    # shards: #shards rows per group, metadata-scale window
+    shard_tot = sharded.groupBy(group_col, "_shard").agg(
+        F.sum("n_tokens").alias("_shard_tokens")
+    )
+    w_shard = Window.partitionBy(group_col).orderBy("_shard")
+    shard_prefix = shard_tot.select(
+        group_col,
+        "_shard",
+        F.coalesce(
+            F.sum("_shard_tokens").over(w_shard) - F.col("_shard_tokens"),
+            F.lit(0),
+        ).alias("_before_shards"),
+    )
+    # within-shard cumsum: partitions bounded by shard_width docs
+    w_in = Window.partitionBy(group_col, "_shard").orderBy(id_col)
+    before = (
+        F.col("_before_shards")
+        + F.coalesce(
+            F.sum("n_tokens").over(w_in) - F.col("n_tokens"), F.lit(0)
+        )
     )
     return (
-        documents.select(
-            id_col, group_col, n_tokens.alias("n_tokens")
+        sharded.join(
+            F.broadcast(shard_prefix), [group_col, "_shard"]
         )
         .withColumn("bin_id", F.floor(before / budget))
+        .select(id_col, group_col, "n_tokens", "bin_id")
         .orderBy(group_col, id_col)
     )
 

@@ -126,3 +126,27 @@ def test_reprice_passes_arg_forms():
     assert run(["--passes=7", "gate_a"]) == (7, ["gate_a"])
     assert run(["--passes", "9", "gate_a"]) == (9, ["gate_a"])
     assert run(["gate_a", "gate_b"]) == (5, ["gate_a", "gate_b"])
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 4: pack_sequences sharded cumsum — exact equality
+# with the single-window path
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_sharded_matches_default(spark, sf_dir):
+    from lab3_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = {
+        (r["doc_id"]): (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(docs, budget=64).collect()
+    }
+    for width in (7, 100, 10**6):
+        sharded = {
+            (r["doc_id"]): (r["n_tokens"], r["bin_id"])
+            for r in pack_sequences(
+                docs, budget=64, shard_width=width
+            ).collect()
+        }
+        assert sharded == base, f"shard_width={width} diverged"

@@ -78,3 +78,21 @@ def test_grouped_bpe_merges_no_window_in_loop(spark, docs):
         assert (r["source"], r["it"]) not in seen
         seen.add((r["source"], r["it"]))
         assert r["cnt"] > 0 and " " in r["pair"]
+
+
+def test_pack_sequences_sharded_bounded_window(spark, docs):
+    """The sharded packing path must show: the corpus-side window
+    partitioned by (group, shard) — bounded by shard_width docs — and
+    the shard-prefix frame joined back BROADCAST (it is #shards rows,
+    metadata scale).  No window partitioned by the bare group over the
+    corpus-scale frame."""
+    from lab3_spark.operators.sampling import pack_sequences
+
+    plan = formatted_plan(pack_sequences(docs, budget=64, shard_width=100))
+    assert "BroadcastHashJoin" in plan, plan
+    # within-shard window keys on both group and shard
+    assert "_shard" in plan, plan
+    # the corpus-scale sort for the window must include the shard key:
+    # no 'hashpartitioning(source#' without _shard alongside it except
+    # the metadata-scale shard-prefix window
+    assert "SortMergeJoin" not in plan, plan
