@@ -347,6 +347,8 @@ HEADLINE = [
     "contamination_max_span",
     "mapreduce_facade_one_combiner",
     "pipeline_line_dedup",
+    # round 12 additions
+    "events_kll_daily_quantiles",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -2441,6 +2441,44 @@ def q_events_cms_heavy_hitters(spark, sf_dir):
     return EV.cms_heavy_hitters(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_kll_daily_quantiles",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE value IS NOT NULL GROUP BY day
+    )
+    SELECT day, n_events,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol,
+           TRUE AS p99_within_rank_tol,
+           TRUE AS total_p50_within_rank_tol,
+           TRUE AS total_p90_within_rank_tol,
+           TRUE AS total_p99_within_rank_tol
+    FROM daily ORDER BY day
+    """,
+)
+def q_events_kll_daily_quantiles(spark, sf_dir):
+    """Mergeable quantile digest (quantile_sketch.kll_daily_quantile_
+    check): per-day t-digest/KLL-shaped centroid sketches over
+    events.value, plus the CROSS-DAY UNION computed by merging the
+    stored digest rows — never rescanning events — completing the
+    mergeable-sketch family (HLL cardinality, CMS counts, KMV, now
+    percentiles).  Deterministic by construction (greedy sorted-merge
+    compaction, no KLL coin flips), so it is driver-hashable: each of
+    p50/p90/p99 per day AND for the union must land within ±5% RANK
+    error, checked by exact counting (the source_length_percentiles_
+    approx rank-interval method); the oracle emits exact per-day
+    counts + literal TRUE booleans, so estimator drift past the bound
+    flips the hash on BOTH the build path and the merge path."""
+    from lab3_spark.operators.quantile_sketch import (
+        kll_daily_quantile_check,
+    )
+
+    return kll_daily_quantile_check(_t(spark, sf_dir, "events"))
+
+
 @query("streaming_cms_heavy_hitters", _CMS_ORACLE)
 def q_streaming_cms_heavy_hitters(spark, sf_dir):
     """A REAL incremental sketch-maintenance run (streaming/cms.py):
@@ -14973,16 +15011,17 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # driver-row era.
 #
 # ROUND-11 CURATION (the r10 handoff executed): CORRECTNESS_r10 came
-# back 50/50 green, clearing the r3 era.  The 50 slots: the 4 new
+# back 50/50 green, clearing the r3 era.  The 50 slots: the 5 new
 # round-11 gates (LSH band planner + measured quality, contamination
-# max-span severity, the A4 one_combiner facade gate), then the
-# ENTIRE r4 driver-row era — 45 gates straight from
-# tools/window_age.py oldest-first — and the r5 era's head
-# (ann_ivf_frozen_append) to fill the window to exactly 50.  No
-# operator or oracle changed this round for any existing gate (the
-# round-11 additions are new functions only), so no changed-gate
-# re-confirmations are due; after a green CORRECTNESS_r11 no gate's
-# newest driver row predates r5.
+# max-span severity, the A4 one_combiner facade gate, exact line
+# dedup), then the ENTIRE r4 driver-row era — 45 gates straight from
+# tools/window_age.py oldest-first (the fifth new gate displaced the
+# r5 head ann_ivf_frozen_append from slot 50).  Round 11 DID rewrite
+# existing operators (exact_duplicates, keep_best_duplicates,
+# per_source_token_budget, robust_quality_zscore, approx_dau_check,
+# and the six ANN expression builders — ADVICE r11 corrected this
+# paragraph); the ones not already in the r11 window carried over as
+# the r12 MUST-HEAD below.
 #
 # ROUND-12 HANDOFF: if CORRECTNESS_r11 is green, budget the same way —
 # new gates first, then changed oracles/operators, then the oldest-row
@@ -15007,6 +15046,30 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # cluster_balanced_sample, corpus_shuffle_shards,
 # dedup_cluster_representatives, …).  Update
 # test_driver_window_leads_with_round11_priorities when reordering.
+#
+# ROUND-12 CURATION (the r11 handoff executed): CORRECTNESS_r11 came
+# back 50/50 green.  The 50 slots: the 1 new round-12 gate (the
+# mergeable quantile digest), then the 14 changed-operator gates —
+# the 6 SQL-builder ANN gates + events_approx_dau + dedup_exact +
+# per_source_token_budget from the r11 handoff MUST-HEAD, plus this
+# round's own rewrites: source_bpe_merges (per-source BPE argmax
+# window → min_by combinable agg, values oracle-verified identical),
+# pipeline_line_dedup + pipeline_paragraph_dedup (joiner parameter on
+# the apply functions; the gates' delimiter=None path is
+# byte-identical, oracle re-verified), pack_training_sequences +
+# pipeline_dedup_to_packing (pack_sequences grew the sharded-cumsum
+# path; the gates keep the default single-window path, oracle
+# re-verified) — then 33 oldest-first r5-era re-confirmations and the
+# r6 era's head (compaction_bins, corpus_snapshot_diff) to fill the
+# window to exactly 50, leaving r6 as the oldest surviving era.
+#
+# ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
+# new gates first, then changed oracles/operators, then oldest-row
+# re-confirmations from `python tools/window_age.py` (the r6 era
+# resumes at customer_rfm_segments, data_expectations, dataset_card,
+# dedup_bfs_hops, …).  No known changed-construction carryover beyond
+# what the r12 window re-confirms.  Update
+# test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
 ROUND8_NEW = [
@@ -15059,6 +15122,31 @@ ROUND11_NEW = [
     "pipeline_line_dedup",
 ]
 
+#: the round-12 additions, in window order — same lint contract.
+ROUND12_NEW = [
+    "events_kll_daily_quantiles",
+]
+
+#: round-12 changed-operator re-confirmations, in window order: the
+#: r11 handoff's MUST-HEAD (6 SQL-builder ANN gates + the three r11
+#: skew/Expand rewrites) plus this round's own operator touches.
+ROUND12_CHANGED = [
+    "ann_ivf_frozen_append",
+    "ann_ivf_trained",
+    "ann_ivf_pq_top5",
+    "ann_ivfpq_residual_top5",
+    "ann_ivfpq_rerank_top5",
+    "ann_ivfpq_recall",
+    "events_approx_dau",
+    "dedup_exact",
+    "per_source_token_budget",
+    "source_bpe_merges",
+    "pipeline_line_dedup",
+    "pipeline_paragraph_dedup",
+    "pack_training_sequences",
+    "pipeline_dedup_to_packing",
+]
+
 #: the round-9 additions, in window order — same lint contract.
 ROUND9_NEW = [
     "dedup_exact_substring_spans",
@@ -15075,9 +15163,54 @@ ROUND9_NEW = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-11 WINDOW (CORRECTNESS_r10 came back 50/50 green; budgeted
-    # with tools/window_age.py per the r10 handoff):
-    # -- new round-11 gates (no driver row yet) -----------------------
+    # ROUND-12 WINDOW (CORRECTNESS_r11 came back 50/50 green; budgeted
+    # with tools/window_age.py per the r11 handoff — see the ROUND-12
+    # CURATION note above):
+    # -- new round-12 gates (no driver row yet) -----------------------
+    *ROUND12_NEW,
+    # -- changed-operator re-confirmations (values oracle-verified
+    #    identical this round; driver hash currency) ------------------
+    *ROUND12_CHANGED,
+    # -- oldest-green re-confirmations (window_age.py oldest-first):
+    #    the remaining r5 driver-row era — 33 gates — plus the r6
+    #    era's head to fill the window to exactly 50 -------------------
+    "ann_sq8_top5",
+    "benchmark_decontamination",
+    "cluster_balanced_sample",
+    "corpus_shuffle_shards",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_community_modularity",
+    "dedup_containment",
+    "dedup_graph_triangles",
+    "dedup_lpa_communities",
+    "dedup_method_agreement",
+    "dedup_rate_by_source",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_survivors",
+    "dedup_winnowing",
+    "doc_bigram_surprisal",
+    "doc_bpe_token_counts",
+    "doc_winnowing_fingerprints",
+    "events_by_customer_segment",
+    "events_top_type_per_hour",
+    "events_value_histogram",
+    "grouped_minmax_normalize",
+    "hybrid_retrieval_rrf",
+    "kmeans_centroids",
+    "multimodal_byte_chunks",
+    "orc_roundtrip_events",
+    "orders_priority_unpivot",
+    "orders_scd_upsert",
+    "ppr_seed_proximity",
+    "streaming_cms_heavy_hitters",
+    "streaming_curated_ingest",
+    "streaming_sliding_10m",
+    "compaction_bins",
+    "corpus_snapshot_diff",
+    # -- beyond slot 50: the r11 window order, then the standing tail
+    #    (duplicates collapse to their first position) ----------------
     *ROUND11_NEW,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
     #    the ENTIRE r4 driver-row era — 45 gates — plus the r5 era's

@@ -21,24 +21,23 @@ def test_no_hugeint_or_decimal_oracle_columns():
     assert problems == [], "\n".join(problems)
 
 
-def test_driver_window_leads_with_round11_priorities():
-    """Round-11 curation contract: the window leads with (1) the new
-    round-11 gates (no driver row anywhere), then (2) the oldest-green
-    re-confirmations — the ENTIRE r4 driver-row era (45 gates) —
-    everything needing a FIRST driver row sits inside the 50-slot
-    window.  The six ANN gates whose expression CONSTRUCTION changed
-    this round are value-pinned by test_sql_builders_match_column_
-    builders + a local oracle sweep and head the r12 window (the
-    catalog's ROUND-12 HANDOFF note)."""
+def test_driver_window_leads_with_round12_priorities():
+    """Round-12 curation contract: the window leads with (1) the new
+    round-12 gate (no driver row anywhere), then (2) the 14
+    changed-operator re-confirmations (the r11 handoff's MUST-HEAD six
+    ANN gates + three skew/Expand rewrites, plus this round's BPE
+    argmax / joiner / pack_sequences touches — all oracle-verified
+    identical this round), then (3) the oldest-green refills: the
+    remaining r5 era and the r6 head."""
     import __spark_entry__ as entrymod
-    from lab3_spark.queries_catalog import ROUND11_NEW
+    from lab3_spark.queries_catalog import ROUND12_CHANGED, ROUND12_NEW
 
     order = list(entrymod.queries())
-    n_new = len(ROUND11_NEW)
-    assert order[:n_new] == ROUND11_NEW
-    # oldest-green refill begins immediately after the new gates
-    assert order[n_new] == "above_avg_spenders"
-    assert order[49] == "user_running_totals"  # r4 era fully cleared
+    head = ROUND12_NEW + ROUND12_CHANGED
+    assert order[: len(head)] == head
+    # oldest-green refill begins immediately after the changed gates
+    assert order[len(head)] == "ann_sq8_top5"
+    assert order[49] == "corpus_snapshot_diff"  # r6 head fills slot 50
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

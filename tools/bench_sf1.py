@@ -166,6 +166,9 @@ QUERIES = [
     "contamination_max_span",
     "mapreduce_facade_one_combiner",
     "pipeline_line_dedup",
+    # round-12 additions: the mergeable quantile digest (two
+    # applyInPandas levels + exact-count rank gate)
+    "events_kll_daily_quantiles",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
