@@ -140,22 +140,33 @@ def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def top_customers_per_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 3
 ) -> DataFrame:
-    """Window function: rank customers by total spend within nation,
-    keep top K.  Shuffles once on c_custkey (agg) and once on
-    n_name (window partition) — the window partition key is
-    low-cardinality so this is a small exchange."""
-    from pyspark.sql.window import Window
+    """Rank customers by total spend within nation, keep top K.
+
+    Shuffles once on c_custkey (agg); the per-nation top-k then rides
+    the SALTED two-stage ranking (`rank.top_n_per_key`) — NOT a
+    ``row_number() OVER (PARTITION BY n_name)`` window: there are only
+    25 nations, so the window form sorts customers/25 rows in one task
+    per nation at any corpus size (the round-12 skew-audit class).
+    Descending spend is expressed as ascending ``-spend`` (an exact
+    negation of the cents-rounded double) so the salted helper's
+    smallest-n semantics and its order-tuple salt hash both apply."""
+    from lab3_spark.operators.rank import top_n_per_key
 
     spend = (
         orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), MONEY).alias("spend"))
     )
     cust = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
     return (
-        cust.join(spend, cust.c_custkey == spend.o_custkey)
-        .select("n_name", "c_custkey", "c_name", "spend")
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
+        top_n_per_key(
+            cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+                "n_name", "c_custkey", "c_name", "spend"
+            ),
+            ["n_name"],
+            [(-F.col("spend")).alias("_neg_spend"), F.col("c_custkey")],
+            k,
+            rank_name="rnk",
+        )
+        .select("n_name", "c_custkey", "c_name", "spend", "rnk")
         .orderBy("n_name", "rnk")
     )
 
@@ -644,14 +655,20 @@ def ship_latency_percentiles(
     positional rule, not an engine-native interpolating percentile
     whose semantics differ across engines.
 
-    The rank pass is a priority-PARTITIONED window (5 groups spread
-    the fact table; never a global window) over the total order
-    (days, orderkey, linenumber); both percentiles come from ONE pass
-    via conditional aggregation on the two picked positions — the
-    robust_quality_zscore machinery applied to a fact-fact join."""
-    from pyspark.sql.window import Window
-
+    The rank pass rides the DISTRIBUTED grouped row number
+    (operators/rank.py): one RANGED shuffle ordered by (priority,
+    days, orderkey, linenumber) + broadcast per-group offsets — NOT a
+    ``row_number() OVER (PARTITION BY o_orderpriority)`` window, which
+    would sort lineitem/5 rows in ONE task per priority (there are
+    only 5 priorities; at 100 TB each window partition is a fifth of
+    the fact-fact join — the round-12 skew-audit class).  Both
+    percentiles come from ONE pass via conditional aggregation on the
+    two picked positions."""
     from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.operators.rank import (
+        group_rows_col,
+        with_grouped_row_number,
+    )
 
     lat = persist_latest(
         "relational.ship_latency.lat",
@@ -665,16 +682,17 @@ def ship_latency_percentiles(
             "l_linenumber",
         ),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "days", "l_orderkey", "l_linenumber"
-    )
-    ranked = lat.withColumn("_rn", F.row_number().over(w))
-    counts = lat.groupBy("o_orderpriority").agg(F.count("*").alias("_n"))
+    ranked = with_grouped_row_number(
+        lat,
+        ["o_orderpriority"],
+        ["days", "l_orderkey", "l_linenumber"],
+        out_col="_rn",
+        memo_key="relational.ship_latency.rank",
+    ).withColumn("_n", group_rows_col())
     i50 = F.expr("CAST((_n - 1) * 50 DIV 100 AS BIGINT) + 1")
     i95 = F.expr("CAST((_n - 1) * 95 DIV 100 AS BIGINT) + 1")
     return (
-        ranked.join(F.broadcast(counts), "o_orderpriority")
-        .where((F.col("_rn") == i50) | (F.col("_rn") == i95))
+        ranked.where((F.col("_rn") == i50) | (F.col("_rn") == i95))
         .groupBy("o_orderpriority")
         .agg(
             F.max("_n").alias("n_lineitems"),

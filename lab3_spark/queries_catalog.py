@@ -15049,7 +15049,7 @@ def q_pipeline_line_dedup(spark, sf_dir):
 #
 # ROUND-12 CURATION (the r11 handoff executed): CORRECTNESS_r11 came
 # back 50/50 green.  The 50 slots: the 1 new round-12 gate (the
-# mergeable quantile digest), then the 14 changed-operator gates —
+# mergeable quantile digest), then the 16 changed-operator gates —
 # the 6 SQL-builder ANN gates + events_approx_dau + dedup_exact +
 # per_source_token_budget from the r11 handoff MUST-HEAD, plus this
 # round's own rewrites: source_bpe_merges (per-source BPE argmax
@@ -15059,16 +15059,21 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # byte-identical, oracle re-verified), pack_training_sequences +
 # pipeline_dedup_to_packing (pack_sequences grew the sharded-cumsum
 # path; the gates keep the default single-window path, oracle
-# re-verified) — then 33 oldest-first r5-era re-confirmations and the
-# r6 era's head (compaction_bins, corpus_snapshot_diff) to fill the
-# window to exactly 50, leaving r6 as the oldest surviving era.
+# re-verified), ship_latency_percentiles (priority-partitioned
+# row_number window → distributed grouped rank; 5 priorities made
+# each window partition a fifth of the fact-fact join) and
+# top_customers_per_nation (n_name window → salted top_n_per_key; 25
+# nations), both oracle-verified at both scales — then the ENTIRE
+# remaining r5 era (33 oldest-first re-confirmations), filling the
+# window to exactly 50 and leaving r6 as the oldest surviving era.
 #
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the r6 era
-# resumes at customer_rfm_segments, data_expectations, dataset_card,
-# dedup_bfs_hops, …).  No known changed-construction carryover beyond
-# what the r12 window re-confirms.  Update
+# starts at compaction_bins, corpus_snapshot_diff,
+# customer_rfm_segments, data_expectations, dataset_card, …).  No
+# known changed-construction carryover beyond what the r12 window
+# re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
@@ -15145,6 +15150,8 @@ ROUND12_CHANGED = [
     "pipeline_paragraph_dedup",
     "pack_training_sequences",
     "pipeline_dedup_to_packing",
+    "ship_latency_percentiles",
+    "top_customers_per_nation",
 ]
 
 #: the round-9 additions, in window order — same lint contract.
@@ -15207,8 +15214,6 @@ _DRIVER_PRIORITY = [
     "streaming_cms_heavy_hitters",
     "streaming_curated_ingest",
     "streaming_sliding_10m",
-    "compaction_bins",
-    "corpus_snapshot_diff",
     # -- beyond slot 50: the r11 window order, then the standing tail
     #    (duplicates collapse to their first position) ----------------
     *ROUND11_NEW,

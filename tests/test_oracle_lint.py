@@ -23,12 +23,12 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 def test_driver_window_leads_with_round12_priorities():
     """Round-12 curation contract: the window leads with (1) the new
-    round-12 gate (no driver row anywhere), then (2) the 14
+    round-12 gate (no driver row anywhere), then (2) the 16
     changed-operator re-confirmations (the r11 handoff's MUST-HEAD six
     ANN gates + three skew/Expand rewrites, plus this round's BPE
-    argmax / joiner / pack_sequences touches — all oracle-verified
-    identical this round), then (3) the oldest-green refills: the
-    remaining r5 era and the r6 head."""
+    argmax / joiner / pack_sequences / grouped-rank touches — all
+    oracle-verified identical this round), then (3) the oldest-green
+    refills: the ENTIRE remaining r5 era, clearing it."""
     import __spark_entry__ as entrymod
     from lab3_spark.queries_catalog import ROUND12_CHANGED, ROUND12_NEW
 
@@ -37,7 +37,7 @@ def test_driver_window_leads_with_round12_priorities():
     assert order[: len(head)] == head
     # oldest-green refill begins immediately after the changed gates
     assert order[len(head)] == "ann_sq8_top5"
-    assert order[49] == "corpus_snapshot_diff"  # r6 head fills slot 50
+    assert order[49] == "streaming_sliding_10m"  # r5 era fully cleared
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

@@ -96,3 +96,34 @@ def test_pack_sequences_sharded_bounded_window(spark, docs):
     # no 'hashpartitioning(source#' without _shard alongside it except
     # the metadata-scale shard-prefix window
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ship_latency_rank_not_priority_window(spark, sf_dir):
+    """The exact per-priority percentile rank must ride the ranged-
+    shuffle grouped row number — NOT row_number() OVER (PARTITION BY
+    o_orderpriority): with 5 priorities, the window form sorts a fifth
+    of the lineitem-orders join in ONE task at any corpus size."""
+    from lab3_spark.operators.relational import ship_latency_percentiles
+    from lab3_spark.functions.partitioning import memo_result_invalidate
+
+    memo_result_invalidate("")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    plan = formatted_plan(ship_latency_percentiles(orders, li))
+    assert "windowspecdefinition(o_orderpriority" not in plan, plan
+    # the ranged-rank machinery shows a range repartition of the data
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_top_customers_per_nation_salted(spark, sf_dir):
+    """The per-nation top-k must run the salted two-stage ranking —
+    stage 1 partitions by (n_name, _tnk_salt) so no task sees a whole
+    nation; the only bare-n_name window ranks the bounded <= k*salts
+    survivors."""
+    from lab3_spark.operators.relational import top_customers_per_nation
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    plan = formatted_plan(top_customers_per_nation(cust, orders, nation))
+    assert "_tnk_salt" in plan, plan
