@@ -269,6 +269,7 @@ def kll_daily_quantile_check(
     events: DataFrame,
     value_col: str = "value",
     eps: float = DEFAULT_EPS,
+    daily: DataFrame | None = None,
 ) -> DataFrame:
     """(day, n_events, {p50,p90,p99}_within_rank_tol,
     total_{p50,p90,p99}_within_rank_tol): the driver-hashable
@@ -282,12 +283,19 @@ def kll_daily_quantile_check(
     merge path are value-gated.  All band arithmetic is bigint
     (⌈a·n/b⌉ = (a·n + b − 1) DIV b); the oracle emits exact per-day
     counts plus literal TRUE booleans — estimator drift past the rank
-    bound flips the hash."""
+    bound flips the hash.
+
+    ``daily`` lets a caller supply externally-maintained per-day
+    digests (the streaming store, streaming/quantiles.py) — the gate
+    then value-checks the INCREMENTAL merge path against the same
+    exact counts."""
     from lab3_spark.functions.partitioning import memo_persist
 
-    daily = memo_persist(
-        "events.qdigest_daily", daily_value_digest(events, value_col, eps)
-    )
+    if daily is None:
+        daily = memo_persist(
+            "events.qdigest_daily",
+            daily_value_digest(events, value_col, eps),
+        )
     total = digest_union(daily, eps)
 
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")

@@ -2441,9 +2441,7 @@ def q_events_cms_heavy_hitters(spark, sf_dir):
     return EV.cms_heavy_hitters(_t(spark, sf_dir, "events"))
 
 
-@query(
-    "events_kll_daily_quantiles",
-    """
+_KLL_ORACLE = """
     WITH daily AS (
       SELECT strftime(ts, '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS n_events
@@ -2457,8 +2455,10 @@ def q_events_cms_heavy_hitters(spark, sf_dir):
            TRUE AS total_p90_within_rank_tol,
            TRUE AS total_p99_within_rank_tol
     FROM daily ORDER BY day
-    """,
-)
+    """
+
+
+@query("events_kll_daily_quantiles", _KLL_ORACLE)
 def q_events_kll_daily_quantiles(spark, sf_dir):
     """Mergeable quantile digest (quantile_sketch.kll_daily_quantile_
     check): per-day t-digest/KLL-shaped centroid sketches over
@@ -2477,6 +2477,49 @@ def q_events_kll_daily_quantiles(spark, sf_dir):
     )
 
     return kll_daily_quantile_check(_t(spark, sf_dir, "events"))
+
+
+@query("streaming_incremental_quantiles", _KLL_ORACLE)
+def q_streaming_incremental_quantiles(spark, sf_dir):
+    """A REAL incremental digest-maintenance run (streaming/
+    quantiles.py): events drain as three mtime-ordered micro-batches
+    through a foreachBatch that writes each batch's per-day quantile
+    digests to its own idempotent store partition; the serving view
+    merges each day's per-batch digests (concatenate + recompress —
+    the digest's merge operation) and the rank gate then checks the
+    MERGED estimates against exact counts.  Digest merging is
+    associative in its ERROR CONTRACT, not bit-level (unlike CMS), so
+    this gate shares the batch gate's tolerance oracle rather than
+    claiming bit-parity: the cross-batch merge adds one compress
+    level (≤ 4·eps ≈ 4% worst-case rank error, inside the 5% band) —
+    the honest statement of what a mergeable sketch guarantees."""
+    import os as _os
+
+    from lab3_spark.operators.quantile_sketch import (
+        kll_daily_quantile_check,
+    )
+    from lab3_spark.streaming.quantiles import (
+        merged_daily_digests,
+        start_streaming_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = _scratch_dir("stream_kll_")
+    flat = _mtime_ordered_batches(ev, root, "event_id")
+    src = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_quantiles(src, store, _os.path.join(root, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_quantiles availableNow run timed out")
+    return kll_daily_quantile_check(
+        _t(spark, sf_dir, "events"),
+        daily=merged_daily_digests(spark, store),
+    )
 
 
 @query("streaming_cms_heavy_hitters", _CMS_ORACLE)
@@ -15048,8 +15091,9 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # test_driver_window_leads_with_round11_priorities when reordering.
 #
 # ROUND-12 CURATION (the r11 handoff executed): CORRECTNESS_r11 came
-# back 50/50 green.  The 50 slots: the 1 new round-12 gate (the
-# mergeable quantile digest), then the 16 changed-operator gates —
+# back 50/50 green.  The 50 slots: the 2 new round-12 gates (the
+# mergeable quantile digest + its streaming incremental-store twin),
+# then the 16 changed-operator gates —
 # the 6 SQL-builder ANN gates + events_approx_dau + dedup_exact +
 # per_source_token_budget from the r11 handoff MUST-HEAD, plus this
 # round's own rewrites: source_bpe_merges (per-source BPE argmax
@@ -15063,17 +15107,17 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # row_number window → distributed grouped rank; 5 priorities made
 # each window partition a fifth of the fact-fact join) and
 # top_customers_per_nation (n_name window → salted top_n_per_key; 25
-# nations), both oracle-verified at both scales — then the ENTIRE
-# remaining r5 era (33 oldest-first re-confirmations), filling the
-# window to exactly 50 and leaving r6 as the oldest surviving era.
+# nations), both oracle-verified at both scales — then the remaining
+# r5 era oldest-first (32 of its 33; the second new gate displaced
+# streaming_sliding_10m to slot 51), filling the window to exactly 50.
 #
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
-# re-confirmations from `python tools/window_age.py` (the r6 era
-# starts at compaction_bins, corpus_snapshot_diff,
-# customer_rfm_segments, data_expectations, dataset_card, …).  No
-# known changed-construction carryover beyond what the r12 window
-# re-confirms.  Update
+# re-confirmations from `python tools/window_age.py` (the refills
+# start at streaming_sliding_10m — the one r5 straggler — then the r6
+# era: compaction_bins, corpus_snapshot_diff, customer_rfm_segments,
+# data_expectations, dataset_card, …).  No known changed-construction
+# carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
 #: window head to exactly this list; extend it when adding gates.
@@ -15130,6 +15174,7 @@ ROUND11_NEW = [
 #: the round-12 additions, in window order — same lint contract.
 ROUND12_NEW = [
     "events_kll_daily_quantiles",
+    "streaming_incremental_quantiles",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15213,8 +15258,10 @@ _DRIVER_PRIORITY = [
     "ppr_seed_proximity",
     "streaming_cms_heavy_hitters",
     "streaming_curated_ingest",
-    "streaming_sliding_10m",
+    # (streaming_sliding_10m, r5, displaced to slot 51 by the second
+    # round-12 gate; it heads the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "streaming_sliding_10m",
     #    (duplicates collapse to their first position) ----------------
     *ROUND11_NEW,
     # -- oldest-green re-confirmations (window_age.py oldest-first):

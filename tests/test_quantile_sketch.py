@@ -132,3 +132,49 @@ def test_gate_booleans_all_true(spark, sf_dir):
         for k, v in d.items():
             if "within" in k:
                 assert v is True, (r["day"], k)
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental store (streaming/quantiles.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_store_merge_counts_and_idempotence(
+    spark, sf_dir, tmp_path
+):
+    """Per-batch digest partitions merge to the full per-day counts;
+    replaying a batch (overwrite of its own partition) changes
+    nothing — the exactly-once contract."""
+    from lab3_spark.operators.quantile_sketch import daily_value_digest
+    from lab3_spark.streaming.quantiles import merged_daily_digests
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "value"
+    )
+    store = str(tmp_path / "store")
+    for b in range(3):
+        daily_value_digest(
+            ev.where(F.col("event_id") % 3 == b)
+        ).write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    merged1 = {
+        r["day"]: (r["n"], tuple(r["weights"]))
+        for r in merged_daily_digests(spark, store).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {d: v[0] for d, v in merged1.items()} == exact
+    assert all(sum(w) == n for (n, w) in merged1.values())
+    # replay batch 1: identical partition -> identical merge
+    daily_value_digest(
+        ev.where(F.col("event_id") % 3 == 1)
+    ).write.mode("overwrite").parquet(f"{store}/batch_id=1")
+    merged2 = {
+        r["day"]: (r["n"], tuple(r["weights"]))
+        for r in merged_daily_digests(spark, store).collect()
+    }
+    assert merged2 == merged1
