@@ -97,6 +97,10 @@ BNLJ_ALLOWED = {
     "quality_feature_correlations",  # 1-row 14-moment broadcast
     "events_decayed_leaderboard",  # 1-row newest-day broadcast
     "customer_order_cadence",  # 1-row gap-stats broadcast
+    # round-12: the digest rank gate crossJoins the #days-row per-day
+    # frame with the 1-row cross-day-union rank counts (broadcast)
+    "events_kll_daily_quantiles",
+    "streaming_incremental_quantiles",
     # round-7 additions (all inspected 1-row scalar broadcasts)
     "vocab_coverage_curve",  # 1-row token-total broadcast
     "orders_winsorized_stats",  # 1-row n + 1-row cutoffs broadcasts
