@@ -655,51 +655,56 @@ def ship_latency_percentiles(
     positional rule, not an engine-native interpolating percentile
     whose semantics differ across engines.
 
-    The rank pass rides the DISTRIBUTED grouped row number
-    (operators/rank.py): one RANGED shuffle ordered by (priority,
-    days, orderkey, linenumber) + broadcast per-group offsets — NOT a
-    ``row_number() OVER (PARTITION BY o_orderpriority)`` window, which
-    would sort lineitem/5 rows in ONE task per priority (there are
-    only 5 priorities; at 100 TB each window partition is a fifth of
-    the fact-fact join — the round-12 skew-audit class).  Both
-    percentiles come from ONE pass via conditional aggregation on the
-    two picked positions."""
-    from lab3_spark.functions.partitioning import persist_latest
-    from lab3_spark.operators.rank import (
-        group_rows_col,
-        with_grouped_row_number,
-    )
-
-    lat = persist_latest(
-        "relational.ship_latency.lat",
+    The percentile reads off the BOUNDED (priority, days) VALUE
+    HISTOGRAM — the robust_quality_zscore two-level pattern: ``days``
+    is an integer latency with a calendar-bounded domain (a few
+    hundred distinct values at any corpus size), so one map-side-
+    combinable groupBy(priority, days) count collapses the fact-fact
+    join to ≤ 5 × #distinct-days rows, and the positional rule becomes
+    "smallest days whose cumulative count reaches the target rank"
+    over that metadata-scale frame.  NOT a ``row_number() OVER
+    (PARTITION BY o_orderpriority)`` window on the join output (5
+    priorities ⇒ a fifth of the fact join in ONE task — the round-12
+    skew-audit class), and strictly cheaper than a distributed full
+    rank: no corpus-scale shuffle at all beyond the count's partial
+    agg, and the rank tie-break columns never need to be scanned."""
+    hist = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
             "o_orderpriority",
             F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
                 "days"
             ),
-            "l_orderkey",
-            "l_linenumber",
-        ),
+        )
+        .groupBy("o_orderpriority", "days")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    ranked = with_grouped_row_number(
-        lat,
-        ["o_orderpriority"],
-        ["days", "l_orderkey", "l_linenumber"],
-        out_col="_rn",
-        memo_key="relational.ship_latency.rank",
-    ).withColumn("_n", group_rows_col())
+    # cumulative counts over the bounded histogram: ≤ 5 × #distinct
+    # latency values rows — metadata-scale however large the corpus
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "days",
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(wn).alias("_n"),
+    )
     i50 = F.expr("CAST((_n - 1) * 50 DIV 100 AS BIGINT) + 1")
     i95 = F.expr("CAST((_n - 1) * 95 DIV 100 AS BIGINT) + 1")
     return (
-        ranked.where((F.col("_rn") == i50) | (F.col("_rn") == i95))
-        .groupBy("o_orderpriority")
+        cum.groupBy("o_orderpriority")
         .agg(
             F.max("_n").alias("n_lineitems"),
-            F.max(F.when(F.col("_rn") == i50, F.col("days"))).alias(
+            F.min(F.when(F.col("_cum") >= i50, F.col("days"))).alias(
                 "p50_days"
             ),
-            F.max(F.when(F.col("_rn") == i95, F.col("days"))).alias(
+            F.min(F.when(F.col("_cum") >= i95, F.col("days"))).alias(
                 "p95_days"
             ),
         )

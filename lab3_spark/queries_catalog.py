@@ -15104,8 +15104,9 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # pipeline_dedup_to_packing (pack_sequences grew the sharded-cumsum
 # path; the gates keep the default single-window path, oracle
 # re-verified), ship_latency_percentiles (priority-partitioned
-# row_number window → distributed grouped rank; 5 priorities made
-# each window partition a fifth of the fact-fact join) and
+# row_number window → bounded (priority, days) value-histogram
+# positional read; 5 priorities made each window partition a fifth
+# of the fact-fact join) and
 # top_customers_per_nation (n_name window → salted top_n_per_key; 25
 # nations), both oracle-verified at both scales — then the remaining
 # r5 era oldest-first (32 of its 33; the second new gate displaced

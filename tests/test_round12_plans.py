@@ -98,11 +98,15 @@ def test_pack_sequences_sharded_bounded_window(spark, docs):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_ship_latency_rank_not_priority_window(spark, sf_dir):
-    """The exact per-priority percentile rank must ride the ranged-
-    shuffle grouped row number — NOT row_number() OVER (PARTITION BY
-    o_orderpriority): with 5 priorities, the window form sorts a fifth
-    of the lineitem-orders join in ONE task at any corpus size."""
+def test_ship_latency_percentiles_histogram_plan(spark, sf_dir):
+    """The exact per-priority percentile must read off the bounded
+    (priority, days) value histogram — NOT row_number() OVER
+    (PARTITION BY o_orderpriority) on the join output: with 5
+    priorities, the rank-window form sorts a fifth of the
+    lineitem-orders join in ONE task at any corpus size.  Pin: no
+    row_number anywhere (no rank over fact rows), and the aggregate
+    that feeds the windows keys on (priority, days) — the histogram
+    collapse — so the only windows run over metadata-scale rows."""
     from lab3_spark.operators.relational import ship_latency_percentiles
     from lab3_spark.functions.partitioning import memo_result_invalidate
 
@@ -110,9 +114,12 @@ def test_ship_latency_rank_not_priority_window(spark, sf_dir):
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     plan = formatted_plan(ship_latency_percentiles(orders, li))
-    assert "windowspecdefinition(o_orderpriority" not in plan, plan
-    # the ranged-rank machinery shows a range repartition of the data
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "row_number" not in plan, plan
+    assert "o_orderpriority" in plan and ", days#" in plan, plan
+    # the histogram aggregate is keyed by BOTH priority and days
+    import re
+
+    assert re.search(r"Keys \[2\]: \[o_orderpriority#\d+, days#\d+L?\]", plan), plan
 
 
 def test_top_customers_per_nation_salted(spark, sf_dir):
