@@ -173,6 +173,13 @@ def daily_value_digest(
     partial digests (shard = hash of event_id — any key uniformizer;
     each task sees day-volume/n_shards values, so no day is a hot
     task), then a per-day merge of the ≤ n_shards bounded partials.
+    Size ``n_shards`` so one shard's values fit a task comfortably
+    (day volume / n_shards ≲ 10⁷ values; a 100 TB/day stream wants
+    n_shards in the thousands — the merge stays centroid-scale since
+    its input is n_shards × ~2/eps centroids).  Changing n_shards
+    changes centroid VALUES (different partials, different merge
+    walk) but never the rank-error contract the gate checks — the
+    oracle is tolerance-based, not centroid-pinned.
     Both stages are Arrow-batched ``applyInPandas``; everything
     downstream of the partials is centroid-scale (≤ ~2/eps rows per
     digest), so the events scan is touched exactly once."""
