@@ -178,3 +178,51 @@ def test_streaming_store_merge_counts_and_idempotence(
         for r in merged_daily_digests(spark, store).collect()
     }
     assert merged2 == merged1
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (pure core — no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_VALS = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_VALS, st.integers(min_value=1, max_value=50))
+def test_prop_compress_mass_order_cap(vals, cap):
+    sv = sorted(vals)
+    means, weights = compress_centroids(sv, [1] * len(sv), cap)
+    assert sum(weights) == len(sv)
+    assert all(1 <= w <= max(cap, 1) for w in weights)
+    assert means == sorted(means)
+    # centroids stay inside the data range
+    assert min(sv) <= means[0] and means[-1] <= max(sv)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_VALS, st.floats(min_value=0.005, max_value=0.1))
+def test_prop_estimate_rank_error_within_eps(vals, eps):
+    sv = sorted(vals)
+    n = len(sv)
+    cap = max(1, int(math.floor(eps * n / 2)))
+    means, weights = compress_centroids(sv, [1] * n, cap)
+    for q in (0.1, 0.5, 0.99):
+        est = estimate_quantile(means, weights, q)
+        lo, hi = _rank_interval(sv, est)
+        target = max(1, math.ceil(q * n))
+        assert lo - eps * n - 1 <= target <= hi + eps * n + 1, (
+            q,
+            eps,
+            n,
+            lo,
+            hi,
+            target,
+        )
