@@ -358,23 +358,22 @@ def kll_daily_quantile_check(
     )
 
     def _band_ok(lo, hi, n, lob, upb):
-        # rank interval [lo+1, hi] vs band [max(1, ceil(lob·n)),
-        # min(n, ceil(upb·n))], all bigint
+        # rank interval [lo+1, hi] intersects band [max(1, ceil(lnum·
+        # n/lden)), min(n, ceil(unum·n/uden))] — DIVISION-FREE integer
+        # form (x ≤ ceil(a/b) ⟺ (x−1)·b < a; x ≥ ceil(a/b) ⟺ x·b ≥ a
+        # for positive integers), so the whole gate is bigint-exact at
+        # any n with no float rounding anywhere:
+        #   hi ≥ lb      ⟺ hi ≥ 1          AND hi·lden ≥ lnum·n
+        #   lo+1 ≤ ub    ⟺ lo+1 ≤ n        AND lo·uden < unum·n
         lnum, lden = lob
         unum, uden = upb
-        lb = F.greatest(
-            F.lit(1).cast("bigint"),
-            ((F.lit(lnum) * n + F.lit(lden - 1)) / F.lit(lden)).cast(
-                "bigint"
-            ),
+        nn = n.cast("bigint")
+        return (
+            (hi >= F.lit(1))
+            & (hi * F.lit(lden) >= F.lit(lnum) * nn)
+            & ((lo + 1) <= nn)
+            & (lo * F.lit(uden) < F.lit(unum) * nn)
         )
-        ub = F.least(
-            n.cast("bigint"),
-            ((F.lit(unum) * n + F.lit(uden - 1)) / F.lit(uden)).cast(
-                "bigint"
-            ),
-        )
-        return ((lo + 1) <= ub) & (hi >= lb)
 
     out_cols = [F.col("day"), F.col("n").alias("n_events")]
     for name, _, lob, upb in _GATE_QS:
