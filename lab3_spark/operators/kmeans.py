@@ -360,13 +360,22 @@ def _codebook_store_path(
     from lab3_spark.sources.layout import MATERIALIZED_ROOT
 
     def _stamp(uri: str) -> str:
-        # inputFiles() returns file: URIs in local mode; stat the path
-        # when reachable, else fall back to the bare URI (remote FS —
-        # the path string still keys the artifact deterministically).
-        path = uri[7:] if uri.startswith("file:") else uri
+        # inputFiles() returns file: URIs in local mode ('file:///x'
+        # here, 'file:/x' from some Hadoop paths — urlparse handles
+        # both); stat the path when reachable, else fall back to the
+        # bare URI (remote FS — the path string still keys the
+        # artifact deterministically).  st_mtime_ns, not whole
+        # seconds: a same-second same-size in-place regeneration must
+        # still change the key (round-12 review).
+        if uri.startswith("file:"):
+            from urllib.parse import urlparse
+
+            path = urlparse(uri).path
+        else:
+            path = uri
         try:
             st = os.stat(path)
-            return f"{uri}#{st.st_size}#{int(st.st_mtime)}"
+            return f"{uri}#{st.st_size}#{st.st_mtime_ns}"
         except OSError:
             return uri
 

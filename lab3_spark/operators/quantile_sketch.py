@@ -115,15 +115,20 @@ def estimate_quantile(
     return means[-1]
 
 
+#: digest columns shared by every merge-stage schema / DataFrame
+_DIGEST_COLS = ["means", "weights", "n", "est_p50", "est_p90", "est_p99"]
 _DIGEST_FIELDS = (
     "means array<double>, weights array<bigint>, n bigint, "
     "est_p50 double, est_p90 double, est_p99 double"
 )
+#: partial (pre-merge) digests carry no estimates — they are only ever
+#: merged, so computing per-partial quantiles would be discarded work
+_PARTIAL_FIELDS = "means array<double>, weights array<bigint>, n bigint"
 
 
 def _digest_row(values, eps: float) -> tuple:
-    """Build (means, weights, n, est_p50/90/99) from raw values —
-    sorted first, so the result is a pure function of the multiset."""
+    """Build a partial (means, weights, n) from raw values — sorted
+    first, so the result is a pure function of the multiset."""
     import numpy as np
 
     v = np.sort(np.asarray(values, dtype="float64"))
@@ -131,18 +136,14 @@ def _digest_row(values, eps: float) -> tuple:
     means, weights = compress_centroids(
         v.tolist(), [1] * n, _cap(n, eps)
     )
-    return (
-        means,
-        weights,
-        n,
-        *(estimate_quantile(means, weights, q) for _, q, _, _ in _GATE_QS),
-    )
+    return (means, weights, n)
 
 
 def _merge_rows(means_lists, weights_lists, eps: float) -> tuple:
     """Merge already-built digests: concatenate centroids, sort by
-    (mean, weight) — a total, deterministic order — and recompress at
-    the combined n's cap."""
+    (mean, weight) — a total, deterministic order, so the result is a
+    pure function of the incoming centroid MULTISET regardless of the
+    callers' row order — and recompress at the combined n's cap."""
     flat = sorted(
         (float(m), int(w))
         for ms, ws in zip(means_lists, weights_lists)
@@ -157,6 +158,20 @@ def _merge_rows(means_lists, weights_lists, eps: float) -> tuple:
         weights,
         n,
         *(estimate_quantile(means, weights, q) for _, q, _, _ in _GATE_QS),
+    )
+
+
+def merged_digest_pdf(pdf, eps: float, lead: dict | None = None):
+    """One merged-digest pandas row from a group's digest rows, with
+    optional leading key columns — the single applyInPandas body every
+    merge stage (per-day, cross-day union, streaming store) shares, so
+    the digest row shape lives in one place."""
+    import pandas as pd
+
+    lead = lead or {}
+    row = _merge_rows(pdf["means"].tolist(), pdf["weights"].tolist(), eps)
+    return pd.DataFrame(
+        [(*lead.values(), *row)], columns=[*lead, *_DIGEST_COLS]
     )
 
 
@@ -192,39 +207,12 @@ def daily_value_digest(
         row = _digest_row(pdf["v"].to_numpy(), eps)
         return pd.DataFrame(
             [(day, shard, *row)],
-            columns=[
-                "day",
-                "shard",
-                "means",
-                "weights",
-                "n",
-                "est_p50",
-                "est_p90",
-                "est_p99",
-            ],
+            columns=["day", "shard", "means", "weights", "n"],
         )
 
     def merge_day(pdf):
-        import pandas as pd
-
-        day = pdf["day"].iloc[0]
-        # deterministic partial order regardless of task scheduling
-        pdf = pdf.sort_values("shard")
-        row = _merge_rows(
-            pdf["means"].tolist(), pdf["weights"].tolist(), eps
-        )
-        return pd.DataFrame(
-            [(day, *row)],
-            columns=[
-                "day",
-                "means",
-                "weights",
-                "n",
-                "est_p50",
-                "est_p90",
-                "est_p99",
-            ],
-        )
+        # no pre-sort: _merge_rows is order-independent by construction
+        return merged_digest_pdf(pdf, eps, {"day": pdf["day"].iloc[0]})
 
     vals = events.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -232,7 +220,7 @@ def daily_value_digest(
         F.col(value_col).cast("double").alias("v"),
     ).where(F.col("v").isNotNull())
     partial = vals.groupBy("day", "shard").applyInPandas(
-        build, f"day string, shard bigint, {_DIGEST_FIELDS}"
+        build, f"day string, shard bigint, {_PARTIAL_FIELDS}"
     )
     return partial.groupBy("day").applyInPandas(
         merge_day, f"day string, {_DIGEST_FIELDS}"
@@ -247,23 +235,7 @@ def digest_union(daily: DataFrame, eps: float = DEFAULT_EPS) -> DataFrame:
     centroids)."""
 
     def merge_all(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values("day")
-        row = _merge_rows(
-            pdf["means"].tolist(), pdf["weights"].tolist(), eps
-        )
-        return pd.DataFrame(
-            [row],
-            columns=[
-                "means",
-                "weights",
-                "n",
-                "est_p50",
-                "est_p90",
-                "est_p99",
-            ],
-        )
+        return merged_digest_pdf(pdf, eps)
 
     return (
         daily.withColumn("_k", F.lit(1))

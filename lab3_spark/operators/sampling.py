@@ -109,7 +109,21 @@ def pack_sequences(
         return base.withColumn("bin_id", F.floor(before / budget)).orderBy(
             group_col, id_col
         )
-    # two-level exact prefix sum: monotone id-range shards
+    # two-level exact prefix sum: monotone id-range shards.  The
+    # bucketing needs a NUMERIC id (floor(id/width) on a string id
+    # yields null shards under non-ANSI — and null keys never
+    # equi-join, which would silently drop every row): fail loudly.
+    from pyspark.sql.types import NumericType
+
+    if int(shard_width) <= 0:
+        raise ValueError(f"shard_width must be positive, got {shard_width}")
+    id_type = documents.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise ValueError(
+            f"shard_width requires a numeric {id_col!r} (got "
+            f"{id_type.simpleString()}); use the default single-window "
+            "path or a numeric surrogate id"
+        )
     sharded = base.withColumn(
         "_shard", F.floor(F.col(id_col) / F.lit(int(shard_width)))
     )

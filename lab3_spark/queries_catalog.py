@@ -9562,8 +9562,11 @@ def q_events_weekly_churn(spark, sf_dir):
 def q_ship_latency_percentiles(spark, sf_dir):
     """Exact order-to-ship latency percentiles per priority
     (relational.ship_latency_percentiles): positional-rule p50/p95
-    from ONE priority-partitioned rank pass + conditional aggregation
-    — engine-native interpolating percentiles disagree across
+    read off the bounded (priority, days) VALUE HISTOGRAM — one
+    map-side-combinable count collapses the fact-fact join to
+    metadata scale, then "smallest days whose cumulative count
+    reaches the target rank" (round-12 rewrite; no fact-scale rank
+    window) — engine-native interpolating percentiles disagree across
     engines; picked positions cannot."""
     return REL.ship_latency_percentiles(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -15225,8 +15228,9 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    the remaining r5 driver-row era — 33 gates — plus the r6
-    #    era's head to fill the window to exactly 50 -------------------
+    #    32 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the 33rd, streaming_sliding_10m, sits at slot 51
+    #    and heads the r13 refills; no r6 gate fits this round) -------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",

@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 from lab3_spark.operators.quantile_sketch import (
     DEFAULT_EPS,
     _DIGEST_FIELDS,
-    _merge_rows,
     daily_value_digest,
+    merged_digest_pdf,
 )
 
 
@@ -47,28 +47,12 @@ def merged_daily_digests(
     spark: SparkSession, store_path: str, eps: float = DEFAULT_EPS
 ) -> DataFrame:
     """(day, means, weights, n, est_p50, est_p90, est_p99): each day's
-    per-batch digests merged into one — deterministic (partials sorted
-    by batch_id before the greedy recompress), centroid-scale input
-    (#batches × #days rows)."""
+    per-batch digests merged into one — deterministic regardless of
+    row order (the merge sorts the flattened centroid multiset),
+    centroid-scale input (#batches × #days rows)."""
 
     def merge_day(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values("batch_id")
-        day = pdf["day"].iloc[0]
-        row = _merge_rows(pdf["means"].tolist(), pdf["weights"].tolist(), eps)
-        return pd.DataFrame(
-            [(day, *row)],
-            columns=[
-                "day",
-                "means",
-                "weights",
-                "n",
-                "est_p50",
-                "est_p90",
-                "est_p99",
-            ],
-        )
+        return merged_digest_pdf(pdf, eps, {"day": pdf["day"].iloc[0]})
 
     store = spark.read.option("basePath", store_path).parquet(
         f"{store_path}/batch_id=*"

@@ -100,32 +100,28 @@ def test_codebook_store_key_changes_on_touch(spark, tmp_path, monkeypatch):
 
 
 def test_reprice_passes_arg_forms():
-    import ast
-    import textwrap
+    """parse_args is the real shipped function (not an exec'd source
+    slice — the round-12 review's cleanup): both --passes forms parse,
+    malformed forms exit with usage instead of a traceback."""
+    import importlib.util
 
-    src = open(
-        os.path.join(os.path.dirname(__file__), "..", "tools", "reprice.py")
-    ).read()
-    tree = ast.parse(src)
-    fn = next(
-        n
-        for n in tree.body
-        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    import pytest
+
+    src_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "reprice.py"
     )
-    # extract just the arg-parsing prologue (up to the 'unknown' line)
-    body_src = ast.get_source_segment(src, fn)
-    prologue = body_src.split("unknown =")[0]
-    prologue = prologue.split("\n", 1)[1]  # drop the def line
-    ns: dict = {}
+    spec = importlib.util.spec_from_file_location("_reprice", src_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    parse_args = mod.parse_args
 
-    def run(argv):
-        env = {"sys": type("S", (), {"argv": ["reprice.py"] + argv})()}
-        exec(textwrap.dedent(prologue), env, env)
-        return env["passes"], env["args"]
-
-    assert run(["--passes=7", "gate_a"]) == (7, ["gate_a"])
-    assert run(["--passes", "9", "gate_a"]) == (9, ["gate_a"])
-    assert run(["gate_a", "gate_b"]) == (5, ["gate_a", "gate_b"])
+    assert parse_args(["--passes=7", "gate_a"]) == (7, ["gate_a"])
+    assert parse_args(["--passes", "9", "gate_a"]) == (9, ["gate_a"])
+    assert parse_args(["gate_a", "gate_b"]) == (5, ["gate_a", "gate_b"])
+    with pytest.raises(SystemExit):
+        parse_args(["gate_a", "--passes"])  # bare trailing flag
+    with pytest.raises(SystemExit):
+        parse_args(["--passes", "gate_a"])  # non-integer N
 
 
 # ---------------------------------------------------------------------------

@@ -29,24 +29,34 @@ from lab3_spark.session import get_spark
 from lab3_spark.sources.tables import TABLES, load_table
 
 
-def main() -> None:
-    argv = sys.argv[1:]
+def parse_args(argv: list[str]) -> tuple[int, list[str]]:
+    """(passes, gate_names) from CLI argv — accepts both '--passes=N'
+    and '--passes N' (ADVICE r11); malformed forms exit with usage
+    instead of a traceback."""
     passes = 5
     rest: list[str] = []
     i = 0
     while i < len(argv):
         a = argv[i]
         if a.startswith("--passes"):
-            # accept both '--passes=N' and '--passes N' (ADVICE r11)
             if "=" in a:
-                passes = int(a.split("=", 1)[1])
+                raw = a.split("=", 1)[1]
             else:
                 i += 1
-                passes = int(argv[i])
+                raw = argv[i] if i < len(argv) else ""
+            if not raw.isdigit():
+                raise SystemExit(
+                    "usage: reprice.py [--passes N | --passes=N] gate..."
+                )
+            passes = int(raw)
         elif not a.startswith("--"):
             rest.append(a)
         i += 1
-    args = rest
+    return passes, rest
+
+
+def main() -> None:
+    passes, args = parse_args(sys.argv[1:])
     unknown = [g for g in args if g not in QUERIES]
     if unknown or not args:
         raise SystemExit(f"unknown/missing gates: {unknown}")
