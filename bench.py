@@ -349,6 +349,7 @@ HEADLINE = [
     "pipeline_line_dedup",
     # round 12 additions
     "events_kll_daily_quantiles",
+    "orders_zorder_pruning",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -92,6 +92,126 @@ def with_z_value(
     )
 
 
+def zone_map_pruning_audit(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    key_col: str,
+    n_files: int = 64,
+    bits: int = 5,
+    cuts: int = 4,
+) -> DataFrame:
+    """Quantify what the z-order layout actually BUYS: the zone-map
+    pruning table a lakehouse writer consults before choosing a
+    clustering key.
+
+    Both candidate layouts are simulated from one coded projection
+    (key, cx, cy, z — fixed-point codes against global min/max, the
+    write-time math of :func:`with_z_value`):
+
+    - ``linear``: total order (col_b, key) — the single-column sort
+      every date-partitioned table already has;
+    - ``zorder``: total order (z, key) — the Morton curve.
+
+    Rows land in ``n_files`` equal files by global rank (the
+    distributed rank machinery — no single-partition window touches
+    the fact table), each file's zone map is its min/max code
+    rectangle (a combinable aggregate), and a ``cuts × cuts`` grid of
+    code-space range queries is tested against every zone:
+    file hit ⇔ rectangles overlap.  Output — one row per
+    (layout, query): how many of the ``n_files`` files a reader must
+    scan.  The z-order row set is the justification artifact: linear
+    prunes only its sort dimension; the curve prunes both.
+
+    Scale shape: two ranged shuffles over the 4-column projection
+    (never the full row), a ≤ 2·n_files-row zone table, and a
+    zones × queries broadcast nested loop at metadata scale.  All
+    arithmetic is integer past the one shared bucketize floor(), so a
+    SQL oracle reproduces every count bit-for-bit."""
+    from lab3_spark.operators.rank import (
+        total_rows_col,
+        with_global_row_number,
+    )
+
+    stats = df.agg(
+        F.min(col_a).cast("double").alias("_lo_a"),
+        F.max(col_a).cast("double").alias("_hi_a"),
+        F.min(col_b).cast("double").alias("_lo_b"),
+        F.max(col_b).cast("double").alias("_hi_b"),
+    )
+    qa = bucketize_fixed(
+        F.col(col_a).cast("double"), F.col("_lo_a"), F.col("_hi_a"), bits
+    )
+    qb = bucketize_fixed(
+        F.col(col_b).cast("double"), F.col("_lo_b"), F.col("_hi_b"), bits
+    )
+    coded = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("cx", qa)
+        .withColumn("cy", qb)
+        .withColumn("z", interleave_bits(F.col("cx"), F.col("cy"), bits))
+        .select(key_col, col_b, "cx", "cy", "z")
+    )
+
+    def _files(order_col: str, layout: str) -> DataFrame:
+        d = with_global_row_number(
+            coded,
+            [order_col, key_col],
+            out_col="_rn",
+            memo_key=f"zorder.prune.{layout}",
+        )
+        return d.withColumn("_n_total", total_rows_col()).select(
+            F.lit(layout).alias("layout"),
+            F.expr(f"((_rn - 1) * {int(n_files)}) DIV _n_total").alias(
+                "_file"
+            ),
+            "cx",
+            "cy",
+        )
+
+    zones = (
+        _files(col_b, "linear")
+        .unionByName(_files("z", "zorder"))
+        .groupBy("layout", "_file")
+        .agg(
+            F.min("cx").alias("mn_cx"),
+            F.max("cx").alias("mx_cx"),
+            F.min("cy").alias("mn_cy"),
+            F.max("cy").alias("mx_cy"),
+        )
+    )
+
+    span = (1 << bits) // cuts
+    spark = df.sparkSession
+    queries = spark.range(cuts * cuts).select(
+        F.expr(f"id DIV {cuts}").alias("q_a"),
+        F.pmod(F.col("id"), F.lit(cuts)).cast("bigint").alias("q_b"),
+    )
+    queries = queries.select(
+        "q_a",
+        "q_b",
+        (F.col("q_a") * span).alias("lo_x"),
+        (F.col("q_a") * span + (span - 1)).alias("hi_x"),
+        (F.col("q_b") * span).alias("lo_y"),
+        (F.col("q_b") * span + (span - 1)).alias("hi_y"),
+    )
+    hit = (
+        (F.col("mn_cx") <= F.col("hi_x"))
+        & (F.col("mx_cx") >= F.col("lo_x"))
+        & (F.col("mn_cy") <= F.col("hi_y"))
+        & (F.col("mx_cy") >= F.col("lo_y"))
+    )
+    return (
+        zones.crossJoin(F.broadcast(queries))
+        .groupBy("layout", "q_a", "q_b")
+        .agg(
+            F.sum(hit.cast("bigint")).alias("files_hit"),
+            F.count("*").alias("files_total"),
+        )
+        .orderBy("layout", "q_a", "q_b")
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -3550,6 +3550,100 @@ def q_events_zorder_cells(spark, sf_dir):
     )
 
 
+_Z5_INTERLEAVE_SQL = " + ".join(
+    f"(((cx >> {i}) & 1) << {2 * i}) + (((cy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(5)
+)
+
+
+@query(
+    "orders_zorder_pruning",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_custkey AS DOUBLE) AS a,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               AS b
+      FROM orders
+    ),
+    stats AS (
+      SELECT min(a) AS lo_a, max(a) AS hi_a,
+             min(b) AS lo_b, max(b) AS hi_b
+      FROM base
+    ),
+    coded AS (
+      SELECT k, b,
+             CASE WHEN hi_a > lo_a THEN least(CAST(floor(
+               (a - lo_a) / (hi_a - lo_a) * 31) AS BIGINT), 31)
+               ELSE 0 END AS cx,
+             CASE WHEN hi_b > lo_b THEN least(CAST(floor(
+               (b - lo_b) / (hi_b - lo_b) * 31) AS BIGINT), 31)
+               ELSE 0 END AS cy
+      FROM base, stats
+    ),
+    zc AS (SELECT k, b, cx, cy, {_Z5_INTERLEAVE_SQL} AS z FROM coded),
+    n AS (SELECT count(*) AS n_rows FROM zc),
+    placed AS (
+      SELECT 'linear' AS layout, cx, cy,
+             ((row_number() OVER (ORDER BY b, k) - 1) * 64) // n_rows AS f
+      FROM zc, n
+      UNION ALL
+      SELECT 'zorder' AS layout, cx, cy,
+             ((row_number() OVER (ORDER BY z, k) - 1) * 64) // n_rows AS f
+      FROM zc, n
+    ),
+    zones AS (
+      SELECT layout, f,
+             min(cx) AS mn_cx, max(cx) AS mx_cx,
+             min(cy) AS mn_cy, max(cy) AS mx_cy
+      FROM placed GROUP BY 1, 2
+    ),
+    queries AS (
+      SELECT CAST(i // 4 AS BIGINT) AS q_a, CAST(i % 4 AS BIGINT) AS q_b,
+             (i // 4) * 8 AS lo_x, (i // 4) * 8 + 7 AS hi_x,
+             (i % 4) * 8 AS lo_y, (i % 4) * 8 + 7 AS hi_y
+      FROM range(16) t(i)
+    )
+    SELECT z.layout, q.q_a, q.q_b,
+           CAST(sum(CASE WHEN mn_cx <= hi_x AND mx_cx >= lo_x
+                          AND mn_cy <= hi_y AND mx_cy >= lo_y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+           count(*) AS files_total
+    FROM zones z CROSS JOIN queries q
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_orders_zorder_pruning(spark, sf_dir):
+    """Zone-map pruning audit (zorder.zone_map_pruning_audit): the
+    data-skipping table that JUSTIFIES the Morton layout, not just the
+    codes.  Orders are placed into 64 equal rank-files under two
+    write-time layouts — date-sorted (linear) and (custkey, date)
+    z-ordered — each file's min/max code rectangle is its parquet
+    zone map, and a 4×4 grid of code-space range queries counts the
+    files a reader must scan under each layout.  Files come from the
+    distributed global rank (no single-partition window over the
+    fact); zones and the zones × queries overlap join are metadata
+    scale.  All-integer past the shared bucketize floor(), so the
+    oracle reproduces every count exactly.  The reference engine
+    rescans its whole buffer per query (phoenixLab/wordCount/
+    wordCount.cpp:116-133, no layout surface); this is the
+    cluster-scale answer it cannot express."""
+    from lab3_spark.operators.zorder import zone_map_pruning_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("odays"),
+    )
+    return (
+        zone_map_pruning_audit(
+            o, "o_custkey", "odays", "o_orderkey", n_files=64, bits=5
+        )
+    )
+
+
 @query(
     "events_weekday_hour_profile",
     """
@@ -15118,9 +15212,10 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at streaming_sliding_10m — the one r5 straggler — then the r6
-# era: compaction_bins, corpus_snapshot_diff, customer_rfm_segments,
-# data_expectations, dataset_card, …).  No known changed-construction
+# start at streaming_curated_ingest and streaming_sliding_10m — the
+# two displaced r5 stragglers — then the r6 era: compaction_bins,
+# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
+# dataset_card, …).  No known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15179,6 +15274,7 @@ ROUND11_NEW = [
 ROUND12_NEW = [
     "events_kll_daily_quantiles",
     "streaming_incremental_quantiles",
+    "orders_zorder_pruning",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15228,9 +15324,10 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    32 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the 33rd, streaming_sliding_10m, sits at slot 51
-    #    and heads the r13 refills; no r6 gate fits this round) -------
+    #    31 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other two, streaming_curated_ingest and
+    #    streaming_sliding_10m, sit at slots 51-52 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15262,10 +15359,11 @@ _DRIVER_PRIORITY = [
     "orders_scd_upsert",
     "ppr_seed_proximity",
     "streaming_cms_heavy_hitters",
-    "streaming_curated_ingest",
-    # (streaming_sliding_10m, r5, displaced to slot 51 by the second
-    # round-12 gate; it heads the r13 refills with the r6 era)
+    # (streaming_curated_ingest and streaming_sliding_10m, both r5,
+    # displaced to slots 51-52 by the round-12 gates; they head the
+    # r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "streaming_curated_ingest",
     "streaming_sliding_10m",
     #    (duplicates collapse to their first position) ----------------
     *ROUND11_NEW,

@@ -167,8 +167,10 @@ QUERIES = [
     "mapreduce_facade_one_combiner",
     "pipeline_line_dedup",
     # round-12 additions: the mergeable quantile digest (two
-    # applyInPandas levels + exact-count rank gate)
+    # applyInPandas levels + exact-count rank gate) and the zone-map
+    # pruning audit (two ranged shuffles + metadata overlap join)
     "events_kll_daily_quantiles",
+    "orders_zorder_pruning",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
