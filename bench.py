@@ -350,6 +350,7 @@ HEADLINE = [
     # round 12 additions
     "events_kll_daily_quantiles",
     "orders_zorder_pruning",
+    "kmeans_silhouette",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

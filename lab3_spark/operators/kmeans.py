@@ -585,6 +585,60 @@ def ann_ivf_trained(
     return _topk_per_query(pairs, topk)
 
 
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette (Hruschka et al. — centroid
+    distances instead of the classic O(n²) mean pairwise distances,
+    the only silhouette a 100 TB corpus can afford): for each vector,
+    a = distance to its own (nearest) centroid, b = distance to the
+    second-nearest, s = (b − a) / b ∈ [0, 1] (with assignment = argmin
+    the own centroid IS the nearest, so the simplified score is
+    nonnegative — boundary points → 0, well-separated points → 1).
+
+    One narrow pass over the corpus: the exact int64 squared-distance
+    table to all k literal centroids (:func:`_dist_table_sql` — ONE
+    SQL parse, no py4j literal trees), ``array_sort`` picks (a², cl)
+    and b² lexicographically (ties → lowest cell, the argmin rule),
+    then one shared-shape double expression
+    ``floor((sqrt(b2) - sqrt(a2)) / sqrt(b2) * 1e6)`` fixed-points the
+    score so the unrolled-CTE oracle matches bit-for-bit; b² = 0
+    (duplicate centroids on a coincident vector) scores 0.  Per-cluster
+    mean is an integer DIV of nonnegative sums — combinable, exact at
+    any corpus size (no double accumulation).
+
+    This is the clustering-quality companion the trained-quantizer
+    family (IVF / SemDeDup / cluster_balanced_sample) reads before
+    trusting its cells: low mean silhouette in a cell = the coarse
+    quantizer is splitting a natural cluster there."""
+    cents = trained_centroids(embeddings, k, n_iter)
+    st = embeddings.select(
+        "vec_id", fixed_point(F.col("embedding")).alias("xi")
+    ).withColumn("_st", F.expr(f"array_sort({_dist_table_sql(cents)})"))
+    sil = st.select(
+        F.expr("_st[0].code").alias("cluster_id"),
+        F.expr(
+            "CASE WHEN _st[1].dist > 0 THEN CAST(FLOOR((SQRT(_st[1].dist)"
+            " - SQRT(_st[0].dist)) / SQRT(_st[1].dist) * 1000000)"
+            " AS BIGINT) ELSE 0L END"
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.expr("CAST(sum(s) DIV count(1) AS BIGINT)").alias(
+                "mean_sil_fp"
+            ),
+            F.min("s").alias("min_sil_fp"),
+            F.max("s").alias("max_sil_fp"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def ann_recall_vs_bruteforce(
     embeddings: DataFrame,
     n_queries: int = 20,

@@ -4518,6 +4518,60 @@ def q_kmeans_centroids(spark, sf_dir):
 
 
 @query(
+    "kmeans_silhouette",
+    f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dS AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    r2 AS (
+      SELECT vec_id, cl, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cl) AS rn
+      FROM dS
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cl, a.dist AS a2, b.dist AS b2
+      FROM r2 a JOIN r2 b ON a.vec_id = b.vec_id
+      WHERE a.rn = 1 AND b.rn = 2
+    ),
+    sil AS (
+      SELECT cl,
+             CASE WHEN b2 > 0 THEN CAST(floor(
+               (sqrt(b2) - sqrt(a2)) / sqrt(b2) * 1000000) AS BIGINT)
+             ELSE 0 END AS s
+      FROM ab
+    )
+    SELECT cl AS cluster_id, count(*) AS n_members,
+           CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_fp,
+           min(s) AS min_sil_fp, max(s) AS max_sil_fp
+    FROM sil GROUP BY cl ORDER BY cl
+    """,
+)
+def q_kmeans_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per trained cluster
+    (kmeans.kmeans_silhouette): s = (b − a)/b with a = distance to the
+    nearest centroid (= the assignment), b = distance to the second
+    nearest — the O(n·k) silhouette a 100 TB corpus can afford (the
+    classic O(n²) mean-pairwise form cannot exist at scale).  The
+    clustering-quality companion every trained-quantizer consumer
+    (IVF probing, SemDeDup cells, cluster-balanced sampling) reads
+    before trusting its cells.  One narrow corpus pass against the
+    k×d literal distance table (single SQL parse), exact int64
+    distances, one mirrored sqrt/floor fixed-point expression, and
+    integer-DIV cluster means — bit-identical to the unrolled Lloyd
+    CTE oracle."""
+    from lab3_spark.operators.kmeans import kmeans_silhouette
+
+    return kmeans_silhouette(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
+@query(
     "ann_ivf_trained",
     f"""
     WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
@@ -15212,10 +15266,11 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at streaming_curated_ingest and streaming_sliding_10m — the
-# two displaced r5 stragglers — then the r6 era: compaction_bins,
-# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
-# dataset_card, …).  No known changed-construction
+# start at streaming_cms_heavy_hitters, streaming_curated_ingest and
+# streaming_sliding_10m — the three displaced r5 stragglers — then
+# the r6 era: compaction_bins, corpus_snapshot_diff,
+# customer_rfm_segments, data_expectations, dataset_card, …).  No
+# known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15275,6 +15330,7 @@ ROUND12_NEW = [
     "events_kll_daily_quantiles",
     "streaming_incremental_quantiles",
     "orders_zorder_pruning",
+    "kmeans_silhouette",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15324,10 +15380,11 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    31 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other two, streaming_curated_ingest and
-    #    streaming_sliding_10m, sit at slots 51-52 and head the r13
-    #    refills; no r6 gate fits this round) -------------------------
+    #    30 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other three — streaming_cms_heavy_hitters,
+    #    streaming_curated_ingest, streaming_sliding_10m — sit at
+    #    slots 51-53 and head the r13 refills; no r6 gate fits this
+    #    round) -------------------------------------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15358,11 +15415,11 @@ _DRIVER_PRIORITY = [
     "orders_priority_unpivot",
     "orders_scd_upsert",
     "ppr_seed_proximity",
-    "streaming_cms_heavy_hitters",
-    # (streaming_curated_ingest and streaming_sliding_10m, both r5,
-    # displaced to slots 51-52 by the round-12 gates; they head the
-    # r13 refills with the r6 era)
+    # (streaming_cms_heavy_hitters, streaming_curated_ingest and
+    # streaming_sliding_10m, all r5, displaced to slots 51-53 by the
+    # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "streaming_cms_heavy_hitters",
     "streaming_curated_ingest",
     "streaming_sliding_10m",
     #    (duplicates collapse to their first position) ----------------

@@ -449,3 +449,20 @@ def test_sql_builders_match_column_builders(spark):
     assert [r.asDict(recursive=True) for r in got] == [
         r.asDict(recursive=True) for r in want
     ]
+
+
+def test_kmeans_silhouette_properties(spark, sf_dir):
+    """Simplified silhouette invariants on real testdata: one row per
+    trained cluster, memberships partition the corpus, scores inside
+    [0, 1e6] with min <= mean <= max, and at least one cluster is
+    better-than-boundary (mean > 0) — the embeddings are not all
+    equidistant from two centroids."""
+    from lab3_spark.operators.kmeans import kmeans_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = kmeans_silhouette(emb, k=8, n_iter=3).collect()
+    assert len(rows) == 8
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["min_sil_fp"] <= r["mean_sil_fp"] <= r["max_sil_fp"] <= 10**6
+    assert any(r["mean_sil_fp"] > 0 for r in rows)

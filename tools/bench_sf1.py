@@ -171,6 +171,7 @@ QUERIES = [
     # pruning audit (two ranged shuffles + metadata overlap join)
     "events_kll_daily_quantiles",
     "orders_zorder_pruning",
+    "kmeans_silhouette",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
