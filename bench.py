@@ -351,6 +351,7 @@ HEADLINE = [
     "events_kll_daily_quantiles",
     "orders_zorder_pruning",
     "kmeans_silhouette",
+    "linkage_fs_scores",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

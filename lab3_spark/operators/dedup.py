@@ -1235,6 +1235,173 @@ def cross_source_near_dups(
     )
 
 
+#: Fellegi–Sunter log2 likelihood-ratio weights, fixed-pointed ·1e6 —
+#: ONE shared template renders the Spark expression AND the DuckDB
+#: oracle text so the single float step (ln of a ratio of exact-integer
+#: ratios, the unigram-surprisal contract) is character-identical in
+#: both engines.  Laplace smoothing (+1/+2) keeps both weights finite
+#: when every (or no) verified pair agrees on a field.
+FS_W_AGREE_TMPL = (
+    "CAST(floor(ln(((CAST({mn} AS DOUBLE) + 1.0) / (CAST({md} AS DOUBLE)"
+    " + 2.0)) / ((CAST({un} AS DOUBLE) + 1.0) / (CAST({ud} AS DOUBLE)"
+    " + 2.0))) / ln(2.0) * 1000000) AS BIGINT)"
+)
+FS_W_DISAGREE_TMPL = (
+    "CAST(floor(ln((1.0 - (CAST({mn} AS DOUBLE) + 1.0) / (CAST({md} AS"
+    " DOUBLE) + 2.0)) / (1.0 - (CAST({un} AS DOUBLE) + 1.0) /"
+    " (CAST({ud} AS DOUBLE) + 2.0))) / ln(2.0) * 1000000) AS BIGINT)"
+)
+FS_FIELDS = ("source", "lang", "lenb")
+
+
+def fellegi_sunter_scores(
+    documents: DataFrame,
+    text_col: str = "text",
+    truth_jaccard: float = 0.5,
+    topk: int = 20,
+) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi & Sunter 1969,
+    the Splink/production-linkage core): every LSH candidate pair is
+    scored by the summed log2 likelihood ratio of its per-field
+    agreement pattern — agree on field f adds log2(m_f/u_f), disagree
+    adds log2((1−m_f)/(1−u_f)) — and the top-``topk`` pairs surface
+    as (doc_a, doc_b, n_agree, score_fp, rnk).
+
+    Comparison fields: ``source`` equality, ``lang`` equality, and a
+    64-char length-bucket equality (``n_chars DIV 64``) — cheap exact
+    comparators, the blocking-safe subset of a linkage config.
+
+    Parameter estimation is deterministic, no EM and no sampling:
+
+    - m_f (P(agree | match)) from the engine's own verified near-dup
+      truth — the candidate→verify machinery's exact-Jaccard pairs at
+      ≥ ``truth_jaccard`` (one combinable count over a candidate-scale
+      frame);
+    - u_f (P(agree | non-match)) from the field's value marginals
+      under the random-pairing model: u = (Σ_v c_v² − N)/(N² − N) —
+      ordered pairs sharing a value, self-pairs excluded.  A per-field
+      value histogram, never a pair enumeration; counts are carried as
+      decimal(38,0) (HUGEINT in the oracle) so N² stays exact past
+      int64 at 100 TB corpus sizes.
+
+    Both weights per field come from :data:`FS_W_AGREE_TMPL` /
+    :data:`FS_W_DISAGREE_TMPL` — one ln per field per weight (six
+    float values total, each immediately floor-fixed ·1e6, the
+    unigram-surprisal cross-engine contract); pair scores are then
+    exact bigint sums.  Scale shape: candidates come from banded LSH
+    (never the pair space), the stats/weights row is a broadcast
+    1-row crossJoin, scoring is one narrow candidate-scale pass, and
+    the top-k is TakeOrderedAndProject."""
+    from lab3_spark.functions.partitioning import one_window_partition
+    from pyspark.sql.window import Window
+
+    cand = minhash_candidates(documents, text_col).select("doc_a", "doc_b")
+    truth = (
+        ngram_jaccard_pairs(documents, text_col)
+        .where(F.col("jaccard") >= truth_jaccard)
+        .select("doc_a", "doc_b")
+    )
+    lab = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr("n_chars DIV 64").alias("lenb"),
+    )
+    la = lab.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f).alias(f"{f}_a") for f in FS_FIELDS],
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f).alias(f"{f}_b") for f in FS_FIELDS],
+    )
+
+    def _agrees(pairs: DataFrame) -> DataFrame:
+        d = pairs.join(la, "doc_a").join(lb, "doc_b")
+        return d.select(
+            "doc_a",
+            "doc_b",
+            *[
+                F.when(F.col(f"{f}_a") == F.col(f"{f}_b"), 1)
+                .otherwise(0)
+                .cast("bigint")
+                .alias(f"ag_{f}")
+                for f in FS_FIELDS
+            ],
+        )
+
+    m = _agrees(truth).agg(
+        F.count("*").alias("m_den"),
+        *[
+            F.coalesce(F.sum(f"ag_{f}"), F.lit(0)).alias(f"m_{f}")
+            for f in FS_FIELDS
+        ],
+    )
+    nn = lab.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    stats = m.crossJoin(F.broadcast(nn))
+    for f in FS_FIELDS:
+        s2 = (
+            lab.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * F.col("c")
+                ).alias(f"s2_{f}")
+            )
+        )
+        stats = stats.crossJoin(F.broadcast(s2))
+    stats = stats.select(
+        "*",
+        *[
+            (F.col(f"s2_{f}") - F.col("n")).alias(f"un_{f}")
+            for f in FS_FIELDS
+        ],
+        (F.col("n") * F.col("n") - F.col("n")).alias("ud"),
+    )
+    weights = stats.select(
+        *[
+            F.expr(
+                FS_W_AGREE_TMPL.format(
+                    mn=f"m_{f}", md="m_den", un=f"un_{f}", ud="ud"
+                )
+            ).alias(f"wa_{f}")
+            for f in FS_FIELDS
+        ],
+        *[
+            F.expr(
+                FS_W_DISAGREE_TMPL.format(
+                    mn=f"m_{f}", md="m_den", un=f"un_{f}", ud="ud"
+                )
+            ).alias(f"wd_{f}")
+            for f in FS_FIELDS
+        ],
+    )
+    scored = _agrees(cand).crossJoin(F.broadcast(weights)).select(
+        "doc_a",
+        "doc_b",
+        sum(
+            (F.col(f"ag_{f}") for f in FS_FIELDS), F.lit(0).cast("bigint")
+        ).alias("n_agree"),
+        sum(
+            (
+                F.when(F.col(f"ag_{f}") == 1, F.col(f"wa_{f}")).otherwise(
+                    F.col(f"wd_{f}")
+                )
+                for f in FS_FIELDS
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("score_fp"),
+    )
+    top = scored.orderBy(
+        F.desc("score_fp"), "doc_a", "doc_b"
+    ).limit(int(topk))
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy(F.desc("score_fp"), "doc_a", "doc_b")
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
 def split_leakage_neardup(
     documents: DataFrame,
     text_col: str = "text",

@@ -1273,6 +1273,132 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _fs_oracle_sql() -> str:
+    """Fellegi–Sunter oracle: candidate + verified-truth CTEs (the
+    dedup_ngram_jaccard recipe verbatim), per-field marginal u-stats
+    in HUGEINT, then the SAME weight templates the operator parses —
+    imported, not re-typed, so the one float step is
+    character-identical."""
+    from lab3_spark.operators.dedup import (
+        FS_FIELDS,
+        FS_W_AGREE_TMPL,
+        FS_W_DISAGREE_TMPL,
+    )
+
+    s2 = ",\n    ".join(
+        f"""s2_{f} AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM (SELECT count(*) AS c FROM lab GROUP BY {f}) t)"""
+        for f in FS_FIELDS
+    )
+    m_cols = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN {f}_a = {f}_b THEN 1 ELSE 0 END), 0)"
+        f" AS m_{f}"
+        for f in FS_FIELDS
+    )
+    un_cols = ", ".join(
+        f"s2_{f}.s2 - nn.n AS un_{f}" for f in FS_FIELDS
+    )
+    w_cols = ", ".join(
+        FS_W_AGREE_TMPL.format(mn=f"m_{f}", md="m_den", un=f"un_{f}", ud="ud")
+        + f" AS wa_{f}, "
+        + FS_W_DISAGREE_TMPL.format(
+            mn=f"m_{f}", md="m_den", un=f"un_{f}", ud="ud"
+        )
+        + f" AS wd_{f}"
+        for f in FS_FIELDS
+    )
+    ag = ",\n             ".join(
+        f"CASE WHEN la.{'n_chars // 64' if f == 'lenb' else f} ="
+        f" lb.{'n_chars // 64' if f == 'lenb' else f} THEN 1 ELSE 0 END"
+        f" AS ag_{f}"
+        for f in FS_FIELDS
+    )
+    score = " + ".join(
+        f"(CASE WHEN ag_{f} = 1 THEN wa_{f} ELSE wd_{f} END)"
+        for f in FS_FIELDS
+    )
+    nagree = " + ".join(f"ag_{f}" for f in FS_FIELDS)
+    return f"""
+    WITH {_DUCK_MINHASH_CTES},
+    lab AS (SELECT doc_id, source, lang, n_chars // 64 AS lenb
+            FROM documents),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM lab),
+    {s2},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    truthp AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE floor((n_inter / (na.n_sh + nb.n_sh - n_inter)) * 10000)
+            / 10000 >= 0.5
+    ),
+    tr AS (
+      SELECT t.doc_a, t.doc_b,
+             la.source AS source_a, lb.source AS source_b,
+             la.lang AS lang_a, lb.lang AS lang_b,
+             la.lenb AS lenb_a, lb.lenb AS lenb_b
+      FROM truthp t
+      JOIN lab la ON la.doc_id = t.doc_a
+      JOIN lab lb ON lb.doc_id = t.doc_b
+    ),
+    m AS (SELECT count(*) AS m_den,
+             {m_cols}
+          FROM tr),
+    stats AS (SELECT m.*, {un_cols}, nn.n * nn.n - nn.n AS ud
+              FROM m, {', '.join(f's2_{f}' for f in FS_FIELDS)}, nn),
+    w AS (SELECT {w_cols} FROM stats),
+    cagree AS (
+      SELECT c.doc_a, c.doc_b,
+             {ag}
+      FROM cand c
+      JOIN documents la ON la.doc_id = c.doc_a
+      JOIN documents lb ON lb.doc_id = c.doc_b
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST({nagree} AS BIGINT) AS n_agree,
+             CAST({score} AS BIGINT) AS score_fp
+      FROM cagree, w
+    ),
+    top AS (
+      SELECT *, row_number() OVER (ORDER BY score_fp DESC, doc_a, doc_b)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_a, doc_b, n_agree, score_fp, rnk
+    FROM top WHERE rnk <= 20 ORDER BY rnk
+    """
+
+
+@query("linkage_fs_scores", _fs_oracle_sql())
+def q_linkage_fs_scores(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage
+    (dedup.fellegi_sunter_scores): LSH candidate pairs scored by the
+    summed log2 likelihood ratio of their (source, lang, 64-char
+    length-bucket) agreement pattern — m-probabilities from the
+    engine's own verified near-dup truth (exact Jaccard ≥ 0.5),
+    u-probabilities from value marginals under random pairing
+    ((Σc² − N)/(N² − N), a per-field histogram, never a pair space),
+    Laplace-smoothed so every weight is finite.  Six ln() values
+    total (floor-fixed ·1e6, the unigram-surprisal contract, shared
+    template text on both sides); pair scores are exact bigint sums;
+    top-20 by TakeOrderedAndProject.  The classic linkage scorer
+    (Splink's core) the dedup family lacked: cross_source_near_dups
+    finds pairs, this RANKS them by evidential weight."""
+    from lab3_spark.operators.dedup import fellegi_sunter_scores
+
+    return fellegi_sunter_scores(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "dedup_containment",
     f"""
@@ -15266,11 +15392,11 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the three displaced r5 stragglers — then
-# the r6 era: compaction_bins, corpus_snapshot_diff,
-# customer_rfm_segments, data_expectations, dataset_card, …).  No
-# known changed-construction
+# start at ppr_seed_proximity, streaming_cms_heavy_hitters,
+# streaming_curated_ingest and streaming_sliding_10m — the four
+# displaced r5 stragglers — then the r6 era: compaction_bins,
+# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
+# dataset_card, …).  No known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15331,6 +15457,7 @@ ROUND12_NEW = [
     "streaming_incremental_quantiles",
     "orders_zorder_pruning",
     "kmeans_silhouette",
+    "linkage_fs_scores",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15380,11 +15507,11 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    30 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other three — streaming_cms_heavy_hitters,
-    #    streaming_curated_ingest, streaming_sliding_10m — sit at
-    #    slots 51-53 and head the r13 refills; no r6 gate fits this
-    #    round) -------------------------------------------------------
+    #    29 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other four — ppr_seed_proximity,
+    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
+    #    streaming_sliding_10m — sit at slots 51-54 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15414,11 +15541,12 @@ _DRIVER_PRIORITY = [
     "orc_roundtrip_events",
     "orders_priority_unpivot",
     "orders_scd_upsert",
-    "ppr_seed_proximity",
-    # (streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-53 by the
-    # round-12 gates; they head the r13 refills with the r6 era)
+    # (ppr_seed_proximity, streaming_cms_heavy_hitters,
+    # streaming_curated_ingest and streaming_sliding_10m, all r5,
+    # displaced to slots 51-54 by the round-12 gates; they head the
+    # r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "ppr_seed_proximity",
     "streaming_cms_heavy_hitters",
     "streaming_curated_ingest",
     "streaming_sliding_10m",

@@ -172,6 +172,7 @@ QUERIES = [
     "events_kll_daily_quantiles",
     "orders_zorder_pruning",
     "kmeans_silhouette",
+    "linkage_fs_scores",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
