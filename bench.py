@@ -352,6 +352,7 @@ HEADLINE = [
     "orders_zorder_pruning",
     "kmeans_silhouette",
     "linkage_fs_scores",
+    "events_attribution_markov",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -945,6 +945,142 @@ def transition_matrix(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_transitions(
+    events: DataFrame,
+    channels: tuple[str, ...],
+    conv_type: str,
+) -> DataFrame:
+    """(s, t, n): first-order journey transitions for Markov
+    attribution — per user, events in channels ∪ {conv} ordered by
+    (ts, event_id) and TRUNCATED at the first conversion; 'START' →
+    first touch, consecutive touches, last touch → 'CONV' (converted)
+    or 'NULL' (not).  One shuffle on user_id (windows share the
+    partitioning), then one combinable pair count — the corpus-scale
+    half of the attribution model; the output is ≤ (|channels|+2)²
+    rows at ANY corpus size."""
+    from pyspark.sql.window import Window
+
+    evf = events.where(
+        F.col("event_type").isin(*channels, conv_type)
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordd = evf.withColumn("rn", F.row_number().over(w))
+    fp_ = (
+        ordd.where(F.col("event_type") == conv_type)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    path = ordd.join(fp_, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    nx = path.withColumn("nxt", F.lead("event_type", 1).over(wp))
+    as_conv = lambda c: F.when(  # noqa: E731
+        F.col(c) == conv_type, F.lit("CONV")
+    ).otherwise(F.col(c))
+    tr = (
+        nx.where(F.col("rn") == 1)
+        .select(F.lit("START").alias("s"), as_conv("event_type").alias("t"))
+        .unionByName(
+            nx.where(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("s"), as_conv("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            nx.where(
+                F.col("nxt").isNull() & (F.col("event_type") != conv_type)
+            ).select(
+                F.col("event_type").alias("s"), F.lit("NULL").alias("t")
+            )
+        )
+    )
+    return tr.groupBy("s", "t").agg(F.count("*").alias("n"))
+
+
+ATTRIB_FP = 10**12
+ATTRIB_SHARE_FP = 10**6
+
+
+def attribution_removal_effects(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    conv_type: str = "purchase",
+    rounds: int = 16,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014, the
+    "data-driven attribution" standard): which fraction of conversions
+    each channel is responsible for, from the first-order journey
+    chain rather than last-touch heuristics.
+
+    Per channel c: (base_p_fp, removed_p_fp, re_fp, share_fp) where
+    base_p is the chain's START→CONV absorption probability,
+    removed_p the same with channel c's state forced to zero (any
+    journey mass entering c dies — the removal-effect operation),
+    re = 1 − removed/base, and share normalizes the drops.
+
+    Exact-integer fixed point end to end: absorption probabilities
+    iterate ``rounds`` synchronous Jacobi steps at 10^12 scale —
+    p'(s) = Σ_t n(s,t)·p(t) DIV out(s) — over the ≤(|channels|+2)²
+    transition counts; every operand is an integer, sums are
+    order-independent, and the unrolled-CTE oracle replays the same
+    truncating arithmetic in HUGEINT, so the result is driver-hashable
+    (the PageRank/HITS fixed-round contract; 16 rounds converge the
+    geometric tail far below the 10^12 grid for any chain whose
+    self-loop mass < 1).
+
+    Scale shape: transition counting is the only corpus-scale work
+    (one user-keyed shuffle + a combinable pair count —
+    :func:`attribution_transitions`); the chain solve runs on the
+    collected ≤36-row count table (the bounded driver-side model-state
+    class: k×d centroids, planner winners) and returns a
+    |channels|-row literal frame."""
+    spark = events.sparkSession
+    cnt: dict[tuple[str, str], int] = {}
+    for r in attribution_transitions(events, channels, conv_type).collect():
+        cnt[(r["s"], r["t"])] = int(r["n"])
+    out: dict[str, int] = {}
+    for (s, _), n in cnt.items():
+        out[s] = out.get(s, 0) + n
+
+    def absorb(removed: str | None) -> int:
+        p = {st: 0 for st in out}
+        p["CONV"] = ATTRIB_FP
+        p["NULL"] = 0
+        for _ in range(rounds):
+            newp = {}
+            for s in sorted(out):
+                if s == removed:
+                    newp[s] = 0
+                    continue
+                acc = sum(
+                    n * p.get(t, 0)
+                    for (ss, t), n in cnt.items()
+                    if ss == s
+                )
+                newp[s] = acc // out[s]
+            p.update(newp)
+        return p.get("START", 0)
+
+    base = absorb(None)
+    drops = {c: base - absorb(c) for c in channels}
+    tot = sum(drops.values())
+    rows = [
+        (
+            c,
+            base,
+            base - drops[c],
+            (drops[c] * ATTRIB_SHARE_FP // base) if base > 0 else 0,
+            (drops[c] * ATTRIB_SHARE_FP // tot) if tot > 0 else 0,
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_p_fp bigint, removed_p_fp bigint,"
+        " re_fp bigint, share_fp bigint",
+    ).orderBy("channel")
+
+
 def ewma_values(events: DataFrame, span: int = 8) -> DataFrame:
     """(event_id, user_id, bucket, value, ewma): exponentially-weighted
     moving average (α = 1/2) of `value` over each user's last ``span``

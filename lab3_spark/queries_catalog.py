@@ -8950,6 +8950,137 @@ def q_events_transition_matrix(spark, sf_dir):
     return EV.transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def _attribution_oracle_sql(
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    conv: str = "purchase",
+    rounds: int = 16,
+) -> str:
+    """Unrolled-CTE Markov removal-effect oracle: journey transitions
+    (the operator's window recipe verbatim), then ``rounds``
+    synchronous Jacobi absorption steps per chain (full + one per
+    removed channel) in truncating HUGEINT arithmetic — the same
+    integer math events.attribution_removal_effects runs on the
+    collected count table."""
+    fp = 10**12
+    in_list = ", ".join(f"'{c}'" for c in (*channels, conv))
+    chains = [("full", None)] + [(c, c) for c in channels]
+
+    def p0(name: str) -> str:
+        return (
+            f"p_{name}_0 AS (SELECT 'CONV' AS st,"
+            f" CAST({fp} AS HUGEINT) AS p"
+            " UNION ALL SELECT 'NULL', CAST(0 AS HUGEINT))"
+        )
+
+    def step(name: str, i: int, removed: str | None) -> str:
+        body = "coalesce(x.v, 0) // o.tot"
+        if removed is not None:
+            body = (
+                f"CASE WHEN o.s = '{removed}' THEN CAST(0 AS HUGEINT)"
+                f" ELSE {body} END"
+            )
+        return f"""p_{name}_{i} AS MATERIALIZED (
+      SELECT o.s AS st,
+             {body} AS p
+      FROM outs o
+      LEFT JOIN (SELECT tc.s, CAST(sum(tc.n * p.p) AS HUGEINT) AS v
+                 FROM tc JOIN p_{name}_{i - 1} p ON p.st = tc.t
+                 GROUP BY tc.s) x ON x.s = o.s
+      UNION ALL SELECT 'CONV', CAST({fp} AS HUGEINT)
+      UNION ALL SELECT 'NULL', CAST(0 AS HUGEINT)
+    )"""
+
+    iter_ctes = ",\n    ".join(
+        [p0(n) for n, _ in chains]
+        + [
+            step(n, i, r)
+            for n, r in chains
+            for i in range(1, rounds + 1)
+        ]
+    )
+    drops = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS channel,"
+        f" (SELECT p FROM p_full_{rounds} WHERE st = 'START') AS base_p,"
+        f" (SELECT p FROM p_{c}_{rounds} WHERE st = 'START') AS removed_p"
+        for c in channels
+    )
+    return f"""
+    WITH evf AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ({in_list})
+    ),
+    ordd AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM evf
+    ),
+    fp_ AS (
+      SELECT user_id, min(rn) AS prn FROM ordd
+      WHERE event_type = '{conv}' GROUP BY user_id
+    ),
+    path AS (
+      SELECT o.user_id, o.event_type, o.rn
+      FROM ordd o LEFT JOIN fp_ f ON f.user_id = o.user_id
+      WHERE f.prn IS NULL OR o.rn <= f.prn
+    ),
+    nx AS (
+      SELECT user_id, event_type, rn,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY rn) AS nxt
+      FROM path
+    ),
+    tr AS (
+      SELECT 'START' AS s,
+             CASE WHEN event_type = '{conv}' THEN 'CONV'
+                  ELSE event_type END AS t
+      FROM nx WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             CASE WHEN nxt = '{conv}' THEN 'CONV' ELSE nxt END
+      FROM nx WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT event_type, 'NULL'
+      FROM nx WHERE nxt IS NULL AND event_type != '{conv}'
+    ),
+    tc AS MATERIALIZED (SELECT s, t, count(*) AS n FROM tr GROUP BY 1, 2),
+    outs AS MATERIALIZED (
+      SELECT s, CAST(sum(n) AS HUGEINT) AS tot FROM tc GROUP BY s),
+    {iter_ctes},
+    drops AS (
+      {drops}
+    ),
+    tot AS (SELECT sum(base_p - removed_p) AS td FROM drops)
+    SELECT channel,
+           CAST(base_p AS BIGINT) AS base_p_fp,
+           CAST(removed_p AS BIGINT) AS removed_p_fp,
+           CAST(CASE WHEN base_p > 0
+                THEN (base_p - removed_p) * 1000000 // base_p
+                ELSE 0 END AS BIGINT) AS re_fp,
+           CAST(CASE WHEN td > 0
+                THEN (base_p - removed_p) * 1000000 // td
+                ELSE 0 END AS BIGINT) AS share_fp
+    FROM drops, tot ORDER BY channel
+    """
+
+
+@query("events_attribution_markov", _attribution_oracle_sql())
+def q_events_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution (events.attribution_removal_
+    effects — Anderl et al. 2014, the data-driven attribution
+    standard): per-channel conversion responsibility from the
+    first-order journey chain, not last-touch.  Per-user journeys
+    truncate at the first purchase; START→CONV absorption probability
+    iterates 16 synchronous exact-integer Jacobi rounds at 10^12
+    fixed point, once for the full chain and once per channel with
+    that channel's state forced to zero (removal).  Transition
+    counting is the only corpus-scale work (one user-keyed shuffle +
+    a combinable pair count); the chain solve runs on the bounded
+    ≤36-row count table.  The oracle unrolls the identical truncating
+    HUGEINT arithmetic per round per chain."""
+    return EV.attribution_removal_effects(_t(spark, sf_dir, "events"))
+
+
 @query(
     "orders_cdc_apply",
     """
@@ -15392,11 +15523,12 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at ppr_seed_proximity, streaming_cms_heavy_hitters,
-# streaming_curated_ingest and streaming_sliding_10m — the four
-# displaced r5 stragglers — then the r6 era: compaction_bins,
-# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
-# dataset_card, …).  No known changed-construction
+# start at orders_scd_upsert, ppr_seed_proximity,
+# streaming_cms_heavy_hitters, streaming_curated_ingest and
+# streaming_sliding_10m — the five displaced r5 stragglers — then
+# the r6 era: compaction_bins, corpus_snapshot_diff,
+# customer_rfm_segments, data_expectations, dataset_card, …).  No
+# known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15458,6 +15590,7 @@ ROUND12_NEW = [
     "orders_zorder_pruning",
     "kmeans_silhouette",
     "linkage_fs_scores",
+    "events_attribution_markov",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15507,11 +15640,12 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    29 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other four — ppr_seed_proximity,
-    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    #    streaming_sliding_10m — sit at slots 51-54 and head the r13
-    #    refills; no r6 gate fits this round) -------------------------
+    #    28 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other five — orders_scd_upsert,
+    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    #    streaming_curated_ingest, streaming_sliding_10m — sit at
+    #    slots 51-55 and head the r13 refills; no r6 gate fits this
+    #    round) -------------------------------------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15540,12 +15674,12 @@ _DRIVER_PRIORITY = [
     "multimodal_byte_chunks",
     "orc_roundtrip_events",
     "orders_priority_unpivot",
-    "orders_scd_upsert",
-    # (ppr_seed_proximity, streaming_cms_heavy_hitters,
-    # streaming_curated_ingest and streaming_sliding_10m, all r5,
-    # displaced to slots 51-54 by the round-12 gates; they head the
-    # r13 refills with the r6 era)
+    # (orders_scd_upsert, ppr_seed_proximity,
+    # streaming_cms_heavy_hitters, streaming_curated_ingest and
+    # streaming_sliding_10m, all r5, displaced to slots 51-55 by the
+    # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "orders_scd_upsert",
     "ppr_seed_proximity",
     "streaming_cms_heavy_hitters",
     "streaming_curated_ingest",

@@ -173,6 +173,7 @@ QUERIES = [
     "orders_zorder_pruning",
     "kmeans_silhouette",
     "linkage_fs_scores",
+    "events_attribution_markov",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
