@@ -353,6 +353,7 @@ HEADLINE = [
     "kmeans_silhouette",
     "linkage_fs_scores",
     "events_attribution_markov",
+    "l_diversity_report",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

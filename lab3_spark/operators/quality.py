@@ -153,6 +153,50 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    documents: DataFrame,
+    l: int = 2,
+    sensitive_col: str = "lang",
+    bucket_chars: int = 100,
+) -> DataFrame:
+    """(source, size_bucket, class_size, distinct_sensitive, meets_l):
+    distinct-l-diversity audit (Machanavajjhala et al. 2007) over the
+    quasi-identifier (source, length bucket) with ``sensitive_col`` as
+    the sensitive attribute — the attack k-anonymity misses: a class
+    can be k-large yet reveal everyone's sensitive value when all k
+    rows share it (homogeneity attack).  A release is l-diverse when
+    every class carries ≥ l distinct sensitive values.
+
+    Note the quasi-identifier here deliberately EXCLUDES the sensitive
+    column (:func:`k_anonymity_report` keys on lang; an l-diversity
+    audit that grouped by its own sensitive attribute would be
+    vacuously 1-diverse everywhere).
+
+    One aggregation with an exact count-distinct — Catalyst's two-
+    phase Expand plan over a metadata-sized class table
+    (|sources|·|buckets| rows); scan speed at any corpus size."""
+    return (
+        documents.groupBy(
+            "source",
+            F.expr(f"CAST(n_chars DIV {bucket_chars} AS BIGINT)").alias(
+                "size_bucket"
+            ),
+        )
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct(sensitive_col).alias("distinct_sensitive"),
+        )
+        .select(
+            "source",
+            "size_bucket",
+            "class_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") >= l).cast("int").alias("meets_l"),
+        )
+        .orderBy("source", "size_bucket")
+    )
+
+
 def chi_square_independence(
     documents: DataFrame,
     row_col: str = "source",

@@ -9474,6 +9474,30 @@ def q_k_anonymity_report(spark, sf_dir):
 
 
 @query(
+    "l_diversity_report",
+    """
+    SELECT source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+           count(*) AS class_size,
+           count(DISTINCT lang) AS distinct_sensitive,
+           CAST(count(DISTINCT lang) >= 2 AS INT) AS meets_l
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY source, size_bucket
+    """,
+)
+def q_l_diversity_report(spark, sf_dir):
+    """Distinct-l-diversity audit (quality.l_diversity_report,
+    Machanavajjhala et al. 2007): the homogeneity-attack check
+    k-anonymity misses — every (source, length-bucket) class must
+    carry ≥ 2 distinct languages or a release reveals the sensitive
+    value of all its members despite being k-large.  One exact
+    count-distinct aggregation over a metadata-sized class table."""
+    from lab3_spark.operators.quality import l_diversity_report
+
+    return l_diversity_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "events_ewma",
     """
     WITH v AS (
@@ -15523,12 +15547,12 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at orders_scd_upsert, ppr_seed_proximity,
-# streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the five displaced r5 stragglers — then
-# the r6 era: compaction_bins, corpus_snapshot_diff,
-# customer_rfm_segments, data_expectations, dataset_card, …).  No
-# known changed-construction
+# start at orders_priority_unpivot, orders_scd_upsert,
+# ppr_seed_proximity, streaming_cms_heavy_hitters,
+# streaming_curated_ingest and streaming_sliding_10m — the six
+# displaced r5 stragglers — then the r6 era: compaction_bins,
+# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
+# dataset_card, …).  No known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15591,6 +15615,7 @@ ROUND12_NEW = [
     "kmeans_silhouette",
     "linkage_fs_scores",
     "events_attribution_markov",
+    "l_diversity_report",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15640,12 +15665,12 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    28 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other five — orders_scd_upsert,
-    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
-    #    streaming_curated_ingest, streaming_sliding_10m — sit at
-    #    slots 51-55 and head the r13 refills; no r6 gate fits this
-    #    round) -------------------------------------------------------
+    #    27 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other six — orders_priority_unpivot,
+    #    orders_scd_upsert, ppr_seed_proximity,
+    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
+    #    streaming_sliding_10m — sit at slots 51-56 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15673,12 +15698,12 @@ _DRIVER_PRIORITY = [
     "kmeans_centroids",
     "multimodal_byte_chunks",
     "orc_roundtrip_events",
-    "orders_priority_unpivot",
-    # (orders_scd_upsert, ppr_seed_proximity,
+    # (orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-55 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-56 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "orders_priority_unpivot",
     "orders_scd_upsert",
     "ppr_seed_proximity",
     "streaming_cms_heavy_hitters",

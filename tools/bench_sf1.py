@@ -174,6 +174,7 @@ QUERIES = [
     "kmeans_silhouette",
     "linkage_fs_scores",
     "events_attribution_markov",
+    "l_diversity_report",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
