@@ -1034,9 +1034,26 @@ def attribution_removal_effects(
     collected ≤36-row count table (the bounded driver-side model-state
     class: k×d centroids, planner winners) and returns a
     |channels|-row literal frame."""
-    spark = events.sparkSession
+    return solve_removal_effects(
+        events.sparkSession,
+        attribution_transitions(events, channels, conv_type),
+        channels,
+        rounds,
+    )
+
+
+def solve_removal_effects(
+    spark,
+    counts: DataFrame,
+    channels: tuple[str, ...],
+    rounds: int = 16,
+) -> DataFrame:
+    """The chain-solve half of :func:`attribution_removal_effects`,
+    shared with the streaming store's serving view: collect the
+    bounded (s, t, n) transition table and run the exact-integer
+    Jacobi absorption per chain."""
     cnt: dict[tuple[str, str], int] = {}
-    for r in attribution_transitions(events, channels, conv_type).collect():
+    for r in counts.collect():
         cnt[(r["s"], r["t"])] = int(r["n"])
     out: dict[str, int] = {}
     for (s, _), n in cnt.items():

@@ -1806,6 +1806,46 @@ def _mtime_ordered_doc_batches(docs, root: str, n_batches: int = 3) -> str:
     return _mtime_ordered_batches(docs, root, "doc_id", n_batches)
 
 
+def _ts_ordered_batches(df, root: str, n_batches: int = 3) -> str:
+    """Like :func:`_mtime_ordered_batches` but split by global
+    (ts, event_id) rank terciles instead of id hash — batches
+    partition the stream in TIME order, the delivery shape the
+    journey-stitching attribution store requires.  Harness-only: the
+    cut keys come from a driver-side sort of the (ts, event_id)
+    projection at verify scale."""
+    import os as _os
+    import time as _time
+
+    rows = df.select("ts", "event_id").orderBy("ts", "event_id").collect()
+    n = len(rows)
+    cuts = [rows[(b * n) // n_batches] for b in range(1, n_batches)]
+
+    def _ge(r):
+        return (F.col("ts") > F.lit(r["ts"])) | (
+            (F.col("ts") == F.lit(r["ts"]))
+            & (F.col("event_id") >= F.lit(r["event_id"]))
+        )
+
+    flat = _os.path.join(root, "incoming")
+    _os.makedirs(flat)
+    now = _time.time()
+    for b in range(n_batches):
+        d = df
+        if b > 0:
+            d = d.where(_ge(cuts[b - 1]))
+        if b < n_batches - 1:
+            d = d.where(~_ge(cuts[b]))
+        part_dir = _os.path.join(root, f"part{b}")
+        d.coalesce(1).write.parquet(part_dir)
+        (pf,) = [
+            f for f in _os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = _os.path.join(flat, f"{b:02d}.parquet")
+        _os.rename(_os.path.join(part_dir, pf), dst)
+        _os.utime(dst, (now + b * 10, now + b * 10))
+    return flat
+
+
 def _run_incremental_ingest(spark, sf_dir, prefix: str, pre_filter=None):
     """Shared driver for the incremental-ingest gates: stage 3
     mtime-ordered micro-batches, drain through the foreachBatch
@@ -9081,6 +9121,50 @@ def q_events_attribution_markov(spark, sf_dir):
     return EV.attribution_removal_effects(_t(spark, sf_dir, "events"))
 
 
+@query("streaming_incremental_attribution", _attribution_oracle_sql())
+def q_streaming_incremental_attribution(spark, sf_dir):
+    """A REAL incremental attribution run (streaming/attribution.py):
+    events drain as three TIME-ordered micro-batches through a
+    foreachBatch that maintains a versioned (journey-state,
+    transition-counts) store — per-user frontiers stitch cross-batch
+    edges, conversion truncation survives batch boundaries, terminal
+    →NULL edges materialize only in the serving view.  EXACT
+    merged-equals-batch contract (the streaming_cms class): the
+    serving view's absorption probabilities equal the one-shot
+    events_attribution_markov bit-for-bit, so this gate shares its
+    unrolled-CTE oracle verbatim."""
+    import os as _os
+
+    from lab3_spark.streaming.attribution import (
+        merged_attribution,
+        start_streaming_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    root = _scratch_dir("stream_attr_")
+    flat = _ts_ordered_batches(ev, root)
+    src = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    store = _os.path.join(root, "store")
+    q = start_streaming_attribution(
+        src, store, _os.path.join(root, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_attribution availableNow run timed out"
+        )
+    return merged_attribution(spark, store)
+
+
 @query(
     "orders_cdc_apply",
     """
@@ -15547,12 +15631,13 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at orders_priority_unpivot, orders_scd_upsert,
-# ppr_seed_proximity, streaming_cms_heavy_hitters,
-# streaming_curated_ingest and streaming_sliding_10m — the six
-# displaced r5 stragglers — then the r6 era: compaction_bins,
-# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
-# dataset_card, …).  No known changed-construction
+# start at orc_roundtrip_events, orders_priority_unpivot,
+# orders_scd_upsert, ppr_seed_proximity,
+# streaming_cms_heavy_hitters, streaming_curated_ingest and
+# streaming_sliding_10m — the seven displaced r5 stragglers — then
+# the r6 era: compaction_bins, corpus_snapshot_diff,
+# customer_rfm_segments, data_expectations, dataset_card, …).  No
+# known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15616,6 +15701,7 @@ ROUND12_NEW = [
     "linkage_fs_scores",
     "events_attribution_markov",
     "l_diversity_report",
+    "streaming_incremental_attribution",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15665,12 +15751,13 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    27 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other six — orders_priority_unpivot,
-    #    orders_scd_upsert, ppr_seed_proximity,
-    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    #    streaming_sliding_10m — sit at slots 51-56 and head the r13
-    #    refills; no r6 gate fits this round) -------------------------
+    #    26 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other seven — orc_roundtrip_events,
+    #    orders_priority_unpivot, orders_scd_upsert,
+    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    #    streaming_curated_ingest, streaming_sliding_10m — sit at
+    #    slots 51-57 and head the r13 refills; no r6 gate fits this
+    #    round) -------------------------------------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15697,12 +15784,13 @@ _DRIVER_PRIORITY = [
     "hybrid_retrieval_rrf",
     "kmeans_centroids",
     "multimodal_byte_chunks",
-    "orc_roundtrip_events",
-    # (orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
+    # (orc_roundtrip_events, orders_priority_unpivot,
+    # orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-56 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-57 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "orc_roundtrip_events",
     "orders_priority_unpivot",
     "orders_scd_upsert",
     "ppr_seed_proximity",

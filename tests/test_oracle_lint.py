@@ -22,17 +22,17 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 
 def test_driver_window_leads_with_round12_priorities():
-    """Round-12 curation contract: the window leads with (1) the seven
+    """Round-12 curation contract: the window leads with (1) the eight
     new round-12 gates (no driver row anywhere), then (2) the 16
     changed-operator re-confirmations (the r11 handoff's MUST-HEAD six
     ANN gates + three skew/Expand rewrites, plus this round's BPE
     argmax / joiner / pack_sequences / grouped-rank touches — all
     oracle-verified identical this round), then (3) the oldest-green
-    refills: the remaining r5 era minus its six displaced stragglers
-    (orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
-    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    streaming_sliding_10m — slots 51-56, they head the r13
-    refills)."""
+    refills: the remaining r5 era minus its seven displaced stragglers
+    (orc_roundtrip_events, orders_priority_unpivot, orders_scd_upsert,
+    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    streaming_curated_ingest, streaming_sliding_10m — slots 51-57,
+    they head the r13 refills)."""
     import __spark_entry__ as entrymod
     from lab3_spark.queries_catalog import ROUND12_CHANGED, ROUND12_NEW
 
@@ -41,13 +41,14 @@ def test_driver_window_leads_with_round12_priorities():
     assert order[: len(head)] == head
     # oldest-green refill begins immediately after the changed gates
     assert order[len(head)] == "ann_sq8_top5"
-    assert order[49] == "orc_roundtrip_events"
-    assert order[50] == "orders_priority_unpivot"  # r13 refill head
-    assert order[51] == "orders_scd_upsert"
-    assert order[52] == "ppr_seed_proximity"
-    assert order[53] == "streaming_cms_heavy_hitters"
-    assert order[54] == "streaming_curated_ingest"
-    assert order[55] == "streaming_sliding_10m"
+    assert order[49] == "multimodal_byte_chunks"
+    assert order[50] == "orc_roundtrip_events"  # r13 refill head
+    assert order[51] == "orders_priority_unpivot"
+    assert order[52] == "orders_scd_upsert"
+    assert order[53] == "ppr_seed_proximity"
+    assert order[54] == "streaming_cms_heavy_hitters"
+    assert order[55] == "streaming_curated_ingest"
+    assert order[56] == "streaming_sliding_10m"
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50
@@ -117,6 +118,7 @@ BENCH_EXCLUSIONS = {
     "streaming_incremental_spans",
     "streaming_incremental_paragraph_lsh",
     "streaming_incremental_quantiles",
+    "streaming_incremental_attribution",
     "udtf_token_positions",
     "pysource_synthetic_docs",
     "inverted_index_parity",
