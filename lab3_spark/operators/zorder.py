@@ -92,6 +92,64 @@ def with_z_value(
     )
 
 
+def hilbert_steps(bits: int, x: str, y: str, d: str, intdiv: str):
+    """Per-level (x, y, d) update expressions for the Hilbert curve
+    index (the standard xy2d bit walk, Wikipedia/public): at level s
+    (a power of two), quadrant code q = ry when rx=0 else 3−ry (the
+    XOR-free rendering), d += s²·q, then the conditional
+    reflect-and-swap rotation.  Returns [(s, exprs)] where exprs maps
+    new column names to SQL text — the SAME generator renders the
+    Spark chain (intdiv='DIV') and the DuckDB oracle (intdiv='//'),
+    so the arithmetic is identical by construction.  All integer; a
+    power-of-two AND is (v {intdiv} s) % 2.  The reflection uses the
+    FULL-grid constant (2^bits − 1, the Wikipedia rot(n, …) form),
+    not s − 1: the latter sends coordinates negative mid-walk, where
+    SQL's truncating DIV/% diverge from the floor semantics the
+    algorithm assumes."""
+    n1 = (1 << bits) - 1
+    steps = []
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = f"(({x} {intdiv} {s}) % 2)"
+        ry = f"(({y} {intdiv} {s}) % 2)"
+        q = f"(CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END)"
+        flip = f"{ry} = 0 AND {rx} = 1"
+        x1 = f"(CASE WHEN {flip} THEN {n1} - {x} ELSE {x} END)"
+        y1 = f"(CASE WHEN {flip} THEN {n1} - {y} ELSE {y} END)"
+        steps.append(
+            (
+                s,
+                {
+                    d: f"{d} + {s * s} * {q}",
+                    x: f"(CASE WHEN {ry} = 0 THEN {y1} ELSE {x1} END)",
+                    y: f"(CASE WHEN {ry} = 0 THEN {x1} ELSE {y1} END)",
+                },
+            )
+        )
+        s >>= 1
+    return steps
+
+
+def hilbert_index(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int,
+    out_col: str = "h",
+) -> DataFrame:
+    """Hilbert-curve index of two ``bits``-wide non-negative integer
+    code columns — the locality-better alternative to the Morton
+    interleave (every curve step is a unit move, no quadrant jumps),
+    which is why Hilbert zone maps usually prune at least as well.
+    Chained integer CASE expressions (one trio per level), no UDF."""
+    d = df.withColumn("_hx", F.col(col_x).cast("bigint")).withColumn(
+        "_hy", F.col(col_y).cast("bigint")
+    ).withColumn(out_col, F.lit(0).cast("bigint"))
+    for _s, exprs in hilbert_steps(bits, "_hx", "_hy", out_col, "DIV"):
+        d = d.withColumns({c: F.expr(e) for c, e in exprs.items()})
+    return d.drop("_hx", "_hy")
+
+
 def zone_map_pruning_audit(
     df: DataFrame,
     col_a: str,
@@ -105,13 +163,16 @@ def zone_map_pruning_audit(
     pruning table a lakehouse writer consults before choosing a
     clustering key.
 
-    Both candidate layouts are simulated from one coded projection
-    (key, cx, cy, z — fixed-point codes against global min/max, the
+    All candidate layouts are simulated from one coded projection
+    (key, cx, cy, z, h — fixed-point codes against global min/max, the
     write-time math of :func:`with_z_value`):
 
     - ``linear``: total order (col_b, key) — the single-column sort
       every date-partitioned table already has;
-    - ``zorder``: total order (z, key) — the Morton curve.
+    - ``zorder``: total order (z, key) — the Morton curve;
+    - ``hilbert``: total order (h, key) — the Hilbert curve
+      (:func:`hilbert_index`), whose unit-step locality usually
+      prunes at least as well as Morton's quadrant-jumping walk.
 
     Rows land in ``n_files`` equal files by global rank (the
     distributed rank machinery — no single-partition window touches
@@ -120,8 +181,9 @@ def zone_map_pruning_audit(
     code-space range queries is tested against every zone:
     file hit ⇔ rectangles overlap.  Output — one row per
     (layout, query): how many of the ``n_files`` files a reader must
-    scan.  The z-order row set is the justification artifact: linear
-    prunes only its sort dimension; the curve prunes both.
+    scan.  The curve row sets are the justification artifact: linear
+    prunes only its sort dimension; both curves prune both — and the
+    table ranks the curves against each other too.
 
     Scale shape: two ranged shuffles over the 4-column projection
     (never the full row), a ≤ 2·n_files-row zone table, and a
@@ -150,7 +212,9 @@ def zone_map_pruning_audit(
         .withColumn("cx", qa)
         .withColumn("cy", qb)
         .withColumn("z", interleave_bits(F.col("cx"), F.col("cy"), bits))
-        .select(key_col, col_b, "cx", "cy", "z")
+    )
+    coded = hilbert_index(coded, "cx", "cy", bits, out_col="h").select(
+        key_col, col_b, "cx", "cy", "z", "h"
     )
 
     def _files(order_col: str, layout: str) -> DataFrame:
@@ -172,6 +236,7 @@ def zone_map_pruning_audit(
     zones = (
         _files(col_b, "linear")
         .unionByName(_files("z", "zorder"))
+        .unionByName(_files("h", "hilbert"))
         .groupBy("layout", "_file")
         .agg(
             F.min("cx").alias("mn_cx"),

@@ -3722,6 +3722,30 @@ _Z5_INTERLEAVE_SQL = " + ".join(
 )
 
 
+def _hilbert_ctes_sql(bits: int = 5) -> str:
+    """hs0..hs{bits} CTE chain computing the Hilbert index ``hd`` of
+    (cx, cy) — rendered from the SAME per-level generator the Spark
+    operator chains (zorder.hilbert_steps), with DuckDB's ``//`` as
+    the integer division, so the arithmetic is identical by
+    construction."""
+    from lab3_spark.operators.zorder import hilbert_steps
+
+    ctes = [
+        "hs0 AS (SELECT k, b, cx, cy, z, cx AS hx, cy AS hy,"
+        " CAST(0 AS BIGINT) AS hd FROM zc)"
+    ]
+    for i, (_s, exprs) in enumerate(
+        hilbert_steps(bits, "hx", "hy", "hd", "//"), start=1
+    ):
+        ctes.append(
+            f"""hs{i} AS (
+      SELECT k, b, cx, cy, z, {exprs['hx']} AS hx,
+             {exprs['hy']} AS hy, {exprs['hd']} AS hd
+      FROM hs{i - 1})"""
+        )
+    return ",\n    ".join(ctes)
+
+
 @query(
     "orders_zorder_pruning",
     f"""
@@ -3748,6 +3772,7 @@ _Z5_INTERLEAVE_SQL = " + ".join(
       FROM base, stats
     ),
     zc AS (SELECT k, b, cx, cy, {_Z5_INTERLEAVE_SQL} AS z FROM coded),
+    {_hilbert_ctes_sql(5)},
     n AS (SELECT count(*) AS n_rows FROM zc),
     placed AS (
       SELECT 'linear' AS layout, cx, cy,
@@ -3757,6 +3782,11 @@ _Z5_INTERLEAVE_SQL = " + ".join(
       SELECT 'zorder' AS layout, cx, cy,
              ((row_number() OVER (ORDER BY z, k) - 1) * 64) // n_rows AS f
       FROM zc, n
+      UNION ALL
+      SELECT 'hilbert' AS layout, cx, cy,
+             ((row_number() OVER (ORDER BY hd, k) - 1) * 64) // n_rows
+               AS f
+      FROM hs5, n
     ),
     zones AS (
       SELECT layout, f,
@@ -3781,17 +3811,20 @@ _Z5_INTERLEAVE_SQL = " + ".join(
 )
 def q_orders_zorder_pruning(spark, sf_dir):
     """Zone-map pruning audit (zorder.zone_map_pruning_audit): the
-    data-skipping table that JUSTIFIES the Morton layout, not just the
-    codes.  Orders are placed into 64 equal rank-files under two
-    write-time layouts — date-sorted (linear) and (custkey, date)
-    z-ordered — each file's min/max code rectangle is its parquet
-    zone map, and a 4×4 grid of code-space range queries counts the
-    files a reader must scan under each layout.  Files come from the
-    distributed global rank (no single-partition window over the
-    fact); zones and the zones × queries overlap join are metadata
-    scale.  All-integer past the shared bucketize floor(), so the
-    oracle reproduces every count exactly.  The reference engine
-    rescans its whole buffer per query (phoenixLab/wordCount/
+    data-skipping table that JUSTIFIES the clustering-key choice, not
+    just the codes.  Orders are placed into 64 equal rank-files under
+    THREE write-time layouts — date-sorted (linear), (custkey, date)
+    Morton z-order, and the Hilbert curve (zorder.hilbert_index, the
+    unit-step-locality alternative; its per-level reflect-and-swap
+    walk renders from ONE generator into both the Spark chain and the
+    oracle's CTE chain) — each file's min/max code rectangle is its
+    parquet zone map, and a 4×4 grid of code-space range queries
+    counts the files a reader must scan under each layout.  Files
+    come from the distributed global rank (no single-partition window
+    over the fact); zones and the zones × queries overlap join are
+    metadata scale.  All-integer past the shared bucketize floor(),
+    so the oracle reproduces every count exactly.  The reference
+    engine rescans its whole buffer per query (phoenixLab/wordCount/
     wordCount.cpp:116-133, no layout surface); this is the
     cluster-scale answer it cannot express."""
     from lab3_spark.operators.zorder import zone_map_pruning_audit

@@ -150,12 +150,33 @@ def test_zone_map_pruning_audit_prefers_zorder(spark, sf_dir):
     rows = zone_map_pruning_audit(
         o, "o_custkey", "odays", "o_orderkey", n_files=64, bits=5
     ).collect()
-    assert len(rows) == 32
+    assert len(rows) == 48
     assert all(r["files_total"] == 64 for r in rows)
     assert all(0 <= r["files_hit"] <= 64 for r in rows)
-    tot = {"linear": 0, "zorder": 0}
+    tot = {"linear": 0, "zorder": 0, "hilbert": 0}
     for r in rows:
         tot[r["layout"]] += r["files_hit"]
-    # measured on the synthetic testdata: ~268 vs ~97 at sf0.01 — the
-    # curve layout reads well under half the files for the same queries
+    # measured on the synthetic testdata: ~268 (linear) vs ~97
+    # (morton) vs ~90 (hilbert) at sf0.01 — both curves read well
+    # under half the files; hilbert's unit-step locality edges morton
     assert tot["zorder"] < tot["linear"]
+    assert tot["hilbert"] < tot["linear"]
+
+
+def test_hilbert_index_is_a_bijection_with_unit_steps(spark):
+    """The xy2d walk on the full 5-bit grid: 1024 distinct indices in
+    [0, 1024), and consecutive indices are GRID NEIGHBOURS (|dx|+|dy|
+    = 1) — the defining Hilbert property Morton lacks."""
+    from lab3_spark.operators.zorder import hilbert_index
+
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("cx"),
+        (F.col("id") / 32).cast("bigint").alias("cy"),
+    )
+    rows = hilbert_index(grid, "cx", "cy", 5).collect()
+    byd = {r["h"]: (r["cx"], r["cy"]) for r in rows}
+    assert len(byd) == 1024
+    assert set(byd) == set(range(1024))
+    for i in range(1023):
+        (x0, y0), (x1, y1) = byd[i], byd[i + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (i, byd[i], byd[i + 1])
