@@ -354,6 +354,7 @@ HEADLINE = [
     "linkage_fs_scores",
     "events_attribution_markov",
     "l_diversity_report",
+    "source_length_digest",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

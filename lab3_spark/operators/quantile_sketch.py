@@ -51,6 +51,8 @@ __all__ = [
     "daily_value_digest",
     "digest_union",
     "kll_daily_quantile_check",
+    "keyed_value_digest",
+    "keyed_quantile_check",
 ]
 
 #: default rank-error budget PER COMPRESS LEVEL (see module docstring)
@@ -84,7 +86,14 @@ def compress_centroids(
             cur_m, cur_w = float(m), int(w)
         elif cur_w + w <= cap:
             tot = cur_w + int(w)
-            cur_m = (cur_m * cur_w + float(m) * int(w)) / tot
+            merged = (cur_m * cur_w + float(m) * int(w)) / tot
+            # clamp into the operands' interval: the float weighted
+            # mean of equal values can exceed them by one ulp
+            # ((3.8 + 1.9) / 3 > 1.9), which would let centroids
+            # creep outside the data range and break mean
+            # monotonicity — caught by the hypothesis mass/order/cap
+            # property
+            cur_m = min(max(merged, cur_m), float(m))
             cur_w = tot
         else:
             out_m.append(cur_m)
@@ -241,6 +250,145 @@ def digest_union(daily: DataFrame, eps: float = DEFAULT_EPS) -> DataFrame:
         daily.withColumn("_k", F.lit(1))
         .groupBy("_k")
         .applyInPandas(merge_all, _DIGEST_FIELDS)
+    )
+
+
+def keyed_value_digest(
+    vals: DataFrame, eps: float = DEFAULT_EPS
+) -> DataFrame:
+    """(grp, means, weights, n, est_p50, est_p90, est_p99): the
+    day-keyed digest build generalized to ANY group key — ``vals``
+    must carry (grp string, shard bigint, v double), the caller
+    choosing the key (source, tenant, model-version, …) and the shard
+    uniformizer.  Same two-level shape and error contract as
+    :func:`daily_value_digest`."""
+
+    def build(pdf):
+        import pandas as pd
+
+        grp = pdf["grp"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        row = _digest_row(pdf["v"].to_numpy(), eps)
+        return pd.DataFrame(
+            [(grp, shard, *row)],
+            columns=["grp", "shard", "means", "weights", "n"],
+        )
+
+    def merge_grp(pdf):
+        return merged_digest_pdf(pdf, eps, {"grp": pdf["grp"].iloc[0]})
+
+    partial = vals.groupBy("grp", "shard").applyInPandas(
+        build, f"grp string, shard bigint, {_PARTIAL_FIELDS}"
+    )
+    return partial.groupBy("grp").applyInPandas(
+        merge_grp, f"grp string, {_DIGEST_FIELDS}"
+    )
+
+
+def _band_ok_col(lo, hi, n, lob, upb):
+    """rank interval [lo+1, hi] intersects the exact-integer band —
+    the division-free form (see kll_daily_quantile_check), shared by
+    the day-keyed and group-keyed gates."""
+    lnum, lden = lob
+    unum, uden = upb
+    nn = n.cast("bigint")
+    return (
+        (hi >= F.lit(1))
+        & (hi * F.lit(lden) >= F.lit(lnum) * nn)
+        & ((lo + 1) <= nn)
+        & (lo * F.lit(uden) < F.lit(unum) * nn)
+    )
+
+
+def keyed_quantile_check(
+    vals: DataFrame, eps: float = DEFAULT_EPS
+) -> DataFrame:
+    """(grp, n_rows, {p50,p90,p99}_within_rank_tol,
+    total_{...}_within_rank_tol): the bounded-rank-error gate for the
+    group-keyed digest — per-group estimates AND the cross-group union
+    (merged from stored digest rows, never rescanning) checked against
+    exact counts, the kll_daily_quantile_check contract with the key
+    abstracted."""
+    from lab3_spark.functions.partitioning import memo_persist
+
+    digests = memo_persist(
+        "qdigest.keyed." + "|".join(sorted(c for c in vals.columns)),
+        keyed_value_digest(vals, eps),
+    )
+    total = digest_union(digests, eps)
+    v = vals.select("grp", "v")
+
+    ests = digests.select("grp", "n", "est_p50", "est_p90", "est_p99")
+    per_grp = (
+        v.join(F.broadcast(ests), "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                c
+                for name, _, _, _ in _GATE_QS
+                for c in (
+                    F.sum(
+                        (F.col("v") < F.col(f"est_{name}")).cast("bigint")
+                    ).alias(f"lo_{name}"),
+                    F.sum(
+                        (F.col("v") <= F.col(f"est_{name}")).cast("bigint")
+                    ).alias(f"hi_{name}"),
+                )
+            ],
+        )
+    )
+    tot_ests = total.select(
+        F.col("n").alias("tn"),
+        *[
+            F.col(f"est_{name}").alias(f"test_{name}")
+            for name, _, _, _ in _GATE_QS
+        ],
+    )
+    per_total = (
+        v.crossJoin(F.broadcast(tot_ests))
+        .groupBy()
+        .agg(
+            F.first("tn").alias("tn"),
+            *[
+                c
+                for name, _, _, _ in _GATE_QS
+                for c in (
+                    F.sum(
+                        (F.col("v") < F.col(f"test_{name}")).cast("bigint")
+                    ).alias(f"tlo_{name}"),
+                    F.sum(
+                        (F.col("v") <= F.col(f"test_{name}")).cast("bigint")
+                    ).alias(f"thi_{name}"),
+                )
+            ],
+        )
+    )
+    out_cols = [F.col("grp"), F.col("n").alias("n_rows")]
+    for name, _, lob, upb in _GATE_QS:
+        out_cols.append(
+            _band_ok_col(
+                F.col(f"lo_{name}"),
+                F.col(f"hi_{name}"),
+                F.col("n"),
+                lob,
+                upb,
+            ).alias(f"{name}_within_rank_tol")
+        )
+    for name, _, lob, upb in _GATE_QS:
+        out_cols.append(
+            _band_ok_col(
+                F.col(f"tlo_{name}"),
+                F.col(f"thi_{name}"),
+                F.col("tn"),
+                lob,
+                upb,
+            ).alias(f"total_{name}_within_rank_tol")
+        )
+    return (
+        per_grp.crossJoin(F.broadcast(per_total))
+        .select(*out_cols)
+        .orderBy("grp")
     )
 
 

@@ -2645,6 +2645,56 @@ def q_events_kll_daily_quantiles(spark, sf_dir):
     return kll_daily_quantile_check(_t(spark, sf_dir, "events"))
 
 
+_SRC_DIGEST_ORACLE = """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+    )
+    SELECT source, n_docs,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol,
+           TRUE AS p99_within_rank_tol,
+           TRUE AS total_p50_within_rank_tol,
+           TRUE AS total_p90_within_rank_tol,
+           TRUE AS total_p99_within_rank_tol
+    FROM per ORDER BY source
+    """
+
+
+@query("source_length_digest", _SRC_DIGEST_ORACLE)
+def q_source_length_digest(spark, sf_dir):
+    """Group-keyed mergeable quantile digest (quantile_sketch.
+    keyed_quantile_check): the day-keyed digest generalized to an
+    ARBITRARY dimension — per-SOURCE digests over document lengths,
+    plus the cross-source union merged from the stored digest rows
+    (never rescanning documents).  The shape a curation pipeline
+    stores per (source, snapshot) to answer any later "length p99 of
+    these five domains combined" without a scan.  Same two-level
+    build, deterministic compaction, and ±5% exact-count rank gate as
+    events_kll_daily_quantiles — per source AND for the union."""
+    from lab3_spark.operators.quantile_sketch import keyed_quantile_check
+
+    vals = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("source").alias("grp"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("shard"),
+            F.col("n_chars").cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    return keyed_quantile_check(vals).select(
+        F.col("grp").alias("source"),
+        F.col("n_rows").alias("n_docs"),
+        "p50_within_rank_tol",
+        "p90_within_rank_tol",
+        "p99_within_rank_tol",
+        "total_p50_within_rank_tol",
+        "total_p90_within_rank_tol",
+        "total_p99_within_rank_tol",
+    )
+
+
 @query("streaming_incremental_quantiles", _KLL_ORACLE)
 def q_streaming_incremental_quantiles(spark, sf_dir):
     """A REAL incremental digest-maintenance run (streaming/
@@ -15664,10 +15714,10 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at orc_roundtrip_events, orders_priority_unpivot,
-# orders_scd_upsert, ppr_seed_proximity,
+# start at multimodal_byte_chunks, orc_roundtrip_events,
+# orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
 # streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the seven displaced r5 stragglers — then
+# streaming_sliding_10m — the eight displaced r5 stragglers — then
 # the r6 era: compaction_bins, corpus_snapshot_diff,
 # customer_rfm_segments, data_expectations, dataset_card, …).  No
 # known changed-construction
@@ -15735,6 +15785,7 @@ ROUND12_NEW = [
     "events_attribution_markov",
     "l_diversity_report",
     "streaming_incremental_attribution",
+    "source_length_digest",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15784,13 +15835,13 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    26 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other seven — orc_roundtrip_events,
-    #    orders_priority_unpivot, orders_scd_upsert,
-    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
-    #    streaming_curated_ingest, streaming_sliding_10m — sit at
-    #    slots 51-57 and head the r13 refills; no r6 gate fits this
-    #    round) -------------------------------------------------------
+    #    25 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other eight — multimodal_byte_chunks,
+    #    orc_roundtrip_events, orders_priority_unpivot,
+    #    orders_scd_upsert, ppr_seed_proximity,
+    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
+    #    streaming_sliding_10m — sit at slots 51-58 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15816,13 +15867,13 @@ _DRIVER_PRIORITY = [
     "grouped_minmax_normalize",
     "hybrid_retrieval_rrf",
     "kmeans_centroids",
-    "multimodal_byte_chunks",
-    # (orc_roundtrip_events, orders_priority_unpivot,
-    # orders_scd_upsert, ppr_seed_proximity,
+    # (multimodal_byte_chunks, orc_roundtrip_events,
+    # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-57 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-58 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "multimodal_byte_chunks",
     "orc_roundtrip_events",
     "orders_priority_unpivot",
     "orders_scd_upsert",

@@ -175,6 +175,7 @@ QUERIES = [
     "linkage_fs_scores",
     "events_attribution_markov",
     "l_diversity_report",
+    "source_length_digest",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
