@@ -355,6 +355,7 @@ HEADLINE = [
     "events_attribution_markov",
     "l_diversity_report",
     "source_length_digest",
+    "ann_ivf_ndcg",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -660,6 +660,77 @@ def ann_recall_vs_bruteforce(
     return recall_vs_bruteforce(ivf, embeddings, n_queries, topk)
 
 
+def ndcg_weight_sql(i: int) -> str:
+    """Fixed-point DCG discount at rank ``i``: floor(10^6 / log2(i+1))
+    — ONE shared SQL text for both engines (the unigram-surprisal
+    float contract: a single ln-ratio expression, immediately
+    floored)."""
+    return (
+        f"CAST(floor(1000000 / (ln({i + 1}.0) / ln(2.0))) AS BIGINT)"
+    )
+
+
+def ann_ivf_ndcg(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    topk: int = 5,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITERS,
+) -> DataFrame:
+    """(query_id, n_hit, dcg_fp, ndcg_fp): nDCG@topk of the trained-
+    IVF ranking against the exact brute-force baseline — the RANK-
+    QUALITY companion to recall@k (recall counts set overlap; nDCG
+    also scores whether the index puts the best neighbors FIRST,
+    which is what a retrieval consumer actually experiences).
+
+    Graded relevance of a returned neighbor = topk+1 − its exact
+    rank (5..1 for top-5 truth, 0 otherwise); DCG = Σ rel·w(rank)
+    with w(i) = floor(10^6/log2(i+1)) — integer weights from
+    :func:`ndcg_weight_sql`, so DCG sums are exact bigints; nDCG
+    fixed-points against the constant ideal (all truth in order).
+    Pure joins + aggregation over the two ≤ n_queries·topk result
+    sets — metadata scale after the index probes."""
+    from lab3_spark.operators.similarity import ann_bruteforce
+
+    ivf = ann_ivf_trained(embeddings, n_queries, topk, k, n_iter).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    bf = ann_bruteforce(embeddings, n_queries, topk).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("brnk")
+    )
+    j = ivf.join(bf, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "rnk",
+        F.coalesce(F.lit(topk + 1) - F.col("brnk"), F.lit(0))
+        .cast("bigint")
+        .alias("rel"),
+    )
+    wcase = (
+        "CASE rnk "
+        + " ".join(
+            f"WHEN {i} THEN {ndcg_weight_sql(i)}"
+            for i in range(1, topk + 1)
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
+    )
+    idcg = " + ".join(
+        f"({topk + 1 - r} * {ndcg_weight_sql(r)})"
+        for r in range(1, topk + 1)
+    )
+    per = j.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("bigint")).alias("n_hit"),
+        F.sum(F.col("rel") * F.expr(wcase)).alias("dcg_fp"),
+    )
+    return per.select(
+        "query_id",
+        "n_hit",
+        F.col("dcg_fp").cast("bigint").alias("dcg_fp"),
+        F.expr(
+            f"CAST(dcg_fp * 1000000 DIV ({idcg}) AS BIGINT)"
+        ).alias("ndcg_fp"),
+    ).orderBy("query_id")
+
+
 def recall_vs_bruteforce(
     approx: DataFrame,
     embeddings: DataFrame,

@@ -5090,6 +5090,112 @@ def q_ann_ivf_recall(spark, sf_dir):
     )
 
 
+def _ndcg_oracle_sql(topk: int = 5) -> str:
+    """nDCG oracle: the ann_ivf_recall CTE skeleton with ranks kept on
+    both result sets, then the SAME discount-weight SQL text the
+    operator parses (kmeans.ndcg_weight_sql — imported, not
+    re-typed)."""
+    from lab3_spark.operators.kmeans import ndcg_weight_sql
+
+    wcase = (
+        "CASE i.rnk "
+        + " ".join(
+            f"WHEN {i} THEN {ndcg_weight_sql(i)}"
+            for i in range(1, topk + 1)
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
+    )
+    idcg = " + ".join(
+        f"({topk + 1 - r} * {ndcg_weight_sql(r)})"
+        for r in range(1, topk + 1)
+    )
+    return f"""
+    WITH {_duck_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+    dA AS (
+      SELECT px.vec_id, c.cl,
+             CAST(sum((px.val - c.c) * (px.val - c.c)) AS BIGINT) AS dist
+      FROM px JOIN c{_KMEANS_ITERS} c ON px.pos = c.pos
+      GROUP BY px.vec_id, c.cl
+    ),
+    aA AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM dA) t
+      WHERE rn = 1
+    ),
+    {_DUCK_VEC.strip()},
+    q AS (
+      SELECT a.vec_id AS query_id, a.cl AS qcl, e.u AS uq
+      FROM aA a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id < 20
+    ),
+    ivf_pairs AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='uq', b='en.u')}) AS cos_raw
+      FROM q
+      JOIN aA n ON n.cl = q.qcl
+      JOIN e en ON en.vec_id = n.vec_id
+      WHERE n.vec_id != query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        FROM ivf_pairs) t
+      WHERE rnk <= {topk}
+    ),
+    bf_pairs AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             ({_DUCK_DOT.format(a='q.uq', b='n.u')}) AS cos_raw
+      FROM q, e n WHERE n.vec_id != q.query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id, rnk AS brnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+        FROM bf_pairs) t
+      WHERE rnk <= {topk}
+    ),
+    joined AS (
+      SELECT i.query_id, i.rnk,
+             CAST(coalesce({topk + 1} - b.brnk, 0) AS BIGINT) AS rel
+      FROM ivf i LEFT JOIN bf b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    ),
+    per AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             CAST(sum(rel * ({wcase})) AS BIGINT) AS dcg_fp
+      FROM joined i GROUP BY query_id
+    )
+    SELECT query_id, n_hit, dcg_fp,
+           CAST(dcg_fp * 1000000 // ({idcg}) AS BIGINT) AS ndcg_fp
+    FROM per ORDER BY query_id
+    """
+
+
+@query("ann_ivf_ndcg", _ndcg_oracle_sql())
+def q_ann_ivf_ndcg(spark, sf_dir):
+    """nDCG@5 of the trained-IVF ranking vs exact brute force
+    (kmeans.ann_ivf_ndcg): the rank-quality companion to
+    ann_ivf_recall — recall counts set overlap, nDCG also scores
+    whether the index puts the best neighbors FIRST.  Graded
+    relevance topk+1 − exact rank, integer discount weights
+    floor(10^6/log2(i+1)) from ONE shared SQL text, exact bigint DCG
+    sums, integer-DIV normalization against the constant ideal.
+    Metadata-scale joins over the two ≤ 20×5 result sets."""
+    from lab3_spark.operators.kmeans import ann_ivf_ndcg
+
+    return ann_ivf_ndcg(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, n_iter=_KMEANS_ITERS
+    )
+
+
 @query(
     "dedup_semantic",
     f"""
@@ -15714,13 +15820,13 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at multimodal_byte_chunks, orc_roundtrip_events,
-# orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
-# streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the eight displaced r5 stragglers — then
-# the r6 era: compaction_bins, corpus_snapshot_diff,
-# customer_rfm_segments, data_expectations, dataset_card, …).  No
-# known changed-construction
+# start at kmeans_centroids, multimodal_byte_chunks,
+# orc_roundtrip_events, orders_priority_unpivot, orders_scd_upsert,
+# ppr_seed_proximity, streaming_cms_heavy_hitters,
+# streaming_curated_ingest and streaming_sliding_10m — the nine
+# displaced r5 stragglers — then the r6 era: compaction_bins,
+# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
+# dataset_card, …).  No known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15786,6 +15892,7 @@ ROUND12_NEW = [
     "l_diversity_report",
     "streaming_incremental_attribution",
     "source_length_digest",
+    "ann_ivf_ndcg",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15835,13 +15942,14 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    25 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other eight — multimodal_byte_chunks,
-    #    orc_roundtrip_events, orders_priority_unpivot,
-    #    orders_scd_upsert, ppr_seed_proximity,
-    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    #    streaming_sliding_10m — sit at slots 51-58 and head the r13
-    #    refills; no r6 gate fits this round) -------------------------
+    #    24 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other nine — kmeans_centroids,
+    #    multimodal_byte_chunks, orc_roundtrip_events,
+    #    orders_priority_unpivot, orders_scd_upsert,
+    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    #    streaming_curated_ingest, streaming_sliding_10m — sit at
+    #    slots 51-59 and head the r13 refills; no r6 gate fits this
+    #    round) -------------------------------------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15866,13 +15974,13 @@ _DRIVER_PRIORITY = [
     "events_value_histogram",
     "grouped_minmax_normalize",
     "hybrid_retrieval_rrf",
-    "kmeans_centroids",
-    # (multimodal_byte_chunks, orc_roundtrip_events,
+    # (kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
     # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-58 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-59 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "kmeans_centroids",
     "multimodal_byte_chunks",
     "orc_roundtrip_events",
     "orders_priority_unpivot",

@@ -22,17 +22,17 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 
 def test_driver_window_leads_with_round12_priorities():
-    """Round-12 curation contract: the window leads with (1) the nine
+    """Round-12 curation contract: the window leads with (1) the ten
     new round-12 gates (no driver row anywhere), then (2) the 16
     changed-operator re-confirmations (the r11 handoff's MUST-HEAD six
     ANN gates + three skew/Expand rewrites, plus this round's BPE
     argmax / joiner / pack_sequences / grouped-rank touches — all
     oracle-verified identical this round), then (3) the oldest-green
-    refills: the remaining r5 era minus its eight displaced stragglers
-    (multimodal_byte_chunks, orc_roundtrip_events,
+    refills: the remaining r5 era minus its nine displaced stragglers
+    (kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
     orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
     streaming_cms_heavy_hitters, streaming_curated_ingest,
-    streaming_sliding_10m — slots 51-58, they head the r13
+    streaming_sliding_10m — slots 51-59, they head the r13
     refills)."""
     import __spark_entry__ as entrymod
     from lab3_spark.queries_catalog import ROUND12_CHANGED, ROUND12_NEW
@@ -42,15 +42,16 @@ def test_driver_window_leads_with_round12_priorities():
     assert order[: len(head)] == head
     # oldest-green refill begins immediately after the changed gates
     assert order[len(head)] == "ann_sq8_top5"
-    assert order[49] == "kmeans_centroids"
-    assert order[50] == "multimodal_byte_chunks"  # r13 refill head
-    assert order[51] == "orc_roundtrip_events"
-    assert order[52] == "orders_priority_unpivot"
-    assert order[53] == "orders_scd_upsert"
-    assert order[54] == "ppr_seed_proximity"
-    assert order[55] == "streaming_cms_heavy_hitters"
-    assert order[56] == "streaming_curated_ingest"
-    assert order[57] == "streaming_sliding_10m"
+    assert order[49] == "hybrid_retrieval_rrf"
+    assert order[50] == "kmeans_centroids"  # r13 refill head
+    assert order[51] == "multimodal_byte_chunks"
+    assert order[52] == "orc_roundtrip_events"
+    assert order[53] == "orders_priority_unpivot"
+    assert order[54] == "orders_scd_upsert"
+    assert order[55] == "ppr_seed_proximity"
+    assert order[56] == "streaming_cms_heavy_hitters"
+    assert order[57] == "streaming_curated_ingest"
+    assert order[58] == "streaming_sliding_10m"
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

@@ -176,6 +176,7 @@ QUERIES = [
     "events_attribution_markov",
     "l_diversity_report",
     "source_length_digest",
+    "ann_ivf_ndcg",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
