@@ -177,6 +177,9 @@ BNLJ_ALLOWED = {
     "ann_bruteforce_top5",
     "ann_bruteforce_l2_top5",
     "ann_hash_embedding_top5",
+    # nDCG's truth side IS the brute-force baseline above; the IVF
+    # side and the DCG joins are metadata-scale
+    "ann_ivf_ndcg",
 }
 
 
