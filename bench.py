@@ -356,6 +356,7 @@ HEADLINE = [
     "l_diversity_report",
     "source_length_digest",
     "ann_ivf_ndcg",
+    "events_attribution_heuristics",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -997,6 +997,68 @@ def attribution_transitions(
     return tr.groupBy("s", "t").agg(F.count("*").alias("n"))
 
 
+def attribution_heuristics(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """(channel, first_touch, last_touch, linear_fp, position_fp):
+    the classic rule-based attribution baselines over the SAME
+    journeys the Markov model reads — the comparison table every
+    data-driven attribution writeup opens with.
+
+    Converting journeys only (touches strictly before the first
+    conversion; a purchase-first journey has no touches and credits
+    nothing).  Per journey of L touches: first/last-touch credit one
+    conversion to the first/last channel; linear splits 10^6 ÷ L per
+    touch; position-based (the 40/20/40 U-shape) gives 40% to each
+    end and splits 20% across the middles (L=1 → 100%, L=2 → 50/50).
+    All credits are truncating integer DIVs, so channel totals are
+    exact bigint sums — driver-hashable with a plain SQL oracle.
+
+    One user-keyed shuffle (the journey windows share the
+    partitioning) + one combinable channel aggregation."""
+    from pyspark.sql.window import Window
+
+    evf = events.where(
+        F.col("event_type").isin(*channels, conv_type)
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordd = evf.withColumn("rn", F.row_number().over(w))
+    fp_ = (
+        ordd.where(F.col("event_type") == conv_type)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    touches = ordd.join(fp_, "user_id").where(F.col("rn") < F.col("prn"))
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    t = touches.withColumn("pos", F.row_number().over(wp)).withColumn(
+        "L", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    m = 10**6
+    t = t.select(
+        F.col("event_type").alias("channel"),
+        (F.col("pos") == 1).cast("bigint").alias("is_first"),
+        (F.col("pos") == F.col("L")).cast("bigint").alias("is_last"),
+        F.expr(f"{m} DIV L").alias("lin_fp"),
+        F.expr(
+            f"CASE WHEN L = 1 THEN {m} WHEN L = 2 THEN {m // 2} "
+            f"WHEN pos = 1 OR pos = L THEN {4 * m // 10} "
+            f"ELSE {2 * m // 10} DIV (L - 2) END"
+        ).alias("pos_fp"),
+    )
+    return (
+        t.groupBy("channel")
+        .agg(
+            F.sum("is_first").alias("first_touch"),
+            F.sum("is_last").alias("last_touch"),
+            F.sum("lin_fp").alias("linear_fp"),
+            F.sum("pos_fp").alias("position_fp"),
+        )
+        .orderBy("channel")
+    )
+
+
 ATTRIB_FP = 10**12
 ATTRIB_SHARE_FP = 10**6
 

@@ -9310,6 +9310,66 @@ def q_events_attribution_markov(spark, sf_dir):
     return EV.attribution_removal_effects(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_attribution_heuristics",
+    """
+    WITH evf AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'error', 'signup', 'view',
+                           'purchase')
+    ),
+    ordd AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM evf
+    ),
+    fp_ AS (
+      SELECT user_id, min(rn) AS prn FROM ordd
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT o.user_id, o.event_type, o.rn
+      FROM ordd o JOIN fp_ f ON f.user_id = o.user_id
+      WHERE o.rn < f.prn
+    ),
+    pt AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS pos,
+             count(*) OVER (PARTITION BY user_id) AS L
+      FROM touches
+    ),
+    cr AS (
+      SELECT event_type AS channel,
+             CASE WHEN pos = 1 THEN 1 ELSE 0 END AS is_first,
+             CASE WHEN pos = L THEN 1 ELSE 0 END AS is_last,
+             1000000 // L AS lin_fp,
+             CASE WHEN L = 1 THEN 1000000 WHEN L = 2 THEN 500000
+                  WHEN pos = 1 OR pos = L THEN 400000
+                  ELSE 200000 // (L - 2) END AS pos_fp
+      FROM pt
+    )
+    SELECT channel,
+           CAST(sum(is_first) AS BIGINT) AS first_touch,
+           CAST(sum(is_last) AS BIGINT) AS last_touch,
+           CAST(sum(lin_fp) AS BIGINT) AS linear_fp,
+           CAST(sum(pos_fp) AS BIGINT) AS position_fp
+    FROM cr GROUP BY channel ORDER BY channel
+    """,
+)
+def q_events_attribution_heuristics(spark, sf_dir):
+    """Rule-based attribution baselines (events.attribution_
+    heuristics): first-touch / last-touch / linear / position-based
+    (40/20/40 U-shape) channel credit over the SAME journeys the
+    Markov removal-effect model reads — the comparison table
+    data-driven attribution is judged against.  Converting journeys
+    only; all credits truncating integer DIVs so channel totals are
+    exact bigint sums; one user-keyed shuffle + one combinable
+    aggregation."""
+    return EV.attribution_heuristics(_t(spark, sf_dir, "events"))
+
+
 @query("streaming_incremental_attribution", _attribution_oracle_sql())
 def q_streaming_incremental_attribution(spark, sf_dir):
     """A REAL incremental attribution run (streaming/attribution.py):
@@ -15820,13 +15880,14 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at kmeans_centroids, multimodal_byte_chunks,
-# orc_roundtrip_events, orders_priority_unpivot, orders_scd_upsert,
-# ppr_seed_proximity, streaming_cms_heavy_hitters,
-# streaming_curated_ingest and streaming_sliding_10m — the nine
-# displaced r5 stragglers — then the r6 era: compaction_bins,
-# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
-# dataset_card, …).  No known changed-construction
+# start at hybrid_retrieval_rrf, kmeans_centroids,
+# multimodal_byte_chunks, orc_roundtrip_events,
+# orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
+# streaming_cms_heavy_hitters, streaming_curated_ingest and
+# streaming_sliding_10m — the ten displaced r5 stragglers — then
+# the r6 era: compaction_bins, corpus_snapshot_diff,
+# customer_rfm_segments, data_expectations, dataset_card, …).  No
+# known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -15893,6 +15954,7 @@ ROUND12_NEW = [
     "streaming_incremental_attribution",
     "source_length_digest",
     "ann_ivf_ndcg",
+    "events_attribution_heuristics",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -15942,14 +16004,14 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    24 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other nine — kmeans_centroids,
-    #    multimodal_byte_chunks, orc_roundtrip_events,
-    #    orders_priority_unpivot, orders_scd_upsert,
-    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
-    #    streaming_curated_ingest, streaming_sliding_10m — sit at
-    #    slots 51-59 and head the r13 refills; no r6 gate fits this
-    #    round) -------------------------------------------------------
+    #    23 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other ten — hybrid_retrieval_rrf,
+    #    kmeans_centroids, multimodal_byte_chunks,
+    #    orc_roundtrip_events, orders_priority_unpivot,
+    #    orders_scd_upsert, ppr_seed_proximity,
+    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
+    #    streaming_sliding_10m — sit at slots 51-60 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -15973,13 +16035,14 @@ _DRIVER_PRIORITY = [
     "events_top_type_per_hour",
     "events_value_histogram",
     "grouped_minmax_normalize",
-    "hybrid_retrieval_rrf",
-    # (kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
-    # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
+    # (hybrid_retrieval_rrf, kmeans_centroids, multimodal_byte_chunks,
+    # orc_roundtrip_events, orders_priority_unpivot,
+    # orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-59 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-60 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "hybrid_retrieval_rrf",
     "kmeans_centroids",
     "multimodal_byte_chunks",
     "orc_roundtrip_events",

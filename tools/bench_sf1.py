@@ -177,6 +177,7 @@ QUERIES = [
     "l_diversity_report",
     "source_length_digest",
     "ann_ivf_ndcg",
+    "events_attribution_heuristics",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
