@@ -79,3 +79,45 @@ def test_attribution_hand_built_journeys(spark):
     # B carries all conversions when A is gone AND is A's only path:
     # removing B zeroes everything, so B's share strictly exceeds A's
     assert got["B"]["share_fp"] > got["A"]["share_fp"]
+
+
+def test_attribution_heuristics_hand_built(spark):
+    """Hand-checkable journeys: user 1 converts after A,B,C (first=A,
+    last=C, linear 1/3 each, position 40/20/40), user 2 converts after
+    a single B (100% everywhere), user 3 never converts (no credit)."""
+    from lab3_spark.operators.events import attribution_heuristics
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 00:01:00", "B"),
+        (3, 1, "2024-01-01 00:02:00", "C"),
+        (4, 1, "2024-01-01 00:03:00", "purchase"),
+        (5, 2, "2024-01-01 00:00:00", "B"),
+        (6, 2, "2024-01-01 00:01:00", "purchase"),
+        (7, 3, "2024-01-01 00:00:00", "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string,"
+        " event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    got = {
+        r["channel"]: r
+        for r in attribution_heuristics(
+            ev, channels=("A", "B", "C"), conv_type="purchase"
+        ).collect()
+    }
+    assert got["A"]["first_touch"] == 1 and got["A"]["last_touch"] == 0
+    assert got["B"]["first_touch"] == 1 and got["B"]["last_touch"] == 1
+    assert got["C"]["first_touch"] == 0 and got["C"]["last_touch"] == 1
+    third = 10**6 // 3
+    assert got["A"]["linear_fp"] == third
+    assert got["B"]["linear_fp"] == third + 10**6  # + user 2's 100%
+    assert got["C"]["linear_fp"] == third
+    assert got["A"]["position_fp"] == 400000
+    assert got["B"]["position_fp"] == 200000 + 10**6
+    assert got["C"]["position_fp"] == 400000
