@@ -357,6 +357,7 @@ HEADLINE = [
     "source_length_digest",
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
+    "customer_revenue_lorenz",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

@@ -1030,3 +1030,88 @@ def order_cadence(orders: DataFrame) -> DataFrame:
             "mean_days_fp"
         ),
     )
+
+
+def customer_revenue_lorenz(
+    orders: DataFrame, deciles: int = 10
+) -> DataFrame:
+    """(decile, n_custs, revenue_cents, cum_share_fp, gini_fp): the
+    Lorenz curve of customer revenue concentration plus its Gini
+    coefficient — "what share of revenue do the bottom k/10 of
+    customers hold", the inequality audit behind whale-risk and
+    mixture decisions.  source_token_gini computes a Gini over the
+    metadata-scale per-source frame; THIS one ranks every customer,
+    so the sort is the distributed global rank (one ranged shuffle,
+    no single-partition window) and deciles derive from the rank
+    arithmetically (rank.ntile_from_rank — the same SQL-standard
+    split DuckDB's native ntile performs, which is what the oracle
+    uses).
+
+    Exactness: revenue in integer cents; Σ(rank·cents) and Σcents
+    carried as decimal(38,0) (HUGEINT in the oracle) so the Gini
+    numerator 2·Σ(rn·x) − (n+1)·Σx is exact past int64 at any
+    customer count; one truncating integer division fixed-points G
+    (all operands nonnegative, so Spark's DIV and DuckDB's //
+    agree).  The decile rollup and the 10-row cumulative share are
+    metadata-scale."""
+    from pyspark.sql.window import Window
+
+    from lab3_spark.functions.partitioning import one_window_partition
+    from lab3_spark.operators.rank import (
+        ntile_from_rank,
+        total_rows_col,
+        with_global_row_number,
+    )
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            )
+        ).alias("cents")
+    )
+    d = with_global_row_number(
+        rev, ["cents", "o_custkey"], out_col="_rn",
+        memo_key="relational.lorenz",
+    ).withColumn("_n", total_rows_col())
+    d = d.withColumn(
+        "decile", ntile_from_rank(F.col("_rn"), F.col("_n"), deciles)
+    )
+    stats = d.agg(
+        F.sum(
+            F.col("_rn").cast("decimal(38,0)") * F.col("cents")
+        ).alias("rs"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+        F.max("_n").cast("decimal(38,0)").alias("n"),
+    ).select(
+        F.expr(
+            "CAST((2 * rs - (n + 1) * tot) * 1000000"
+            " DIV (n * tot) AS BIGINT)"
+        ).alias("gini_fp"),
+        F.col("tot").alias("_tot"),
+    )
+    per = d.groupBy("decile").agg(
+        F.count("*").alias("n_custs"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy(one_window_partition())
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn(
+            "_cum", F.sum("revenue_cents").over(w).cast("decimal(38,0)")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "decile",
+            "n_custs",
+            "revenue_cents",
+            F.expr(
+                "CAST(_cum * 1000000 DIV _tot AS BIGINT)"
+            ).alias("cum_share_fp"),
+            "gini_fp",
+        )
+        .orderBy("decile")
+    )

@@ -9311,6 +9311,63 @@ def q_events_attribution_markov(spark, sf_dir):
 
 
 @query(
+    "customer_revenue_lorenz",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile,
+             count(*) OVER () AS n
+      FROM rev
+    ),
+    stats AS (
+      SELECT CAST(sum(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS rs,
+             CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS tot,
+             CAST(max(n) AS HUGEINT) AS n
+      FROM r
+    ),
+    g AS (
+      SELECT CAST((2 * rs - (n + 1) * tot) * 1000000 // (n * tot)
+                  AS BIGINT) AS gini_fp,
+             tot
+      FROM stats
+    ),
+    per AS (
+      SELECT decile, count(*) AS n_custs,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM r GROUP BY decile
+    )
+    SELECT p.decile, p.n_custs, p.revenue_cents,
+           CAST(CAST(sum(p.revenue_cents) OVER (ORDER BY p.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS HUGEINT) * 1000000 // g.tot AS BIGINT)
+             AS cum_share_fp,
+           g.gini_fp
+    FROM per p, g ORDER BY p.decile
+    """,
+)
+def q_customer_revenue_lorenz(spark, sf_dir):
+    """Lorenz curve + Gini of customer revenue concentration
+    (relational.customer_revenue_lorenz): bottom-decile cumulative
+    revenue shares and the exact fixed-point Gini — the whale-risk /
+    concentration audit.  Every customer is ranked by the DISTRIBUTED
+    global rank (one ranged shuffle, no single-partition window);
+    deciles derive from the rank arithmetically (the SQL-standard
+    ntile split the oracle's native ntile performs); Σ(rank·cents)
+    carried in decimal38/HUGEINT so the Gini numerator is exact past
+    int64 at any customer count."""
+    from lab3_spark.operators.relational import customer_revenue_lorenz
+
+    return customer_revenue_lorenz(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "events_attribution_heuristics",
     """
     WITH evf AS (
@@ -15880,11 +15937,11 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at hybrid_retrieval_rrf, kmeans_centroids,
-# multimodal_byte_chunks, orc_roundtrip_events,
+# start at grouped_minmax_normalize, hybrid_retrieval_rrf,
+# kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
 # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
 # streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the ten displaced r5 stragglers — then
+# streaming_sliding_10m — the eleven displaced r5 stragglers — then
 # the r6 era: compaction_bins, corpus_snapshot_diff,
 # customer_rfm_segments, data_expectations, dataset_card, …).  No
 # known changed-construction
@@ -15955,6 +16012,7 @@ ROUND12_NEW = [
     "source_length_digest",
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
+    "customer_revenue_lorenz",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -16004,14 +16062,15 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    23 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other ten — hybrid_retrieval_rrf,
-    #    kmeans_centroids, multimodal_byte_chunks,
-    #    orc_roundtrip_events, orders_priority_unpivot,
-    #    orders_scd_upsert, ppr_seed_proximity,
-    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    #    streaming_sliding_10m — sit at slots 51-60 and head the r13
-    #    refills; no r6 gate fits this round) -------------------------
+    #    22 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other eleven — grouped_minmax_normalize,
+    #    hybrid_retrieval_rrf, kmeans_centroids,
+    #    multimodal_byte_chunks, orc_roundtrip_events,
+    #    orders_priority_unpivot, orders_scd_upsert,
+    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    #    streaming_curated_ingest, streaming_sliding_10m — sit at
+    #    slots 51-61 and head the r13 refills; no r6 gate fits this
+    #    round) -------------------------------------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -16034,14 +16093,14 @@ _DRIVER_PRIORITY = [
     "events_by_customer_segment",
     "events_top_type_per_hour",
     "events_value_histogram",
-    "grouped_minmax_normalize",
-    # (hybrid_retrieval_rrf, kmeans_centroids, multimodal_byte_chunks,
-    # orc_roundtrip_events, orders_priority_unpivot,
-    # orders_scd_upsert, ppr_seed_proximity,
+    # (grouped_minmax_normalize, hybrid_retrieval_rrf,
+    # kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
+    # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-60 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-61 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "grouped_minmax_normalize",
     "hybrid_retrieval_rrf",
     "kmeans_centroids",
     "multimodal_byte_chunks",

@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "orders_zorder_pruning",  # 1-row stats + 16-row query-grid broadcasts
     "linkage_fs_scores",  # 1-row m/u-stats + 1-row weights broadcasts
     "source_length_digest",  # 1-row union-digest broadcast (KLL shape)
+    "customer_revenue_lorenz",  # 1-row gini-stats broadcast
     "events_kmv_daily_users",  # 1-row merged-total synopsis broadcast
     "events_cms_verified_hh",  # 1-row threshold aggregate broadcast
     "pipeline_forget_docs",  # 1-row before/after count aggregates

@@ -178,6 +178,7 @@ QUERIES = [
     "source_length_digest",
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
+    "customer_revenue_lorenz",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
