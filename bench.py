@@ -358,6 +358,7 @@ HEADLINE = [
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
     "customer_revenue_lorenz",
+    "session_survival_km",
 ]
 assert len(HEADLINE) == len(set(HEADLINE)), "duplicate headline entries"
 

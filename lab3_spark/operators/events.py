@@ -262,6 +262,84 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_survival_km(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """(t_min, n_risk, n_deaths, surv_fp): Kaplan–Meier survival curve
+    of SESSION DURATION (Kaplan & Meier 1958) — P(session lasts ≥ t
+    minutes), with the censoring a naive duration histogram gets
+    wrong: a session whose trailing silence has not yet reached the
+    gap when the corpus ends may still be open, so it is CENSORED at
+    its observed duration (it leaves the risk set without counting as
+    an ended session), while every other session "dies" at its
+    duration.  S(t) = Π_{deaths t_i ≤ t} (1 − d_i/n_i).
+
+    Determinism/exactness: durations are integer minutes from exact
+    microsecond session bounds (the sessionize lag+running-sum break
+    logic, re-derived here at full precision — the sessionize gate's
+    second-granular string output would truncate); the KM product is
+    a sequential truncating integer recurrence
+    s ← s·(n−d) DIV n at 10^6 scale, replayed identically by the
+    oracle's recursive CTE in HUGEINT.  Scale shape: one user-keyed
+    shuffle + one combinable (duration, death) histogram; the fold
+    runs on the collected histogram — duration-bounded rows (the
+    calendar-bounded driver-side class), never session-scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_breaks = events.withColumn(
+        "is_break",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts"), 1, 0).over(w)
+            > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = with_breaks.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    mx = events.agg(F.max(F.unix_micros("ts")).alias("m_us"))
+    h = (
+        sess.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST((e_us - s_us) DIV 60000000 AS BIGINT)").alias(
+                "t"
+            ),
+            F.when(F.col("m_us") - F.col("e_us") < gap_us, 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("death"),
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("n_at"), F.sum("death").alias("d"))
+    )
+    rows = sorted(
+        (int(r["t"]), int(r["n_at"]), int(r["d"])) for r in h.collect()
+    )
+    suffix = 0
+    risks: dict[int, int] = {}
+    for t, n_at, _d in reversed(rows):
+        suffix += n_at
+        risks[t] = suffix
+    out = []
+    s_fp = 10**6
+    for t, _n_at, d in rows:
+        if d > 0:
+            n_risk = risks[t]
+            s_fp = s_fp * (n_risk - d) // n_risk
+            out.append((t, n_risk, d, s_fp))
+    return events.sparkSession.createDataFrame(
+        out, "t_min bigint, n_risk bigint, n_deaths bigint, surv_fp bigint"
+    ).orderBy("t_min")
+
+
 def session_windows_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions via Spark's NATIVE session_window operator
     (merge-on-gap aggregation — the same grouping the lag+running-sum

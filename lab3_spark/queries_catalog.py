@@ -9311,6 +9311,71 @@ def q_events_attribution_markov(spark, sf_dir):
 
 
 @query(
+    "session_survival_km",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ), sess AS (
+      SELECT user_id, session_id,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      FROM s GROUP BY user_id, session_id
+    ), mx AS (SELECT max(epoch_us(ts)) AS m_us FROM events),
+    h AS (
+      SELECT CAST((e_us - s_us) // 60000000 AS BIGINT) AS t,
+             count(*) AS n_at,
+             CAST(sum(CASE WHEN mx.m_us - e_us < 1800000000
+                      THEN 0 ELSE 1 END) AS BIGINT) AS d
+      FROM sess, mx GROUP BY 1
+    ),
+    r AS (
+      SELECT t, d,
+             CAST(sum(n_at) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+      FROM h
+    ),
+    dd AS (
+      SELECT t, d, n_risk,
+             row_number() OVER (ORDER BY t) AS i
+      FROM r WHERE d > 0
+    ),
+    km AS (
+      SELECT 0 AS i, CAST(1000000 AS HUGEINT) AS s_fp
+      UNION ALL
+      SELECT km.i + 1,
+             km.s_fp * (d2.n_risk - d2.d) // d2.n_risk
+      FROM km JOIN dd d2 ON d2.i = km.i + 1
+    )
+    SELECT d2.t AS t_min, d2.n_risk, d2.d AS n_deaths,
+           CAST(km.s_fp AS BIGINT) AS surv_fp
+    FROM dd d2 JOIN km ON km.i = d2.i
+    ORDER BY t_min
+    """,
+)
+def q_session_survival_km(spark, sf_dir):
+    """Kaplan–Meier session-duration survival
+    (events.session_survival_km): P(session lasts ≥ t minutes) with
+    boundary CENSORING — sessions whose trailing silence hasn't
+    reached the gap at corpus end may still be open, so they leave
+    the risk set without counting as ended (the thing a naive
+    duration histogram gets wrong).  One user-keyed shuffle + a
+    combinable (duration, death) histogram; the truncating integer
+    KM recurrence folds over the duration-bounded collected
+    histogram and the oracle replays it as a recursive CTE in
+    HUGEINT.  Opens the survival-analysis family."""
+    return EV.session_survival_km(_t(spark, sf_dir, "events"))
+
+
+@query(
     "customer_revenue_lorenz",
     """
     WITH rev AS (
@@ -15937,14 +16002,14 @@ def q_pipeline_line_dedup(spark, sf_dir):
 # ROUND-13 HANDOFF: if CORRECTNESS_r12 is green, budget the same way —
 # new gates first, then changed oracles/operators, then oldest-row
 # re-confirmations from `python tools/window_age.py` (the refills
-# start at grouped_minmax_normalize, hybrid_retrieval_rrf,
-# kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
-# orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
-# streaming_cms_heavy_hitters, streaming_curated_ingest and
-# streaming_sliding_10m — the eleven displaced r5 stragglers — then
-# the r6 era: compaction_bins, corpus_snapshot_diff,
-# customer_rfm_segments, data_expectations, dataset_card, …).  No
-# known changed-construction
+# start at events_value_histogram, grouped_minmax_normalize,
+# hybrid_retrieval_rrf, kmeans_centroids, multimodal_byte_chunks,
+# orc_roundtrip_events, orders_priority_unpivot, orders_scd_upsert,
+# ppr_seed_proximity, streaming_cms_heavy_hitters,
+# streaming_curated_ingest and streaming_sliding_10m — the twelve
+# displaced r5 stragglers — then the r6 era: compaction_bins,
+# corpus_snapshot_diff, customer_rfm_segments, data_expectations,
+# dataset_card, …).  No known changed-construction
 # carryover beyond what the r12 window re-confirms.  Update
 # test_driver_window_leads_with_round12_priorities when reordering.
 #: the round-8 additions, in window order — the lint test pins the
@@ -16013,6 +16078,7 @@ ROUND12_NEW = [
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
     "customer_revenue_lorenz",
+    "session_survival_km",
 ]
 
 #: round-12 changed-operator re-confirmations, in window order: the
@@ -16062,15 +16128,15 @@ _DRIVER_PRIORITY = [
     #    identical this round; driver hash currency) ------------------
     *ROUND12_CHANGED,
     # -- oldest-green re-confirmations (window_age.py oldest-first):
-    #    22 of the remaining 33 r5-era gates, filling the window to
-    #    exactly 50 (the other eleven — grouped_minmax_normalize,
-    #    hybrid_retrieval_rrf, kmeans_centroids,
-    #    multimodal_byte_chunks, orc_roundtrip_events,
-    #    orders_priority_unpivot, orders_scd_upsert,
-    #    ppr_seed_proximity, streaming_cms_heavy_hitters,
-    #    streaming_curated_ingest, streaming_sliding_10m — sit at
-    #    slots 51-61 and head the r13 refills; no r6 gate fits this
-    #    round) -------------------------------------------------------
+    #    21 of the remaining 33 r5-era gates, filling the window to
+    #    exactly 50 (the other twelve — events_value_histogram,
+    #    grouped_minmax_normalize, hybrid_retrieval_rrf,
+    #    kmeans_centroids, multimodal_byte_chunks,
+    #    orc_roundtrip_events, orders_priority_unpivot,
+    #    orders_scd_upsert, ppr_seed_proximity,
+    #    streaming_cms_heavy_hitters, streaming_curated_ingest,
+    #    streaming_sliding_10m — sit at slots 51-62 and head the r13
+    #    refills; no r6 gate fits this round) -------------------------
     "ann_sq8_top5",
     "benchmark_decontamination",
     "cluster_balanced_sample",
@@ -16092,14 +16158,15 @@ _DRIVER_PRIORITY = [
     "doc_winnowing_fingerprints",
     "events_by_customer_segment",
     "events_top_type_per_hour",
-    "events_value_histogram",
-    # (grouped_minmax_normalize, hybrid_retrieval_rrf,
-    # kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
-    # orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
+    # (events_value_histogram, grouped_minmax_normalize,
+    # hybrid_retrieval_rrf, kmeans_centroids, multimodal_byte_chunks,
+    # orc_roundtrip_events, orders_priority_unpivot,
+    # orders_scd_upsert, ppr_seed_proximity,
     # streaming_cms_heavy_hitters, streaming_curated_ingest and
-    # streaming_sliding_10m, all r5, displaced to slots 51-61 by the
+    # streaming_sliding_10m, all r5, displaced to slots 51-62 by the
     # round-12 gates; they head the r13 refills with the r6 era)
     # -- beyond slot 50: the r11 window order, then the standing tail
+    "events_value_histogram",
     "grouped_minmax_normalize",
     "hybrid_retrieval_rrf",
     "kmeans_centroids",

@@ -23,18 +23,18 @@ def test_no_hugeint_or_decimal_oracle_columns():
 
 def test_driver_window_leads_with_round12_priorities():
     """Round-12 curation contract: the window leads with (1) the
-    twelve new round-12 gates (no driver row anywhere), then (2) the
+    thirteen new round-12 gates (no driver row anywhere), then (2) the
     16 changed-operator re-confirmations (the r11 handoff's MUST-HEAD
     six ANN gates + three skew/Expand rewrites, plus this round's BPE
     argmax / joiner / pack_sequences / grouped-rank touches — all
     oracle-verified identical this round), then (3) the oldest-green
-    refills: the remaining r5 era minus its eleven displaced
-    stragglers (grouped_minmax_normalize, hybrid_retrieval_rrf,
-    kmeans_centroids, multimodal_byte_chunks, orc_roundtrip_events,
-    orders_priority_unpivot, orders_scd_upsert, ppr_seed_proximity,
-    streaming_cms_heavy_hitters, streaming_curated_ingest,
-    streaming_sliding_10m — slots 51-61, they head the r13
-    refills)."""
+    refills: the remaining r5 era minus its twelve displaced
+    stragglers (events_value_histogram, grouped_minmax_normalize,
+    hybrid_retrieval_rrf, kmeans_centroids, multimodal_byte_chunks,
+    orc_roundtrip_events, orders_priority_unpivot, orders_scd_upsert,
+    ppr_seed_proximity, streaming_cms_heavy_hitters,
+    streaming_curated_ingest, streaming_sliding_10m — slots 51-62,
+    they head the r13 refills)."""
     import __spark_entry__ as entrymod
     from lab3_spark.queries_catalog import ROUND12_CHANGED, ROUND12_NEW
 
@@ -43,18 +43,19 @@ def test_driver_window_leads_with_round12_priorities():
     assert order[: len(head)] == head
     # oldest-green refill begins immediately after the changed gates
     assert order[len(head)] == "ann_sq8_top5"
-    assert order[49] == "events_value_histogram"
-    assert order[50] == "grouped_minmax_normalize"  # r13 refill head
-    assert order[51] == "hybrid_retrieval_rrf"
-    assert order[52] == "kmeans_centroids"
-    assert order[53] == "multimodal_byte_chunks"
-    assert order[54] == "orc_roundtrip_events"
-    assert order[55] == "orders_priority_unpivot"
-    assert order[56] == "orders_scd_upsert"
-    assert order[57] == "ppr_seed_proximity"
-    assert order[58] == "streaming_cms_heavy_hitters"
-    assert order[59] == "streaming_curated_ingest"
-    assert order[60] == "streaming_sliding_10m"
+    assert order[49] == "events_top_type_per_hour"
+    assert order[50] == "events_value_histogram"  # r13 refill head
+    assert order[51] == "grouped_minmax_normalize"
+    assert order[52] == "hybrid_retrieval_rrf"
+    assert order[53] == "kmeans_centroids"
+    assert order[54] == "multimodal_byte_chunks"
+    assert order[55] == "orc_roundtrip_events"
+    assert order[56] == "orders_priority_unpivot"
+    assert order[57] == "orders_scd_upsert"
+    assert order[58] == "ppr_seed_proximity"
+    assert order[59] == "streaming_cms_heavy_hitters"
+    assert order[60] == "streaming_curated_ingest"
+    assert order[61] == "streaming_sliding_10m"
     # every pinned name must exist (typo guard is import-time, but the
     # window size contract lives here)
     assert len(set(order[:50])) == 50

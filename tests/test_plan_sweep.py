@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "linkage_fs_scores",  # 1-row m/u-stats + 1-row weights broadcasts
     "source_length_digest",  # 1-row union-digest broadcast (KLL shape)
     "customer_revenue_lorenz",  # 1-row gini-stats broadcast
+    "session_survival_km",  # 1-row corpus-max broadcast
     "events_kmv_daily_users",  # 1-row merged-total synopsis broadcast
     "events_cms_verified_hh",  # 1-row threshold aggregate broadcast
     "pipeline_forget_docs",  # 1-row before/after count aggregates

@@ -179,6 +179,7 @@ QUERIES = [
     "ann_ivf_ndcg",
     "events_attribution_heuristics",
     "customer_revenue_lorenz",
+    "session_survival_km",
     # fact-table shapes
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
