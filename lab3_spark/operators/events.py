@@ -288,13 +288,13 @@ def session_survival_km(
 
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_us = gap_minutes * 60 * 1_000_000
+    # cast-through-timestamp: a raw parquet read yields TIMESTAMP_NTZ,
+    # which unix_micros rejects; under the UTC session the cast is the
+    # same instant (and a no-op on already-zoned loader output)
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
     with_breaks = events.withColumn(
         "is_break",
-        (
-            F.unix_micros("ts")
-            - F.lag(F.unix_micros("ts"), 1, 0).over(w)
-            > gap_us
-        ).cast("int"),
+        (mu - F.lag(mu, 1, 0).over(w) > gap_us).cast("int"),
     ).withColumn(
         "session_id",
         F.sum("is_break").over(
@@ -302,10 +302,12 @@ def session_survival_km(
         ),
     )
     sess = with_breaks.groupBy("user_id", "session_id").agg(
-        F.min(F.unix_micros("ts")).alias("s_us"),
-        F.max(F.unix_micros("ts")).alias("e_us"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("e_us"),
     )
-    mx = events.agg(F.max(F.unix_micros("ts")).alias("m_us"))
+    mx = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("m_us")
+    )
     h = (
         sess.crossJoin(F.broadcast(mx))
         .select(

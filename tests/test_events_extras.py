@@ -121,3 +121,23 @@ def test_attribution_heuristics_hand_built(spark):
     assert got["A"]["position_fp"] == 400000
     assert got["B"]["position_fp"] == 200000 + 10**6
     assert got["C"]["position_fp"] == 400000
+
+
+def test_session_survival_km_monotone(spark, sf_dir):
+    """KM invariants on real testdata: death times strictly increasing,
+    risk sets strictly decreasing in t, survival non-increasing inside
+    [0, 1e6], and deaths never exceed the risk set."""
+    from lab3_spark.operators.events import session_survival_km
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = session_survival_km(ev).collect()
+    assert rows, "expected at least one closed session"
+    ts = [r["t_min"] for r in rows]
+    assert ts == sorted(set(ts))
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    survs = [r["surv_fp"] for r in rows]
+    assert survs == sorted(survs, reverse=True)
+    for r in rows:
+        assert 0 <= r["surv_fp"] <= 10**6
+        assert 1 <= r["n_deaths"] <= r["n_risk"]
