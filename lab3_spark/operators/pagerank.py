@@ -12,12 +12,15 @@ reproduces the ranks bit-for-bit.  Float PageRank would hash-mismatch:
 summation order differs between engines (the round-1
 `ann_lsh_buckets` lesson).
 
-Scale shape per iteration: one hash-shuffle join of edges with ranks
-on src (degree rides along, pre-joined once) and one groupBy(dst) —
-both keyed shuffles, no broadcast of anything data-sized, no driver
-collect.  Lineage is truncated with localCheckpoint each iteration
-(the components.py pattern) so the plan doesn't grow exponentially
-with iteration count."""
+Scale shape per iteration: one equi-join of the ONCE-partitioned,
+cached edge table with the node-scale rank table on src (degree rides
+along, pre-joined once) and one groupBy(dst) — the edge table never
+re-shuffles after its initial hash-partition by src, so each iteration
+moves only node-scale rows plus the per-edge contribution shuffle; no
+broadcast of anything data-sized, no driver collect.  The iteration
+chain is purely lazy (plan depth linear in n_iter over the cached edge
+table, periodic truncation past 8 rounds) and ONE eager localCheckpoint
+materializes the final ranks."""
 
 from __future__ import annotations
 
@@ -38,20 +41,25 @@ def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFram
     return fwd.unionAll(rev)
 
 
-def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame, n_iter: int = 5, symmetric: bool = False
+) -> DataFrame:
     """(node, rank_fp): integer fixed-point PageRank after ``n_iter``
     synchronous iterations from a uniform RANK_SCALE start.
 
     ``edges`` is a directed (src, dst) list; a symmetrized graph (every
     node has out-degree ≥ 1) has no dangling-mass problem by
-    construction.
+    construction.  ``symmetric=True`` asserts the input came from
+    :func:`symmetrize` (every node has at least one IN-edge too), which
+    lets each iteration skip the nodes-left-join: the contribution agg
+    already emits every node, so ``s`` is never NULL and the key set is
+    exactly the node set — values identical, one join fewer per
+    iteration (optimization round 12, guide §2.4).
 
-    Warm path: the loop materializes a checkpoint PER ITERATION during
-    construction, so only an INPUT-keyed result memo can skip it — a
-    repeat call over the same edge frame returns the previous ranks
-    checkpoint without running a single job (the components.py
-    pattern).  A rebuild retires the old ranks checkpoint, so all
-    cached entries are invalidated first."""
+    Warm path: the final ranks checkpoint sits behind an INPUT-keyed
+    result memo — a repeat call over the same edge frame returns the
+    previous ranks without running a single job.  A rebuild retires the
+    old ranks checkpoint, so all cached entries are invalidated first."""
     from lab3_spark.functions.partitioning import (
         memo_result,
         memo_result_invalidate,
@@ -59,33 +67,51 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 5) -> DataFrame:
 
     def build() -> DataFrame:
         memo_result_invalidate("pagerank.result.")
-        return _pr_iterations(edges, n_iter)
+        return _pr_iterations(edges, n_iter, symmetric)
 
-    return memo_result(f"pagerank.result.n{n_iter}", edges, build)
-
-
-def _pr_iterations(edges: DataFrame, n_iter: int) -> DataFrame:
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    # degree rides with the edge list from the start: one narrow join
-    # now instead of a second join every iteration
-    edeg = edges.join(deg, "src").select("src", "dst", "deg")
-    # memo_persist: both frames are re-read every iteration; the
-    # registry bounds growth to one cached (edeg, nodes) pair per
-    # session AND lets a repeat run over the same graph cache-hit
-    # them instead of rebuilding (sameResult plan match).
-    from lab3_spark.functions.partitioning import (
-        free_checkpoint,
-        memo_persist,
-        retire_latest,
+    return memo_result(
+        f"pagerank.result.n{n_iter}.sym{int(symmetric)}", edges, build
     )
 
-    edeg = memo_persist("pagerank.edeg", edeg)
-    nodes = memo_persist("pagerank.nodes", nodes)
 
-    ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
-    prev_ckpt = None
-    for _ in range(n_iter):
+def _pr_iterations(edges: DataFrame, n_iter: int, symmetric: bool) -> DataFrame:
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree rides with the edge list from the start: one narrow join
+    # now instead of a second join every iteration.  The edge table is
+    # hash-partitioned by src ONCE before caching (optimization round
+    # 12, guide §2.4/§8): every iteration's join probes it on src, so
+    # the cached partitioning means only the node-scale rank table
+    # moves per iteration — without it the edge table (the heavy side
+    # at 100 TB) re-shuffles n_iter times.
+    from lab3_spark.functions.partitioning import memo_persist, retire_latest
+
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    edeg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition(par, "src")
+    )
+    edeg = memo_persist("pagerank.edeg", edeg)
+
+    if symmetric:
+        nodes = None
+        ranks = edeg.select(F.col("src").alias("node")).distinct().withColumn(
+            "rank_fp", F.lit(RANK_SCALE).cast("bigint")
+        )
+    else:
+        nodes = memo_persist(
+            "pagerank.nodes",
+            edges.select(F.col("src").alias("node")).distinct(),
+        )
+        ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("bigint"))
+    damp = (
+        F.lit(BASE_FP)
+        + F.expr(
+            f"({DAMPING_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+            f" div {DAMPING_DEN}"
+        )
+    ).cast("bigint")
+    for it in range(n_iter):
         summed = (
             edeg.join(ranks, edeg.src == ranks.node)
             .select(
@@ -95,32 +121,24 @@ def _pr_iterations(edges: DataFrame, n_iter: int) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (
-                F.lit(BASE_FP)
-                + F.expr(
-                    f"({DAMPING_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
-                    f" div {DAMPING_DEN}"
-                )
+        if symmetric:
+            ranks = summed.select("node", damp.alias("rank_fp"))
+        else:
+            ranks = nodes.join(summed, "node", "left").select(
+                "node", damp.alias("rank_fp")
             )
-            .cast("bigint")
-            .alias("rank_fp"),
-        )
-        # truncate lineage so the logical plan stays O(1) per
-        # iteration.  EAGER + free-prev keeps at most TWO rank tables
-        # persisted at any moment (the lazy chain pinned every
-        # iteration's checkpoint until the ContextCleaner got to them —
-        # at scale that is n_iter full rank tables of storage); the
-        # materialization cost is nothing extra, the final action paid
-        # it anyway.
-        ranks = ranks.localCheckpoint(eager=True)
-        if prev_ckpt is not None:
-            free_checkpoint(prev_ckpt)
-        prev_ckpt = ranks
+        # The loop is PURELY LAZY: no per-iteration action, the whole
+        # n_iter chain pipelines into the single eager checkpoint below
+        # (optimization round 12 — the former per-iteration eager
+        # localCheckpoint cost one full materialization job per round;
+        # the plan depth is linear in n_iter over a cached edge table,
+        # so analysis stays cheap).  Long horizons still truncate
+        # periodically so plan depth stays bounded.
+        if n_iter > 8 and (it + 1) % 8 == 0 and (it + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     # the final checkpoint outlives this call (the caller reads it);
     # the NEXT call retires it
-    return retire_latest("pagerank.ranks", ranks)
+    return retire_latest("pagerank.ranks", ranks.localCheckpoint(eager=True))
 
 
 def ppr_fixed_point(
@@ -142,7 +160,6 @@ def ppr_fixed_point(
     `pagerank_fixed_point`; the oracle unrolls identical CTEs with a
     CASE base term."""
     from lab3_spark.functions.partitioning import (
-        free_checkpoint,
         memo_persist,
         memo_result,
         memo_result_invalidate,
@@ -153,8 +170,14 @@ def ppr_fixed_point(
         memo_result_invalidate("pagerank.ppr_result.")
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         nodes = edges.select(F.col("src").alias("node")).distinct()
+        # hash-partition by src once before caching — the per-iteration
+        # join then moves only the node-scale rank table (guide §2.4)
+        par = edges.sparkSession.sparkContext.defaultParallelism
         edeg = memo_persist(
-            "pagerank.ppr_edeg", edges.join(deg, "src").select("src", "dst", "deg")
+            "pagerank.ppr_edeg",
+            edges.join(deg, "src")
+            .select("src", "dst", "deg")
+            .repartition(par, "src"),
         )
         seeds = nodes.orderBy("node").limit(n_seeds).select(
             "node", F.lit(1).alias("is_seed")
@@ -170,8 +193,7 @@ def ppr_fixed_point(
             "node",
             (F.col("is_seed") * F.lit(RANK_SCALE)).cast("bigint").alias("rank_fp"),
         )
-        prev_ckpt = None
-        for _ in range(n_iter):
+        for it in range(n_iter):
             summed = (
                 edeg.join(ranks, edeg.src == ranks.node)
                 .select(
@@ -193,11 +215,13 @@ def ppr_fixed_point(
                 .cast("bigint")
                 .alias("rank_fp"),
             )
-            ranks = ranks.localCheckpoint(eager=True)
-            if prev_ckpt is not None:
-                free_checkpoint(prev_ckpt)
-            prev_ckpt = ranks
-        return retire_latest("pagerank.ppr_ranks", ranks)
+            # purely lazy loop; one eager checkpoint at the end (see
+            # _pr_iterations) — periodic truncation for long horizons
+            if n_iter > 8 and (it + 1) % 8 == 0 and (it + 1) < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+        return retire_latest(
+            "pagerank.ppr_ranks", ranks.localCheckpoint(eager=True)
+        )
 
     return memo_result(f"pagerank.ppr_result.n{n_iter}.s{n_seeds}", edges, build)
 
@@ -220,15 +244,30 @@ def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
     Per round: two keyed equi-joins of the edge list with the current
     score table and two combinable aggregations, plus a 1-row max
     broadcast for the normalizer — no all-pairs, no driver data.  The
-    top-k per role is a TakeOrderedAndProject heap."""
-    from lab3_spark.functions.partitioning import persist_latest
+    top-k per role is a TakeOrderedAndProject heap.
+
+    Edge layout (optimization round 12, guide §2.4): the rounds probe
+    the edge list alternately on src (hub join) and dst (auth join) —
+    the naive cached list re-shuffles AND re-sorts per probe, 2·n_iter
+    edge-scale exchanges.  Two sorted, hash-partitioned caches (one per
+    probe key), built once off a shared base cache, make every round's
+    join move only the node-scale score table."""
+    from lab3_spark.functions.partitioning import memo_persist, persist_latest
 
     if n_iter < 1:  # auths is only bound inside the loop
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
 
-    # persisted: the edge list is probed 2× per round
-    edges = persist_latest("pagerank.hits.edges", edges)
-    src_nodes = edges.select(F.col("src").alias("node")).distinct()
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    base = memo_persist("pagerank.hits.edges", edges)
+    e_src = memo_persist(
+        "pagerank.hits.edges_src",
+        base.repartition(par, "src").sortWithinPartitions("src"),
+    )
+    e_dst = memo_persist(
+        "pagerank.hits.edges_dst",
+        base.repartition(par, "dst").sortWithinPartitions("dst"),
+    )
+    src_nodes = e_src.select(F.col("src").alias("node")).distinct()
     hubs = src_nodes.select(
         "node", F.lit(HITS_SCALE).cast("bigint").alias("score")
     )
@@ -242,7 +281,7 @@ def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
         # registry holds a fixed 2·n_iter entries.
         a_raw = persist_latest(
             f"pagerank.hits.a_raw{i}",
-            edges.join(hubs, edges.src == hubs.node)
+            e_src.join(hubs, e_src.src == hubs.node)
             .groupBy("dst")
             .agg(F.sum("score").alias("_raw")),
         )
@@ -257,7 +296,7 @@ def hits_scores(edges: DataFrame, n_iter: int = 2, k: int = 10) -> DataFrame:
         )
         h_raw = persist_latest(
             f"pagerank.hits.h_raw{i}",
-            edges.join(auths, edges.dst == auths.node)
+            e_dst.join(auths, e_dst.dst == auths.node)
             .groupBy("src")
             .agg(F.sum("score").alias("_raw")),
         )

@@ -1991,7 +1991,7 @@ def textrank_keywords(
 
     edges = textrank_cooccurrence_edges(documents, text_col)
     ranks = pagerank_fixed_point(
-        symmetrize(edges, "w_a", "w_b"), n_iter=n_iter
+        symmetrize(edges, "w_a", "w_b"), n_iter=n_iter, symmetric=True
     )
     return (
         ranks.orderBy(F.desc("rank_fp"), F.asc("node"))

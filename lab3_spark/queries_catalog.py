@@ -4622,7 +4622,9 @@ def q_pagerank_candidates(spark, sf_dir):
     )
 
     cands = minhash_candidates(_t(spark, sf_dir, "documents"))
-    ranks = pagerank_fixed_point(symmetrize(cands), n_iter=_PAGERANK_ITERS)
+    ranks = pagerank_fixed_point(
+        symmetrize(cands), n_iter=_PAGERANK_ITERS, symmetric=True
+    )
     return (
         ranks.select(F.col("node").alias("doc_id"), "rank_fp")
         .orderBy(F.desc("rank_fp"), F.asc("doc_id"))
@@ -7325,7 +7327,9 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     comps = connected_components(cands, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
-    ranks = pagerank_fixed_point(symmetrize(cands), n_iter=_PAGERANK_ITERS)
+    ranks = pagerank_fixed_point(
+        symmetrize(cands), n_iter=_PAGERANK_ITERS, symmetric=True
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("rank_fp"), F.asc("doc_id")
     )
