@@ -108,9 +108,18 @@ def _cc_fixpoint(
     retire_prefix("components.ckpt")
 
     und = und_input
+    # hash-partitioned by the probe key ONCE before caching
+    # (optimization round 12, guide §2.4): every iteration joins
+    # und.b == labels.node, so the cached layout means only the
+    # node-scale label table moves per round — un-partitioned, the
+    # edge table (the heavy side at 100 TB) re-shuffled every round.
+    par = und.sparkSession.sparkContext.defaultParallelism
     und = memo_persist(
         "components.und",
-        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition(par, "b")
+        .sortWithinPartitions("b"),
     )
 
     labels = memo_persist(

@@ -1186,8 +1186,6 @@ def q_pipeline_gopher_prune(spark, sf_dir):
     deduped → chunk count) is the number a data curator actually
     tracks.  Every stage is deterministic so the whole composition
     value-hash-verifies."""
-    from pyspark.sql.window import Window as W
-
     from lab3_spark.functions.text import tokenize
     from lab3_spark.operators.textstats import gopher_quality
 
@@ -1204,9 +1202,12 @@ def q_pipeline_gopher_prune(spark, sf_dir):
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
         F.size(toks).alias("n_toks"),
     )
-    kept = pd_.withColumn("rep", F.min("doc_id").over(W.partitionBy("fp"))).where(
-        F.col("doc_id") == F.col("rep")
-    )
+    # skew-immune exact dedup (optimization round 12, guide §2.5): the
+    # min-id representative is a COMBINABLE agg + semi-join on the
+    # unique doc_id — the former fp-partitioned window landed a hot
+    # fingerprint's whole group on one unsplittable task
+    reps = pd_.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = pd_.join(reps, "doc_id", "semi")
     src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     ps = (
         docs.join(gp, "doc_id")
@@ -3404,10 +3405,8 @@ def q_clean_pipeline(spark, sf_dir):
     """Composed cleaning pipeline — the operators chained the way a
     corpus-prep job runs them: length filter → repetition filter →
     exact dedup (min-id representative), reported as per-language
-    verdict counts.  One narrow scoring pass + one window over the
-    fingerprint."""
-    from pyspark.sql.window import Window
-
+    verdict counts.  One narrow scoring pass + one combinable min-per-
+    fingerprint agg joined back (skew-immune)."""
     from lab3_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -3421,15 +3420,20 @@ def q_clean_pipeline(spark, sf_dir):
             F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
         ).otherwise(0.0).alias("distinct_ratio"),
     )
-    w = Window.partitionBy("fp")
+    # skew-immune duplicate flag (optimization round 12, guide §2.5):
+    # min-id per fingerprint as a combinable agg joined back — the
+    # former fp window put a hot fingerprint on one task; the equi-join
+    # is AQE-skew-splittable and the agg combines map-side
+    mins = scored.groupBy("fp").agg(F.min("doc_id").alias("_rep"))
     verdict = (
         F.when(F.col("n_tokens") < 20, "too_short")
         .when(F.col("distinct_ratio") < 0.25, "too_repetitive")
-        .when(F.col("doc_id") != F.min("doc_id").over(w), "duplicate")
+        .when(F.col("doc_id") != F.col("_rep"), "duplicate")
         .otherwise("kept")
     )
     return (
-        scored.select("lang", verdict.alias("verdict"))
+        scored.join(mins, "fp")
+        .select("lang", verdict.alias("verdict"))
         .groupBy("lang", "verdict")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "verdict")
@@ -6092,8 +6096,6 @@ def q_pipeline_dedup_to_packing(spark, sf_dir):
     value-hash oracle (recursive CTE included) — the strongest
     statement the engine makes: multi-stage pipelines verify, not just
     single operators."""
-    from pyspark.sql.window import Window
-
     from lab3_spark.operators.components import connected_components
     from lab3_spark.operators.dedup import minhash_candidates
     from lab3_spark.operators.sampling import pack_sequences
@@ -6102,12 +6104,13 @@ def q_pipeline_dedup_to_packing(spark, sf_dir):
     from lab3_spark.functions.text import tokenize
 
     norm = F.concat_ws(" ", tokenize("text"))
-    w = Window.partitionBy("fp")
-    keep1 = (
-        docs.withColumn("fp", F.md5(norm))
-        .withColumn("rep", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "text", "source")
+    # skew-immune exact dedup (optimization round 12, guide §2.5):
+    # combinable min agg + semi-join on the unique doc_id instead of
+    # the hot-fingerprint window (the r11 dedup_exact rewrite)
+    fps = docs.withColumn("fp", F.md5(norm))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keep1 = fps.join(reps, "doc_id", "semi").select(
+        "doc_id", "text", "source"
     )
     cands = minhash_candidates(keep1)
     comps = connected_components(cands, "doc_a", "doc_b")
@@ -7655,27 +7658,33 @@ def q_events_top_type_per_hour(spark, sf_dir):
 def q_dedup_rate_by_source(spark, sf_dir):
     """Curator dashboard number: per-SOURCE exact-duplicate rates
     (min-id survivor rule) — which domains are bloated with copies
-    before any pruning.  One fingerprint scan + fp-partitioned window
-    + per-source agg; the window key is the fingerprint (bounded
-    groups), never the source."""
-    from pyspark.sql.window import Window
-
+    before any pruning.  One fingerprint scan + two combinable aggs
+    (per-fp representative via min(struct), per-source counts) — no
+    window, no fact-scale join."""
     from lab3_spark.operators.textstats import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     fp = fingerprint(docs).join(docs.select("doc_id", "source"), "doc_id")
-    flagged = fp.withColumn(
-        "is_dup",
-        (
-            F.col("doc_id")
-            != F.min("doc_id").over(Window.partitionBy("fp"))
-        ).cast("int"),
+    # skew-immune AND join-free (optimization round 12, guide §2.5):
+    # every fp group has exactly one representative (its min doc_id),
+    # so n_dups(source) = n_docs(source) − #representatives(source).
+    # min(struct(doc_id, source)) carries the representative's source
+    # through ONE combinable agg — the former fp-partitioned window
+    # landed hot fingerprints on one task AND re-shuffled the corpus;
+    # this shape never joins at fact scale at all.
+    reps = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source")).alias("_rep"))
+        .groupBy(F.col("_rep.source").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("n_reps"))
     )
     return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("is_dup").cast("bigint").alias("n_dups"),
+        fp.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(reps, "source", "left")
+        .withColumn(
+            "n_dups",
+            (F.col("n_docs") - F.coalesce("n_reps", F.lit(0))).cast("bigint"),
         )
         .select(
             "source",
