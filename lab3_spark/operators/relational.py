@@ -413,7 +413,12 @@ def brand_pair_lift(
 
     # persisted: four consumers (total, marginals, both join sides) —
     # their alias differences defeat exchange reuse, so an unpersisted
-    # baskets frame would re-run the join+distinct per consumer
+    # baskets frame would re-run the join+distinct per consumer.
+    # Hash-partitioned and sorted by the order key before caching
+    # (optimization round 12, guide §2.4): the pair self-join probes
+    # both sides on that key, so the cached layout removes BOTH of the
+    # join's basket-scale exchanges and sorts.
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
     baskets = persist_latest(
         "relational.brand_pairs.baskets",
         lineitem.join(
@@ -421,7 +426,9 @@ def brand_pair_lift(
             lineitem.l_partkey == part.p_partkey,
         )
         .select("l_orderkey", "p_brand")
-        .distinct(),
+        .distinct()
+        .repartition(par, "l_orderkey")
+        .sortWithinPartitions("l_orderkey"),
     )
     n_baskets = baskets.select(
         F.countDistinct("l_orderkey").alias("_nb")

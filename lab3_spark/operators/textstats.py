@@ -661,17 +661,30 @@ def bigram_backoff_surprisal(
     bigrams and no row, in both engines."""
     from lab3_spark.functions.partitioning import memo_persist
 
+    from lab3_spark.functions.partitioning import persist_latest
+
     alpha_inv_fp = F.lit(2.5)  # 1/α, α = 0.4 exactly
     clean_ids = (
         gopher_quality(documents, text_col)
         .where("gopher_pass")
         .select("doc_id")
     )
-    toks = spread(documents).select(
-        "doc_id", tokenize(text_col).alias("toks")
+    # Both intermediate frames fan out (toks → stream + unigram counts;
+    # stream → clean bigram counts + type table + final scoring join) —
+    # alias differences defeat exchange reuse, so unpersisted each
+    # consumer re-ran the whole scan+tokenize(+ngram explode): five
+    # corpus passes per action.  Bounded persists cut that to one
+    # tokenization and one bigram explode (optimization round 12,
+    # guide §5 — the simhash_near_pairs discipline).
+    toks = persist_latest(
+        "textstats.bigram_lm.toks",
+        spread(documents).select("doc_id", tokenize(text_col).alias("toks")),
     )
-    stream = toks.select(
-        "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+    stream = persist_latest(
+        "textstats.bigram_lm.stream",
+        toks.select(
+            "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+        ),
     )
     clean_stream = stream.join(clean_ids, "doc_id", "left_semi")
     big = clean_stream.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))

@@ -185,8 +185,9 @@ def zone_map_pruning_audit(
     prunes only its sort dimension; both curves prune both — and the
     table ranks the curves against each other too.
 
-    Scale shape: two ranged shuffles over the 4-column projection
-    (never the full row), a ≤ 2·n_files-row zone table, and a
+    Scale shape: one persisted coded projection (never the full row)
+    + three ranged shuffles over it (one per layout), a ≤ 3·n_files-row
+    zone table, and a
     zones × queries broadcast nested loop at metadata scale.  All
     arithmetic is integer past the one shared bucketize floor(), so a
     SQL oracle reproduces every count bit-for-bit."""
@@ -213,8 +214,17 @@ def zone_map_pruning_audit(
         .withColumn("cy", qb)
         .withColumn("z", interleave_bits(F.col("cx"), F.col("cy"), bits))
     )
-    coded = hilbert_index(coded, "cx", "cy", bits, out_col="h").select(
-        key_col, col_b, "cx", "cy", "z", "h"
+    # persisted: the three layout rankings below each probe this frame
+    # (plus their range-partition sampling passes) — unpersisted, the
+    # scan + bucketize + Morton/Hilbert chains re-ran per layout
+    # (optimization round 12, guide §5; bounded registry)
+    from lab3_spark.functions.partitioning import persist_latest
+
+    coded = persist_latest(
+        "zorder.prune.coded",
+        hilbert_index(coded, "cx", "cy", bits, out_col="h").select(
+            key_col, col_b, "cx", "cy", "z", "h"
+        ),
     )
 
     def _files(order_col: str, layout: str) -> DataFrame:
