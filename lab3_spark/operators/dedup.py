@@ -1000,11 +1000,21 @@ def _paragraph_minhash_build(
     block_tokens: int | None,
     max_bucket: int | None,
 ) -> DataFrame:
+    from lab3_spark.functions.partitioning import memo_persist
+
     paras = paragraph_frame(
         documents, text_col, delimiter=delimiter, block_tokens=block_tokens
     )
-    bands = minhash_band_keys(
-        paras, "para_text", key_cols=("doc_id", "para_idx")
+    # persisted: the bucket-size guard and BOTH self-join sides read
+    # this frame, and unlike the doc-level build no ReusedExchange
+    # materializes here (measured: 0 in the physical plan) — so the
+    # whole shingle→60-salt-minhash→band pipeline ran three times per
+    # action (optimization round 12, guide §5; bounded registry)
+    bands = memo_persist(
+        f"dedup.para_bands.{text_col}.{delimiter!r}.{block_tokens}",
+        minhash_band_keys(
+            paras, "para_text", key_cols=("doc_id", "para_idx")
+        ),
     )
     if max_bucket is not None:
         sizes = bands.groupBy("band", "band_key").agg(
