@@ -409,17 +409,21 @@ def brand_pair_lift(
     brands.  Marginal counts and the basket total are broadcast
     (|brands| rows, 1 row); the one unavoidable shuffle is the
     distinct on (order, brand)."""
-    from lab3_spark.functions.partitioning import persist_latest
-
     # persisted: four consumers (total, marginals, both join sides) —
     # their alias differences defeat exchange reuse, so an unpersisted
     # baskets frame would re-run the join+distinct per consumer.
     # Hash-partitioned and sorted by the order key before caching
     # (optimization round 12, guide §2.4): the pair self-join probes
     # both sides on that key, so the cached layout removes BOTH of the
-    # join's basket-scale exchanges and sorts.
+    # join's basket-scale exchanges and sorts.  memo_persist (not
+    # persist_latest): partitioning only PROPAGATES to the join once
+    # the cached plan is final — a per-call re-registered cache is
+    # never materialized at planning time and the planner falls back
+    # to re-shuffling both sides.
+    from lab3_spark.functions.partitioning import memo_persist
+
     par = lineitem.sparkSession.sparkContext.defaultParallelism
-    baskets = persist_latest(
+    baskets = memo_persist(
         "relational.brand_pairs.baskets",
         lineitem.join(
             F.broadcast(part),
