@@ -474,8 +474,14 @@ def main() -> None:
     # memo_persist/trained_centroids serve from cache in a long-lived
     # driver — the production shape.  cold = pass 1, warm = best later
     # pass; reported per query so the memo benefit is bench-visible.
-    # For queries in memo_served the warm number is a whole-result
-    # memo read; their HEADLINE entry is the cold (computed) time.
+    # For queries in memo_served the HEADLINE entry is min(ts), which
+    # for a gate served from a sibling's whole-result memo in every
+    # pass is a cache-READ time, not a standalone compute cost (the
+    # family leader pays the compute inside its own timed region each
+    # pass; the TOTAL therefore stays honest).  The per-gate standalone
+    # cost for those gates lives in the `cold` map — do not read a
+    # memo_served gate's headline number as its isolated price
+    # (VERDICT r12 item 3).
     cold = {n: ts[0] for n, ts in passes.items()}
     warm = {n: min(ts[1:]) for n, ts in passes.items()}
 
@@ -502,22 +508,38 @@ def main() -> None:
     # line, so the headline scalars (value/metric/unit/sf) must come
     # AFTER the bulky per-query maps or they are truncated away from
     # every BENCH_rN.json (r1-r6 all lost the total this way).
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "cold": cold,
-                "warm": warm,
-                "memo_served": sorted(memo_served),
-                "slowest": slowest,
-                "cold_slowest": cold_slowest,
-                "unit": "sec",
-                "metric": "headline_queries_total_wall_sec",
-                "sf": float(sf),
-                "value": total,
-            }
-        )
-    )
+    payload = {
+        "queries": timings,
+        "cold": cold,
+        "warm": warm,
+        "memo_served": sorted(memo_served),
+        "slowest": slowest,
+        "cold_slowest": cold_slowest,
+        "unit": "sec",
+        "metric": "headline_queries_total_wall_sec",
+        "sf": float(sf),
+        "value": total,
+    }
+    # Self-archive the full result to a repo file as well (VERDICT r12
+    # item 2: BENCH_r11 printed its JSON line with rc=0 but the
+    # driver's stdout capture failed to parse it, losing the whole
+    # round-over-round comparison — a file survives a stdout flake and
+    # lets the next round's PERF be reconstructed).  Best-effort: the
+    # bench result is the printed line; the archive must never fail it.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, "plans"), exist_ok=True)
+        with open(
+            os.path.join(here, "plans", "bench_latest.json"), "w"
+        ) as f:
+            json.dump(
+                {"cpus": os.environ.get("SPARK_GRAFT_CPUS"), **payload},
+                f,
+                indent=1,
+            )
+    except Exception:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -42,15 +42,18 @@ def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFram
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, n_iter: int = 5, symmetric: bool = False
+    edges: DataFrame, n_iter: int = 5, input_from_symmetrize: bool = False
 ) -> DataFrame:
     """(node, rank_fp): integer fixed-point PageRank after ``n_iter``
     synchronous iterations from a uniform RANK_SCALE start.
 
     ``edges`` is a directed (src, dst) list; a symmetrized graph (every
     node has out-degree ≥ 1) has no dangling-mass problem by
-    construction.  ``symmetric=True`` asserts the input came from
-    :func:`symmetrize` (every node has at least one IN-edge too), which
+    construction.  ``input_from_symmetrize=True`` asserts the input
+    came from :func:`symmetrize` (every node has at least one IN-edge
+    too — named after the contract, ADVICE r12: a non-symmetrized
+    input under this flag would silently drop zero-in-degree nodes
+    instead of giving them the base rank), which
     lets each iteration skip the nodes-left-join: the contribution agg
     already emits every node, so ``s`` is never NULL and the key set is
     exactly the node set — values identical, one join fewer per
@@ -67,10 +70,12 @@ def pagerank_fixed_point(
 
     def build() -> DataFrame:
         memo_result_invalidate("pagerank.result.")
-        return _pr_iterations(edges, n_iter, symmetric)
+        return _pr_iterations(edges, n_iter, input_from_symmetrize)
 
     return memo_result(
-        f"pagerank.result.n{n_iter}.sym{int(symmetric)}", edges, build
+        f"pagerank.result.n{n_iter}.sym{int(input_from_symmetrize)}",
+        edges,
+        build,
     )
 
 
@@ -83,7 +88,11 @@ def _pr_iterations(edges: DataFrame, n_iter: int, symmetric: bool) -> DataFrame:
     # the cached partitioning means only the node-scale rank table
     # moves per iteration — without it the edge table (the heavy side
     # at 100 TB) re-shuffles n_iter times.
-    from lab3_spark.functions.partitioning import memo_persist, retire_latest
+    from lab3_spark.functions.partitioning import (
+        free_checkpoint,
+        memo_persist,
+        retire_latest,
+    )
 
     par = edges.sparkSession.sparkContext.defaultParallelism
     edeg = (
@@ -111,6 +120,7 @@ def _pr_iterations(edges: DataFrame, n_iter: int, symmetric: bool) -> DataFrame:
             f" div {DAMPING_DEN}"
         )
     ).cast("bigint")
+    prev_trunc = None
     for it in range(n_iter):
         summed = (
             edeg.join(ranks, edeg.src == ranks.node)
@@ -133,12 +143,21 @@ def _pr_iterations(edges: DataFrame, n_iter: int, symmetric: bool) -> DataFrame:
         # localCheckpoint cost one full materialization job per round;
         # the plan depth is linear in n_iter over a cached edge table,
         # so analysis stays cheap).  Long horizons still truncate
-        # periodically so plan depth stays bounded.
+        # periodically so plan depth stays bounded; each truncation
+        # frees its predecessor once the new one is materialized
+        # (ADVICE r12: the intermediates otherwise stay pinned until
+        # the ContextCleaner happens to collect them).
         if n_iter > 8 and (it + 1) % 8 == 0 and (it + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_trunc is not None:
+                free_checkpoint(prev_trunc)
+            prev_trunc = ranks
     # the final checkpoint outlives this call (the caller reads it);
     # the NEXT call retires it
-    return retire_latest("pagerank.ranks", ranks.localCheckpoint(eager=True))
+    final = ranks.localCheckpoint(eager=True)
+    if prev_trunc is not None:
+        free_checkpoint(prev_trunc)
+    return retire_latest("pagerank.ranks", final)
 
 
 def ppr_fixed_point(
@@ -160,6 +179,7 @@ def ppr_fixed_point(
     `pagerank_fixed_point`; the oracle unrolls identical CTEs with a
     CASE base term."""
     from lab3_spark.functions.partitioning import (
+        free_checkpoint,
         memo_persist,
         memo_result,
         memo_result_invalidate,
@@ -193,6 +213,7 @@ def ppr_fixed_point(
             "node",
             (F.col("is_seed") * F.lit(RANK_SCALE)).cast("bigint").alias("rank_fp"),
         )
+        prev_trunc = None
         for it in range(n_iter):
             summed = (
                 edeg.join(ranks, edeg.src == ranks.node)
@@ -216,12 +237,17 @@ def ppr_fixed_point(
                 .alias("rank_fp"),
             )
             # purely lazy loop; one eager checkpoint at the end (see
-            # _pr_iterations) — periodic truncation for long horizons
+            # _pr_iterations) — periodic truncation for long horizons,
+            # each freeing its predecessor (ADVICE r12)
             if n_iter > 8 and (it + 1) % 8 == 0 and (it + 1) < n_iter:
                 ranks = ranks.localCheckpoint(eager=True)
-        return retire_latest(
-            "pagerank.ppr_ranks", ranks.localCheckpoint(eager=True)
-        )
+                if prev_trunc is not None:
+                    free_checkpoint(prev_trunc)
+                prev_trunc = ranks
+        final = ranks.localCheckpoint(eager=True)
+        if prev_trunc is not None:
+            free_checkpoint(prev_trunc)
+        return retire_latest("pagerank.ppr_ranks", final)
 
     return memo_result(f"pagerank.ppr_result.n{n_iter}.s{n_seeds}", edges, build)
 

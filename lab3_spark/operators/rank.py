@@ -73,11 +73,25 @@ def _ranged_frame(
     read path costs more than the small re-shuffle it saves, while the
     memo's own bookkeeping is negligible).  The within-call persist is
     the part that matters at every scale; recomputing one ranged
-    shuffle per invocation is the honest price of a fresh query."""
+    shuffle per invocation is the honest price of a fresh query.
+
+    The INPUT is also persisted (bounded, ``memo_key + ".in"``) unless
+    the caller already cached it: ``repartitionByRange`` SAMPLES its
+    child to pick range boundaries — a reservoir sketch that computes
+    EVERY input partition — and the shuffle map then computes the child
+    again.  For the rank-stat gates the child is itself a full
+    aggregation (a value histogram) or a tokenize/score pass, so the
+    un-persisted form paid that subtree twice per call (optimization
+    round 13, guide §1.2 "don't compute things you throw away" / §5).
+    Storage cost: one extra data-scale projection per memo_key, the
+    same size class as the ranged frame this helper already caches;
+    both are bounded by the persist_latest registry."""
     from lab3_spark.functions.partitioning import persist_latest
     from lab3_spark.sources.text import ROW_IDX_BITS
 
     par = df.sparkSession.sparkContext.defaultParallelism
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df = persist_latest(memo_key + ".in", df)
     cols = [F.col(c) for c in order_cols]
     mid = F.monotonically_increasing_id()
     d = (

@@ -618,7 +618,11 @@ def customer_rfm_segments(orders: DataFrame, q: int = 5) -> DataFrame:
     customer table), each over a (sort_key, custkey) total order so
     the massive frequency ties resolve identically in both engines;
     distinct memo keys keep the three ranged frames from evicting each
-    other mid-plan."""
+    other mid-plan.  ``base`` (the customer-grain agg all three passes
+    rank) is persisted once (bounded) — unpersisted, each pass's
+    range-sampling + shuffle recomputed the orders aggregation, six
+    orders scans total (optimization round 13, guide §5)."""
+    from lab3_spark.functions.partitioning import persist_latest
     from lab3_spark.operators.rank import with_global_order_stats
 
     base = orders.groupBy("o_custkey").agg(
@@ -633,6 +637,7 @@ def customer_rfm_segments(orders: DataFrame, q: int = 5) -> DataFrame:
         (-F.col("_freq")).alias("_freq_sort"),
         (-F.col("_mon")).alias("_mon_sort"),
     )
+    base = persist_latest("relational.rfm.base", base)
 
     def score(sort_col: str, out: str, key: str) -> DataFrame:
         return (

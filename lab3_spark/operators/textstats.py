@@ -659,9 +659,10 @@ def bigram_backoff_surprisal(
     combine-compressed shuffles plus the vocabulary joins, no
     broadcast of anything corpus-scaled.  Docs with < 2 tokens have no
     bigrams and no row, in both engines."""
-    from lab3_spark.functions.partitioning import memo_persist
-
-    from lab3_spark.functions.partitioning import persist_latest
+    from lab3_spark.functions.partitioning import (
+        memo_persist,
+        persist_latest,
+    )
 
     alpha_inv_fp = F.lit(2.5)  # 1/α, α = 0.4 exactly
     clean_ids = (
@@ -676,6 +677,12 @@ def bigram_backoff_surprisal(
     # corpus passes per action.  Bounded persists cut that to one
     # tokenization and one bigram explode (optimization round 12,
     # guide §5 — the simhash_near_pairs discipline).
+    # Storage cost (ADVICE r12): toks is ~corpus-scale and stream
+    # ~2×-corpus-scale, both MEMORY_AND_DISK — at the 100 TB design
+    # point that is a deliberate spill-heavy trade of multi-pass scan
+    # time for cache/disk; a deployment short on scratch disk should
+    # drop the toks persist first (stream carries the 3-way fan-out;
+    # toks only fans out 2×).
     toks = persist_latest(
         "textstats.bigram_lm.toks",
         spread(documents).select("doc_id", tokenize(text_col).alias("toks")),
@@ -2004,7 +2011,7 @@ def textrank_keywords(
 
     edges = textrank_cooccurrence_edges(documents, text_col)
     ranks = pagerank_fixed_point(
-        symmetrize(edges, "w_a", "w_b"), n_iter=n_iter, symmetric=True
+        symmetrize(edges, "w_a", "w_b"), n_iter=n_iter, input_from_symmetrize=True
     )
     return (
         ranks.orderBy(F.desc("rank_fp"), F.asc("node"))

@@ -1196,11 +1196,21 @@ def q_pipeline_gopher_prune(spark, sf_dir):
         .select("doc_id")
     )
     toks = tokenize("text")
-    pd_ = docs.join(gp, "doc_id").select(
-        "doc_id",
-        "source",
-        F.md5(F.concat_ws(" ", toks)).alias("fp"),
-        F.size(toks).alias("n_toks"),
+    from lab3_spark.functions.partitioning import persist_latest
+
+    # persisted (bounded): pd_ fans out three ways — the min-id agg,
+    # the semi-join probe, and the per-source pass counts below —
+    # and its child is the gopher scorer + a full tokenize+md5 pass;
+    # unpersisted, that chain ran twice and the r12 window→agg rewrite
+    # REGRESSED this gate 2.0→3.1 s (VERDICT r12 item 4; guide §5)
+    pd_ = persist_latest(
+        "catalog.gopher_prune.pd",
+        docs.join(gp, "doc_id").select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws(" ", toks)).alias("fp"),
+            F.size(toks).alias("n_toks"),
+        ),
     )
     # skew-immune exact dedup (optimization round 12, guide §2.5): the
     # min-id representative is a COMBINABLE agg + semi-join on the
@@ -1209,11 +1219,10 @@ def q_pipeline_gopher_prune(spark, sf_dir):
     reps = pd_.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = pd_.join(reps, "doc_id", "semi")
     src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    ps = (
-        docs.join(gp, "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_gopher_pass"))
-    )
+    # row-identical to docs⋈gp grouped by source (pd_ IS that join,
+    # projected) — reading the cache instead of re-running the gopher
+    # scorer a third time
+    ps = pd_.groupBy("source").agg(F.count("*").alias("n_gopher_pass"))
     ks = kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.sum(F.ceil(F.col("n_toks") / 64.0)).cast("bigint").alias("n_chunks"),
@@ -4627,7 +4636,7 @@ def q_pagerank_candidates(spark, sf_dir):
 
     cands = minhash_candidates(_t(spark, sf_dir, "documents"))
     ranks = pagerank_fixed_point(
-        symmetrize(cands), n_iter=_PAGERANK_ITERS, symmetric=True
+        symmetrize(cands), n_iter=_PAGERANK_ITERS, input_from_symmetrize=True
     )
     return (
         ranks.select(F.col("node").alias("doc_id"), "rank_fp")
@@ -7331,7 +7340,7 @@ def q_dedup_cluster_representatives(spark, sf_dir):
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
     ranks = pagerank_fixed_point(
-        symmetrize(cands), n_iter=_PAGERANK_ITERS, symmetric=True
+        symmetrize(cands), n_iter=_PAGERANK_ITERS, input_from_symmetrize=True
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("rank_fp"), F.asc("doc_id")
