@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 4
+# rounds per convergence check — see the batching note in _cc_fixpoint
+CHECK_EVERY = 2
 
 
 def connected_components(
@@ -129,36 +131,62 @@ def _cc_fixpoint(
         .select("node", F.col("node").alias("comp")),
     )
 
-    for it in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        stepped = labels.select(
-            "node", F.col("comp").alias("comp0")
-        ).join(neighbor_min, "node", "left").select(
-            "node",
-            "comp0",
-            F.least(F.col("comp0"), F.coalesce("ncomp", F.col("comp0"))).alias("comp"),
-        )
-        if shortcut and it >= shortcut_after:
-            # comp is itself a node id — jump to ITS label (labels are
-            # monotone non-increasing, so parent_comp ≤ comp always and
-            # the min-label fixpoint is unchanged; distance-to-root
-            # halves each round).
-            parents = stepped.select(
-                F.col("node").alias("comp"), F.col("comp").alias("parent_comp")
+    # Convergence is checked every CHECK_EVERY rounds, not every round
+    # (optimization round 13, VERDICT r12 item 5): the per-round count
+    # was the materializing action, and each one paid a full job
+    # schedule plus a memo_persist plan comparison.  The check itself
+    # is unchanged — "did the LAST executed round change any label"
+    # (the propagation step is a deterministic function T; T(L) = L
+    # means L is the fixpoint regardless of what earlier rounds in the
+    # batch did) — so the returned labeling is IDENTICAL to the
+    # check-every-round form and convergence is detected at the same
+    # round or at most CHECK_EVERY − 1 no-op rounds later, against
+    # half the actions and half the driver-side persist bookkeeping.
+    # Within a batch the steps chain lazily over the cached edge table
+    # (the pagerank lazy-loop discipline, bounded at CHECK_EVERY plan
+    # depth).
+    it = 0
+    while it < max_iter:
+        n_steps = min(CHECK_EVERY, max_iter - it)
+        cur = labels.select("node", F.col("comp"))
+        for j in range(n_steps):
+            neighbor_min = (
+                und.join(cur, und.b == cur.node)
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("comp").alias("ncomp"))
             )
-            stepped = stepped.join(parents, "comp", "left").select(
+            # the last step of the batch keeps its pre-step label as
+            # comp0 so the convergence count below compares exactly
+            # what the unbatched loop compared
+            keep_prev = ["comp0"] if j == n_steps - 1 else []
+            cur = cur.select(
+                "node", F.col("comp").alias("comp0")
+            ).join(neighbor_min, "node", "left").select(
                 "node",
-                "comp0",
-                F.coalesce("parent_comp", "comp").alias("comp"),
+                *keep_prev,
+                F.least(
+                    F.col("comp0"), F.coalesce("ncomp", F.col("comp0"))
+                ).alias("comp"),
             )
-        new_labels = stepped.select(
+            if shortcut and it >= shortcut_after:
+                # comp is itself a node id — jump to ITS label (labels
+                # are monotone non-increasing, so parent_comp ≤ comp
+                # always and the min-label fixpoint is unchanged;
+                # distance-to-root halves each round).
+                parents = cur.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("parent_comp"),
+                )
+                cur = cur.join(parents, "comp", "left").select(
+                    "node",
+                    *keep_prev,
+                    F.coalesce("parent_comp", "comp").alias("comp"),
+                )
+            it += 1
+        new_labels = cur.select(
             "node", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
+        if it % CHECKPOINT_EVERY == 0:
             # a checkpoint truncates lineage to a fresh LogicalRDD, so
             # it can never memo-match a later call — register it under
             # a PER-ITERATION key and let the NEXT call's entry
@@ -170,9 +198,9 @@ def _cc_fixpoint(
                 f"components.ckpt.{it}", new_labels.localCheckpoint(eager=True)
             )
         else:
-            # per-iteration memo keys are deliberate: a warm repeat run
-            # cache-hits every iteration's label frame (measured ~4×).
-            # Bound: #iterations × label-scale (node, comp) rows — for
+            # per-batch memo keys are deliberate: a warm repeat run
+            # cache-hits every batch's label frame (measured ~4×).
+            # Bound: #batches × label-scale (node, comp) rows — for
             # the O(log d) pointer-doubled convergence this is a handful
             # of frames, each ≪ corpus size.
             new_labels = memo_persist(f"components.iter{it}", new_labels)

@@ -39,7 +39,8 @@ def main() -> None:
         if a.startswith("--passes"):
             passes = int(a.split("=", 1)[1]) if "=" in a else passes
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("job_profile")
+    # the engine session disables the UI; this diagnostic needs it
+    spark = get_spark("job_profile", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     for t in TABLES:
         try:
