@@ -1034,10 +1034,24 @@ def _sparse_tfidf_pairs_build(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
+    # ONE term-keyed exchange feeds the whole build (optimization round
+    # 13, guide §2.4): hash-partitioning the exploded shingle stream by
+    # term up front means the (doc, term) tf agg, the df agg, the
+    # tf⋈idf weight join AND the a⋈b pair join below are all already
+    # clustered on term — zero further term exchanges (HashPartitioning
+    # on term satisfies every ClusteredDistribution whose keys include
+    # term), and the two consumers of the stream (tf feeding idf and
+    # tf feeding w) share the one shuffle via ReusedExchange, so the
+    # tokenize→shingle-explode pass runs ONCE instead of twice.  Cost:
+    # the shuffle moves raw gram occurrences instead of map-side
+    # combined (doc, term) partials — 3-gram shingles almost never
+    # repeat within a document, so the combining loss is ~nil.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     tf = (
         spread(documents)
         .where(F.size(toks) >= 3)
         .select("doc_id", F.explode(grams).alias("term"))
+        .repartition(par, "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for named catalog queries to plans/r12/.
+"""Dump .explain("formatted") for named catalog queries to plans/r13/.
 
 Usage: python tools/explain_dump.py [--warm] <suffix> <query> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt (suffix = "before" / "after").
+Writes plans/r13/<query>_<suffix>.txt (suffix = "before" / "after").
 Also prints a one-line plan-shape summary per query (#Exchange,
 join strategies, Python-eval nodes) so plan diffs are greppable.
 
@@ -36,7 +36,7 @@ def main() -> None:
     names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("lab3_spark_explain")
