@@ -820,18 +820,34 @@ def kn_bigram_surprisal(
     Same two-shuffle scale shape as bigram_backoff_surprisal — every
     statistic is a hash agg over the clean bigram stream (type scale),
     scoring is a term-keyed equi-join."""
-    from lab3_spark.functions.partitioning import memo_persist
+    from lab3_spark.functions.partitioning import (
+        memo_persist,
+        persist_latest,
+    )
 
     clean_ids = (
         gopher_quality(documents, text_col)
         .where("gopher_pass")
         .select("doc_id")
     )
-    toks = spread(documents).select(
-        "doc_id", tokenize(text_col).alias("toks")
+    # same fan-out as bigram_backoff_surprisal, same fix (optimization
+    # rounds 12/13, guide §5): toks feeds the bigram stream AND the
+    # clean-vocab pass; stream feeds the clean semi-join, the type
+    # table AND the final scoring join — unpersisted, the cold build
+    # re-ran the scan+tokenize(+explode) four to five times.  Same
+    # storage trade as the backoff LM: toks ~corpus-scale, stream
+    # ~2×-corpus-scale, both bounded MEMORY_AND_DISK; drop the toks
+    # persist first if scratch disk is short (stream carries the 3-way
+    # fan-out).
+    toks = persist_latest(
+        "textstats.kn_bigram.toks",
+        spread(documents).select("doc_id", tokenize(text_col).alias("toks")),
     )
-    stream = toks.select(
-        "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+    stream = persist_latest(
+        "textstats.kn_bigram.stream",
+        toks.select(
+            "doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("gram")
+        ),
     )
     clean_stream = memo_persist(
         "textstats.kn_bigram.clean_stream",
