@@ -2851,18 +2851,27 @@ def _lsh_planned_quality_build(
         f"dedup.minhash_sig.{text_col}",
         minhash_signatures(documents, text_col),
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bstar - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",", F.slice("sig", F.col("band") * rstar + 1, rstar)
-            )
-        ).alias("band_key"),
+    # persisted (optimization round 13 — the paragraph-minhash r12
+    # pattern): the banded frame feeds BOTH sides of the candidate
+    # self-join, so unpersisted the explode+md5 re-ran twice per
+    # action (the dominant cold cost).  A co-partitioned layout
+    # (repartition+sort by the join key) was A/B-measured ~0.4 s WORSE
+    # warm at sf0.1 and dropped.
+    bands = memo_persist(
+        f"dedup.lsh_planned_bands.{text_col}.b{bstar}",
+        sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bstar - 1))).alias("band"),
+            "sig",
+        ).select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws(
+                    ",", F.slice("sig", F.col("band") * rstar + 1, rstar)
+                )
+            ).alias("band_key"),
+        ),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
