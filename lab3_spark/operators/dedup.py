@@ -258,14 +258,22 @@ def exact_substring_spans(
     from lab3_spark.functions.partitioning import memo_persist
     from lab3_spark.operators.textstats import _word_ngrams
 
+    # cached gram-partitioned (optimization round 13, guide §2.4 —
+    # the sparse_tfidf pattern): both consumers are gram-keyed (the
+    # occ>=2 agg and the semi-join probe), so laying the cache out on
+    # gram removes BOTH downstream gram exchanges — before, the probe
+    # side re-shuffled the full positional stream every action
+    par = documents.sparkSession.sparkContext.defaultParallelism
     grams = memo_persist(
         f"dedup.exact_substring_spans.grams.{n}",
-        spread(documents).select(
+        spread(documents)
+        .select(
             "doc_id",
             F.posexplode(_word_ngrams(tokenize(text_col), n)).alias(
                 "pos", "gram"
             ),
-        ),
+        )
+        .repartition(par, "gram"),
     )
     dup = (
         grams.groupBy("gram")
