@@ -85,6 +85,28 @@ def main() -> None:
                     f"  job {j['jobId']:>4} {dur} tasks={j['numTasks']:<5}"
                     f" {j.get('description', '')[:110]}"
                 )
+            # slow stages with names — the job rows alone cannot say
+            # WHICH operator a 1-task straggler stage runs
+            try:
+                with urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app}/stages?status=complete"
+                ) as r:
+                    stages = json.load(r)
+                sids = {
+                    s for j in jobs for s in j.get("stageIds", [])
+                }
+                for s in sorted(stages, key=lambda s: s["stageId"]):
+                    if s["stageId"] not in sids:
+                        continue
+                    dur = (s.get("executorRunTime", 0)) / 1000.0
+                    if dur >= 0.4:
+                        print(
+                            f"    stage {s['stageId']:>4} run={dur:6.2f}s"
+                            f" tasks={s['numCompleteTasks']:<4}"
+                            f" {s.get('name', '')[:100]}"
+                        )
+            except Exception as e:
+                print(f"    (stage detail unavailable: {e})")
 
 
 if __name__ == "__main__":
